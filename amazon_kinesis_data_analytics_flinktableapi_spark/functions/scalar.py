@@ -1,0 +1,65 @@
+"""Scalar functions, including the reference's one UDF (SURVEY.md §2 S7).
+
+The reference defines ``TimestampToString extends ScalarFunction``
+(TimestampToString.java:9-17): ``Timestamp → String`` via
+``java.sql.Timestamp.toString()``, registered by name and called from the
+SELECT list (StreamingJob.java:88,93).
+
+Three implementations, fastest first:
+
+1. ``timestamp_to_string_col`` — pure built-in expression (JVM-side, inside
+   whole-stage codegen).  The hot path; what the query library uses.
+2. ``register_timestamp_to_string`` — registers a *SQL-callable* function by
+   the reference's name so user SQL written against the reference
+   (``TimestampToString(o.eventtime)``) runs unchanged.
+3. ``timestamp_to_string_pandas`` — Arrow-vectorized pandas_udf, kept as the
+   template for UDFs whose logic genuinely can't be expressed with builtins.
+
+``java.sql.Timestamp.toString()`` format: ``yyyy-MM-dd HH:mm:ss.f…`` with
+1-9 fractional digits, trailing zeros stripped but always ≥1 digit
+(``2024-01-01 00:00:07.0`` for whole seconds).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def timestamp_to_string_col(col: Column | str) -> Column:
+    """Built-in-expression replica of java.sql.Timestamp.toString().
+
+    date_format gives micros zero-padded to 6; strip trailing zeros, then
+    re-append '0' when the fraction was all zeros (Java prints '.0').
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    base = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    frac = F.regexp_replace(F.date_format(c, "SSSSSS"), "0+$", "")
+    frac = F.when(frac == "", F.lit("0")).otherwise(frac)
+    return F.concat(base, F.lit("."), frac)
+
+
+def timestamp_to_string_py(ts) -> str | None:
+    """Row-at-a-time Python equivalent (slow path; used for udf parity tests)."""
+    if ts is None:
+        return None
+    s = ts.strftime("%Y-%m-%d %H:%M:%S")
+    frac = f"{ts.microsecond:06d}".rstrip("0") or "0"
+    return f"{s}.{frac}"
+
+
+def timestamp_to_string_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized variant — the pandas_udf template for custom scalars."""
+    return s.map(timestamp_to_string_py)
+
+
+def register_timestamp_to_string(spark: SparkSession, vectorized: bool = True) -> None:
+    """Make ``TimestampToString`` callable from SQL, as the reference does
+    with ``tableEnv.registerFunction`` (StreamingJob.java:88)."""
+    if vectorized:
+        fn = F.pandas_udf(timestamp_to_string_pandas, StringType())
+        spark.udf.register("TimestampToString", fn)
+    else:
+        spark.udf.register("TimestampToString", timestamp_to_string_py, StringType())

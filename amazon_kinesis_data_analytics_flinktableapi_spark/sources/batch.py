@@ -1,0 +1,48 @@
+"""Batch sources (S1-S3 batch analogue).
+
+``read_table`` is the canonical parquet reader: scans stay pruned/pushed
+(plain ``spark.read.parquet``), with one normalization — parquet
+TIMESTAMP(NANOS) columns, which Spark cannot represent natively, are read
+as nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+integer-divided down to microsecond timestamps.  Integer ``DIV`` (not
+float division) keeps full precision: nanosecond epochs ≈ 1.7e18 exceed
+double's 2^53 mantissa.  Truncation toward zero matches how DuckDB reads
+the same ns column into its µs TIMESTAMP, so oracle hashes agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not inner:
+            return []
+        path = os.path.join(path, inner[0])
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one TESTDATA table (``{sf_dir}/{name}.parquet``)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-declared JSON batch read (schema-on-read, S2): the declared
+    StructType prunes parsing to exactly the schema's fields."""
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Timing = full pipeline per query (plan + execute + row-count materialize),
+after one untimed warmup of a trivial job to amortize JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    t0 = time.time()
+    from amazon_kinesis_data_analytics_flinktableapi_spark.engine import build_spark
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import all_specs
+
+    spark = build_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    startup = time.time() - t0
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    timings: dict[str, float] = {}
+    headline = {n: s for n, s in all_specs().items() if s.headline}
+    for name, spec in headline.items():
+        t = time.time()
+        n_rows = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t, 3)
+        print(f"# {name}: {timings[name]}s ({n_rows} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "startup_sec": round(startup, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
