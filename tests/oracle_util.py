@@ -32,6 +32,8 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # canonical row order: stringify every cell, sort lexicographically
     key = df.astype(str).agg("|".join, axis=1)
     df = df.iloc[key.argsort(kind="mergesort").to_numpy()].reset_index(drop=True)
