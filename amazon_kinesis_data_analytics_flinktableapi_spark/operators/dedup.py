@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale corpus cleaning.
+
+Four tiers, cheapest first — at 100 TB you run them in this order:
+
+1. ``dedup_exact``      — hash-groupBy on a content key.  One shuffle on a
+                          16-byte key; survivors = min(id) per group.
+2. ``jaccard_pairs``    — *exact* n-gram-Jaccard near-dup pairs via an
+                          inverted-index self-join (join on shingle, count
+                          shared, no O(n²) cross join).
+3. ``minhash_lsh_pairs``— MinHash signatures + banded LSH: candidate pairs
+                          only where a band bucket collides, then exact
+                          Jaccard verification on the candidates.  The
+                          scale path: work ∝ documents × signature size,
+                          collisions ∝ true near-dups.
+4. ``simhash``          — 64-bit SimHash fingerprint; near-dups = small
+                          Hamming distance (bucket by rotated prefixes).
+
+Everything is built-in-expression Spark (xxhash64, transform/aggregate,
+explode + equi-join) — no Python in the per-token path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens, word_ngrams
+
+# 31-bit Mersenne prime: (a*h + b) with a,h < 2^31 stays < 2^62, so the
+# modular permutation never overflows a signed long (ANSI mode throws on
+# overflow rather than wrapping).
+MERSENNE_PRIME = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, id_col: str, key: Column | list[str]) -> DataFrame:
+    """Keep exactly one row (min id) per duplicate group.
+
+    ``key`` is either a list of columns or a single expression (e.g.
+    ``F.md5("text")`` or ``functions.text.fingerprint``).  Scale: groupBy
+    on the key shuffles only (key, id) pairs after partial aggregation,
+    then a semi-join pulls surviving rows — the full row bytes never
+    shuffle.
+    """
+    key_cols = [F.col(c) for c in key] if isinstance(key, list) else [key]
+    survivors = (
+        df.select(F.col(id_col), *[k.alias(f"__k{i}") for i, k in enumerate(key_cols)])
+        .groupBy(*[f"__k{i}" for i in range(len(key_cols))])
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles) with the *distinct* word-n-gram shingle set per doc."""
+    return df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
+
+    Inverted-index join: explode shingles, equi-join on the shingle value,
+    count shared shingles per pair — candidate generation touches only
+    pairs that share ≥1 shingle.  Scale: the shingle join is an equi-join
+    Catalyst shuffles on the shingle hash; hot (stop-) shingles are the
+    skew risk — mitigated upstream by distinct-ing per doc and, at corpus
+    scale, by dropping shingles with document frequency above a cap (they
+    cannot discriminate near-dups anyway).
+    """
+    sets = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sets.select(F.col(id_col).alias("__id"), F.size("shingles").alias("__n"))
+    inv = sets.select(F.col(id_col), F.explode("shingles").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a")
+    sb = sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b")
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME)) for _ in range(num_perm)]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64, seed: int = 7
+) -> DataFrame:
+    """(id, sig) — MinHash signature as array<long>, fully JVM-side.
+
+    Shingles hash via xxhash64; each permutation is array_min over
+    (a*h + b) mod p.  pmod keeps hashes non-negative so min is well
+    defined.  Cost: O(shingles × num_perm) multiply-adds inside codegen.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    hashed = sets.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME))).alias("hs"),
+    )
+    def perm_min(a: int, b: int):
+        # closure factory: the transform lambda must take exactly one arg
+        # (PySpark counts default-arg params as lambda arity)
+        return F.array_min(
+            F.transform("hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)))
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in _minhash_params(num_perm, seed)])
+    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH over MinHash signatures, verified with
+    exact Jaccard on the candidates only.
+
+    bands=16 × rows=4 over 64 perms ⇒ collision probability ≈
+    1-(1-j⁴)¹⁶ — ~0.98 recall at j=0.7, ~0.47 at j=0.4.  Scale: the only
+    shuffle of documents is on (band, band_hash); candidates are verified
+    with a shingle-set join restricted to candidate ids.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sets = shingle_sets(df, id_col, text_col, n)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over token xxhash64 values.
+
+    Per bit position: majority vote of token-hash bits, built with
+    transform/aggregate (no UDF).  Near-dup detection = Hamming distance
+    ≤ k via ``simhash_pairs``.
+    """
+    toked = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hs")
+    ).filter(F.size("hs") > 0)
+    # The shift amount is a per-element Column, which the Python shiftleft
+    # wrapper rejects — SQL-level shiftleft takes arbitrary expressions.
+    fp = F.expr(
+        """
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), b ->
+              aggregate(hs, 0, (acc, h) ->
+                acc + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), b)) != 0 THEN 1 ELSE -1 END)),
+            sequence(0, 63),
+            (v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc | x)
+        """
+    )
+    return toked.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Candidate generation: block on 4 × 16-bit chunks — two fingerprints
+    within Hamming ≤ 3 must agree exactly on ≥1 of the 4 chunks
+    (pigeonhole), so the self-join is equi on (chunk_idx, chunk_value),
+    never a cross join.
+    """
+    fps = simhash(df, id_col, text_col)
+    chunks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.ci", "c.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

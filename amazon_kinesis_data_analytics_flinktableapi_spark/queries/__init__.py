@@ -64,9 +64,9 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 
 
 # import side-effect: populate REGISTRY
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import reference, relational  # noqa: E402,F401
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import llm, reference, relational  # noqa: E402,F401
 
-_ALL_MODULES = [reference, relational]
+_ALL_MODULES = [reference, relational, llm]
 
 
 def all_specs() -> dict[str, QuerySpec]:

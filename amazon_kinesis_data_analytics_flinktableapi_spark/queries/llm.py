@@ -1,0 +1,328 @@
+"""LLM-training-data pipeline queries (driver extension surface): dedup,
+similarity search, text analysis, multimodal — over the ``documents`` and
+``embeddings`` tables.
+
+The corpus has no planted duplicates (verified: zero repeated texts), so
+dedup queries synthesize them *deterministically in-query* — union the
+originals with mangled copies (id + 1_000_000: identical text for exact
+dedup, token-resorted text for fingerprint dedup, 80%-prefix text for
+near-dup) — making every operator's match set non-degenerate and
+oracle-checkable.
+
+DuckDB token expression mirrors functions.text.tokens exactly:
+``list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions import text as T
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as D
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+COPY_OFFSET = 1_000_000
+
+
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "n_chars")
+    copies = docs.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text", "n_chars")
+    return base.union(copies)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + {COPY_OFFSET}, text, n_chars FROM documents
+    ),
+    surv AS (SELECT md5(text) AS k, min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+    SELECT c.doc_id, c.n_chars FROM corpus c JOIN surv s ON c.doc_id = s.doc_id
+    """,
+    headline=True,
+    doc="exact dedup: hash-groupBy on md5(text), keep min doc_id (copies planted in-query)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_exact_copies(spark, sf_dir)
+    return D.dedup_exact(corpus, "doc_id", key=F.md5("text")).select("doc_id", "n_chars")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    corpus AS (
+      SELECT doc_id, array_to_string(tk, ' ') AS text FROM toks
+      UNION ALL
+      SELECT doc_id + {COPY_OFFSET}, array_to_string(list_sort(tk, 'DESC'), ' ') FROM toks
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fingerprint
+      FROM corpus
+    )
+    SELECT min(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint
+    """,
+    doc="order-invariant dedup: md5 over sorted distinct token set catches token-shuffled copies",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = docs.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+    shuffled = docs.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.sort_array(toks, asc=False)).alias("text"),
+    )
+    corpus = base.union(shuffled)
+    return (
+        corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
+
+
+def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals ∪ 80%-token-prefix copies (Jaccard vs original ≈ 0.75+)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    prefix = F.slice(toks, 1, F.floor(F.size(toks) * 0.8).cast("int"))
+    base = docs.select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", prefix).alias("text"),
+    )
+    return base.union(copies)
+
+
+_DUCK_NEARDUP_CORPUS = f"""
+    toks0 AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT t.doc_id + {COPY_OFFSET},
+             array_to_string(list_slice(t.tk, 1, CAST(FLOOR(len(t.tk) * 0.8) AS INT)), ' ')
+      FROM toks0 t
+    )
+"""
+
+
+@query(
+    "neardup_jaccard",
+    oracle=f"""
+    WITH {_DUCK_NEARDUP_CORPUS},
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2)
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    """,
+    headline=True,
+    doc="exact 3-gram Jaccard near-dup pairs via inverted-index join (no cross join)",
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    return D.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash functions differ across engines; verified against
+    # exact Jaccard in tests/test_dedup.py (recall/precision on planted pairs)
+    doc="MinHash + banded LSH near-dup candidates, exact-Jaccard verified",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    return D.minhash_lsh_pairs(corpus, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint not reproducible in DuckDB;
+    # Hamming/blocking properties verified in tests/test_dedup.py
+    doc="64-bit SimHash fingerprints with chunk-blocked Hamming≤3 pair detection",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) AS n_distinct_tokens,
+           round(list_aggregate(list_transform(tk, x -> length(x)), 'sum') * 1.0 / len(tk), 4)
+             AS mean_token_len
+    FROM t
+    """,
+    doc="token counting: whitespace tokens, distinct tokens, mean token length",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        T.mean_token_length("text").alias("mean_token_len"),
+    )
+
+
+_DUCK_SW = "len(list_filter({toks}, t -> t IN ('the','a','of','and','to','in','is')))"
+_DUCK_PUNCT = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS tk FROM documents),
+    c AS (
+      SELECT doc_id,
+             round({_DUCK_PUNCT} * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+             round({_DUCK_SW.format(toks="tk")} * 1.0 / greatest(len(tk), 1), 6) AS stopword_ratio,
+             least(length(text) / 500.0, 1.0) AS len_score
+      FROM t
+    )
+    SELECT doc_id, punct_ratio, stopword_ratio,
+           floor((0.5 * len_score + 0.4 * least(stopword_ratio * 5, 1.0)
+                 + 0.1 * (1 - least(punct_ratio * 10, 1.0))) * 10000 + 0.5) / 10000 AS quality
+    FROM c
+    """,
+    doc="quality scoring: length saturation + stopword presence − punctuation excess",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, {_DUCK_TOKS} AS tk FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             regexp_matches(text, '[一-鿿]') AS has_cjk,
+             {_DUCK_SW.format(toks="tk")} AS en,
+             len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht','mit'))) AS de,
+             len(list_filter(tk, t -> t IN ('le','la','les','et','est','dans','pour'))) AS fr,
+             len(list_filter(tk, t -> t IN ('el','los','las','y','es','en','por'))) AS es
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM hits
+    """,
+    doc="language ID: CJK script detection + per-language stopword-hit argmax",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("predicted_lang"))
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT q_id, c_id, round(cs, 6) AS cos_sim, rn FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rn
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ) WHERE rn <= 10
+    """,
+    headline=True,
+    doc="brute-force cosine top-10 for 5 query vectors (exact ANN baseline)",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall vs brute_topk pinned
+    # in tests/test_similarity.py
+    doc="LSH-bucketed approximate cosine top-k (random-hyperplane sketches)",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+    doc="embedding-cosine near-duplicate pairs (threshold 0.35)",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.neardup_pairs(emb, threshold=0.35)
+
+
+@query(
+    "media_decode_meta",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT) AS height,
+           CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN 1
+                     ELSE 1 + octet_length(encode(text)) % 24 END AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="multimodal plumbing: binary payloads decoded via mapInPandas (deterministic stub decoder)",
+)
+def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Spark side genuinely runs the Arrow mapInPandas decode path over
+    # real binary payloads; the stub decoder is arithmetic on byte length,
+    # which is what makes an exact SQL oracle possible.
+    (docs,) = load(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    return M.decode_media(media)

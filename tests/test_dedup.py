@@ -1,0 +1,64 @@
+"""Operator-level dedup tests: planted duplicates must be found with the
+expected quality (the DuckDB oracle can't check hash-based ops — these
+tests are their correctness story)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as D
+
+def make_doc(i: int, n: int = 40) -> str:
+    # deterministic word sequence, distinct per doc (500-word vocab keeps
+    # cross-doc shingle overlap at 0; 80%-prefix copy has jaccard ≈ 0.79)
+    return " ".join(f"w{(i * 1009 + j * 31 + j * j * 7) % 500}" for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, make_doc(i)) for i in range(30)]
+    # planted near-dups: 80% prefix copies of docs 0-9
+    rows += [(1000 + i, " ".join(make_doc(i).split()[:32])) for i in range(10)]
+    # planted exact dup of doc 5
+    rows += [(2005, make_doc(5))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(corpus):
+    out = D.dedup_exact(corpus, "doc_id", key=F.md5("text"))
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 2005 not in ids and 5 in ids
+    assert len(ids) == corpus.count() - 1  # only the one exact dup removed
+
+
+def test_jaccard_pairs_finds_planted_neardups(corpus):
+    pairs = {(r.id_a, r.id_b) for r in D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= pairs, f"missing planted pairs: {planted - pairs}"
+
+
+def test_minhash_lsh_recall_against_exact(corpus):
+    exact = {(r.id_a, r.id_b) for r in D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert lsh <= exact, "LSH must not produce false positives (exact verification step)"
+    recall = len(lsh & exact) / max(len(exact), 1)
+    # bands=16 x rows=4: collision prob ≈ 1-(1-j^4)^16 ≈ 0.998 at j=0.75
+    assert recall >= 0.9, f"recall {recall}: {exact - lsh} missed"
+
+
+def test_simhash_identical_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, make_doc(3)), (2, make_doc(3)), (3, make_doc(9))], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.simhash for r in D.simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2], "identical text must produce identical simhash"
+    assert fps[1] != fps[3]
+
+
+def test_simhash_pairs_blocking(spark):
+    rows = [(i, make_doc(i)) for i in range(20)] + [(100 + i, make_doc(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    for i in range(5):
+        assert pairs.get((i, 100 + i)) == 0, f"exact copy pair ({i},{100+i}) not found at hamming 0"

@@ -1,0 +1,68 @@
+"""FIXTURES.md §4 boundary fixtures for the interval join (Q4): half-open
+window (o.t − 5 s, o.t], multi-match fan-out, left-outer NULLs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import interval_join
+from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EXCHANGE_RATE_SCHEMA, ORDER_SCHEMA
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ms(offset_ms: int) -> datetime:
+    return T0 + timedelta(milliseconds=offset_ms)
+
+
+@pytest.fixture(scope="module")
+def joined(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, ms(0), 100, "EUR"),   # boundary probes target this order
+            (2, ms(0), 200, "GBP"),   # multi-match fan-out
+            (3, ms(0), 300, "AUD"),   # no rate at all -> NULL
+            (4, ms(0), 400, "CAD"),   # rate exists but out of window -> NULL
+        ],
+        ORDER_SCHEMA,
+    )
+    rates = spark.createDataFrame(
+        [
+            (ms(-5000), "EUR", 11),   # exactly t-5s: strict bound -> NO match
+            (ms(-4999), "EUR", 12),   # just inside -> match
+            (ms(0), "EUR", 13),       # exactly t: inclusive -> match
+            (ms(1), "EUR", 14),       # just after -> NO match
+            (ms(-3000), "GBP", 21),   # both in window -> 2 rows for order 2
+            (ms(-1000), "GBP", 22),
+            (ms(-1000), "USD", 31),   # in window, wrong currency -> no match
+            (ms(-6000), "CAD", 41),   # out the bottom -> order 4 NULL
+        ],
+        EXCHANGE_RATE_SCHEMA,
+    )
+    df = interval_join(
+        orders, rates, on="currency", left_time="orderTime", right_time="exchangeRateTime",
+        interval="5 seconds",
+    ).select(
+        F.col("l.id").alias("id"), F.col("r.rate").alias("rate")
+    )
+    return {(r.id, r.rate) for r in df.collect()}
+
+
+def test_half_open_window_bounds(joined):
+    eur = {r for i, r in joined if i == 1}
+    assert eur == {12, 13}, f"expected strict lower / inclusive upper, got rates {eur}"
+
+
+def test_multi_match_fanout(joined):
+    assert {r for i, r in joined if i == 2} == {21, 22}
+
+
+def test_left_outer_null_when_no_rate(joined):
+    assert {r for i, r in joined if i == 3} == {None}
+
+
+def test_left_outer_null_when_rate_out_of_window(joined):
+    assert {r for i, r in joined if i == 4} == {None}

@@ -1,0 +1,77 @@
+"""Similarity-search operator tests: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
+
+DIM = 16
+SCHEMA = StructType([StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(42)
+    # 10 well-separated cluster centers, 20 points each: near-neighbours are
+    # *within* a cluster — the regime LSH is built for.
+    centers = rng.randn(10, DIM) * 4
+    rows = []
+    for i in range(200):
+        c = centers[i % 10]
+        rows.append((i, [float(x) for x in c + rng.randn(DIM) * 0.3]))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def brute_py(rows: list[tuple[int, list[float]]], qid: int, k: int) -> list[int]:
+    q = np.array(dict(rows)[qid])
+    sims = []
+    for cid, v in rows:
+        if cid == qid:
+            continue
+        v = np.array(v)
+        sims.append((float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), -cid, cid))
+    sims.sort(reverse=True)
+    return [cid for _, _, cid in sims[:k]]
+
+
+def test_brute_topk_matches_numpy(vectors):
+    rows = [(r.vec_id, r.embedding) for r in vectors.collect()]
+    out = S.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=5)
+    got = [r.c_id for r in out.orderBy("rn").collect()]
+    assert got == brute_py(rows, 0, 5)
+
+
+def test_brute_topk_cosine_values(vectors):
+    out = S.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=5).collect()
+    rows = dict((r.vec_id, np.array(r.embedding)) for r in vectors.collect())
+    for r in out:
+        q, c = rows[0], rows[r.c_id]
+        expect = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+        assert math.isclose(r.cos_sim, expect, abs_tol=1e-5)
+
+
+def test_lsh_topk_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 10)
+    brute = S.brute_topk(vectors, queries, k=10)
+    lsh = S.lsh_topk(vectors, queries, k=10, dim=DIM, n_planes=6, n_tables=8)
+    bset = {(r.q_id, r.c_id) for r in brute.collect()}
+    lset = {(r.q_id, r.c_id) for r in lsh.collect()}
+    recall = len(bset & lset) / len(bset)
+    assert recall >= 0.6, f"LSH recall@10 too low: {recall}"
+
+
+def test_neardup_pairs_threshold(vectors):
+    out = S.neardup_pairs(vectors, threshold=0.9, id_col="vec_id", vec_col="embedding")
+    rows = dict((r.vec_id, np.array(r.embedding)) for r in vectors.collect())
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert len(got) > 0
+    for a, b in got:
+        va, vb = rows[a], rows[b]
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.9 - 1e-9
+        assert a < b

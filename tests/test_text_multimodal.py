@@ -1,0 +1,84 @@
+"""functions.text on real multilingual samples (the corpus' lang column is
+synthetic, so heuristic accuracy is pinned here) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions import text as T
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
+
+SAMPLES = [
+    (1, "the quick brown fox jumps over the lazy dog and runs to the hills", "en"),
+    (2, "der schnelle braune fuchs springt und ist nicht mit dem hund", "de"),
+    (3, "le renard brun saute dans la forêt et les chiens sont pour la chasse", "fr"),
+    (4, "el zorro marrón salta y los perros corren por el bosque en la noche", "es"),
+    (5, "敏捷的棕色狐狸跳过懒狗", "zh"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(SAMPLES, "doc_id long, text string, lang string")
+
+
+def test_lang_id_accuracy(docs):
+    out = docs.select("lang", T.lang_id("text").alias("pred")).collect()
+    for r in out:
+        assert r.pred == r.lang, f"expected {r.lang}, predicted {r.pred}"
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\t c"), (2, ""), (3, "   "), (4, "single")], "id long, text string"
+    )
+    got = {r.id: r.n for r in df.select("id", T.token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "charlie alpha bravo bravo"), (3, "alpha bravo delta")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]  # order + repetition invariant
+    assert fps[1] != fps[3]
+
+
+def test_word_ngrams_short_text(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "id long, text string")
+    got = {r.id: r.g for r in df.select("id", T.word_ngrams("text", 3).alias("g")).collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_media_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world", "en", "s", 11), (1, "xyz", "en", "s", 3), (2, "longer payload text", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = M.media_from_documents(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = {r.media_id: r for r in M.decode_media(media).collect()}
+    assert out[0].kind == "image" and out[1].kind == "audio" and out[2].kind == "video"
+    assert out[0].n_bytes == 11
+    w, h, nf = M.fake_decode(b"hello world", "image")
+    assert (out[0].width, out[0].height, out[0].n_frames) == (w, h, nf)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.real_decode(b"bytes", "image")
+
+
+def test_set_decoder_plugs_in(spark):
+    docs = spark.createDataFrame([(0, "abc", "en", "s", 3)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    try:
+        M.set_decoder(lambda payload, kind: (1, 2, 3))
+        out = M.decode_media(M.media_from_documents(docs)).collect()[0]
+        assert (out.width, out.height, out.n_frames) == (1, 2, 3)
+    finally:
+        M.set_decoder(M.fake_decode)
