@@ -1,0 +1,77 @@
+"""JSON append sinks (K1-K3).
+
+The reference serializes each Result POJO with Jackson and, on serialize
+error, emits an **empty byte[]** rather than failing the job
+(StreamingJob.java:110-125 — swallow, don't fail).  ``serialize_json``
+reproduces that policy: ``to_json(struct(*))`` with a NULL→'' coalesce.
+
+The reference writes every record with **fixed partition key "0"** to a
+single shard, making output totally ordered (StreamingJob.java:127).  On
+Spark that maps to a constant Kafka key / ``coalesce(1)`` for file output
+— supported but deliberately opt-in (``single_partition=True``), because a
+single output partition is precisely what you do NOT want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def serialize_json(df: DataFrame, value_alias: str = "value") -> DataFrame:
+    """Rows → single JSON-string column, K1 policy (errors → empty string,
+    never a failed task)."""
+    return df.select(F.coalesce(F.to_json(F.struct(*df.columns)), F.lit("")).alias(value_alias))
+
+
+def write_stream_json(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    single_partition: bool = False,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Append-mode JSON-lines file sink with checkpointing (K2+K3+Q6).
+
+    Spark validates append-only-ness here exactly where the reference's
+    ``toAppendStream`` did — a non-append query raises AnalysisException
+    at start().
+    """
+    out = df.coalesce(1) if single_partition else df
+    writer = out.writeStream.format("json").option("path", path).option(
+        "checkpointLocation", checkpoint
+    ).outputMode("append")
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_kafka(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    fixed_key: str | None = None,
+) -> StreamingQuery:
+    """Kafka JSON sink; ``fixed_key="0"`` replicates the reference's
+    single-shard totally-ordered output."""
+    payload = serialize_json(df)
+    if fixed_key is not None:
+        payload = payload.withColumn("key", F.lit(fixed_key))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def write_stream_memory(df: DataFrame, name: str, available_now: bool = True) -> StreamingQuery:
+    """In-memory table sink (tests): query results land in ``spark.table(name)``."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

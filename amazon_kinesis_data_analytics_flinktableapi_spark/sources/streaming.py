@@ -1,0 +1,92 @@
+"""Streaming sources (SURVEY.md §2 S1-S3).
+
+The reference consumes Kinesis shards via FlinkKinesisConsumer +
+JsonNodeDeserializationSchema + a Jackson map into POJOs
+(StreamingJob.java:26-61).  OSS Spark has no Kinesis connector, so the
+engine abstracts a source registry with the same shape — a named source
+producing a typed streaming DataFrame:
+
+- ``file_replay``  — JSON-lines directory replay (the test/CI source; also
+                     the production pattern for S3-landed data).
+- ``kafka``        — the production stream bus (``format("kafka")``).
+- ``rate``         — synthetic benchmark source.
+
+All JSON parsing goes through ``parse_json_stream``: one ``from_json``
+with a declared minimal schema (schema-on-read, parse-time pruning), then
+timestamp normalization.  This is the Spark analogue of the reference's
+deserialization + POJO binding, without reflection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: microsecond-precision ISO-8601 — the engine's canonical JSON wire format
+#: for event times (the default SSS format silently truncates to millis)
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def parse_json_stream(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
+    """bytes/str JSON records → typed columns (S2+S3).
+
+    Accepts epoch-millis or ISO-8601 for TimestampType fields via Spark's
+    JSON reader defaults; unparseable records yield NULL columns (Jackson
+    in the reference throws — the engine's permissive mode is deliberate:
+    at 100 TB a poison record must not kill the job; route NULL-id rows to
+    a dead-letter sink instead).
+    """
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
+def file_replay(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay JSON-lines files as a stream (deterministic test source).
+
+    ``max_files_per_trigger=1`` replays file-by-file so watermarks advance
+    between micro-batches like a live stream.
+    """
+    reader = spark.readStream.schema(schema).option("timestampFormat", JSON_TS_FORMAT)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def kafka_json(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    schema: StructType,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka topic of JSON records → typed stream (the S1 production path;
+    equivalent of the reference's LATEST-position Kinesis consumer)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_json_stream(raw, schema)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic (timestamp, value) stream for smoke/bench."""
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    )
+
+
+SOURCES = {
+    "file_replay": file_replay,
+    "kafka": kafka_json,
+    "rate": rate_source,
+}

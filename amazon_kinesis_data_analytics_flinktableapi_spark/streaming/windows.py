@@ -1,0 +1,105 @@
+"""Streaming windowed aggregation + stateful operators (capability
+completion: the Table-API surface the reference sits on exposes these even
+though its one query uses none — SURVEY.md §2 coverage checklist).
+
+All windows take event-time + watermark and run in append mode (results
+emit when the watermark closes a window), matching Flink's default
+event-time window firing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: list[Column],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    out = src.groupBy(F.window(ts_col, duration).alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
+    )
+
+
+def sliding_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str, keys: list[str], aggs: list[Column],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    out = src.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
+    )
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list[Column],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per key (Flink session windows ≡ Spark session_window)."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    out = src.groupBy(F.session_window(ts_col, gap).alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
+    )
+
+
+def stream_dedup(df: DataFrame, ts_col: str, keys: list[str], watermark: str = "10 seconds") -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (``dropDuplicates`` keeps state only until the watermark passes)."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return src.dropDuplicates([*keys, ts_col] if df.isStreaming else keys)
+
+
+def running_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    output_schema: str = "key string, n bigint, total double, ema double",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    count/sum/EMA — the pattern for operators Spark's built-ins can't
+    express (Flink's KeyedProcessFunction analogue).
+
+    State = (n, total, ema) per key; timeout none (state lives for the
+    query's lifetime — bound it with a timeout for unbounded key spaces at
+    scale).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total, ema = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            ordered = pdf.sort_values(ts_col)
+            for v in ordered[value_col]:
+                n += 1
+                total += float(v)
+                ema = float(v) if ema is None else alpha * float(v) + (1 - alpha) * ema
+        state.update((n, total, ema))
+        yield pd.DataFrame([{"key": str(key[0]), "n": n, "total": total, "ema": ema}])
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType="n bigint, total double, ema double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

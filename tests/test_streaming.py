@@ -1,0 +1,167 @@
+"""Streaming correctness: the dynamic-table contract — a streaming query
+over a replayed table must produce the same rows as the identical batch
+query (the equivalence both Flink Table API and Structured Streaming are
+built on; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+    EVENTS_SCHEMA,
+    EXCHANGE_RATE_SCHEMA,
+    ORDER_SCHEMA,
+)
+from amazon_kinesis_data_analytics_flinktableapi_spark.sinks import serialize_json
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.pipeline import build_reference_query
+from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import replay_stream, run_to_memory
+from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import (
+    running_aggregate,
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_table(spark, SF_SMOKE, "events").cache()
+
+
+def _orders_role(events):
+    return events.select(
+        F.col("event_id").cast("int").alias("id"),
+        F.col("ts").alias("orderTime"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+
+
+def _rates_role(events):
+    return events.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("exchangeRateTime"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_reference_pipeline_stream_equals_batch(spark, events, tmp_path):
+    """The centerpiece: streaming interval join over file replay ==
+    batch interval join over the same data (matched + NULL rows both)."""
+    orders_b, rates_b = _orders_role(events), _rates_role(events)
+    batch = build_reference_query(spark, orders_b, rates_b, interval="1 hour")
+    expected = rows_set(batch)
+
+    orders_s = replay_stream(spark, orders_b, ORDER_SCHEMA, str(tmp_path / "orders"))
+    rates_s = replay_stream(spark, rates_b, EXCHANGE_RATE_SCHEMA, str(tmp_path / "rates"))
+    streamed = build_reference_query(spark, orders_s, rates_s, interval="1 hour")
+    got = rows_set(run_to_memory(streamed, spark))
+
+    matched_expected = {r for r in expected if r[3] is not None}
+    matched_got = {r for r in got if r[3] is not None}
+    assert matched_got == matched_expected
+    # outer NULL rows: every one the batch produces must eventually emit,
+    # allowing only the watermark-tail rows (orders in the final interval
+    # whose window the terminal watermark cannot close) to be outstanding
+    null_expected = expected - matched_expected
+    null_got = got - matched_got
+    assert null_got <= null_expected
+    missing = null_expected - null_got
+    assert len(missing) <= max(1, len(null_expected) // 10), (
+        f"too many unfired outer rows: {len(missing)}/{len(null_expected)}"
+    )
+
+
+def test_multi_batch_replay_interval_join(spark, events, tmp_path):
+    """Replay in 5 time-ordered chunks (watermark advances per batch):
+    matched results must still equal batch exactly."""
+    orders_b, rates_b = _orders_role(events), _rates_role(events)
+    batch = build_reference_query(spark, orders_b, rates_b, interval="1 hour")
+    expected = {r for r in rows_set(batch) if r[3] is not None}
+
+    orders_s = replay_stream(
+        spark, orders_b, ORDER_SCHEMA, str(tmp_path / "o5"), n_chunks=5,
+        order_col="orderTime", max_files_per_trigger=1,
+    )
+    rates_s = replay_stream(spark, rates_b, EXCHANGE_RATE_SCHEMA, str(tmp_path / "r5"))
+    streamed = build_reference_query(spark, orders_s, rates_s, interval="1 hour")
+    got = {r for r in rows_set(run_to_memory(streamed, spark)) if r[3] is not None}
+    assert got == expected
+
+
+def test_tumbling_window_stream_equals_batch(spark, events, tmp_path):
+    stream = replay_stream(spark, events, EVENTS_SCHEMA, str(tmp_path / "ev"))
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")]
+    got = run_to_memory(tumbling_agg(stream, "ts", "1 hour", ["event_type"], aggs), spark)
+    want = tumbling_agg(events, "ts", "1 hour", ["event_type"], aggs)
+    # append mode can hold back the final (unclosed) window per key
+    got_s, want_s = rows_set(got), rows_set(want)
+    assert got_s <= want_s
+    assert len(want_s - got_s) <= 5 * 2  # ≤ one tail window per event_type
+    assert len(got_s) > 0
+
+
+def test_session_window_batch(spark, events):
+    aggs = [F.count(F.lit(1)).alias("n")]
+    out = session_agg(events.limit(200), "ts", "30 minutes", ["user_id"], aggs)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stream_dedup(spark, events, tmp_path):
+    dup = events.select("event_id", "ts", "event_type").union(
+        events.select("event_id", "ts", "event_type")
+    )
+    stream = replay_stream(
+        spark, dup, "event_id long, ts timestamp, event_type string", str(tmp_path / "dup")
+    )
+    out = run_to_memory(stream_dedup(stream, "ts", ["event_id"]), spark)
+    n = out.count()
+    assert n == events.count(), f"dedup kept {n} rows"
+
+
+def test_append_mode_rejects_updating_query(spark, events, tmp_path):
+    """Q6: non-append queries must fail fast, like toAppendStream."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    stream = replay_stream(spark, events, EVENTS_SCHEMA, str(tmp_path / "bad"))
+    updating = stream.groupBy("event_type").count()  # no watermark/window
+    with pytest.raises(AnalysisException):
+        run_to_memory(updating, spark)
+
+
+def test_serialize_json_policy(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, s string")
+    vals = [r.value for r in serialize_json(df).collect()]
+    assert all(v is not None for v in vals)
+    assert any('"id":1' in v for v in vals)
+
+
+def test_running_aggregate_stateful(spark, events, tmp_path):
+    small = events.select("user_id", "ts", "value").filter(F.col("user_id") < 5)
+    stream = replay_stream(
+        spark, small, "user_id long, ts timestamp, value double", str(tmp_path / "state")
+    )
+    out = run_to_memory(
+        running_aggregate(stream, "user_id", "ts", "value", output_schema="key string, n bigint, total double, ema double"),
+        spark,
+        output_mode="update",
+    )
+    # update mode re-emits per batch; keep the final row per key
+    got = {r.key: r for r in out.orderBy("n").collect()}
+    want = {
+        str(r.user_id): r for r in small.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].n == want[k].n
+        assert abs(got[k].total - want[k].total) < 1e-6
