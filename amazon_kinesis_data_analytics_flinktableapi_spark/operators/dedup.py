@@ -36,26 +36,52 @@ def dedup_exact(df: DataFrame, id_col: str, key: Column | list[str]) -> DataFram
     """Keep exactly one row (min id) per duplicate group.
 
     ``key`` is either a list of columns or a single expression (e.g.
-    ``F.md5("text")`` or ``functions.text.fingerprint``).  Scale: groupBy
-    on the key shuffles only (key, id) pairs after partial aggregation,
-    then a semi-join pulls surviving rows — the full row bytes never
-    shuffle.
+    ``F.md5("text")`` or ``functions.text.fingerprint``).  Plan: one
+    shuffle on the key, row_number within each group, keep rank 1 — a
+    single scan of the input (the groupBy-then-semi-join alternative
+    scans and shuffles twice).  At 100 TB, shuffling full rows once on a
+    16-byte hash key is the floor for "keep one copy with all columns".
     """
+    from pyspark.sql import Window
+
     key_cols = [F.col(c) for c in key] if isinstance(key, list) else [key]
-    survivors = (
-        df.select(F.col(id_col), *[k.alias(f"__k{i}") for i, k in enumerate(key_cols)])
-        .groupBy(*[f"__k{i}" for i in range(len(key_cols))])
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    keyed = df.withColumns({f"__k{i}": k for i, k in enumerate(key_cols)})
+    w = Window.partitionBy(*[f"__k{i}" for i in range(len(key_cols))]).orderBy(id_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[f"__k{i}" for i in range(len(key_cols))])
     )
-    return df.join(survivors, on=id_col, how="left_semi")
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingles) with the *distinct* word-n-gram shingle set per doc."""
-    return df.select(
-        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles")
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = False) -> DataFrame:
+    """(id, shingles) with the *distinct* word-n-gram shingle set per doc.
+
+    ``hashed=True`` maps each shingle through xxhash64 — 8-byte join/set
+    keys instead of multi-word strings.  At corpus scale the inverted-index
+    shuffle is shingle-key-dominated, so hashing cuts shuffle bytes ~5-10×;
+    collision probability across ~10⁹ distinct shingles is ~1e-2 pairs
+    (birthday, 2⁶⁴) — negligible against a jaccard threshold.
+    """
+    shingles = word_ngrams(F.col(text_col), n)
+    if hashed:
+        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
+    src = spread(df)
+    return src.select(
+        F.col(id_col), F.array_distinct(shingles).alias("shingles")
     ).filter(F.size("shingles") > 0)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned (e.g. one small parquet file ⇒ one task): per-doc
+    shingle/hash work is CPU-bound and must fan out before it runs.  A
+    no-op when the source already has enough partitions — large scans at
+    100 TB arrive with thousands of splits and skip the shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def jaccard_pairs(
@@ -71,7 +97,7 @@ def jaccard_pairs(
     scale, by dropping shingles with document frequency above a cap (they
     cannot discriminate near-dups anyway).
     """
-    sets = shingle_sets(df, id_col, text_col, n).cache()
+    sets = shingle_sets(df, id_col, text_col, n, hashed=True).cache()
     sizes = sets.select(F.col(id_col).alias("__id"), F.size("shingles").alias("__n"))
     inv = sets.select(F.col(id_col), F.explode("shingles").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")

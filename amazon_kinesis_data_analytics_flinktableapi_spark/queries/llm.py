@@ -91,26 +91,27 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Originals ∪ 80%-token-prefix copies (Jaccard vs original ≈ 0.75+)."""
+    """Originals ∪ 80%-character-prefix copies (shingle Jaccard vs the
+    original ≈ 0.75).  Character (not token) truncation keeps the copy a
+    single cheap substr — a nested tokenize-slice-rejoin here gets inlined
+    by Catalyst into every downstream reference of the text column and
+    dominated the whole near-dup pipeline's runtime."""
     (docs,) = load(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    prefix = F.slice(toks, 1, F.floor(F.size(toks) * 0.8).cast("int"))
     base = docs.select("doc_id", "text")
     copies = docs.select(
         (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
-        F.concat_ws(" ", prefix).alias("text"),
+        F.col("text").substr(F.lit(1), F.floor(F.length("text") * 0.8).cast("int")).alias("text"),
     )
     return base.union(copies)
 
 
 _DUCK_NEARDUP_CORPUS = f"""
-    toks0 AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
     corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT t.doc_id + {COPY_OFFSET},
-             array_to_string(list_slice(t.tk, 1, CAST(FLOOR(len(t.tk) * 0.8) AS INT)), ' ')
-      FROM toks0 t
+      SELECT doc_id + {COPY_OFFSET},
+             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
+      FROM documents
     )
 """
 

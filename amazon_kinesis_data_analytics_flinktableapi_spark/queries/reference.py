@@ -24,7 +24,10 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
     register_timestamp_to_string,
     timestamp_to_string_col,
 )
-from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import interval_join
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
+    interval_join,
+    interval_join_bucketed,
+)
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
 
 _ORDERS_ROLE = """
@@ -77,9 +80,11 @@ def _rates_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Q4: left-outer interval join, half-open (t-1h, t], multi-match fan-out",
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketed plan: equi-join on (currency, hour-bucket) — the
+    # low-cardinality currency key alone would serialize the probe
     o = _orders_role(spark, sf_dir)
     r = _rates_role(spark, sf_dir)
-    j = interval_join(o, r, on="currency", left_time="order_time", right_time="rate_time", interval="1 hour")
+    j = interval_join_bucketed(o, r, on="currency", left_time="order_time", right_time="rate_time", interval="1 hour")
     return j.select(
         F.col("l.id").alias("id"),
         F.col("l.order_time").alias("order_time"),
@@ -118,20 +123,25 @@ _DUCK_TS_TO_STRING = (
 def q_currency_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shape of the reference result (Result.java:3-8), via engine SQL
     with the registered ``TimestampToString`` function — exercises the SQL
-    entry point + catalog + UDF registration path end-to-end."""
+    entry point + catalog + UDF registration path end-to-end (the join
+    itself runs through the bucketed operator plan)."""
     register_timestamp_to_string(spark)
-    _orders_role(spark, sf_dir).createOrReplaceTempView("Orders")
-    _rates_role(spark, sf_dir).createOrReplaceTempView("ExchangeRates")
+    j = interval_join_bucketed(
+        _orders_role(spark, sf_dir),
+        _rates_role(spark, sf_dir),
+        on="currency",
+        left_time="order_time",
+        right_time="rate_time",
+        interval="1 hour",
+    )
+    j.createOrReplaceTempView("JoinedOrders")
     return spark.sql(
         """
-        SELECT o.id,
-               TimestampToString(o.order_time) AS order_time,
-               o.amount AS original_amount,
-               o.amount * r.rate AS converted_amount
-        FROM Orders o LEFT JOIN ExchangeRates r
-          ON o.currency = r.currency
-         AND o.order_time >= r.rate_time
-         AND r.rate_time > o.order_time - INTERVAL 1 HOUR
+        SELECT id,
+               TimestampToString(order_time) AS order_time,
+               amount AS original_amount,
+               amount * rate AS converted_amount
+        FROM JoinedOrders
         """
     )
 

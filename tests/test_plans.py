@@ -1,0 +1,69 @@
+"""Plan-shape contracts for the headline queries: the properties that keep
+them viable at 100 TB (pushdown, pruning, broadcast, top-k, no cartesian).
+A failure here is a scalability regression even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    assert_take_ordered,
+    explain_str,
+)
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def q(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_projection_filter_pushdown_and_pruning(spark):
+    df = q("projection_filter", spark)
+    assert_pushed_filters(df, "IsNotNull(l_shipdate)", "GreaterThan(l_discount")
+    # 16-col lineitem scan must read only the 4 referenced columns
+    assert_read_schema_pruned(df, "lineitem", 4)
+
+
+def test_revenue_join_broadcasts_dim(spark):
+    df = q("join_revenue_by_nation", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    assert_take_ordered(q("topk_orders", spark))
+
+
+def test_shipping_priority_pushes_both_filters(spark):
+    df = q("shipping_priority", spark)
+    assert_pushed_filters(df, "EqualTo(c_mktsegment,BUILDING)")
+    assert_take_ordered(df)
+
+
+def test_interval_join_is_equi_not_cartesian(spark):
+    """The bucketed interval join must plan as an equi hash join on
+    (currency, bucket) — never a nested-loop over the range predicate."""
+    df = q("interval_join", spark)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_agg_has_partial_aggregation(spark):
+    """Scan-side partial aggregation (map-side combine) must precede the
+    shuffle: two HashAggregate nodes around one Exchange."""
+    plan = explain_str(q("agg_pricing_summary", spark))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_neardup_join_on_hashed_keys(spark):
+    """The inverted-index self-join must join on the 8-byte shingle hash,
+    not on shingle strings, and must not degenerate to a cartesian."""
+    df = q("neardup_jaccard", spark)
+    assert_no_cartesian(df)
