@@ -93,7 +93,10 @@ class TableEngine:
         from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet
 
         for name in names:
-            self.register_table(name, read_parquet(self.spark, os.path.join(sf_dir, name)))
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                path = os.path.join(sf_dir, name)  # directory-style table
+            self.register_table(name, read_parquet(self.spark, path))
 
     # -- SQL entry (ref: tableEnv.sqlQuery, StreamingJob.java:91-101) -------
 

@@ -64,9 +64,14 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 
 
 # import side-effect: populate REGISTRY
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import llm, reference, relational  # noqa: E402,F401
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa: E402,F401
+    advanced,
+    llm,
+    reference,
+    relational,
+)
 
-_ALL_MODULES = [reference, relational, llm]
+_ALL_MODULES = [reference, relational, llm, advanced]
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,282 @@
+"""Advanced surface: statistical aggregates, JSON functions, subqueries,
+pivot, Pandas UDAF / grouped-map UDF (the UDAF/UDTF gap in SURVEY.md §2's
+coverage checklist), and an oracle-checked *streaming* query.
+
+The pandas queries are the vectorized-Python template path: Arrow batches,
+grouped by key, with an exact SQL oracle — proving the UDF results, not
+just running them.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+
+@query(
+    "stat_aggregates",
+    oracle="""
+    SELECT event_type,
+           floor(stddev_samp(value) * 1000000 + 0.5) / 1000000 AS value_stddev,
+           floor(var_samp(value) * 1000000 + 0.5) / 1000000 AS value_var,
+           floor(corr(value, user_id) * 1000000 + 0.5) / 1000000 AS value_user_corr,
+           floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS value_median,
+           min(value) AS value_min,
+           max(value) AS value_max
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="statistical aggregates: stddev/variance/correlation/exact median",
+)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def r6(c):
+        return F.floor(c * 1_000_000 + 0.5) / 1_000_000
+
+    (ev,) = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.stddev_samp("value")).alias("value_stddev"),
+        r6(F.var_samp("value")).alias("value_var"),
+        r6(F.corr("value", "user_id")).alias("value_user_corr"),
+        r6(F.percentile("value", F.lit(0.5))).alias("value_median"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
+@query(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction from the props column + aggregation",
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2 * avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+    doc="correlated scalar subquery (decorrelated by Catalyst into an agg+join)",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-side: expressed through the SQL entry point — Catalyst's
+    # subquery decorrelation turns it into aggregate + join, the same
+    # rewrite DuckDB applies.  At scale this is one shuffle on o_custkey.
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 2 * avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="pivot: order counts per priority × status (explicit value list)",
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame pivot with an explicit value list — no extra pass to
+    # discover pivot values, which is the scalable form.
+    (orders,) = load(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "pandas_grouped_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((value - avg(value) OVER w) / stddev_samp(value) OVER w * 10000 + 0.5) / 10000
+             AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    doc="grouped-map Pandas UDF (applyInPandas): per-user z-score, SQL-oracle-proven",
+)
+def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / std
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": np.floor(z * 10000 + 0.5) / 10000,
+            }
+        )
+
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, zscore double")
+    )
+
+
+@query(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT event_type,
+           floor(sum(value * user_id) / sum(user_id) * 10000 + 0.5) / 10000 AS weighted_avg
+    FROM events
+    WHERE user_id > 0
+    GROUP BY event_type
+    """,
+    doc="grouped-agg Pandas UDF (UDAF): user-weighted mean value per event type",
+)
+def q_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float(np.floor(float((v * w).sum()) / float(w.sum()) * 10000 + 0.5) / 10000)
+
+    (ev,) = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") > 0)
+        .groupBy("event_type")
+        .agg(weighted_avg("value", "user_id").alias("weighted_avg"))
+    )
+
+
+@query(
+    "range_frame_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS orders_trailing_30d
+    FROM orders
+    """,
+    doc="RANGE-frame window: trailing 30-day order count per customer",
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                 AS orders_trailing_30d
+        FROM orders
+        """
+    )
+
+
+@query(
+    "streaming_interval_join",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_id AS id, ts AS order_time,
+             CAST(FLOOR(value * 100) AS INTEGER) AS amount,
+             event_type AS currency
+      FROM events
+    ), r AS (
+      SELECT ts AS rate_time, event_type AS currency,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT o.id, o.amount, o.currency, r.rate,
+           o.amount * r.rate AS converted_amount
+    FROM o JOIN r
+      ON o.currency = r.currency
+     AND o.order_time >= r.rate_time
+     AND r.rate_time > o.order_time - INTERVAL 1 HOUR
+    """,
+    doc="STREAMING stream-stream interval join via file replay; matched rows "
+    "(≡ inner join) are exactly the batch answer — the dynamic-table contract, oracle-proven",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A genuine Structured Streaming execution inside the correctness gate:
+    # replay events as JSON file streams, run the watermarked stream-stream
+    # join, collect the append output.  Matched rows must equal the batch
+    # inner join bit-for-bit (outer NULLs are excluded: their emission
+    # depends on terminal-watermark timing — SURVEY.md §7).
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+        EXCHANGE_RATE_SCHEMA,
+        ORDER_SCHEMA,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.pipeline import (
+        build_reference_query,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    orders_b = ev.select(
+        F.col("event_id").cast("int").alias("id"),
+        F.col("ts").alias("orderTime"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates_b = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("exchangeRateTime"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    orders_s = replay_stream(spark, orders_b, ORDER_SCHEMA, f"{tmp}/orders")
+    rates_s = replay_stream(spark, rates_b, EXCHANGE_RATE_SCHEMA, f"{tmp}/rates")
+
+    o = orders_s.withColumnRenamed("orderTime", "eventtime").withWatermark("eventtime", "0 seconds")
+    r = rates_s.withColumnRenamed("exchangeRateTime", "eventtime").withWatermark("eventtime", "0 seconds")
+    joined = o.alias("o").join(
+        r.alias("r"),
+        (F.col("o.currency") == F.col("r.currency"))
+        & (F.col("o.eventtime") >= F.col("r.eventtime"))
+        & (F.col("r.eventtime") > F.col("o.eventtime") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("o.id").alias("id"),
+        F.col("o.amount").alias("amount"),
+        F.col("o.currency").alias("currency"),
+        F.col("r.rate").alias("rate"),
+        (F.col("o.amount") * F.col("r.rate")).alias("converted_amount"),
+    )
+    return run_to_memory(joined, spark, timeout_sec=240)
