@@ -36,6 +36,16 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
         print(f"# {name}: {timings[name]}s ({n_rows} rows)", file=sys.stderr)
 
+    # streaming throughput: records/sec through the watermarked
+    # stream-stream interval join (BASELINE.md floor: ≥100 rec/s)
+    t = time.time()
+    stream_rows = all_specs()["streaming_interval_join"].fn(spark, sf_dir).count()
+    stream_sec = time.time() - t
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    streaming_rps = round(n_events / stream_sec, 1)
+    print(f"# streaming_interval_join: {stream_rows} rows, {n_events} events in "
+          f"{round(stream_sec, 2)}s = {streaming_rps} rec/s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -47,6 +57,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "startup_sec": round(startup, 3),
+                "streaming_interval_join_recs_per_sec": streaming_rps,
             }
         )
     )

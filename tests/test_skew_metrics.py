@@ -1,0 +1,95 @@
+"""Salted aggregation correctness + streaming metrics listener + late-data
+watermark semantics (SURVEY.md §7 hard parts)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.skew import salted_agg
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+from amazon_kinesis_data_analytics_flinktableapi_spark.streaming import metrics
+from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+    dump_json_chunks,
+    run_to_memory,
+)
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import file_replay
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type): (r.total, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.total, r.n)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            partial_aggs=[F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+            merge_aggs=[F.round(F.sum("s"), 2).alias("total"), F.sum("c").alias("n")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_metrics_listener_observes_batches(spark, tmp_path):
+    ev = read_table(spark, SF_SMOKE, "events").select("event_id", "ts", "event_type", "value")
+    dump_json_chunks(ev, str(tmp_path / "m"), n_chunks=3, order_col="ts")
+    listener = metrics.attach(spark)
+    try:
+        stream = file_replay(spark, str(tmp_path / "m"),
+                             "event_id long, ts timestamp, event_type string, value double",
+                             max_files_per_trigger=1)
+        agg = stream.withWatermark("ts", "0 seconds").groupBy(
+            F.window("ts", "1 hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        run_to_memory(agg, spark)
+        time.sleep(2)  # listener events are async
+        c = listener.collector
+        assert c.total_input_rows() == ev.count()
+        assert len(c.batches) >= 3
+        assert c.max_state_rows() > 0
+        assert any(b.watermark is not None for b in c.batches)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """§7 watermark semantics: a row older than the advanced watermark is
+    dropped from a streaming aggregation (documented divergence from
+    Flink's per-subtask max−1ms extractor is about *when*, not *whether*)."""
+    import os
+
+    d = tmp_path / "late"
+    d.mkdir()
+    chunks = [
+        # batch 0: advances watermark to 12:00 after completion
+        '{"id": 1, "ts": "2024-01-01T10:00:00.000000Z", "k": "a"}\n'
+        '{"id": 2, "ts": "2024-01-01T12:00:00.000000Z", "k": "a"}',
+        # batch 1: closes the 10:00 window (emitted with n=1), wm → 13:00
+        '{"id": 9, "ts": "2024-01-01T13:00:00.000000Z", "k": "a"}',
+        # batch 2: 10:30 row is below the committed watermark → dropped.
+        # (Had it arrived in the very batch where its window closes, it
+        # would still merge — watermarks commit between batches, the same
+        # "when not whether" nuance as the Flink ascending extractor.)
+        '{"id": 3, "ts": "2024-01-01T10:30:00.000000Z", "k": "a"}',
+    ]
+    for i, content in enumerate(chunks):
+        p = d / f"chunk-{i}.json"
+        p.write_text(content)
+        os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = file_replay(spark, str(d), "id long, ts timestamp, k string", max_files_per_trigger=1)
+    agg = stream.withWatermark("ts", "0 seconds").groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, spark)
+    counts = {(r["window"]["start"].hour): r["n"] for r in (row.asDict(True) for row in out.collect())}
+    assert counts.get(10) == 1, f"late row must be dropped, got {counts}"
