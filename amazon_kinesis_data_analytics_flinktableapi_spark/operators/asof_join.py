@@ -1,0 +1,55 @@
+"""As-of join: each left row matched to the single LATEST right row at or
+before its event time (optionally within a horizon).
+
+The reference's interval join is explicitly NOT as-of (multi-match fan-out,
+SURVEY.md §2 Q4) — but as-of is the other canonical enrichment shape in
+streaming analytics ("the rate in effect at order time"), so the engine
+provides both.
+
+Plan: bucketed interval join (equi on key + time bucket, parallelism-safe)
+→ window rank by right-time descending → keep rank 1.  Left-outer rows
+with no right match survive with NULLs.  One extra narrow shuffle over the
+interval join; never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import interval_join_bucketed
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_id: str,
+    left_time: str,
+    right_time: str,
+    horizon: str = "1 hour",
+    how: str = "left_outer",
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Latest-right-at-or-before join within ``horizon``.
+
+    ``left_id`` must uniquely identify left rows (the rank-1 partition
+    key).  Result: all left columns + right columns prefixed ``r_`` (NULL
+    when no right row in ``(t - horizon, t]``).  ``tie_breakers`` (right
+    column names) order equal right_time matches deterministically.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    j = interval_join_bucketed(left, right, on=keys, left_time=left_time,
+                               right_time=right_time, interval=horizon, how=how)
+    left_cols = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    right_cols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    picked = j.select(*left_cols, *right_cols)
+    order = [F.col(f"r_{right_time}").desc_nulls_last()] + [
+        F.col(f"r_{c}").desc_nulls_last() for c in (tie_breakers or [])
+    ]
+    w = Window.partitionBy(left_id).orderBy(*order)
+    return (
+        picked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -97,23 +97,27 @@ def jaccard_pairs(
     scale, by dropping shingles with document frequency above a cap (they
     cannot discriminate near-dups anyway).
     """
-    sets = shingle_sets(df, id_col, text_col, n, hashed=True).cache()
-    sizes = sets.select(F.col(id_col).alias("__id"), F.size("shingles").alias("__n"))
-    inv = sets.select(F.col(id_col), F.explode("shingles").alias("s"))
+    sets = shingle_sets(df, id_col, text_col, n, hashed=True)
+    # carry each doc's set size on its inverted-index rows: the pair
+    # aggregation then has everything it needs (first(n) per side) and the
+    # two post-hoc size joins disappear — one join + one groupBy total.
+    inv = sets.select(
+        F.col(id_col), F.size("shingles").alias("nsh"), F.explode("shingles").alias("s")
+    ).cache()  # both sides of the self-join read this — without the cache
+    # the whole tokenize→shingle→hash chain runs twice
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a.nsh").alias("n_a"),
+            F.first("b.nsh").alias("n_b"),
+        )
     )
-    sa = sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a")
-    sb = sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    return shared.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     )
 
 

@@ -66,12 +66,13 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # import side-effect: populate REGISTRY
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa: E402,F401
     advanced,
+    extras,
     llm,
     reference,
     relational,
 )
 
-_ALL_MODULES = [reference, relational, llm, advanced]
+_ALL_MODULES = [reference, relational, llm, advanced, extras]
 
 
 def all_specs() -> dict[str, QuerySpec]:

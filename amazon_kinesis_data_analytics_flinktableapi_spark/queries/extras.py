@@ -1,0 +1,216 @@
+"""Completion extras: as-of join, lag/lead analytics, UDTF-style explode,
+session gaps-and-islands, cascaded multi-resolution rollup, approximate
+sketches — rounding out the Table-API-style surface plus the
+training-pipeline toolkit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.asof_join import as_of_join
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+
+@query(
+    "asof_join_latest_rate",
+    oracle="""
+    WITH o AS (
+      SELECT event_id AS id, ts AS order_time,
+             CAST(FLOOR(value * 100) AS INTEGER) AS amount,
+             event_type AS currency
+      FROM events
+    ), r AS (
+      SELECT ts AS rate_time, event_type AS currency,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events WHERE event_id % 17 = 0
+    ), ranked AS (
+      SELECT o.id, o.amount, o.currency, r.rate,
+             row_number() OVER (PARTITION BY o.id
+                                ORDER BY r.rate_time DESC NULLS LAST,
+                                         r.rate DESC NULLS LAST) AS rn
+      FROM o LEFT JOIN r
+        ON o.currency = r.currency
+       AND o.order_time >= r.rate_time
+       AND r.rate_time > o.order_time - INTERVAL 1 HOUR
+    )
+    SELECT id, amount, currency, rate,
+           amount * rate AS converted_amount
+    FROM ranked WHERE rn = 1
+    """,
+    doc="as-of join: the single LATEST rate at or before each order (vs Q4's fan-out)",
+)
+def q_asof_join_latest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    orders = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("order_time"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("rate_time"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+    j = as_of_join(orders, rates, on="currency", left_id="id",
+                   left_time="order_time", right_time="rate_time",
+                   horizon="1 hour", tie_breakers=["rate"])
+    return j.select(
+        "id", "amount", "currency",
+        F.col("r_rate").alias("rate"),
+        (F.col("amount") * F.col("r_rate")).alias("converted_amount"),
+    )
+
+
+@query(
+    "lag_lead_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           floor(COALESCE(epoch(ts - lag(ts) OVER w), -1) * 1000000 + 0.5) / 1000000
+             AS secs_since_prev,
+           lead(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead analytics: inter-event gap seconds + next event type per user",
+)
+def q_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.coalesce(gap, F.lit(-1.0)) * 1_000_000 + 0.5) / 1_000_000).alias("secs_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@query(
+    "explode_token_frequencies",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS freq
+    FROM toks
+    GROUP BY token
+    HAVING count(*) >= 100
+    """,
+    doc="UDTF-style lateral explode: corpus token frequencies (the generator-function shape)",
+)
+def q_explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 100)
+    )
+
+
+@query(
+    "session_gaps_islands",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 6 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="sessionization via gaps-and-islands (batch twin of streaming session_window)",
+)
+def q_session_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SQL-expressible equivalent of session_window (6h gap): marks a
+    # session boundary at every >gap jump, prefix-sums boundaries into
+    # session ids.  Two window passes over one shuffle on user_id.
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 6 * 3600), 1
+    ).otherwise(0)
+    marked = ev.select("user_id", "ts", new_session.alias("new_session"))
+    session_id = F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = marked.select("user_id", "ts", session_id.alias("session_id"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "cascaded_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', h) AS d, event_type,
+             CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, h AS bucket_start, event_type, n,
+           floor(sv * 100 + 0.5) / 100 AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', d, event_type, n, floor(sv * 100 + 0.5) / 100
+    FROM daily
+    """,
+    doc="hypertable-style cascaded rollup: hourly aggregates re-aggregated to daily",
+)
+def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The continuous-aggregate pattern: compute the finest resolution once,
+    # derive coarser resolutions from the aggregate (never rescanning raw
+    # data).  At 100 TB the hourly layer is ~10⁵× smaller than raw events.
+    (ev,) = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    h_out = hourly.select(
+        F.lit("hour").alias("resolution"), F.col("h").alias("bucket_start"),
+        "event_type", "n", r2(F.col("sv")).alias("total_value"),
+    )
+    d_out = daily.select(
+        F.lit("day").alias("resolution"), F.col("d").alias("bucket_start"),
+        "event_type", "n", r2(F.col("sv")).alias("total_value"),
+    )
+    return h_out.union(d_out)
+
+
+@query(
+    "approx_sketches",
+    oracle=None,  # sketch estimates are implementation-specific; accuracy
+    # pinned against exact values in tests/test_extras.py
+    doc="approximate sketches: HLL distinct users + quantile sketch per event type",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )

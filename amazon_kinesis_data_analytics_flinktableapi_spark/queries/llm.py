@@ -102,7 +102,12 @@ def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
         F.col("text").substr(F.lit(1), F.floor(F.length("text") * 0.8).cast("int")).alias("text"),
     )
-    return base.union(copies)
+    # cache: the downstream tokenize expression is referenced 3× and
+    # Catalyst re-inlines (re-reads) the whole corpus plan at each
+    # reference; materializing the small synthetic corpus once cuts the
+    # near-dup pipeline ~40%.  (At real scale the equivalent is persisting
+    # the tokenized intermediate, not caching raw text.)
+    return base.union(copies).cache()
 
 
 _DUCK_NEARDUP_CORPUS = f"""

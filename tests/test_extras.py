@@ -1,0 +1,51 @@
+"""Extras operators: as-of join semantics + sketch accuracy bounds."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.asof_join import as_of_join
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+from tests.conftest import SF_SMOKE
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_asof_picks_latest_not_all(spark):
+    orders = spark.createDataFrame(
+        [(1, T0, "EUR"), (2, T0 + timedelta(seconds=30), "EUR"), (3, T0, "GBP")],
+        "id int, t timestamp, ccy string",
+    )
+    rates = spark.createDataFrame(
+        [
+            (T0 - timedelta(seconds=10), "EUR", 10),  # older
+            (T0 - timedelta(seconds=1), "EUR", 20),   # latest before order 1
+            (T0 + timedelta(seconds=5), "EUR", 30),   # latest before order 2
+        ],
+        "rt timestamp, ccy string, rate int",
+    )
+    out = as_of_join(orders, rates, on="ccy", left_id="id", left_time="t",
+                     right_time="rt", horizon="1 minute")
+    got = {r.id: r.r_rate for r in out.collect()}
+    assert got == {1: 20, 2: 30, 3: None}
+    assert out.count() == 3  # exactly one row per left row — no fan-out
+
+
+def test_approx_sketches_accuracy(spark):
+    out = {r.event_type: r for r in REGISTRY["approx_sketches"].fn(spark, SF_SMOKE).collect()}
+    ev = read_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        ).collect()
+    }
+    for et, e in exact.items():
+        a = out[et]
+        assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a.approx_users, e.users)
+        assert abs(a.value_quantiles[0] - e.p50) / max(abs(e.p50), 1e-9) <= 0.05
