@@ -94,6 +94,95 @@ def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "k
     return df.select(id_col, kind_col, payload_col).mapInPandas(decode_batches, DECODED_META_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                 payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Resize step (stubbed): real impl decodes + resamples pixels; the
+    deterministic fake scales byte length by the area ratio against the
+    fake-decoded dims.  Plumbing (Arrow batches, schema, pruned projection)
+    is the real, tested part."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, _ = fake_decode(b, "image")
+                ratio = (target_w * target_h) / max(w * h, 1)
+                out.append((mid, target_w, target_h, int(len(b) * ratio)))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "n_bytes_out"]).astype(
+                {"width": "int32", "height": "int32"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_nth: int = 4, payload_col: str = "payload",
+                 kind_col: str = "kind", id_col: str = "media_id") -> DataFrame:
+    """Frame sampling (stubbed): emits one row per sampled frame — the
+    1→N exploding UDTF shape for video.  Fake frames are byte offsets at
+    fixed stride; a real impl seeks keyframes."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, payload in zip(pdf[id_col], pdf[kind_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                _, _, n_frames = fake_decode(b, kind)
+                stride = max(len(b) // max(n_frames, 1), 1)
+                for i in range(0, n_frames, every_nth):
+                    out.append((mid, i, i * stride))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_offset_bytes"]).astype(
+                {"frame_idx": "int32"}
+            )
+
+    return df.select(id_col, kind_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """Feature extraction (stubbed): payload → dense float vector, the
+    embedding column similarity ops consume.  Fake features hash byte
+    windows; a real impl runs a vision/audio encoder over the batch."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vecs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                v = np.zeros(dim, dtype=np.float32)
+                for i, byte in enumerate(b):
+                    v[i % dim] += byte
+                n = np.linalg.norm(v)
+                ids.append(mid)
+                vecs.append((v / n if n > 0 else v).tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic media table from ``documents`` (the container
     has no real media fixtures): payload = UTF-8 text bytes, kind cycles

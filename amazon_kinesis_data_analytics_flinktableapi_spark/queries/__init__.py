@@ -66,13 +66,14 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # import side-effect: populate REGISTRY
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa: E402,F401
     advanced,
+    arrays_windows,
     extras,
     llm,
     reference,
     relational,
 )
 
-_ALL_MODULES = [reference, relational, llm, advanced, extras]
+_ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows]
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,142 @@
+"""Remaining SQL-surface coverage: ranking-function family, ordered array/
+string aggregation, INTERSECT, self range join, and NULL-handling scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+
+@query(
+    "rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+           floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="ranking family: rank/dense_rank/ntile/percent_rank/cume_dist",
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="ordered array aggregation: sorted distinct event types per user as CSV",
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list order is nondeterministic — sort+distinct before
+    # stringifying makes the aggregate canonical (and oracle-comparable)
+    (ev,) = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.collect_list("event_type")))).alias("event_types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT set operation",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    rich = customer.filter(F.col("c_acctbal") > 3000).select("c_custkey")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.intersect(open_orders)
+
+
+@query(
+    "self_range_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           floor(epoch(b.ts - a.ts) * 100 + 0.5) / 100 AS gap_secs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 5 MINUTE
+     AND a.event_type = 'error' AND b.event_type = 'purchase'
+    """,
+    doc="self range join: purchases within 5 minutes after an error, per user",
+)
+def q_self_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the funnel-analysis shape: same-stream correlation within a time
+    # horizon; equi on user_id (high cardinality — parallel without
+    # bucketing), range as residual
+    (ev,) = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.event_id") != F.col("a.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    gap = F.col("b.ts").cast("double") - F.col("a.ts").cast("double")
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        (F.floor(gap * 100 + 0.5) / 100).alias("gap_secs"),
+    )
+
+
+@query(
+    "null_scalars",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(CAST(c_nationkey AS DOUBLE), 10.0) AS nation_capped
+    FROM customer
+    """,
+    doc="NULL-handling + conditional scalars: coalesce/nullif/case/greatest/least",
+)
+def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("segment_masked"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_nationkey").cast("double"), F.lit(10.0)).alias("nation_capped"),
+    )

@@ -51,8 +51,11 @@ def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact dedup: hash-groupBy on md5(text), keep min doc_id (copies planted in-query)",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash first, then dedup on the precomputed 16-byte key: the shuffle
+    # carries (doc_id, n_chars, key) — never the text payload
     corpus = _docs_with_exact_copies(spark, sf_dir)
-    return D.dedup_exact(corpus, "doc_id", key=F.md5("text")).select("doc_id", "n_chars")
+    keyed = corpus.select("doc_id", "n_chars", F.md5("text").alias("content_key"))
+    return D.dedup_exact(keyed, "doc_id", key=["content_key"]).select("doc_id", "n_chars")
 
 
 @query(

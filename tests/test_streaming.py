@@ -116,6 +116,31 @@ def test_session_window_batch(spark, events):
     assert all(r.session_end > r.session_start for r in rows)
 
 
+def test_sliding_window_stream(spark, events, tmp_path):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import sliding_agg
+
+    stream = replay_stream(spark, events, EVENTS_SCHEMA, str(tmp_path / "slide"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    got = run_to_memory(sliding_agg(stream, "ts", "2 hours", "1 hour", ["event_type"], aggs), spark)
+    want = sliding_agg(events, "ts", "2 hours", "1 hour", ["event_type"], aggs)
+    got_s, want_s = rows_set(got), rows_set(want)
+    assert got_s <= want_s and len(got_s) > 0
+    # every event lands in 2 overlapping windows; only per-key tail windows
+    # (unclosed at terminal watermark) may be withheld
+    assert len(want_s - got_s) <= 5 * 2
+
+
+def test_session_window_stream(spark, events, tmp_path):
+    small = events.filter(F.col("user_id") < 10).select("user_id", "ts", "value")
+    stream = replay_stream(spark, small, "user_id long, ts timestamp, value double", str(tmp_path / "sess"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    got = run_to_memory(session_agg(stream, "ts", "30 minutes", ["user_id"], aggs), spark)
+    want = session_agg(small, "ts", "30 minutes", ["user_id"], aggs)
+    got_s, want_s = rows_set(got), rows_set(want)
+    assert got_s <= want_s and len(got_s) > 0
+    assert len(want_s - got_s) <= 10  # ≤ one open tail session per user
+
+
 def test_stream_dedup(spark, events, tmp_path):
     dup = events.select("event_id", "ts", "event_type").union(
         events.select("event_id", "ts", "event_type")

@@ -68,6 +68,49 @@ def test_media_decode_plumbing(spark):
     assert (out[0].width, out[0].height, out[0].n_frames) == (w, h, nf)
 
 
+def test_resize_frame_sample_feature_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(i, "payload text " * (i + 1), "en", "s", 13 * (i + 1)) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = M.media_from_documents(docs)
+
+    resized = {r.media_id: r for r in M.resize_media(media, 224, 224).collect()}
+    assert all(r.width == 224 and r.height == 224 for r in resized.values())
+    assert len(resized) == 6
+
+    frames = M.frame_sample(media, every_nth=2).collect()
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in per_media.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(0, max(idxs) + 1, 2))
+        assert all(r.frame_offset_bytes >= 0 for r in rows)
+
+    feats = M.extract_features(media, dim=16).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert len(r.embedding) == 16
+        norm = sum(x * x for x in r.embedding) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+
+
+def test_extracted_features_feed_similarity(spark):
+    """The multimodal feature column plugs straight into the similarity
+    operators (schema contract across the pipeline)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.similarity import brute_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * 20, "en", "s", 10) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feats = M.extract_features(M.media_from_documents(docs), dim=8)
+    corpus = feats.withColumnRenamed("media_id", "vec_id")
+    out = brute_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=3)
+    assert out.count() == 3
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.real_decode(b"bytes", "image")
