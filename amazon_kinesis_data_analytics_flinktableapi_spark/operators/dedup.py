@@ -85,7 +85,8 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
 
@@ -93,11 +94,26 @@ def jaccard_pairs(
     count shared shingles per pair — candidate generation touches only
     pairs that share ≥1 shingle.  Scale: the shingle join is an equi-join
     Catalyst shuffles on the shingle hash; hot (stop-) shingles are the
-    skew risk — mitigated upstream by distinct-ing per doc and, at corpus
-    scale, by dropping shingles with document frequency above a cap (they
-    cannot discriminate near-dups anyway).
+    skew risk — distinct-ing per doc helps, and ``max_df`` drops shingles
+    appearing in more than that many documents before the self-join
+    (a shingle in k docs contributes k² join rows; boilerplate shingles at
+    corpus scale are quadratic poison and discriminate nothing).  With
+    ``max_df`` set, reported jaccard is over the *filtered* shingle sets —
+    an approximation that only drops ubiquitous shingles.
     """
     sets = shingle_sets(df, id_col, text_col, n, hashed=True)
+    if max_df is not None:
+        hot = (
+            sets.select(F.explode("shingles").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        # explode, anti-join the (broadcast) hot-shingle set, regroup
+        inv0 = sets.select(F.col(id_col), F.explode("shingles").alias("s"))
+        inv0 = inv0.join(F.broadcast(hot), "s", "left_anti")
+        sets = inv0.groupBy(id_col).agg(F.collect_list("s").alias("shingles"))
     # carry each doc's set size on its inverted-index rows: the pair
     # aggregation then has everything it needs (first(n) per side) and the
     # two post-hoc size joins disappear — one join + one groupBy total.

@@ -38,6 +38,19 @@ def test_jaccard_pairs_finds_planted_neardups(corpus):
     assert planted <= pairs, f"missing planted pairs: {planted - pairs}"
 
 
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    # one boilerplate sentence shared by ALL docs + unique bodies: without
+    # the cap every doc pairs with every other via the boilerplate shingles
+    boiler = "standard legal disclaimer footer text here"
+    rows = [(i, f"{make_doc(i)} {boiler}") for i in range(12)]
+    rows += [(1000, f"{make_doc(0)} {boiler}")]  # true near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=6)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (0, 1000) in pairs
+    assert all(a == 0 and b == 1000 for a, b in pairs), f"boilerplate-only pairs leaked: {pairs}"
+
+
 def test_minhash_lsh_recall_against_exact(corpus):
     exact = {(r.id_a, r.id_b) for r in D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
     lsh = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}

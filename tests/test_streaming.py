@@ -163,6 +163,30 @@ def test_append_mode_rejects_updating_query(spark, events, tmp_path):
         run_to_memory(updating, spark)
 
 
+def test_checkpoint_restart_no_duplicates(spark, events, tmp_path):
+    """K3/exactly-once: restarting a completed query from its checkpoint
+    must not re-emit rows."""
+    import glob
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sinks import write_stream_json
+
+    small = events.limit(200).select("event_id", "ts", "event_type")
+    schema = "event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = replay_stream(spark, small, schema, src)
+        q = write_stream_json(stream, out, ckpt, trigger_available_now=True)
+        q.awaitTermination(120)
+        return sum(1 for f in glob.glob(f"{out}/part-*.json") for line in open(f) if line.strip())
+
+    first = run()
+    assert first == 200
+    second = run()
+    assert second == first, f"checkpoint restart duplicated output: {second} != {first}"
+
+
 def test_serialize_json_policy(spark):
     df = spark.createDataFrame([(1, "a"), (2, None)], "id int, s string")
     vals = [r.value for r in serialize_json(df).collect()]
