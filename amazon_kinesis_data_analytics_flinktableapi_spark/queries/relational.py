@@ -299,6 +299,33 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_events",
+    oracle="""
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    doc="sliding event-time windows (2h window, 1h slide) — batch twin via window()",
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.window with a slide explodes each event into its 2 covering
+    # windows; the oracle enumerates the same covers as a 2-way union.
+    (ev,) = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
     "conditional_agg",
     oracle="""
     SELECT o_orderpriority,
