@@ -59,7 +59,14 @@ def interval_join(
 
 
 def _interval_micros(spark, interval: str) -> int:
-    """Resolve a SQL interval body to microseconds via Catalyst itself."""
+    """Resolve a SQL interval body to microseconds via Catalyst itself.
+    Only fixed-width intervals can define bucket boundaries."""
+    low = interval.lower()
+    if "month" in low or "year" in low:
+        raise ValueError(
+            f"interval_join_bucketed requires a fixed-width interval, got {interval!r}; "
+            "use interval_join for calendar intervals"
+        )
     row = spark.range(1).select(
         (F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {interval}"))).alias("us")
     ).collect()[0]

@@ -69,11 +69,12 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa:
     arrays_windows,
     extras,
     llm,
+    pipeline_ops,
     reference,
     relational,
 )
 
-_ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows]
+_ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pipeline_ops]
 
 
 def all_specs() -> dict[str, QuerySpec]:

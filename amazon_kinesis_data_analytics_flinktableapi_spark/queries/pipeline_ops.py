@@ -1,0 +1,90 @@
+"""Training-data pipeline staples: chunking, normalization, deterministic
+content-hash sampling/splitting — each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.chunking import chunk_documents
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), nonempty AS (
+      SELECT doc_id, tk FROM toked WHERE len(tk) > 0
+    ), starts AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS s
+      FROM nonempty
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(tk, s, s + 63), ' ') AS chunk_text,
+           len(list_slice(tk, s, s + 63)) AS n_tokens
+    FROM starts
+    """,
+    doc="document chunking: 64-token windows, 16-token overlap (stride 48), exploded",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS normalized,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                                      '\\s+', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+    doc="text normalization: lowercase, strip punctuation, collapse whitespace",
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[.,!?;:]", ""), r"\s+", " ")
+    )
+    return docs.select("doc_id", norm.alias("normalized"), F.length(norm).alias("n_chars_norm"))
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3') THEN 'train'
+                WHEN substr(md5(text), 1, 1) IN ('4','5') THEN 'eval'
+                ELSE 'rest' END AS split
+    FROM documents
+    WHERE substr(md5(text), 1, 1) NOT IN ('f')
+    """,
+    doc="content-hash sampling + train/eval split: deterministic, dedup-stable, engine-portable",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5-prefix bucketing: the split follows the CONTENT, so exact dups
+    # always land in the same split (no train/eval leakage), any engine
+    # reproduces it, and sampling needs no global state — the properties a
+    # 100 TB corpus split actually requires.
+    (docs,) = load(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5("text"), 1, 1)
+    return (
+        docs.filter(~h1.isin("f"))
+        .select(
+            "doc_id",
+            "source",
+            F.when(h1.isin("0", "1", "2", "3"), "train")
+            .when(h1.isin("4", "5"), "eval")
+            .otherwise("rest")
+            .alias("split"),
+        )
+    )
