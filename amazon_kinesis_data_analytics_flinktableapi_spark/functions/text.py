@@ -117,15 +117,19 @@ def fingerprint(text: Column | str) -> Column:
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings; empty array when < n tokens.
-    The shingle set feeds Jaccard / MinHash dedup (operators.dedup)."""
+    The shingle set feeds Jaccard / MinHash dedup (operators.dedup).
+
+    Built with nested ``zip_with`` over n shifted slices rather than
+    ``transform(sequence, i -> slice(toks, i, n))``: Catalyst evaluates
+    expressions referenced inside a lambda body once per ELEMENT, so the
+    index-based form re-tokenizes the document for every shingle (~100×
+    blowup measured); the zip_with form touches only lambda variables, and
+    the shifted slices evaluate once per row.
+    """
     toks = tokens(text)
-    toks_col = toks.alias("__toks")
-    # sequence(1, size-n+1) is ascending only when size >= n — guard, since
-    # Spark's sequence(1, 0) would yield a *descending* [1, 0].
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - (n - 1)  # number of shingles
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    combined = parts[-1]
+    for p in reversed(parts[:-1]):
+        combined = F.zip_with(p, combined, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= n, combined).otherwise(F.array().cast("array<string>"))

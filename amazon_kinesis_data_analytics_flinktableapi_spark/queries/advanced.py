@@ -208,6 +208,38 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    """,
+    doc="STREAMING tumbling window via file replay; append mode emits exactly "
+    "the windows the terminal watermark closes (end <= max event time) — oracle-proven",
+)
+def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_tw_")
+    stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    return run_to_memory(agg, spark, timeout_sec=240)
+
+
+@query(
     "streaming_interval_join",
     oracle=f"""
     WITH o AS (
