@@ -30,10 +30,15 @@ COPY_OFFSET = 1_000_000
 
 
 def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one scan, exploded into (original, copy) — a union of two selects
+    # would read the parquet twice
     (docs,) = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", "n_chars")
-    copies = docs.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text", "n_chars")
-    return base.union(copies)
+    return docs.select(
+        F.explode(F.array(F.lit(0), F.lit(COPY_OFFSET))).alias("__off"),
+        "doc_id",
+        "text",
+        "n_chars",
+    ).select((F.col("doc_id") + F.col("__off")).alias("doc_id"), "text", "n_chars")
 
 
 @query(

@@ -1,0 +1,46 @@
+"""Batch sink contracts: partition pruning on partitioned output, and
+exchange-free joins on bucketed tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.plans import explain_str
+from amazon_kinesis_data_analytics_flinktableapi_spark.sinks.batch import (
+    write_bucketed_table,
+    write_parquet,
+)
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    ev = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "ev_part")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+    plan = explain_str(back)
+    # partition pruning: the filter must land in PartitionFilters, not as a
+    # post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        ev = read_table(spark, SF_SMOKE, "events")
+        left = ev.select("event_id", "user_id", "value")
+        right = ev.select("event_id", "event_type")
+        write_bucketed_table(left, "ev_left_b", ["event_id"], n_buckets=4, sort_by=["event_id"])
+        write_bucketed_table(right, "ev_right_b", ["event_id"], n_buckets=4, sort_by=["event_id"])
+        j = spark.table("ev_left_b").join(spark.table("ev_right_b"), "event_id")
+        plan = explain_str(j)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS ev_left_b")
+        spark.sql("DROP TABLE IF EXISTS ev_right_b")
