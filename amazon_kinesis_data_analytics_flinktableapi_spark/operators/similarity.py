@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.vector import as_double, cosine, norm
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.vector import as_double, cosine
 
 
 def brute_topk(

@@ -184,6 +184,46 @@ def q_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_udtf_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+           unnest(list_slice(tk, 2, len(tk))) AS w2
+    FROM toks WHERE len(tk) >= 2
+    """,
+    doc="Python UDTF (table function): 1-to-N bigram expansion, oracle-proven",
+)
+def q_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A real Python UDTF (Spark 4 table function) — the UDTF slot of the
+    # UDF/UDAF/UDTF triad.  Row-at-a-time Python is the slow path (the
+    # built-in explode form of this op is elsewhere); capped to 50 docs so
+    # the demo stays cheap while the API surface is genuinely exercised.
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, w1 string, w2 string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for a, b in zip(toks, toks[1:]):
+                yield doc_id, a, b
+
+    spark.udtf.register("bigrams", Bigrams)
+    load(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT b.doc_id, b.w1, b.w2
+        FROM documents d, LATERAL bigrams(d.doc_id, d.text) b
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+@query(
     "range_frame_window",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
@@ -271,9 +311,6 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
         EXCHANGE_RATE_SCHEMA,
         ORDER_SCHEMA,
-    )
-    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.pipeline import (
-        build_reference_query,
     )
     from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
         replay_stream,

@@ -20,10 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
-    register_timestamp_to_string,
-    timestamp_to_string_col,
-)
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import register_timestamp_to_string
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
     interval_join,
     interval_join_bucketed,
