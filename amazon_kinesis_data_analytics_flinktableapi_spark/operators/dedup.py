@@ -78,6 +78,8 @@ def spread(df: DataFrame) -> DataFrame:
     shingle/hash work is CPU-bound and must fan out before it runs.  A
     no-op when the source already has enough partitions — large scans at
     100 TB arrive with thousands of splits and skip the shuffle."""
+    if df.isStreaming:
+        return df  # partitioning is the stream source's concern
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -61,6 +61,50 @@ def test_metrics_listener_observes_batches(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_interval_join_state_bounded_by_watermark(spark, tmp_path):
+    """Q4's bounded-state contract: the stream-stream join must EVICT rate
+    state as the watermark passes the interval bound — state rows stay far
+    below total input across a multi-batch replay."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+        EXCHANGE_RATE_SCHEMA,
+        ORDER_SCHEMA,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.pipeline import (
+        build_reference_query,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import replay_stream
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    orders = ev.select(
+        F.col("event_id").cast("int").alias("id"), F.col("ts").alias("orderTime"),
+        F.lit(1).alias("amount"), F.col("event_type").alias("currency"),
+    )
+    rates = ev.select(
+        F.col("ts").alias("exchangeRateTime"), F.col("event_type").alias("currency"),
+        F.lit(2).alias("rate"),
+    )
+    listener = metrics.attach(spark)
+    try:
+        os_ = replay_stream(spark, orders, ORDER_SCHEMA, str(tmp_path / "so"),
+                            n_chunks=5, order_col="orderTime", max_files_per_trigger=1)
+        rs = replay_stream(spark, rates, EXCHANGE_RATE_SCHEMA, str(tmp_path / "sr"),
+                           n_chunks=5, order_col="exchangeRateTime", max_files_per_trigger=1)
+        joined = build_reference_query(spark, os_, rs, interval="30 minutes")
+        run_to_memory(joined, spark, timeout_sec=240)
+        time.sleep(2)
+        c = listener.collector
+        n_total = ev.count() * 2  # both sides
+        peak = c.max_state_rows()
+        assert peak > 0
+        # a 30-minute bound over a 30-day stream in 5 chunks: retained state
+        # must be a small fraction of everything ever ingested
+        assert peak < n_total * 0.6, f"join state not evicted: peak {peak} of {n_total}"
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_late_rows_dropped_by_watermark(spark, tmp_path):
     """§7 watermark semantics: a row older than the advanced watermark is
     dropped from a streaming aggregation (documented divergence from
