@@ -115,6 +115,30 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+#: rolling-hash modulus (2³¹−1, Mersenne): keeps every intermediate
+#: (h·31 + token) < 2³⁷ — no BIGINT overflow in Spark ANSI mode or DuckDB.
+ROLLING_MOD = (1 << 31) - 1
+
+
+def rolling_hash(text: Column | str, base: int = 31) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over the token sequence:
+    ``h ← (h·base + hash(token)) mod 2³¹−1``.
+
+    Complements :func:`fingerprint` (order/repetition-INVARIANT): rolling
+    equality ⇒ same tokens in the same order — the key for detecting exact
+    sequence reuse (boilerplate, quote chains) where bag-of-words collides.
+    Token hash = first 8 md5 hex digits, so any engine reproduces it
+    (DuckDB oracle: same fold via list_reduce).  One codegen'd pass per
+    row; 0 for token-less documents.
+    """
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda h, t: (h * base + tok_hash(t)) % F.lit(ROLLING_MOD),
+    )
+
+
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings; empty array when < n tokens.
     The shingle set feeds Jaccard / MinHash dedup (operators.dedup).

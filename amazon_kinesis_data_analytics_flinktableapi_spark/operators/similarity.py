@@ -9,6 +9,11 @@
                      sign-bit sketch, rank only within colliding buckets
                      (multi-probe over rotations).  The scale path when
                      |queries| × |corpus| is too big to brute force.
+- ``ivf_topk``     — inverted-file (IVF) index: k-means centroids trained
+                     on a bounded sample, corpus partitioned by nearest
+                     centroid, queries probe the ``nprobe`` nearest lists.
+                     Data-adaptive buckets (vs LSH's data-oblivious
+                     hyperplanes) — better recall on clustered corpora.
 
 Dot products are built-in zip_with/aggregate expressions (functions.vector)
 — JVM-side, no Python per row.
@@ -117,6 +122,92 @@ def lsh_topk(
         .distinct()
     )
     scored = candidates.select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("c_id"))
+    return (
+        scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("__sim", scale).alias("cos_sim"), "rn")
+    )
+
+
+def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 12) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample, L2-normalized output.
+
+    The sample is bounded (``train_limit`` rows), so this is O(sample ×
+    centroids × iters) on the driver — the standard IVF build: at 100 TB
+    the index is still trained on a fixed-size sample, never the corpus.
+    """
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        # cosine assignment: normalize rows, nearest = max dot
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = (sample @ cn.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def _centroid_sims(vec_col: str, cents: np.ndarray) -> list:
+    """One (dot-product, centroid-id) struct per centroid — ranking by the
+    struct ranks by similarity (struct comparison is field-ordered)."""
+    v = as_double(vec_col)
+    out = []
+    for j, c in enumerate(cents):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        out.append(F.struct(d.alias("s"), F.lit(j).alias("j")))
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_limit: int = 4096,
+    seed: int = 13,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: (q_id, c_id, cos_sim, rn).
+
+    Scale: train on a bounded sample (driver-side, O(train_limit)); assign
+    each corpus vector to its nearest centroid with a broadcast-literal
+    expression (one scan, codegen, no shuffle); queries probe their
+    ``nprobe`` nearest lists and the candidate join is equi on the
+    centroid id — shuffle ∝ |corpus| + |probed buckets|, never
+    |corpus|×|queries|.  Recall/cost dial: nprobe/n_centroids.  Vectors
+    with zero norm never rank above a real match (dot = 0).
+    """
+    sample = np.array(
+        [r[0] for r in corpus.select(as_double(vec_col)).limit(train_limit).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans_centroids(sample, n_centroids, seed)
+
+    # corpus side: argmax centroid = max (sim, j) struct
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.array_max(F.array(*_centroid_sims(vec_col, cents))).getField("j").alias("bucket"),
+    )
+    # query side: top-nprobe centroids, exploded to one probe row each
+    probes = F.slice(F.sort_array(F.array(*_centroid_sims(vec_col, cents)), asc=False), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.transform(probes, lambda s: s.getField("j"))).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("c_id"))
     return (
         scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))

@@ -304,6 +304,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute_topk pinned
+    # in tests/test_similarity.py
+    doc="IVF approximate cosine top-k (sampled k-means centroids, nprobe lists)",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4)
+
+
+@query(
     "embedding_neardup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -59,6 +59,70 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    hits AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+    pairs AS (
+      SELECT id_a, id_b FROM hits
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    closure AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, coalesce(cl.comp, c.doc_id) AS cluster_id
+    FROM corpus c LEFT JOIN closure cl ON cl.node = c.doc_id
+    """,
+    doc="iterative connected components: near-dup pairs -> dedup clusters "
+    "(min-label propagation; oracle = recursive-CTE transitive closure)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import dedup_clusters
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import jaccard_pairs
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        _docs_with_neardup_copies,
+    )
+
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs, corpus, "doc_id")
+
+
+@query(
     "deterministic_sample",
     oracle="""
     SELECT doc_id, source,

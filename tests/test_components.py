@@ -1,0 +1,36 @@
+"""Connected-components operator: shapes that exercise propagation depth."""
+
+from __future__ import annotations
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_chain_and_clique_and_isolated(spark):
+    # chain 1-2-3-4-5 (diameter 4 → needs several rounds), clique {10,11,12},
+    # pair {20,21}; 30 isolated (absent from edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert all(comps[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(comps[n] == 10 for n in (10, 11, 12))
+    assert comps[20] == comps[21] == 20
+
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 30]], "doc_id long")
+    clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(edges, all_ids, "doc_id").collect()}
+    assert clusters[30] == 30  # isolated node is its own cluster
+    canonical = [i for i, c in clusters.items() if i == c]
+    assert sorted(canonical) == [1, 10, 20, 30]  # one keeper per cluster
+
+
+def test_two_cliques_bridged(spark):
+    edges = spark.createDataFrame(
+        [(100, 101), (101, 102), (200, 201), (201, 202), (102, 200)],
+        "id_a long, id_b long",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert len(set(comps.values())) == 1 and set(comps.values()) == {100}
