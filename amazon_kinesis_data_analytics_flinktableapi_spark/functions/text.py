@@ -37,6 +37,24 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+#: GPT-2-style pre-tokenizer regex (ASCII approximation): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: residual whitespace.  No lookarounds — identical matches under Java
+#: regex (Spark) and RE2 (DuckDB oracle), so the estimate is portable.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """LLM-token-count estimate: matches of the BPE pre-tokenizer split,
+    whitespace-only runs excluded.  Upper-bounds the true BPE count (real
+    merges only split these chunks further, except rare multi-chunk
+    merges); the cheap scan-time stand-in for budgeting/billing token
+    counts over a corpus without shipping a vocab to every executor."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 

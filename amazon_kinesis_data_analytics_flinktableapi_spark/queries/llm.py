@@ -210,6 +210,34 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_token_estimate",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, length(text) AS n_chars,
+             len(list_filter(
+               regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+               t -> trim(t) <> '')) AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_bpe_tokens,
+           round(n_chars * 1.0 / greatest(n_bpe_tokens, 1), 4) AS chars_per_token
+    FROM p
+    """,
+    doc="BPE-ish token-count estimate (GPT-2 pre-tokenizer regex, no vocab) "
+    "+ chars-per-token compression ratio",
+)
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    n = T.bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.round(F.length("text") / F.greatest(n, F.lit(1)), 4).alias("chars_per_token"),
+    )
+
+
 _DUCK_SW = "len(list_filter({toks}, t -> t IN ('the','a','of','and','to','in','is')))"
 _DUCK_PUNCT = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
 

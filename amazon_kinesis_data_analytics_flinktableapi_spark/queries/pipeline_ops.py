@@ -123,6 +123,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             (h, t) -> (h * 31 + t) % 2147483647
+           ) AS rhash
+    FROM toks
+    """,
+    doc="order-sensitive rolling-hash fingerprint: exact sequence-reuse key "
+    "(complements the order-invariant md5 fingerprint)",
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import rolling_hash
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+@query(
     "deterministic_sample",
     oracle="""
     SELECT doc_id, source,

@@ -246,6 +246,42 @@ def q_rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY CUBE: all 4 grouping sets over (status, priority) with "
+    "grouping_id disambiguation",
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: like rollup, cube expands to grouping sets after map-side
+    # partial aggregation — shuffle carries only (status, priority, gid)
+    # partials, 4× a tiny grouped result, never 4× the scan.
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
     "grouped_having",
     oracle="""
     SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -46,3 +46,17 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     """Schema-declared JSON batch read (schema-on-read, S2): the declared
     StructType prunes parsing to exactly the schema's fields."""
     return spark.read.schema(schema).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True, sep: str = ",") -> DataFrame:
+    """Schema-declared CSV read.  The explicit StructType (never
+    inferSchema — that is a second full scan of 100 TB) makes parsing
+    single-pass; malformed rows null out under the default PERMISSIVE
+    policy, mirroring the JSON sources' error-swallowing contract."""
+    return spark.read.schema(schema).options(header=header, sep=sep).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning contract as parquet (predicate
+    pushdown + column pruning are native in both readers)."""
+    return spark.read.orc(path)

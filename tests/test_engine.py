@@ -58,3 +58,35 @@ def test_timestamp_to_string_matches_java_format(spark):
         "SELECT TIMESTAMP '2024-01-01 12:00:07.120' AS t"
     ).select(timestamp_to_string_col("t").alias("s"))
     assert df.collect()[0].s == "2024-01-01 12:00:07.12"
+
+
+def test_csv_orc_round_trip(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_csv, read_orc
+
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    df = spark.createDataFrame([(1, "a"), (2, "b,with,commas"), (3, None)], schema)
+
+    csv_dir = str(tmp_path / "t.csv")
+    df.write.option("header", True).csv(csv_dir)
+    got = read_csv(spark, csv_dir, schema)
+    assert sorted((r.id, r.name) for r in got.collect()) == [(1, "a"), (2, "b,with,commas"), (3, None)]
+
+    orc_dir = str(tmp_path / "t.orc")
+    df.write.orc(orc_dir)
+    got_orc = read_orc(spark, orc_dir)
+    assert sorted((r.id, r.name) for r in got_orc.collect()) == [(1, "a"), (2, "b,with,commas"), (3, None)]
+    assert got_orc.schema == schema
+
+
+def test_csv_malformed_rows_null_out(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,n\n1,10\n2,notanint\n")
+    schema = StructType([StructField("id", LongType()), StructField("n", LongType())])
+    rows = sorted((r.id, r.n) for r in read_csv(spark, str(p), schema).collect())
+    assert rows == [(1, 10), (2, None)]  # PERMISSIVE: bad field -> NULL, row kept

@@ -47,6 +47,24 @@ def test_fingerprint_order_invariant(spark):
     assert fps[1] != fps[3]
 
 
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie"),
+            (2, "charlie alpha bravo"),  # same bag, different order
+            (3, "alpha bravo charlie"),  # identical sequence
+            (4, "   alpha  bravo charlie  "),  # whitespace-normalized: same tokens
+            (5, ""),  # token-less → 0
+        ],
+        "id long, text string",
+    )
+    hs = {r.id: r.h for r in df.select("id", T.rolling_hash("text").alias("h")).collect()}
+    assert hs[1] == hs[3] == hs[4]
+    assert hs[1] != hs[2]  # order matters (unlike fingerprint)
+    assert hs[5] == 0
+    assert all(0 <= h < T.ROLLING_MOD for h in hs.values())
+
+
 def test_word_ngrams_short_text(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "id long, text string")
     got = {r.id: r.g for r in df.select("id", T.word_ngrams("text", 3).alias("g")).collect()}
