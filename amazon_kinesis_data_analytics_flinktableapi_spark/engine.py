@@ -47,6 +47,11 @@ def build_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # local mode runs all 32 executor threads inside the driver JVM,
+        # whose default 1g heap GC-thrashes under cached inverted indexes
+        # + multi-million-row joins.  No-op when a cluster manager already
+        # set driver/executor memory (only applied at JVM launch).
+        .config("spark.driver.memory", "16g")
     )
     if master is not None:
         builder = builder.master(master)

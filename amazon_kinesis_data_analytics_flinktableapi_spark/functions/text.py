@@ -175,3 +175,20 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     for p in reversed(parts[:-1]):
         combined = F.zip_with(p, combined, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(toks) >= n, combined).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngram_hashes(text: Column | str, n: int = 3) -> Column:
+    """64-bit hashes of word n-gram shingles, skipping string shingles
+    entirely: hash-chain the n shifted token slices element-wise
+    (``xxhash64(t₀,t₁)`` then ``xxhash64(h,tᵢ)``).  Same distinctness as
+    hashing the joined shingle string (chained 64-bit collisions are
+    ~2⁻⁶⁴) at ~half the per-shingle cost — no concat allocation and no
+    separate hashing pass; higher-order functions run interpreted, so
+    passes-per-element is the near-dup pipeline's dominant constant."""
+    toks = tokens(text)
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    combined = F.zip_with(parts[0], parts[1], lambda a, b: F.xxhash64(a, b))
+    for p in parts[2:]:
+        combined = F.zip_with(combined, p, lambda h, t: F.xxhash64(h, t))
+    return F.when(F.size(toks) >= n, combined).otherwise(F.array().cast("array<bigint>"))

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens, word_ngrams
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens, word_ngram_hashes, word_ngrams
 
 # 31-bit Mersenne prime: (a*h + b) with a,h < 2^31 stays < 2^62, so the
 # modular permutation never overflows a signed long (ANSI mode throws on
@@ -63,9 +63,10 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: 
     collision probability across ~10⁹ distinct shingles is ~1e-2 pairs
     (birthday, 2⁶⁴) — negligible against a jaccard threshold.
     """
-    shingles = word_ngrams(F.col(text_col), n)
     if hashed:
-        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
+        shingles = word_ngram_hashes(F.col(text_col), n)
+    else:
+        shingles = word_ngrams(F.col(text_col), n)
     src = spread(df)
     return src.select(
         F.col(id_col), F.array_distinct(shingles).alias("shingles")
@@ -156,10 +157,10 @@ def minhash_signatures(
     (a*h + b) mod p.  pmod keeps hashes non-negative so min is well
     defined.  Cost: O(shingles × num_perm) multiply-adds inside codegen.
     """
-    sets = shingle_sets(df, id_col, text_col, n)
+    sets = shingle_sets(df, id_col, text_col, n, hashed=True)
     hashed = sets.select(
         F.col(id_col),
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME))).alias("hs"),
+        F.transform("shingles", lambda s: F.pmod(s, F.lit(MERSENNE_PRIME))).alias("hs"),
     )
     def perm_min(a: int, b: int):
         # closure factory: the transform lambda must take exactly one arg

@@ -280,6 +280,97 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 6 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    HAVING max(ts) + INTERVAL 6 HOUR <= (SELECT max(ts) FROM events)
+    """,
+    doc="STREAMING session windows (6h gap) via file replay; append mode "
+    "emits exactly the sessions the terminal watermark closes "
+    "(last event + gap <= max event time) — oracle = gaps-and-islands",
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import session_agg
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_sw_")
+    stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
+    agg = session_agg(
+        stream, "ts", "6 hours", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    # session_window end = last event + gap; report the last event itself so
+    # the oracle's gaps-and-islands max(ts) compares directly
+    out = agg.select(
+        "user_id",
+        "session_start",
+        (F.col("session_end") - F.expr("INTERVAL 6 HOURS")).alias("session_last"),
+        "n_events",
+    )
+    return run_to_memory(out, spark, timeout_sec=240)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    WITH dim(event_type, type_weight) AS (
+      VALUES ('click', 1), ('view', 2), ('signup', 5), ('purchase', 10), ('error', 0)
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.type_weight,
+           round(e.value * d.type_weight, 2) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+    doc="STREAMING stream-static broadcast join: replayed event stream "
+    "enriched against an in-memory dimension table (stateless, no "
+    "watermark needed) — every micro-batch joins the same static side",
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 5), ("purchase", 10), ("error", 0)],
+        "event_type string, type_weight int",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_se_")
+    stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
+    # stream-static joins are stateless: the static side is planned as a
+    # broadcast into every micro-batch; inner join keeps append semantics
+    out = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "type_weight",
+        F.round(F.col("value") * F.col("type_weight"), 2).alias("weighted_value"),
+    )
+    return run_to_memory(out, spark, timeout_sec=240)
+
+
+@query(
     "streaming_interval_join",
     oracle=f"""
     WITH o AS (

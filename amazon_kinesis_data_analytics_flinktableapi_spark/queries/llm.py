@@ -104,18 +104,32 @@ def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     single cheap substr — a nested tokenize-slice-rejoin here gets inlined
     by Catalyst into every downstream reference of the text column and
     dominated the whole near-dup pipeline's runtime."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
+
     (docs,) = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text")
-    copies = docs.select(
-        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
-        F.col("text").substr(F.lit(1), F.floor(F.length("text") * 0.8).cast("int")).alias("text"),
-    )
-    # cache: the downstream tokenize expression is referenced 3× and
-    # Catalyst re-inlines (re-reads) the whole corpus plan at each
+    # one scan, exploded into (original, 80%-prefix copy) — a union of two
+    # selects reads the parquet twice
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("off"), F.col("text").alias("text")),
+                F.struct(
+                    F.lit(COPY_OFFSET).alias("off"),
+                    F.col("text")
+                    .substr(F.lit(1), F.floor(F.length("text") * 0.8).cast("int"))
+                    .alias("text"),
+                ),
+            )
+        ).alias("e"),
+    ).select((F.col("doc_id") + F.col("e.off")).alias("doc_id"), F.col("e.text").alias("text"))
+    # spread-then-cache: the downstream tokenize expression is referenced
+    # 3× and Catalyst re-inlines (re-reads) the whole corpus plan at each
     # reference; materializing the small synthetic corpus once cuts the
-    # near-dup pipeline ~40%.  (At real scale the equivalent is persisting
-    # the tokenized intermediate, not caching raw text.)
-    return base.union(copies).cache()
+    # near-dup pipeline ~40%, and repartitioning BEFORE the cache makes
+    # every cached-read fan out without a per-use shuffle.  (At real scale
+    # the equivalent is persisting the tokenized intermediate.)
+    return spread(exploded).cache()
 
 
 _DUCK_NEARDUP_CORPUS = f"""
