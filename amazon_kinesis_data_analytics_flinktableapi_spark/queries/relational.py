@@ -246,6 +246,88 @@ def q_rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "large_order_customers",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H q18 pattern: orders above a total-quantity threshold "
+    "(aggregated IN-subquery), joined back to customers",
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the qualifying-orderkey set is a pre-aggregated semi-join
+    # side (tiny after HAVING) — broadcast it into the fact join so the
+    # only big shuffle is orders⋈lineitem on orderkey.
+    customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
+    qualifying = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(F.broadcast(qualifying), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+
+
+@query(
+    "nation_pair_revenue",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H q7 pattern: cross-nation trade revenue — 5-way join with "
+    "two roles of the nation dimension",
+)
+def q_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both nation roles broadcast (25 rows); supplier broadcasts at
+    # any realistic SF; the remaining shuffles are lineitem⋈orders on
+    # orderkey and ⋈customer on custkey — the minimum for this shape.
+    customer, orders, lineitem, supplier, nation = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # per-item half-up to integer CENTS, then an exact integer sum:
+            # summing raw doubles puts the last cent at double's precision
+            # edge where partition order decides it — engines disagree
+            (F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)) / 100.0).alias("revenue"),
+        )
+    )
+
+
+@query(
     "cube_status_priority",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -44,3 +44,39 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS ev_left_b")
         spark.sql("DROP TABLE IF EXISTS ev_right_b")
+
+
+def test_foreach_batch_parquet_idempotent(spark, tmp_path):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sinks.foreach_batch import (
+        write_stream_foreach_batch_parquet,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import replay_stream
+
+    ev = read_table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, str(tmp_path / "in"), n_chunks=3, order_col="ts",
+        max_files_per_trigger=1,
+    ).select("event_id", "user_id", "event_type", "value")
+    seen_batches = []
+    q = write_stream_foreach_batch_parquet(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        extra_sinks=[lambda bdf, bid: seen_batches.append((bid, bdf.count()))],
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(str(tmp_path / "out"))
+    assert out.count() == ev.count()
+    assert len(seen_batches) >= 2  # maxFilesPerTrigger=1 over 3 chunks
+    assert sum(n for _, n in seen_batches) == ev.count()
+    assert sorted(r.event_id for r in out.collect()) == sorted(r.event_id for r in ev.collect())
+
+    # idempotence: re-writing a batch_id directory replaces, never appends
+    # (materialize first — can't lazily read and overwrite the same dir)
+    first_bid = seen_batches[0][0]
+    replay_rows = out.filter(out.batch_id == first_bid).drop("batch_id").collect()
+    replay = spark.createDataFrame(replay_rows, out.drop("batch_id").schema)
+    replay.write.mode("overwrite").parquet(str(tmp_path / "out" / f"batch_id={first_bid}"))
+    again = spark.read.option("basePath", str(tmp_path / "out")).parquet(str(tmp_path / "out"))
+    assert again.count() == ev.count()
