@@ -41,3 +41,31 @@ def salted_agg(
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return phase1.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side's key, replicate the SMALL
+    side once per salt, join on (key, salt).
+
+    The manual fallback when AQE's skew-join split can't apply (e.g. the
+    skewed side feeds an aggregation in the same stage, or a deliberately
+    non-AQE plan): a hot key's rows land on ``n_salts`` different reducers
+    instead of one straggler.  Cost: the small side is duplicated
+    ``n_salts``× — use only when |small| × n_salts ≪ |big|'s hot-key mass.
+    Row multiplicity is exactly the plain join's (each big row joins its
+    single replica of each matching small row).  ``how`` supports inner /
+    left joins (the salted key is never null).
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")

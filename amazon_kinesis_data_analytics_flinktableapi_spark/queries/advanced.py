@@ -331,6 +331,50 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_running_aggregate",
+    oracle="""
+    SELECT event_type AS key, count(*) AS n,
+           list_reduce(list(value ORDER BY ts, value), (a, v) -> a + v) AS total,
+           list_reduce(list(value ORDER BY ts, value), (a, v) -> 0.3 * v + (1 - 0.3) * a) AS ema
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="STREAMING custom stateful operator (applyInPandasWithState): "
+    "per-key running count/sum/EMA in update mode; final state per key "
+    "oracle-matches a DuckDB ordered-list fold (identical sequential fp ops)",
+)
+def q_streaming_running_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import (
+        running_aggregate,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_ra_")
+    # 3 ts-ordered chunks → ≥2 micro-batches → state genuinely carries
+    # across batches (the thing this operator exists for)
+    stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    updates = running_aggregate(stream, "event_type", "ts", "value")
+    collected = run_to_memory(updates, spark, timeout_sec=240, output_mode="update")
+    # update mode emits one row per key per batch; the FINAL state per key
+    # (max n — n is strictly increasing) is the oracle-comparable answer
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        collected.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n", "total", "ema")
+    )
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
     WITH dim(event_type, type_weight) AS (

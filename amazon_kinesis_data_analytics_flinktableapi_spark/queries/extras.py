@@ -115,6 +115,54 @@ def q_explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ), cal AS (
+      SELECT DISTINCT e.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+      FROM events e, b
+    )
+    SELECT c.event_type, c.day, coalesce(d.n, 0) AS n_events
+    FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+    """,
+    doc="time-series densification: per-key daily counts with calendar gap "
+    "fill (sequence + explode + left join), zero-filled missing days",
+)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the calendar is |keys| × |days| — tiny next to the fact table
+    # — and the bounds row broadcasts, so the only real shuffle is the
+    # daily pre-aggregation; the gap-fill join is broadcast on the
+    # (pre-aggregated, small) daily side or the calendar side, never a
+    # fact-table shuffle.
+    (ev,) = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
+    )
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+    )
+
+
+@query(
     "session_gaps_islands",
     oracle="""
     WITH marked AS (

@@ -297,6 +297,7 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cn.n_name <> sn.n_name
     GROUP BY 1, 2
     """,
+    headline=True,
     doc="TPC-H q7 pattern: cross-nation trade revenue — 5-way join with "
     "two roles of the nation dimension",
 )

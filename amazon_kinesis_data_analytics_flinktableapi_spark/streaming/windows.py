@@ -85,7 +85,9 @@ def running_aggregate(
     def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         n, total, ema = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
-            ordered = pdf.sort_values(ts_col)
+            # (ts, value) secondary sort: a total order even under ts ties,
+            # so the fp fold is reproducible across runs/engines
+            ordered = pdf.sort_values([ts_col, value_col])
             for v in ordered[value_col]:
                 n += 1
                 total += float(v)

@@ -67,3 +67,17 @@ def test_neardup_join_on_hashed_keys(spark):
     not on shingle strings, and must not degenerate to a cartesian."""
     df = q("neardup_jaccard", spark)
     assert_no_cartesian(df)
+
+
+def test_nation_pair_revenue_broadcasts_dims(spark):
+    """Both nation roles + supplier must broadcast; the two fact shuffles
+    (orderkey, custkey) are the plan's only exchanges besides the agg."""
+    df = q("nation_pair_revenue", spark)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
+def test_large_order_customers_semi_join_broadcasts(spark):
+    df = q("large_order_customers", spark)
+    assert_broadcast_join(df, min_count=1)  # qualifying-keys semi side
+    assert_no_cartesian(df)

@@ -137,3 +137,33 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     out = run_to_memory(agg, spark)
     counts = {(r["window"]["start"].hour): r["n"] for r in (row.asDict(True) for row in out.collect())}
     assert counts.get(10) == 1, f"late row must be dropped, got {counts}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.skew import salted_join
+
+    ev = read_table(spark, SF_SMOKE, "events")  # event_type is the 5-value skewed key
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10)],  # deliberately missing types
+        "event_type string, w int",
+    )
+    plain_inner = sorted(
+        (r.event_id, r.w) for r in ev.join(dim, "event_type").select("event_id", "w").collect()
+    )
+    salted_inner = sorted(
+        (r.event_id, r.w)
+        for r in salted_join(ev, dim, "event_type", n_salts=8).select("event_id", "w").collect()
+    )
+    assert salted_inner == plain_inner
+
+    plain_left = sorted(
+        (r.event_id, r.w)
+        for r in ev.join(dim, "event_type", "left").select("event_id", "w").collect()
+    )
+    salted_left = sorted(
+        (r.event_id, r.w)
+        for r in salted_join(ev, dim, "event_type", n_salts=8, how="left")
+        .select("event_id", "w")
+        .collect()
+    )
+    assert salted_left == plain_left
