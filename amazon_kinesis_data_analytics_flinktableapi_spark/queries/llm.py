@@ -346,6 +346,98 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS tk FROM documents),
+    scored AS (
+      SELECT doc_id, text, tk,
+             floor((0.5 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * least(round({_DUCK_SW.format(toks="tk")} * 1.0 / greatest(len(tk), 1), 6) * 5, 1.0)
+                   + 0.1 * (1 - least(round({_DUCK_PUNCT} * 1.0 / greatest(length(text), 1), 6) * 10, 1.0)))
+                   * 10000 + 0.5) / 10000 AS quality,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit')))
+                   AND {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('le','la','les','et','est','dans','pour')))
+                   AND {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('el','los','las','y','es','en','por')))
+                  THEN 'en' ELSE 'other' END AS plang
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, text, quality FROM scored
+      WHERE quality >= 0.5 AND plang = 'en'
+    ),
+    surv AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' '))
+    )
+    SELECT k.doc_id, k.quality,
+           CASE WHEN substr(md5(k.text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train' ELSE 'eval' END AS split
+    FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+    """,
+    doc="end-to-end corpus cleaning: quality filter -> language filter -> "
+    "fingerprint dedup (keep min id) -> content-hash train/eval split — "
+    "the composed training-data pipeline, one declarative plan",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One declarative chain: Catalyst fuses the three scan-side filters
+    # into a single pass; the only shuffle is the fingerprint dedup.
+    # The split follows content (md5 of text) so exact copies — already
+    # collapsed by the dedup — could never straddle train/eval anyway.
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("plang"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+    keyed = kept.select("doc_id", "quality", "text", T.fingerprint("text").alias("__fp"))
+    surv = D.dedup_exact(keyed, "doc_id", key=["__fp"])
+    return surv.select(
+        "doc_id",
+        "quality",
+        F.when(F.substring(F.md5("text"), 1, 1).rlike("[0-9ab]"), "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+
+
+@query(
+    "edit_distance_verify",
+    oracle=f"""
+    WITH {_DUCK_NEARDUP_CORPUS}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) AS edit_dist,
+           floor((1.0 - levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+                  * 1.0 / greatest(length(substr(a.text, 1, 200)),
+                                   length(substr(b.text, 1, 200)), 1)) * 10000 + 0.5)
+             / 10000 AS sim
+    FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + {COPY_OFFSET}
+    """,
+    doc="edit-distance verification of candidate near-dup pairs: "
+    "levenshtein over 200-char prefixes (O(k²) per pair, bounded) — the "
+    "exact-verify stage after MinHash/SimHash candidate generation",
+)
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: levenshtein is quadratic in string length — NEVER run it on
+    # full documents or all pairs; bound the prefix (k=200) and feed only
+    # candidate pairs (here: the planted copies), so cost is
+    # |candidates| × k².  The join is equi on doc_id — one shuffle of
+    # (id, prefix) pairs, prefixes cut at scan time.
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    a = corpus.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 200).alias("ta"))
+    b = corpus.select((F.col("doc_id") - COPY_OFFSET).alias("id_a"), F.col("doc_id").alias("id_b"),
+                      F.substring("text", 1, 200).alias("tb"))
+    d = F.levenshtein("ta", "tb")
+    sim = F.floor(
+        (1.0 - d / F.greatest(F.length("ta"), F.length("tb"), F.lit(1))) * 10000 + 0.5
+    ) / 10000
+    return a.join(b, "id_a").select("id_a", "id_b", d.alias("edit_dist"), sim.alias("sim"))
+
+
+@query(
     "ann_ivf_topk",
     oracle=None,  # approximate by construction; recall vs brute_topk pinned
     # in tests/test_similarity.py

@@ -145,6 +145,69 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, event_type, user_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+      FROM events
+    )
+    SELECT event_id, event_type, user_id
+    FROM h
+    WHERE (event_type = 'view' AND bucket < 10)
+       OR (event_type = 'click' AND bucket < 25)
+       OR (event_type NOT IN ('view', 'click') AND bucket < 100)
+    """,
+    doc="deterministic stratified sampling: per-stratum rates via id-hash "
+    "buckets (downsample dominant classes, keep rare ones) — reproducible "
+    "on any engine, no RNG state",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: pure scan-side filter — no shuffle, no sort, no global state;
+    # the sample follows the row's id hash so reruns/backfills select the
+    # same rows.  Rates: view 10%, click 25%, everything else kept.
+    (ev,) = load(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    keep = (
+        ((F.col("event_type") == "view") & (bucket < 10))
+        | ((F.col("event_type") == "click") & (bucket < 25))
+        | (~F.col("event_type").isin("view", "click") & (bucket < 100))
+    )
+    return ev.filter(keep).select("event_id", "event_type", "user_id")
+
+
+@query(
+    "reservoir_per_group",
+    oracle="""
+    SELECT event_type, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+    doc="deterministic per-group reservoir: fixed-size uniform sample per "
+    "stratum via hash-ordered rank (the distributed, rerun-stable "
+    "equivalent of reservoir sampling)",
+)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one shuffle on the stratum key; rank by content hash gives a
+    # uniform, seedless, rerun-stable k-per-group sample.  For heavy
+    # strata swap row_number for a per-partition top-k pre-prune
+    # (TakeOrdered shape) — same result, bounded reducer memory.
+    from pyspark.sql import Window
+
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    return (
+        ev.select("event_type", "event_id", "user_id", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= 100)
+        .select("event_type", "event_id", "user_id")
+    )
+
+
+@query(
     "deterministic_sample",
     oracle="""
     SELECT doc_id, source,

@@ -365,6 +365,59 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_returnflag, metric,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(CAST(floor(val * 100 + 0.5) AS BIGINT)) * 1.0 + 0.5) / 100.0 AS total
+    FROM (
+      SELECT l_returnflag, l_quantity, l_extendedprice, l_discount FROM lineitem
+    ) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    GROUP BY l_returnflag, metric
+    """,
+    doc="UNPIVOT/melt: wide metric columns to long (metric, value) rows, "
+    "re-aggregated per returnflag — the reshape operator",
+)
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: unpivot is a scan-side row expansion (3× narrow rows, no
+    # shuffle); the only exchange is the small grouped result.  Values
+    # sum as per-item half-up integer cents (fp-order-proof, see
+    # nation_pair_revenue).
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    long = lineitem.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("val") * 100 + 0.5)) / 100.0).alias("total"),
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="histogram binning: fixed-width value buckets per key (the "
+    "distribution-profiling scan)",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.floor(F.col("value") / 50.0).cast("bigint").alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "grouped_having",
     oracle="""
     SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
