@@ -115,6 +115,92 @@ def q_explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_sequence_detect",
+    oracle="""
+    SELECT s.user_id, min(p.ts) AS first_conversion_ts,
+           count(*) AS n_pairs
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 6 HOUR
+    GROUP BY s.user_id
+    """,
+    doc="CEP-style sequence detection (MATCH_RECOGNIZE analogue): signup "
+    "followed by purchase within 6h, per user — interval self-join form",
+)
+def q_event_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both sides pre-filtered to their step's event type BEFORE the
+    # join (pushed to the scan), so the self-join shuffles two thin
+    # event-subsets on user_id — never events×events.  The time predicate
+    # is a residual filter on the equi-join.  For low-cardinality step
+    # types at 100 TB the equi key is user_id (high cardinality) — no
+    # skew/serialization concern.
+    (ev,) = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 6 HOURS")),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.min("p_ts").alias("first_conversion_ts"), F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_signup' AS step, count(*) AS n_users FROM s1
+    UNION ALL SELECT 'step2_click', count(*) FROM s2
+    UNION ALL SELECT 'step3_purchase', count(*) FROM s3
+    """,
+    doc="ordered funnel: users reaching signup -> later click -> later "
+    "purchase; each stage anchors on the previous stage's first timestamp",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each stage is a filtered scan pre-aggregated to one row per
+    # user BEFORE its join (the stage outputs shrink monotonically), and
+    # every shuffle is on high-cardinality user_id.  Step counts are tiny
+    # scalar aggregates unioned at the end.
+    (ev,) = load(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, t_alias: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t_alias))
+
+    s1 = stage("signup", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step1_signup").alias("step"), "n_users")
+        .union(s2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step2_click").alias("step"), "n_users"))
+        .union(s3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step3_purchase").alias("step"), "n_users"))
+    )
+
+
+@query(
     "timeseries_gap_fill",
     oracle="""
     WITH daily AS (
