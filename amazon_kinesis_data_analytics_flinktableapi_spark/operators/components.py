@@ -40,29 +40,33 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .cache()
     )
+    cached_round = labels
     for _ in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir["v"] == labels["node"])
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        # one materialization per round: carry the changed flag alongside
+        # the new label, so convergence is a filter-count over the cached
+        # round result instead of a second old-vs-new join
+        merged = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"))
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("nmin") < F.col("comp"), F.lit(False))).alias("__changed"),
+            )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.filter(F.col("__changed")).count()
+        cached_round.unpersist()
+        cached_round = merged
+        labels = merged.select("node", "comp")
         if changed == 0:
             break
     bidir.unpersist()
-    return labels.select("node", "comp")
+    return labels
 
 
 def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
