@@ -76,6 +76,75 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa:
 
 _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pipeline_ops]
 
+# --- explicit registry ordering -------------------------------------------
+# The driver's correctness gate records the FIRST 50 registered queries per
+# round (CORRECTNESS_r01.json attested exactly registry positions 1-50, so
+# round 1's alphabetical import order left the flagship reference queries and
+# the whole relational surface unattested).  Order is therefore part of the
+# driver contract: highest-value and recently-changed queries first, the
+# previously-attested tail last (rotated back into the window in later
+# rounds).
+_PRIORITY: list[str] = [
+    # the reference's literal workload (StreamingJob.java:91-101)
+    "interval_join",
+    "currency_conversion",
+    "projection_filter",
+    # SURVEY §2 core relational surface
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders",
+    "window_rank",
+    "window_moving_avg",
+    "set_ops",
+    "join_semi",
+    "join_anti",
+    "rollup_customer_geo",
+    "large_order_customers",
+    "nation_pair_revenue",
+    "cube_status_priority",
+    "unpivot_lineitem_metrics",
+    "value_histogram",
+    "grouped_having",
+    "distinct_pairs",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "conditional_agg",
+    "shipping_priority",
+    "string_functions",
+    "math_functions",
+    "date_functions",
+    # r1 driver failures, fixed in r2 — need fresh attestation
+    "json_extract_agg",
+    "pivot_status_by_priority",
+    "session_gaps_islands",
+    "approx_sketches",
+    # changed in r2 (scale-path rewires) — need fresh attestation
+    "neardup_jaccard",
+    "embedding_neardup",
+    "dedup_clusters",
+    # previously outside the window
+    "deterministic_sample",
+    # streaming flagship set (S4/S5/K3 attestations ride on these)
+    "streaming_interval_join",
+    "streaming_running_aggregate",
+    "streaming_tumbling_window",
+    "streaming_session_window",
+    "streaming_static_enrich",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"_PRIORITY names not registered: {missing}")
+    rest = [n for n in REGISTRY if n not in set(_PRIORITY)]
+    ordered = {n: REGISTRY[n] for n in [*_PRIORITY, *rest]}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
 
 def all_specs() -> dict[str, QuerySpec]:
     return dict(REGISTRY)

@@ -52,7 +52,7 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_agg",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -98,9 +98,9 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -253,15 +253,15 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 6 HOUR
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 21600000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -275,11 +275,14 @@ def q_session_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The SQL-expressible equivalent of session_window (6h gap): marks a
     # session boundary at every >gap jump, prefix-sums boundaries into
     # session ids.  Two window passes over one shuffle on user_id.
+    # Gap test compares integer MICROSECONDS on both sides — the earlier
+    # double-seconds cast flipped exact-6h ties at ~1.7e9 s epochs (driver
+    # hash mismatch at sf0.01 that sf0.001 never hit).
     (ev,) = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     prev = F.lag("ts").over(w)
     new_session = F.when(
-        prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 6 * 3600), 1
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 21_600_000_000), 1
     ).otherwise(0)
     marked = ev.select("user_id", "ts", new_session.alias("new_session"))
     session_id = F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -342,9 +345,20 @@ def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approximate sketches: HLL distinct users + quantile sketch per event type",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar quantile columns (not one array column): the driver's row
+    # canonicalizer sorts cell values and cannot hash array cells — r1
+    # recorded a harness error instead of the intended rows-only pass.
     (ev,) = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    q = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("__q"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return q.select(
+        "event_type",
+        "approx_users",
+        F.element_at("__q", 1).alias("q50"),
+        F.element_at("__q", 2).alias("q95"),
+        F.element_at("__q", 3).alias("q99"),
+        "n",
     )

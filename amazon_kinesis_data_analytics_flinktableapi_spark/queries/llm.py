@@ -157,13 +157,18 @@ _DUCK_NEARDUP_CORPUS = f"""
       FROM toks
     ),
     sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    hot AS (
+      SELECT s FROM ex0 GROUP BY s
+      HAVING count(*) > (SELECT greatest(10, (count(*) + 99) // 100) FROM corpus)
+    ),
+    ex AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2)
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
     SELECT id_a, id_b,
            round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
     FROM pairs
@@ -172,11 +177,19 @@ _DUCK_NEARDUP_CORPUS = f"""
     WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
     """,
     headline=True,
-    doc="exact 3-gram Jaccard near-dup pairs via inverted-index join (no cross join)",
+    doc="exact 3-gram Jaccard near-dup pairs via inverted-index join with the "
+    "max_df hot-shingle cap on (cap = max(10, 1%% of corpus)) — the quadratic "
+    "boilerplate defense is the proven path, not just an option",
 )
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_neardup_copies(spark, sf_dir)
-    return D.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    # hot-shingle cap: a shingle in k docs contributes k² join rows, and at
+    # corpus scale boilerplate shingles are quadratic poison.  cap = 1% of
+    # the corpus (integer ceil — float ceil(0.01*n) can land on 10.0000…2
+    # and diverge between engines), floored at 10 so planted near-dup pairs
+    # at the small test scales keep their shared shingles.
+    cap = max(10, (corpus.count() + 99) // 100)
+    return D.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5, max_df=cap)
 
 
 @query(
@@ -448,20 +461,51 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4)
 
 
+def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16, seed: int = 13) -> str:
+    """DuckDB twin of ``S.neardup_pairs_lsh``: identical integer-quantized
+    sketches ⇒ identical buckets ⇒ identical candidate pairs — the LSH
+    approximation is deterministic across engines, so the oracle checks the
+    bucketed plan exactly (integer-valued double sums < 2⁵³ are order-
+    independent; see operators/similarity.neardup_lsh_planes)."""
+    tables = S.neardup_lsh_planes(dim=64, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    selects = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {coeffs}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, coeffs in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS t, ({bits}) AS sk FROM q")
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> floor(x * {S.NEARDUP_QUANT})) AS qv
+      FROM embeddings
+    ),
+    sk AS ({union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sk a JOIN sk b ON a.t = b.t AND a.sk = b.sk AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
 @query(
     "embedding_neardup",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
-    """,
-    doc="embedding-cosine near-duplicate pairs (threshold 0.35)",
+    oracle=_neardup_lsh_oracle(threshold=0.35),
+    doc="embedding-cosine near-duplicate pairs (threshold 0.35) via "
+    "deterministic LSH bucketing — equi-join on (table, sketch), exact "
+    "cosine verify on candidates only; no all-pairs join anywhere in the plan",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    return S.neardup_pairs(emb, threshold=0.35)
+    return S.neardup_pairs_lsh(emb, threshold=0.35)
 
 
 @query(

@@ -501,8 +501,8 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            count(*) AS n_total
     FROM orders
     GROUP BY o_orderpriority

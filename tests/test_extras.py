@@ -48,4 +48,4 @@ def test_approx_sketches_accuracy(spark):
     for et, e in exact.items():
         a = out[et]
         assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a.approx_users, e.users)
-        assert abs(a.value_quantiles[0] - e.p50) / max(abs(e.p50), 1e-9) <= 0.05
+        assert abs(a.q50 - e.p50) / max(abs(e.p50), 1e-9) <= 0.05

@@ -97,3 +97,21 @@ def test_neardup_pairs_threshold(vectors):
         va, vb = rows[a], rows[b]
         assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.9 - 1e-9
         assert a < b
+
+
+def test_neardup_pairs_lsh_recall_and_precision(vectors):
+    # the scale path: every pair it reports must be exact-verified (precision
+    # 1.0 vs the brute baseline), recall pinned on the clustered fixture
+    exact = {(r.id_a, r.id_b) for r in S.neardup_pairs(vectors, threshold=0.9).collect()}
+    lsh_out = S.neardup_pairs_lsh(vectors, threshold=0.9, dim=DIM, n_planes=6, n_tables=8)
+    lsh = {(r.id_a, r.id_b) for r in lsh_out.collect()}
+    assert lsh <= exact, "LSH reported a pair the exact verifier should have rejected"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.7, f"LSH near-dup recall too low: {recall}"
+
+
+def test_neardup_pairs_lsh_no_nested_loop(vectors):
+    # the whole point of the bucketed path: candidate generation is an
+    # equi-join on (table, sketch) — no cartesian/nested-loop join anywhere
+    plan = S.neardup_pairs_lsh(vectors, threshold=0.9, dim=DIM)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
