@@ -214,3 +214,72 @@ def test_running_aggregate_stateful(spark, events, tmp_path):
     for k in want:
         assert got[k].n == want[k].n
         assert abs(got[k].total - want[k].total) < 1e-6
+
+
+def test_outer_null_emission_batch_boundaries(spark, tmp_path):
+    """Pin EXACTLY when the left-outer NULL row emits across micro-batches
+    (the Flink-vs-Spark watermark gap, SURVEY.md §7 / README.md:246):
+
+    - Flink's ascending extractor advances watermarks per record, so an
+      unmatched order's NULL row emits as soon as any stream passes it.
+    - Spark advances the watermark between micro-batches, so the NULL row
+      emits only in a batch AFTER the one whose data moved the watermark
+      past the order's match window.
+    - At end of input Flink emits a MAX_VALUE watermark and flushes every
+      pending outer row; Spark's availableNow leaves the watermark at the
+      last computed value — an unmatched order the final watermark never
+      passed emits NOTHING.  All three behaviors asserted below.
+    """
+    from datetime import datetime as dt
+
+    o_rows = [
+        # chunk 0                                  # chunk 1
+        (1, dt(2024, 1, 1, 10, 0), 100, "USD"),
+        (2, dt(2024, 1, 1, 10, 5), 200, "EUR"),  # never matches; wm passes it
+        (3, dt(2024, 1, 1, 13, 0), 300, "USD"),
+        (4, dt(2024, 1, 1, 13, 5), 400, "EUR"),  # never matches; wm never passes it
+    ]
+    r_rows = [
+        (dt(2024, 1, 1, 9, 30), "USD", 2),   # chunk 0 — matches order 1
+        (dt(2024, 1, 1, 13, 0), "USD", 3),   # chunk 1 — matches order 3
+    ]
+    orders_b = spark.createDataFrame(o_rows, ORDER_SCHEMA)
+    rates_b = spark.createDataFrame(r_rows, EXCHANGE_RATE_SCHEMA)
+    orders_s = replay_stream(
+        spark, orders_b, ORDER_SCHEMA, str(tmp_path / "o"),
+        n_chunks=2, order_col="orderTime", max_files_per_trigger=1,
+    )
+    rates_s = replay_stream(
+        spark, rates_b, EXCHANGE_RATE_SCHEMA, str(tmp_path / "r"),
+        n_chunks=2, order_col="exchangeRateTime", max_files_per_trigger=1,
+    )
+    joined = build_reference_query(spark, orders_s, rates_s, interval="1 hour")
+
+    emitted = []  # (batch_id, id, convertedAmount)
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            emitted.append((batch_id, r.id, r.convertedAmount))
+
+    q = joined.writeStream.foreachBatch(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(240)
+
+    by_id = {}
+    for bid, oid, conv in emitted:
+        assert oid not in by_id, f"order {oid} emitted twice: {emitted}"
+        by_id[oid] = (bid, conv)
+
+    # matches emit in the micro-batch that carries both sides' data
+    assert by_id[1][1] == 200  # batch 0: chunk-0 order × chunk-0 rate
+    assert by_id[3][1] == 900  # batch 1: chunk-1 order × chunk-1 rate
+    assert by_id[1][0] < by_id[3][0]
+    # order 2's NULL row: held while the batch-1 watermark (min(10:05, 9:30)
+    # from batch 0) is behind it; emits only in a batch strictly AFTER the
+    # one whose data (13:00/13:05) advanced the watermark past 10:05
+    assert by_id[2][1] is None
+    assert by_id[2][0] > by_id[3][0], (
+        "NULL row must emit in a later batch than the watermark-advancing data"
+    )
+    # order 4 (13:05): the final watermark is min(13:05, 13:00) = 13:00,
+    # which never passes it — Spark emits no terminal flush (Flink would)
+    assert 4 not in by_id, f"order 4 should never emit under availableNow: {emitted}"
