@@ -104,26 +104,37 @@ def jaccard_pairs(
     ``max_df`` set, reported jaccard is over the *filtered* shingle sets —
     an approximation that only drops ubiquitous shingles.
     """
+    from pyspark.sql import Window
+
     sets = shingle_sets(df, id_col, text_col, n, hashed=True)
     if max_df is not None:
+        # explode ONCE and cache: the hot-set derivation and the filtered
+        # index both read the postings — deriving each from `sets` would
+        # re-run the tokenize→shingle→hash chain per reference
+        inv0 = sets.select(F.col(id_col), F.explode("shingles").alias("s")).cache()
         hot = (
-            sets.select(F.explode("shingles").alias("s"))
-            .groupBy("s")
+            inv0.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("s")
         )
-        # explode, anti-join the (broadcast) hot-shingle set, regroup
-        inv0 = sets.select(F.col(id_col), F.explode("shingles").alias("s"))
-        inv0 = inv0.join(F.broadcast(hot), "s", "left_anti")
-        sets = inv0.groupBy(id_col).agg(F.collect_list("s").alias("shingles"))
-    # carry each doc's set size on its inverted-index rows: the pair
-    # aggregation then has everything it needs (first(n) per side) and the
-    # two post-hoc size joins disappear — one join + one groupBy total.
-    inv = sets.select(
-        F.col(id_col), F.size("shingles").alias("nsh"), F.explode("shingles").alias("s")
-    ).cache()  # both sides of the self-join read this — without the cache
-    # the whole tokenize→shingle→hash chain runs twice
+        filtered = inv0.join(F.broadcast(hot), "s", "left_anti")
+        # post-filter set size, carried on every posting via a window (one
+        # shuffle on id) — NOT a doc-sizes join after pairing: the sizes
+        # table is n_docs rows, which at corpus scale is not broadcastable
+        inv = filtered.select(
+            F.col(id_col),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("nsh"),
+            "s",
+        ).cache()
+    else:
+        # carry each doc's set size on its inverted-index rows: the pair
+        # aggregation then has everything it needs (first(n) per side) and
+        # the two post-hoc size joins disappear — one join + one groupBy.
+        inv = sets.select(
+            F.col(id_col), F.size("shingles").alias("nsh"), F.explode("shingles").alias("s")
+        ).cache()  # both sides of the self-join read this — without the cache
+        # the whole tokenize→shingle→hash chain runs twice
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
