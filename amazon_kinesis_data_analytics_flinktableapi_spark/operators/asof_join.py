@@ -30,21 +30,27 @@ def as_of_join(
     horizon: str = "1 hour",
     how: str = "left_outer",
     tie_breakers: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Latest-right-at-or-before join within ``horizon``.
+    """Latest-right-at-or-before join within ``horizon`` (``backward``), or
+    earliest-right-at-or-after (``direction="forward"`` — "the next quote
+    after the order").
 
     ``left_id`` must uniquely identify left rows (the rank-1 partition
     key).  Result: all left columns + right columns prefixed ``r_`` (NULL
-    when no right row in ``(t - horizon, t]``).  ``tie_breakers`` (right
-    column names) order equal right_time matches deterministically.
+    when no right row in ``(t - horizon, t]`` / ``[t, t + horizon)``).
+    ``tie_breakers`` (right column names) order equal right_time matches
+    deterministically.
     """
     keys = [on] if isinstance(on, str) else list(on)
     j = interval_join_bucketed(left, right, on=keys, left_time=left_time,
-                               right_time=right_time, interval=horizon, how=how)
+                               right_time=right_time, interval=horizon, how=how,
+                               direction=direction)
     left_cols = [F.col(f"l.{c}").alias(c) for c in left.columns]
     right_cols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
     picked = j.select(*left_cols, *right_cols)
-    order = [F.col(f"r_{right_time}").desc_nulls_last()] + [
+    t_ord = F.col(f"r_{right_time}")
+    order = [t_ord.desc_nulls_last() if direction == "backward" else t_ord.asc_nulls_last()] + [
         F.col(f"r_{c}").desc_nulls_last() for c in (tie_breakers or [])
     ]
     w = Window.partitionBy(left_id).orderBy(*order)

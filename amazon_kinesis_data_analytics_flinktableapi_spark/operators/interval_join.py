@@ -38,8 +38,11 @@ def interval_join(
     interval: str = "5 seconds",
     how: str = "left_outer",
     extra_condition: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Join ``left`` to every ``right`` row in ``(t - interval, t]``.
+    """Join ``left`` to every ``right`` row in ``(t - interval, t]``
+    (``direction="backward"``, the reference's shape) or ``[t, t + interval)``
+    (``direction="forward"`` — the look-ahead mirror).
 
     ``interval`` is a SQL interval body, e.g. ``"5 seconds"``, ``"1 hour"``.
     Column references in the result are disambiguated via DataFrame aliases
@@ -52,10 +55,19 @@ def interval_join(
         c = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = c if cond is None else (cond & c)
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
-    cond = cond & (lt >= rt) & (rt > lt - F.expr(f"INTERVAL {interval}"))
+    cond = cond & _range_cond(lt, rt, interval, direction)
     if extra_condition is not None:
         cond = cond & extra_condition
     return l.join(r, cond, how)
+
+
+def _range_cond(lt: Column, rt: Column, interval: str, direction: str) -> Column:
+    iv = F.expr(f"INTERVAL {interval}")
+    if direction == "backward":
+        return (lt >= rt) & (rt > lt - iv)
+    if direction == "forward":
+        return (rt >= lt) & (rt < lt + iv)
+    raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
 
 
 def _interval_micros(spark, interval: str) -> int:
@@ -81,6 +93,7 @@ def interval_join_bucketed(
     right_time: str,
     interval: str = "5 seconds",
     how: str = "left_outer",
+    direction: str = "backward",
 ) -> DataFrame:
     """Scale-optimized interval join: identical semantics to
     ``interval_join``, executed as an *equi*-join on (key, time-bucket).
@@ -109,11 +122,14 @@ def interval_join_bucketed(
 
     l = left.withColumn("__bucket", F.floor(F.unix_micros(F.col(left_time)) / F.lit(w_us))).alias("l")
     r_b = right.withColumn("__b0", F.floor(F.unix_micros(F.col(right_time)) / F.lit(w_us)))
-    r = r_b.withColumn("__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1))).drop("__b0").alias("r")
+    # backward: s ∈ (t−W, t] ⇒ b(t) ∈ {b(s), b(s)+1}; forward: s ∈ [t, t+W)
+    # ⇒ b(t) ∈ {b(s)−1, b(s)} — either way the right side explodes exactly 2×
+    shift = 1 if direction == "backward" else -1
+    r = r_b.withColumn("__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + shift))).drop("__b0").alias("r")
 
     cond = F.col("l.__bucket") == F.col("r.__bucket")
     for k in keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
-    cond = cond & (lt >= rt) & (rt > lt - F.expr(f"INTERVAL {interval}"))
+    cond = cond & _range_cond(lt, rt, interval, direction)
     return l.join(r, cond, how).drop(F.col("l.__bucket")).drop(F.col("r.__bucket"))

@@ -124,6 +124,14 @@ _PRIORITY: list[str] = [
     "dedup_clusters",
     # previously outside the window
     "deterministic_sample",
+    # new in r2 — need first attestation
+    "asof_forward_join",
+    "timeseries_interpolate",
+    "grouping_sets_revenue",
+    "tpch_q8_market_share",
+    "salted_join_revenue",
+    "media_frame_sample",
+    "media_resize",
     # streaming flagship set (S4/S5/K3 attestations ride on these)
     "streaming_interval_join",
     "streaming_running_aggregate",

@@ -65,6 +65,140 @@ def q_asof_join_latest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_join",
+    oracle="""
+    WITH o AS (
+      SELECT event_id AS id, ts AS order_time,
+             CAST(FLOOR(value * 100) AS INTEGER) AS amount,
+             event_type AS currency
+      FROM events
+    ), r AS (
+      SELECT ts AS rate_time, event_type AS currency,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events WHERE event_id % 17 = 0
+    ), ranked AS (
+      SELECT o.id, o.amount, o.currency, r.rate,
+             row_number() OVER (PARTITION BY o.id
+                                ORDER BY r.rate_time ASC NULLS LAST,
+                                         r.rate DESC NULLS LAST) AS rn
+      FROM o LEFT JOIN r
+        ON o.currency = r.currency
+       AND r.rate_time >= o.order_time
+       AND r.rate_time < o.order_time + INTERVAL 1 HOUR
+    )
+    SELECT id, amount, currency, rate,
+           amount * rate AS converted_amount
+    FROM ranked WHERE rn = 1
+    """,
+    doc="forward as-of join: the single EARLIEST rate at or after each order "
+    "(look-ahead enrichment — the mirror of asof_join_latest_rate)",
+)
+def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    orders = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("order_time"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("rate_time"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+    j = as_of_join(orders, rates, on="currency", left_id="id",
+                   left_time="order_time", right_time="rate_time",
+                   horizon="1 hour", tie_breakers=["rate"], direction="forward")
+    return j.select(
+        "id", "amount", "currency",
+        F.col("r_rate").alias("rate"),
+        (F.col("amount") * F.col("r_rate")).alias("converted_amount"),
+    )
+
+
+@query(
+    "timeseries_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+    ), cal AS (
+      SELECT DISTINCT e.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM events e, b
+    ), g AS (
+      SELECT c.event_type, c.h, epoch_us(c.h) // 3600000000 AS hidx, hourly.v
+      FROM cal c LEFT JOIN hourly ON c.event_type = hourly.event_type AND c.h = hourly.h
+    ), w AS (
+      SELECT event_type, h, hidx, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hidx END IGNORE NULLS) OVER wb AS pi,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hidx END IGNORE NULLS) OVER wf AS ni
+      FROM g
+      WINDOW wb AS (PARTITION BY event_type ORDER BY hidx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY hidx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS bucket_hour,
+           CASE WHEN v IS NOT NULL THEN floor(v * 10000 + 0.5) / 10000
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN floor((pv + (nv - pv) * (CAST(hidx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)))
+                           * 10000 + 0.5) / 10000
+           END AS value_interp,
+           (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+    FROM w
+    """,
+    doc="time-series linear interpolation: hourly mean value per event type, "
+    "missing hours filled by linear interpolation between nearest known "
+    "points (IGNORE-NULLS window scan both directions); leading/trailing "
+    "gaps stay NULL",
+)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Determinism note: the hourly mean is sum(integer cents)/count — exact
+    # integer sums divided identically in both engines — so the interpolated
+    # doubles are bit-equal, not merely close.  Scale: one shuffle for the
+    # hourly pre-agg; the calendar join and both window passes run over the
+    # |keys| × |hours| grid, which is ~10⁵× smaller than raw events.
+    (ev,) = load(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        (F.sum(F.floor(F.col("value") * 100)).cast("double") / (F.count(F.lit(1)) * 100)).alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
+    )
+    cal = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"))
+    )
+    g = (
+        cal.join(hourly, ["event_type", "h"], "left")
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hidx")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    known_idx = F.when(F.col("v").isNotNull(), F.col("hidx"))
+    pv, pi = F.last("v", ignorenulls=True).over(wb), F.last(known_idx, ignorenulls=True).over(wb)
+    nv, ni = F.first("v", ignorenulls=True).over(wf), F.first(known_idx, ignorenulls=True).over(wf)
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    frac = (F.col("hidx") - pi).cast("double") / (ni - pi).cast("double")
+    interp = pv + (nv - pv) * frac
+    return g.select(
+        "event_type",
+        F.col("h").alias("bucket_hour"),
+        F.when(F.col("v").isNotNull(), r4(F.col("v")))
+        .when(pv.isNotNull() & nv.isNotNull(), r4(interp))
+        .alias("value_interp"),
+        (F.col("v").isNull() & pv.isNotNull() & nv.isNotNull()).alias("interpolated"),
+    )
+
+
+@query(
     "lag_lead_gaps",
     oracle="""
     SELECT event_id, user_id,

@@ -529,3 +529,60 @@ def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = M.media_from_documents(docs)
     return M.decode_media(media)
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), f AS (
+      SELECT media_id, n,
+             CASE WHEN kind = 'image' THEN 1 ELSE CAST(1 + n % 24 AS BIGINT) END AS nf
+      FROM m
+    ), g AS (
+      SELECT media_id, n, nf, unnest(range(0, nf, 4)) AS fi FROM f
+    )
+    SELECT media_id,
+           CAST(fi AS INT) AS frame_idx,
+           fi * greatest(n // nf, 1) AS frame_offset_bytes
+    FROM g
+    """,
+    doc="multimodal frame sampling: every-4th-frame byte offsets per video/"
+    "audio payload via the 1-to-N exploding mapInPandas shape (stub decoder)",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow batches in, multiple rows out per media row — the exploding UDTF
+    # shape for frame extraction; payload bytes stay executor-side.
+    (docs,) = load(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    return M.frame_sample(media, every_nth=4)
+
+
+@query(
+    "media_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      FROM documents
+    ), d AS (
+      SELECT media_id, n,
+             64 + n % 577 AS w,
+             64 + (n * 31) % 353 AS h
+      FROM m
+    )
+    SELECT media_id,
+           224 AS width, 224 AS height,
+           CAST(FLOOR(n * (50176.0 / greatest(w * h, 1))) AS BIGINT) AS n_bytes_out
+    FROM d
+    """,
+    doc="multimodal resize-to-224x224 (stub: byte length scaled by area "
+    "ratio) — the batch image-preprocessing shape over mapInPandas",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    return M.resize_media(media, target_w=224, target_h=224)

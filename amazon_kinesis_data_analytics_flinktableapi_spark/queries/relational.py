@@ -630,3 +630,134 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("order_day"),
         (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           CAST(GROUPING(n_name, o_orderstatus) AS BIGINT) AS gid,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """,
+    doc="explicit GROUPING SETS with grouping_id: per (nation, status), "
+    "per nation, and grand total in one pass",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle produces all three aggregation levels (Expand + single
+    # hash-agg) — at 100 TB this beats three separate groupBys by 3× on
+    # fact-table scans.  Integer-cents summation: exact, no double-sum
+    # ordering flake, and CAST keeps DuckDB's HUGEINT out of the hash.
+    load(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               grouping_id() AS gid,
+               sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+        """
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS volume_cents,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'MEDIUM'
+    )
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN volume_cents ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_cents) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mkt_share,
+           CAST(sum(volume_cents) AS BIGINT) AS total_volume_cents
+    FROM volumes
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: BRAZIL's market share of MEDIUM-type part revenue "
+    "among AMERICA-region customers, per order year",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Star-join chain: lineitem (fact) joins 7 dims — every dim side is
+    # broadcastable; the only fact shuffle is the final groupBy on o_year.
+    # Integer-cents volumes make the share numerator/denominator exact ints,
+    # so the double division is bit-identical across engines.
+    lineitem, orders, customer, nation, region, supplier, part = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier", "part"
+    )
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    vol = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter((F.col("r_name") == "AMERICA") & (F.col("p_type") == "MEDIUM"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+            .cast("bigint").alias("volume_cents"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    brazil = F.sum(F.when(F.col("supp_nation") == "BRAZIL", F.col("volume_cents")).otherwise(0))
+    total = F.sum("volume_cents")
+    return vol.groupBy("o_year").agg(
+        (F.floor(brazil.cast("double") / total.cast("double") * 1_000_000 + 0.5) / 1_000_000)
+        .alias("mkt_share"),
+        total.cast("bigint").alias("total_volume_cents"),
+    )
+
+
+@query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="skew-salted join, oracle-proven equivalent to the plain join: "
+    "orders salted 16 ways against a replicated customer-nation dim",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The manual skew defense (operators/skew.salted_join) as a driver
+    # query: the oracle is the PLAIN join — proving salting changes the
+    # physical distribution, never the result.  Here customer×nation (the
+    # replicated small side) stands in for a hot-key dim; at 100 TB the
+    # same shape spreads a hot customer over 16 reducers.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.skew import salted_join
+
+    orders, customer, nation = load(spark, sf_dir, "orders", "customer", "nation")
+    dim = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    joined = salted_join(orders.select("o_custkey", "o_totalprice"), dim, key="o_custkey", n_salts=16)
+    return joined.groupBy("n_name").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

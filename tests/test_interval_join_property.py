@@ -82,3 +82,40 @@ def test_both_plans_match_brute_force(orders, rates):
                  right_time="exchangeRateTime", interval=f"{WINDOW_S} seconds")
         got = {(r["id"], r["rate"]) for r in j.select("l.id", "r.rate").collect()}
         assert got == expected, f"{impl.__name__}: {got ^ expected}"
+
+
+def brute_force_forward(orders, rates):
+    out = set()
+    for oid, oms, amount, ccy in orders:
+        matches = [
+            rate
+            for rms, rccy, rate in rates
+            if rccy == ccy and rms >= oms and rms < oms + WINDOW_S * 1000
+        ]
+        if matches:
+            for rate in matches:
+                out.add((oid, rate))
+        else:
+            out.add((oid, None))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(orders=orders_st, rates=rates_st)
+def test_forward_direction_both_plans_match_brute_force(orders, rates):
+    spark = get_spark()
+    odf = spark.createDataFrame(
+        [(oid, T0 + timedelta(milliseconds=ms), amt, c) for oid, ms, amt, c in orders],
+        ORDER_SCHEMA,
+    )
+    rdf = spark.createDataFrame(
+        [(T0 + timedelta(milliseconds=ms), c, r) for ms, c, r in rates],
+        EXCHANGE_RATE_SCHEMA,
+    )
+    expected = brute_force_forward(orders, rates)
+    for impl in (interval_join, interval_join_bucketed):
+        j = impl(odf, rdf, on="currency", left_time="orderTime",
+                 right_time="exchangeRateTime", interval=f"{WINDOW_S} seconds",
+                 direction="forward")
+        got = {(r["id"], r["rate"]) for r in j.select("l.id", "r.rate").collect()}
+        assert got == expected, f"{impl.__name__}: {got ^ expected}"
