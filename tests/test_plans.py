@@ -81,3 +81,43 @@ def test_large_order_customers_semi_join_broadcasts(spark):
     df = q("large_order_customers", spark)
     assert_broadcast_join(df, min_count=1)  # qualifying-keys semi side
     assert_no_cartesian(df)
+
+
+def test_tpch_q8_star_broadcasts(spark):
+    """The 7-dim star chain must broadcast the small dims (nation ×2,
+    region at minimum) and never plan a cartesian."""
+    df = q("tpch_q8_market_share", spark)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
+def test_grouping_sets_single_expand(spark):
+    """All three aggregation levels must come from ONE Expand + aggregate
+    pass over the fact — not three separate scans unioned.  (The formatted
+    plan prints each node in the tree AND the details section, so a single
+    Expand node appears twice in the text.)"""
+    plan = explain_str(q("grouping_sets_revenue", spark))
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+
+
+def test_salted_join_no_cartesian_and_spreads_key(spark):
+    """Salting must stay an equi join on (key, salt) — the replicated
+    small side must never become a nested-loop."""
+    df = q("salted_join_revenue", spark)
+    assert_no_cartesian(df)
+
+
+def test_embedding_neardup_no_nested_loop(spark):
+    """The driver's embedding near-dup must be the LSH-bucketed equi plan
+    (the r1 all-pairs theta join is tests-only now)."""
+    df = q("embedding_neardup", spark)
+    assert_no_cartesian(df)
+
+
+def test_timeseries_interpolate_no_unbounded_cartesian(spark):
+    """The calendar build crossJoins a ONE-ROW bounds aggregate — that
+    correctly plans as a broadcast nested loop (fine: 1-row side).  What
+    must never appear is an unbroadcast CartesianProduct."""
+    plan = explain_str(q("timeseries_interpolate", spark))
+    assert "CartesianProduct" not in plan, plan
