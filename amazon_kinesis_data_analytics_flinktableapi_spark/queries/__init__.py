@@ -132,6 +132,8 @@ _PRIORITY: list[str] = [
     "salted_join_revenue",
     "media_frame_sample",
     "media_resize",
+    "array_hof_pipeline",
+    "regex_extract_tokens",
     # streaming flagship set (S4/S5/K3 attestations ride on these)
     "streaming_interval_join",
     "streaming_running_aggregate",

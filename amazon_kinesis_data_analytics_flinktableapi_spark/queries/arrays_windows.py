@@ -171,3 +171,49 @@ def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
         F.least(F.col("c_nationkey").cast("double"), F.lit(10.0)).alias("nation_capped"),
     )
+
+
+@query(
+    "array_hof_pipeline",
+    oracle="""
+    WITH arrs AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT user_id,
+             list_transform(vals, x -> CAST(FLOOR(x * 100) AS BIGINT)) AS cents
+      FROM arrs
+    ), f AS (
+      SELECT user_id, cents,
+             list_filter(cents, x -> x > 500) AS big
+      FROM t
+    )
+    SELECT user_id,
+           len(cents) AS n_values,
+           len(big) AS n_big,
+           CAST(coalesce(list_aggregate(big, 'sum'), 0) AS BIGINT) AS big_cents_sum
+    FROM f
+    """,
+    doc="array higher-order functions: per-user ordered value array -> "
+    "transform (to integer cents) -> filter (> 5.00) -> aggregate (sum), "
+    "all inside codegen — the lambda-pipeline shape over collected arrays",
+)
+def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transform/filter/aggregate run element-wise inside the scan stage; the
+    # only shuffle is the per-user collect.  Integer cents keep the fold
+    # exact (no float-order flake across engines).
+    (ev,) = load(spark, sf_dir, "events")
+    arrs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("rows")
+    )
+    vals = F.transform("rows", lambda r: r.getField("value"))
+    cents = F.transform(vals, lambda x: F.floor(x * 100))
+    big = F.filter(cents, lambda x: x > 500)
+    return arrs.select(
+        "user_id",
+        F.size(cents).alias("n_values"),
+        F.size(big).alias("n_big"),
+        F.aggregate(big, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("big_cents_sum"),
+    )

@@ -423,7 +423,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events
     GROUP BY user_id
-    HAVING count(*) >= 50
+    HAVING count(*) >= 20
     """,
     doc="GROUP BY + HAVING on the events stream table",
 )
@@ -760,4 +760,34 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "regex_extract_tokens",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]{4,}')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+    FROM ex
+    GROUP BY tok
+    HAVING count(*) >= 20
+    """,
+    doc="regexp_extract_all + explode: corpus-wide 4+-letter-token frequency "
+    "(the regex-mining shape for PII/quality scans; pattern is RE2- and "
+    "Java-regex identical)",
+)
+def q_regex_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regex evaluation happens in the scan stage (codegen), explode fans out
+    # in-stage; the single shuffle is the groupBy on the extracted token.
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.regexp_extract_all("text", F.lit("[A-Za-z]{4,}"), 0)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("freq") >= 20)
     )
