@@ -140,6 +140,8 @@ _PRIORITY: list[str] = [
     "streaming_tumbling_window",
     "streaming_session_window",
     "streaming_static_enrich",
+    "streaming_sliding_window",
+    "streaming_dedup",
 ]
 
 

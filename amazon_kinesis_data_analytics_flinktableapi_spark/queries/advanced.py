@@ -484,3 +484,74 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o.amount") * F.col("r.rate")).alias("converted_amount"),
     )
     return run_to_memory(joined, spark, timeout_sec=240)
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    HAVING ws + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)
+    """,
+    doc="STREAMING sliding windows (2h window, 1h slide) via file replay; "
+    "append mode emits exactly the windows the terminal watermark closes "
+    "(end <= max event time) — oracle = the 2-way union cover enumeration",
+)
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import sliding_agg
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_slw_")
+    stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
+    agg = sliding_agg(
+        stream, "ts", "2 hours", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return run_to_memory(agg, spark, timeout_sec=240).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    doc="STREAMING exact dedup: events replayed with every row duplicated "
+    "across 3 ts-ordered micro-batches; dropDuplicates state carries across "
+    "batches, output == the original distinct rows — oracle = plain events",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import stream_dedup
+
+    (ev,) = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    doubled = ev.select(*cols).union(ev.select(*cols))
+    tmp = tempfile.mkdtemp(prefix="stream_dd_")
+    # 3 ts-ordered chunks, one file per trigger: duplicate pairs sort
+    # adjacent, so dedup state must survive at least one batch boundary
+    stream = replay_stream(
+        spark, doubled, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    out = stream_dedup(stream, "ts", ["event_id"], watermark="10 seconds")
+    return run_to_memory(out, spark, timeout_sec=240).select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -432,7 +432,7 @@ def q_grouped_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
-        .filter(F.col("n_events") >= 50)
+        .filter(F.col("n_events") >= 20)
     )
 
 
