@@ -151,6 +151,43 @@ def jaccard_pairs(
     )
 
 
+def contamination_counts(
+    corpus: DataFrame, benchmark: DataFrame, id_col: str, text_col: str, n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: for each corpus document, how many of
+    its distinct word-n-grams also occur anywhere in the *benchmark* corpus.
+
+    Returns (id, n_shingles, n_shared) — n_shared = 0 rows are kept so the
+    screen doubles as an attestation that a document is clean.
+
+    Scale shape: the benchmark shingle set is distinct-ed and broadcast —
+    eval suites are MBs against a corpus of TBs, so the membership test
+    rides the corpus scan (one broadcast join + one groupBy on id); the
+    corpus text is never shuffled and nothing is pairwise.  For benchmark
+    sets too big to broadcast, drop the hint and Catalyst falls back to a
+    shuffled equi-join on the 8-byte shingle hash.
+    """
+    bench_sh = (
+        shingle_sets(benchmark, id_col, text_col, n, hashed=True)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    # referenced twice (sizes + postings) — cache, or the tokenize→shingle
+    # chain runs once per reference
+    sets = shingle_sets(corpus, id_col, text_col, n, hashed=True).cache()
+    hits = (
+        sets.select(F.col(id_col), F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        sets.select(F.col(id_col), F.size("shingles").cast("long").alias("n_shingles"))
+        .join(hits, id_col, "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0).cast("long")))
+    )
+
+
 def _minhash_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod p."""
     import random

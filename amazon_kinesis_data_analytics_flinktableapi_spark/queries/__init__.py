@@ -134,12 +134,14 @@ _PRIORITY: list[str] = [
     "media_resize",
     "array_hof_pipeline",
     "regex_extract_tokens",
-    # streaming flagship set (S4/S5/K3 attestations ride on these)
+    "tpch_q21_late_supplier",
+    "contamination_ngram_overlap",
+    "repetition_signals",
+    "embedding_quantize_int8",
+    # streaming flagships (S4/S5/K3 attestations ride on these; the four
+    # r1-attested-green streaming window/stateful queries rotated out to
+    # make room for the new queries above — they re-enter a later round)
     "streaming_interval_join",
-    "streaming_running_aggregate",
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "streaming_static_enrich",
     "streaming_sliding_window",
     "streaming_dedup",
 ]

@@ -586,3 +586,108 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = M.media_from_documents(docs)
     return M.resize_media(media, target_w=224, target_h=224)
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 5
+               THEN list_transform(range(1, len(tk) - 3),
+                                   i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    nz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM nz WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, unnest(shingles) AS s FROM nz WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM corpus c JOIN bench b ON c.s = b.s
+      GROUP BY c.doc_id
+    )
+    SELECT z.doc_id, z.n_shingles, COALESCE(h.n_shared, 0) AS n_shared,
+           floor(COALESCE(h.n_shared, 0) * 1.0 / z.n_shingles * 10000 + 0.5) / 10000
+             AS contamination
+    FROM sizes z LEFT JOIN shared h USING (doc_id)
+    """,
+    doc="benchmark-contamination screen: distinct 5-gram overlap of every "
+    "corpus doc against the benchmark subset (doc_id % 97 == 0), benchmark "
+    "shingle set broadcast — the eval-leakage check a training pipeline "
+    "runs before a data release",
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = D.contamination_counts(corpus, bench, "doc_id", "text", n=5)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        T.half_up_round(F.col("n_shared") / F.col("n_shingles"), 4).alias("contamination"),
+    )
+
+
+@query(
+    "repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    uni AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    uc AS (SELECT doc_id, t, count(*) AS c FROM uni GROUP BY 1, 2),
+    ua AS (
+      SELECT doc_id, max(c) AS top_uni, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct
+      FROM uc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g
+      FROM toks WHERE len(tk) >= 2
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    ba AS (SELECT doc_id, max(c) AS top_bi, CAST(sum(c) AS BIGINT) AS n_bi FROM bc GROUP BY doc_id)
+    SELECT ua.doc_id, ua.n_tokens,
+           floor(top_uni * 1.0 / n_tokens * 10000 + 0.5) / 10000 AS top_unigram_frac,
+           floor(top_bi * 1.0 / n_bi * 10000 + 0.5) / 10000 AS top_bigram_frac,
+           floor(n_distinct * 1.0 / n_tokens * 10000 + 0.5) / 10000 AS distinct_frac
+    FROM ua JOIN ba USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals per doc: top-unigram "
+    "fraction, top-bigram fraction, distinct-token ratio — explode + "
+    "two-level groupBy (map-side partial agg), one shuffle per n-gram order",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = D.spread(docs)
+    uni = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_uni"),
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    # hashed bigrams: frequency profile identical to string bigrams
+    # (collisions ~2^-64), 8-byte shuffle keys instead of 2-word strings
+    bi = (
+        docs.select("doc_id", F.explode(T.word_ngram_hashes("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi"), F.sum("c").alias("n_bi"))
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        T.half_up_round(F.col("top_uni") / F.col("n_tokens"), 4).alias("top_unigram_frac"),
+        T.half_up_round(F.col("top_bi") / F.col("n_bi"), 4).alias("top_bigram_frac"),
+        T.half_up_round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_frac"),
+    )

@@ -237,3 +237,176 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, label, scale,
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id, label,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_ppb,
+           list_aggregate(qv, 'min') AS q_min,
+           list_aggregate(qv, 'max') AS q_max,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> i * qv[i])) AS BIGINT)
+             AS q_checksum
+    FROM q
+    """,
+    doc="symmetric int8 embedding quantization (scale = max|x|/127, half-up "
+    "rounding) — scan-local expression pipeline, no shuffle; integer "
+    "checksum + ppb-scale make the float math engine-portable",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / 127.0
+    # array_repeat materializes scale ONCE per row; a bare `scale` inside
+    # the quantize lambda would re-inline the array_max scan per ELEMENT
+    # (higher-order lambdas evaluate captured expressions per element)
+    q = F.zip_with(
+        e,
+        F.array_repeat(scale, F.size(e)),
+        lambda x, s: F.floor(x / s + 0.5),
+    )
+    base = emb.select(
+        "vec_id", "label", q.alias("qv"), F.floor(scale * 1e9).alias("scale_ppb")
+    ).filter(F.col("scale_ppb") > 0)
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.sequence(F.lit(1).cast("long"), F.size("qv")), lambda qi, i: qi * i
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        "scale_ppb",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        checksum.alias("q_checksum"),
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(qv[1]) AS BIGINT) AS sum_d0,
+           CAST(sum(qv[2]) AS BIGINT) AS sum_d1,
+           CAST(sum(qv[3]) AS BIGINT) AS sum_d2,
+           CAST(sum(qv[4]) AS BIGINT) AS sum_d3,
+           CAST(sum(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT) AS sum_norm1
+    FROM q
+    GROUP BY label
+    """,
+    doc="per-label embedding centroid accumulators in exact integer "
+    "micro-units (floor(x*1e6+0.5)): order-independent partial aggregation "
+    "— the scalable mean/centroid shape (float sums are order-dependent "
+    "and non-reproducible across partitionings)",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    def q_at(i: int):  # scalar quantize of one dim — cheaper than
+        # element_at over a full-array transform (which would re-quantize
+        # all 64 dims once per sampled dim)
+        return F.floor(F.element_at("embedding", i).cast("double") * 1e6 + 0.5)
+
+    norm1 = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(F.floor(x.cast("double") * 1e6 + 0.5))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    rows = emb.select(
+        "label",
+        q_at(1).alias("d0"),
+        q_at(2).alias("d1"),
+        q_at(3).alias("d2"),
+        q_at(4).alias("d3"),
+        norm1.alias("n1"),
+    )
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d0").alias("sum_d0"),
+        F.sum("d1").alias("sum_d1"),
+        F.sum("d2").alias("sum_d2"),
+        F.sum("d3").alias("sum_d3"),
+        F.sum("n1").alias("sum_norm1"),
+    )
+
+
+# PII scrub patterns — kept lookaround-free so Java regex (Spark) and RE2
+# (DuckDB) match identically; the corpus has no organic digits/emails, so
+# the query plants deterministic PII per doc and proves the scrub removes it
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]')) AS n_emails,
+           len(regexp_extract_all(t, '[+]1-555-[0-9]{4}')) AS n_phones,
+           length(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+             '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len,
+           md5(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+             '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    doc="PII scrub: plant a deterministic email+phone per doc, redact via "
+    "global regexp_replace, count matches and md5 the scrubbed text — "
+    "scan-local expression pipeline (DuckDB regexp_replace needs the 'g' "
+    "flag; Spark's is global by default)",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

@@ -791,3 +791,71 @@ def q_regex_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("freq") >= 20)
     )
+
+
+@query(
+    "tpch_q21_late_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (adapted: lateness = shipdate > orderdate + 60d — "
+    "this schema has no commit/receipt dates): suppliers who were the SOLE "
+    "late shipper on multi-supplier finished orders.  EXISTS -> left-semi "
+    "join, NOT EXISTS -> left-anti join, both shuffled on l_orderkey; "
+    "supplier dim broadcast.",
+)
+def q_tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supplier = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_date")
+    )
+    # late lines of finished orders — referenced three times (base, the
+    # NOT-EXISTS probe side) so cache the slim projection
+    late = (
+        li.join(f_orders, li.l_orderkey == f_orders.o_orderkey)
+        .filter(F.to_date("l_shipdate") > F.date_add(F.col("o_date"), 60))
+        .select("l_orderkey", "l_suppkey")
+        .cache()
+    )
+    all_lines = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    # EXISTS: some other supplier shipped on the same order
+    waiting = late.join(
+        all_lines,
+        (late.l_orderkey == all_lines.ok2) & (late.l_suppkey != all_lines.sk2),
+        "left_semi",
+    )
+    # NOT EXISTS: ... but no other supplier was ALSO late on it
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    ).distinct()
+    sole = waiting.join(
+        late_others,
+        (waiting.l_orderkey == late_others.ok3) & (waiting.l_suppkey != late_others.sk3),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supplier), sole.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
