@@ -121,3 +121,34 @@ def test_timeseries_interpolate_no_unbounded_cartesian(spark):
     must never appear is an unbroadcast CartesianProduct."""
     plan = explain_str(q("timeseries_interpolate", spark))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set must broadcast — the corpus postings are
+    never shuffled for the membership test."""
+    df = q("contamination_ngram_overlap", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_q21_broadcasts_supplier_no_cartesian(spark):
+    """Semi/anti probes shuffle on l_orderkey (equi component); the
+    inequality is a residual filter, never a nested loop; supplier dim
+    broadcasts."""
+    df = q("tpch_q21_late_supplier", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_repetition_signals_partial_agg(spark):
+    """Token-frequency aggregation must have map-side partial aggregation
+    around each shuffle."""
+    plan = explain_str(q("repetition_signals", spark))
+    assert plan.count("HashAggregate") >= 4
+    assert "Exchange" in plan
+
+
+def test_embedding_quantize_no_shuffle(spark):
+    """Quantization is scan-local: no Exchange anywhere in the plan."""
+    plan = explain_str(q("embedding_quantize_int8", spark))
+    assert "Exchange" not in plan
