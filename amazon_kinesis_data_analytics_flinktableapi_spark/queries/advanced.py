@@ -555,3 +555,38 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, spark, timeout_sec=240).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "streaming_topk_complete",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+    doc="STREAMING complete-mode top-k: running count per event_type with "
+    "sort+limit, state carried across 3 replay micro-batches; the memory "
+    "sink's final snapshot equals the batch answer (complete is the one "
+    "output mode append/update queries don't cover)",
+)
+def q_streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_topk_")
+    stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    agg = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(3)
+    )
+    return run_to_memory(agg, spark, timeout_sec=240, output_mode="complete")

@@ -691,3 +691,49 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.half_up_round(F.col("top_bi") / F.col("n_bi"), 4).alias("top_bigram_frac"),
         T.half_up_round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_frac"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    tf AS (
+      SELECT doc_id, unnest(tk) AS term FROM toks
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf * 1.0 / d.df DESC, t.term) AS rnk
+      FROM tfc t JOIN dfc d USING (term)
+    )
+    SELECT doc_id, term, tf, df, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    doc="per-doc top-3 TF-IDF-ranked terms: term frequency / document "
+    "frequency with a rational-number sort key (tf/df division is one IEEE "
+    "op — identical on any engine; ints in the output, tie-broken by term)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = D.spread(docs)
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency: derived from tf (already one row per (doc, term))
+    # — vocabulary is corpus-sublinear, so Catalyst/AQE typically broadcasts
+    # this side of the join at any scale
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * 1.0 / F.col("df")).desc(), "term"
+    )
+    return (
+        tf.join(df_counts, "term")
+        .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -859,3 +859,96 @@ def q_tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: top revenue supplier(s) for a half-year — "
+    "aggregate-of-aggregate via scalar subquery; revenue in integer cents "
+    "(floor half-up) so the double product is engine-exact",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supplier = load(spark, sf_dir, "lineitem", "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    # scalar max as a 1-row broadcast: plans as BroadcastNestedLoopJoin on
+    # a single row — the distributed form of Q15's scalar subquery (rev is
+    # computed once; Catalyst reuses the exchange for both references)
+    max_rev = rev.agg(F.max("rev_cents").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("rev_cents") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "rev_cents")
+    )
+
+
+@query(
+    "topp_cumulative_share",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, cents,
+             sum(cents) OVER (PARTITION BY event_type
+                              ORDER BY cents DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER (PARTITION BY event_type) AS tot
+      FROM per_user
+    )
+    SELECT event_type, user_id, cents
+    FROM ranked
+    WHERE (cum - cents) * 10 < tot * 9
+    """,
+    doc="top-p (nucleus) selection: per event_type keep the heaviest users "
+    "until cumulative value share reaches 90% — running-sum window + "
+    "all-integer share comparison ((cum-cents)*10 < tot*9: no doubles, no "
+    "rounding, engine-exact)",
+)
+def q_topp_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("cents"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_tot).alias("tot"),
+    )
+    return ranked.filter((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 9).select(
+        "event_type", "user_id", "cents"
+    )
