@@ -496,3 +496,69 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__q", 3).alias("q99"),
         "n",
     )
+
+
+@query(
+    "cogroup_asof_pandas",
+    oracle="""
+    WITH o AS (
+      SELECT event_id AS id, ts AS order_time,
+             CAST(FLOOR(value * 100) AS INTEGER) AS amount,
+             event_type AS currency
+      FROM events
+    ), r AS (
+      SELECT ts AS rate_time, event_type AS currency,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events WHERE event_id % 17 = 0
+    ), ranked AS (
+      SELECT o.id, o.amount, o.currency, r.rate,
+             row_number() OVER (PARTITION BY o.id
+                                ORDER BY r.rate_time DESC NULLS LAST,
+                                         r.rate DESC NULLS LAST) AS rn
+      FROM o LEFT JOIN r
+        ON o.currency = r.currency AND o.order_time >= r.rate_time
+    )
+    SELECT id, amount, currency, rate, amount * rate AS converted_amount
+    FROM ranked WHERE rn = 1
+    """,
+    doc="co-grouped applyInPandas as-of merge: orders ⋈ rates cogrouped on "
+    "currency, pd.merge_asof per group (Arrow batches; ties broken by "
+    "sorting rates (time, rate) so last-wins == highest rate, matching the "
+    "declarative as-of).  The cogroup surface is the Flink "
+    "KeyedCoProcessFunction analogue; parallelism = group count, so "
+    "high-cardinality keys are the scale case and per-key skew the risk.",
+)
+def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    (ev,) = load(spark, sf_dir, "events")
+    orders = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("order_time"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("rate_time"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+
+    def merge(odf: "pd.DataFrame", rdf: "pd.DataFrame") -> "pd.DataFrame":
+        odf = odf.sort_values(["order_time", "id"])
+        # ascending (time, rate): merge_asof takes the LAST row at an equal
+        # timestamp, so ties resolve to the highest rate — same rule as the
+        # oracle's ORDER BY rate_time DESC, rate DESC ... rn = 1
+        rdf = rdf.drop(columns=["currency"]).sort_values(["rate_time", "rate"])
+        m = pd.merge_asof(
+            odf, rdf, left_on="order_time", right_on="rate_time", direction="backward"
+        )
+        m["rate"] = m["rate"].astype("Int32")
+        m["converted_amount"] = (m["amount"].astype("Int32") * m["rate"]).astype("Int32")
+        return m[["id", "amount", "currency", "rate", "converted_amount"]]
+
+    return (
+        orders.groupBy("currency")
+        .cogroup(rates.groupBy("currency"))
+        .applyInPandas(merge, "id bigint, amount int, currency string, rate int, converted_amount int")
+    )
