@@ -1,0 +1,66 @@
+"""Global ordering without a global bottleneck.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses the
+whole dataset into ONE task (Catalyst plans ``Exchange SinglePartition``) —
+the canonical 100 TB anti-pattern.  ``global_row_number`` produces the
+identical ranking with distributed work: range-partition on the sort key,
+rank locally, then add each partition's global offset (a partition-count
+table of ``n_partitions`` rows, computed in one tiny aggregation).
+
+The output is deterministic even though range boundaries are sampled:
+offset + local rank == global rank for ANY boundary placement, provided
+the sort key is a total order (callers must include a unique tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    id_name: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based global rank by ``order_by`` (must be a total
+    order), computed without ever shuffling to a single partition.
+
+    Scale shape: one range-repartition shuffle (sampled boundaries), one
+    per-partition sort (the window below never crosses partitions), and a
+    driver-side offset table of exactly ``n_partitions`` rows — the only
+    data that leaves the executors.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # cache is REQUIRED for correctness, not speed: repartitionByRange
+    # samples its boundaries per execution, so without materializing, the
+    # offset job and the final job could rank against different
+    # partitionings.  (At 100 TB persist to disk, or write the ranged
+    # intermediate out — the invariant is one materialization.)
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    # n_partitions rows — bounded by the partition count, never by |df|
+    counts = sorted(
+        ranged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        ranged.join(off_df, "__pid")
+        .select(
+            *[c for c in df.columns],
+            (F.row_number().over(w) + F.col("__offset")).alias(id_name),
+        )
+    )

@@ -952,3 +952,28 @@ def q_topp_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 9).select(
         "event_type", "user_id", "cents"
     )
+
+
+@query(
+    "global_sort_index",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS global_id
+    FROM orders
+    """,
+    doc="contiguous global ranking WITHOUT the single-partition sort "
+    "bottleneck: range-repartition on the sort key, rank locally, add "
+    "per-partition offsets (an n_partitions-row table) — identical output "
+    "to row_number() OVER (ORDER BY ...) at any partition-boundary "
+    "placement, since the key is a total order",
+)
+def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import global_row_number
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return global_row_number(
+        orders.select("o_orderkey", "o_totalprice"),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        id_name="global_id",
+    )

@@ -152,3 +152,11 @@ def test_embedding_quantize_no_shuffle(spark):
     """Quantization is scan-local: no Exchange anywhere in the plan."""
     plan = explain_str(q("embedding_quantize_int8", spark))
     assert "Exchange" not in plan
+
+
+def test_global_sort_index_never_single_partition(spark):
+    """The scalable global ranking must range-partition, not collapse to
+    Exchange SinglePartition (the naive OVER (ORDER BY ...) plan)."""
+    plan = explain_str(q("global_sort_index", spark))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
