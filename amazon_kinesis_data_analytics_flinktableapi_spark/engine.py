@@ -126,5 +126,19 @@ class TableEngine:
         from pyspark.sql.functions import pandas_udf
 
         self.spark.udf.register(name, pandas_udf(pandas_fn, return_type))
+
+    # -- observability ------------------------------------------------------
+
+    def observe(self, df: DataFrame, name: str, *exprs):
+        """Attach named metrics to a batch DataFrame (the batch counterpart
+        of the streaming metrics listener): metrics are computed DURING the
+        action that consumes ``df`` — no second scan, unlike a separate
+        ``df.agg(...)`` — and read from the returned Observation after the
+        action completes.  Returns (observed_df, observation)."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        return df.observe(obs, *exprs), obs
+
     def stop(self) -> None:
         self.spark.stop()

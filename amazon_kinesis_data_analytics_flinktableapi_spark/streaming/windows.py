@@ -57,11 +57,28 @@ def session_agg(
     )
 
 
-def stream_dedup(df: DataFrame, ts_col: str, keys: list[str], watermark: str = "10 seconds") -> DataFrame:
-    """Streaming exact dedup within the watermark horizon
-    (``dropDuplicates`` keeps state only until the watermark passes)."""
+def stream_dedup(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    watermark: str = "10 seconds",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon.
+
+    Default form keys state on (keys, event time): only *identical-time*
+    duplicates collapse (exact replays — at-least-once source retries).
+    ``within_watermark=True`` switches to ``dropDuplicatesWithinWatermark``:
+    duplicates of the same key collapse even when their event times DIFFER
+    (producer retries that re-stamp), with state evicted once the watermark
+    passes the first sighting + delay — the realistic dedup for retried
+    ingestion, and state stays bounded either way."""
     src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
-    return src.dropDuplicates([*keys, ts_col] if df.isStreaming else keys)
+    if not df.isStreaming:
+        return src.dropDuplicates(keys)
+    if within_watermark:
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates([*keys, ts_col])
 
 
 def running_aggregate(

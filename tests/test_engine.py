@@ -90,3 +90,19 @@ def test_csv_malformed_rows_null_out(spark, tmp_path):
     schema = StructType([StructField("id", LongType()), StructField("n", LongType())])
     rows = sorted((r.id, r.n) for r in read_csv(spark, str(p), schema).collect())
     assert rows == [(1, 10), (2, None)]  # PERMISSIVE: bad field -> NULL, row kept
+
+
+def test_observe_batch_metrics(engine, spark):
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    observed, obs = engine.observe(
+        ev, "ingest", F.count(F.lit(1)).alias("rows"), F.max("value").alias("max_value")
+    )
+    kept = observed.filter(F.col("value") >= 0).count()
+    # metrics ride the SAME action (no second scan) and cover pre-filter rows
+    assert obs.get["rows"] == ev.count()
+    assert obs.get["max_value"] > 0
+    assert kept <= obs.get["rows"]

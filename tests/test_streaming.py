@@ -283,3 +283,25 @@ def test_outer_null_emission_batch_boundaries(spark, tmp_path):
     # order 4 (13:05): the final watermark is min(13:05, 13:00) = 13:00,
     # which never passes it — Spark emits no terminal flush (Flink would)
     assert 4 not in by_id, f"order 4 should never emit under availableNow: {emitted}"
+
+
+def test_stream_dedup_within_watermark_retimed_duplicates(spark, events, tmp_path):
+    """Producer-retry dedup: the duplicate carries a DIFFERENT event time
+    (+3 s re-stamp).  Plain (key, ts) dedup keeps both; the
+    dropDuplicatesWithinWatermark form collapses them while the watermark
+    holds the first sighting's state."""
+    base = events.select("event_id", "ts", "event_type").limit(200)
+    retimed = base.select(
+        "event_id", (F.col("ts") + F.expr("INTERVAL 3 SECONDS")).alias("ts"), "event_type"
+    )
+    dup = base.union(retimed)
+    stream = replay_stream(
+        spark, dup, "event_id long, ts timestamp, event_type string",
+        str(tmp_path / "dupww"), n_chunks=2, order_col="ts", max_files_per_trigger=1,
+    )
+    out = run_to_memory(
+        stream_dedup(stream, "ts", ["event_id"], watermark="1 hour", within_watermark=True),
+        spark,
+    )
+    n = out.count()
+    assert n == base.count(), f"within-watermark dedup kept {n} rows, want {base.count()}"
