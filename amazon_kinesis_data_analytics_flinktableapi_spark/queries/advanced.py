@@ -604,3 +604,51 @@ def q_streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return run_to_memory(agg, spark, timeout_sec=240, output_mode="complete")
+
+
+@query(
+    "streaming_chained_windows",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) * INTERVAL 1 SECOND
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n3
+    FROM events
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL 3 HOUR <= (SELECT max(ts) FROM events)
+    """,
+    doc="STREAMING chained stateful aggregation (multiple stateful "
+    "operators, Spark 3.4+): 1h tumbling counts re-aggregated into 3h "
+    "windows by passing the window struct as the second agg's time column; "
+    "append mode emits exactly the 3h windows the terminal watermark "
+    "closes — oracle = direct 3h bucketing of the raw events",
+)
+def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_chain_")
+    stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    three_hourly = (
+        hourly.groupBy(F.window(F.col("w"), "3 hours").alias("w3"), "event_type")
+        .agg(F.sum("n").alias("n3"))
+    )
+    return run_to_memory(
+        three_hourly.select(
+            F.col("w3.start").alias("window_start"), "event_type", "n3"
+        ),
+        spark,
+        timeout_sec=240,
+    )

@@ -32,10 +32,15 @@ def main() -> None:
     # per-query numbers depend on registry order
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        from concurrent.futures import ThreadPoolExecutor
+
         from amazon_kinesis_data_analytics_flinktableapi_spark.queries import all_specs as _sp
-        for _n, _s in _sp().items():
-            if _s.headline:
-                _s.fn(spark, warm_dir).count()
+
+        # warm concurrently: Spark schedules the tiny jobs in parallel, so
+        # warmup wall-time ≈ the slowest query instead of the sum
+        heads = [_s for _s in _sp().values() if _s.headline]
+        with ThreadPoolExecutor(max_workers=min(8, len(heads))) as ex:
+            list(ex.map(lambda s: s.fn(spark, warm_dir).count(), heads))
     startup = time.time() - t0
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
