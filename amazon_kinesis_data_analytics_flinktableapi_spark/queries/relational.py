@@ -977,3 +977,62 @@ def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         id_name="global_id",
     )
+
+
+@query(
+    "merge_upsert_snapshot",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 10000 AS price_cents,
+             'updated' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 'inserted'
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             'kept' AS op
+      FROM orders
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.price_cents, b.price_cents) AS price_cents,
+           COALESCE(u.op, b.op) AS op
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+    doc="CDC merge-upsert (SCD1) without a table format: full-outer join of "
+    "the base snapshot with an update/insert batch, updates win via "
+    "COALESCE — one shuffle on the merge key; the join-based MERGE INTO "
+    "equivalent when no Delta/Iceberg is available",
+)
+def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents"), F.lit("kept").alias("op")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            (cents + 10000).alias("price_cents"), F.lit("updated").alias("op"),
+        )
+        .union(
+            orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey", cents.alias("price_cents"), F.lit("inserted").alias("op"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("u.price_cents"), F.col("b.price_cents")).alias("price_cents"),
+        F.coalesce(F.col("u.op"), F.col("b.op")).alias("op"),
+    )

@@ -3,6 +3,8 @@ exchange-free joins on bucketed tables."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -80,3 +82,23 @@ def test_foreach_batch_parquet_idempotent(spark, tmp_path):
     replay.write.mode("overwrite").parquet(str(tmp_path / "out" / f"batch_id={first_bid}"))
     again = spark.read.option("basePath", str(tmp_path / "out")).parquet(str(tmp_path / "out"))
     assert again.count() == ev.count()
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.maintenance import compact_parquet
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "fragmented")
+    # simulate a streaming sink's fine-grained output: 64 tiny files
+    ev.repartition(64).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src >= 32
+
+    dst = str(tmp_path / "compacted")
+    compact_parquet(spark, src, dst, target_file_mb=128)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst < n_src / 8
+    # content preserved exactly
+    assert spark.read.parquet(dst).count() == ev.count()
+    assert spark.read.parquet(dst).exceptAll(ev).count() == 0
