@@ -1036,3 +1036,36 @@ def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.price_cents"), F.col("b.price_cents")).alias("price_cents"),
         F.coalesce(F.col("u.op"), F.col("b.op")).alias("op"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS mp
+      FROM events
+    )
+    SELECT event_id,
+           mp['type'][1] AS m_type,
+           mp['uid'][1] AS m_uid,
+           CAST(cardinality(mp) AS BIGINT) AS m_size,
+           array_to_string(map_keys(mp), ',') AS keys_csv
+    FROM m
+    """,
+    doc="map scalar-function family: create_map / element_at / map_keys / "
+    "cardinality (closes the map slot of the scalar library next to "
+    "string/math/date/json/array)",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").alias("m_uid"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
