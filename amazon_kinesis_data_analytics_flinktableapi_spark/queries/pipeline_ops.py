@@ -410,3 +410,52 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+@query(
+    "boilerplate_chunk_removal",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), nonempty AS (
+      SELECT doc_id, tk FROM toked WHERE len(tk) > 0
+    ), starts AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS s
+      FROM nonempty
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, s, s + 63), ' ')) AS ck,
+             len(list_slice(tk, s, s + 63)) AS n_tokens
+      FROM starts
+    ), boiler AS (
+      SELECT ck FROM chunks GROUP BY ck HAVING count(DISTINCT doc_id) > 2
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+    FROM chunks WHERE ck NOT IN (SELECT ck FROM boiler)
+    GROUP BY doc_id
+    """,
+    doc="boilerplate removal at chunk granularity: chunk every doc (64-token "
+    "windows), drop chunks whose content hash appears in >2 distinct docs "
+    "(headers/footers/templates), report per-doc surviving token mass — "
+    "chunk + hash ride the scan; one groupBy(hash) for the boilerplate set "
+    "(broadcast back), one groupBy(doc) for the report",
+)
+def q_boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        "doc_id", F.md5("chunk_text").alias("ck"), "n_tokens"
+    )
+    boiler = (
+        chunks.groupBy("ck")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 2)
+        .select("ck")
+    )
+    kept = chunks.join(F.broadcast(boiler), "ck", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+    )

@@ -1069,3 +1069,26 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).cast("long").alias("m_size"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE value / (user_id % 5) END AS safe_div,
+           CASE WHEN user_id BETWEEN -1 AND 1
+                THEN user_id * 9000000000000000000 ELSE NULL END AS safe_mul
+    FROM events
+    """,
+    doc="ANSI-safe arithmetic (try_divide / try_multiply): divide-by-zero "
+    "and bigint overflow yield NULL instead of failing the job — at corpus "
+    "scale one poison row must never kill a 1000-executor stage",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("user_id") % 5).alias("safe_div"),
+        F.try_multiply(F.col("user_id"), F.lit(9_000_000_000_000_000_000)).alias("safe_mul"),
+    )
