@@ -1092,3 +1092,75 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("value"), F.col("user_id") % 5).alias("safe_div"),
         F.try_multiply(F.col("user_id"), F.lit(9_000_000_000_000_000_000)).alias("safe_mul"),
     )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: distribution of order counts per customer — "
+    "left join keeps zero-order customers (count(col) skips the NULLs), "
+    "then a second aggregation over the counts",
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH bal AS (
+      SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_custkey % 10 AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer, bal
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape (no phone column — cntrycode = custkey % 10): customers "
+    "with above-average balance and no URGENT orders; the avg comparison is "
+    "exact integer math (cents*n > total_cents — a float average's last "
+    "ulp is partial-agg-order-dependent and can flip boundary rows); "
+    "scalar agg broadcast + left-anti join",
+)
+def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n")
+    )
+    rich = customer.join(F.broadcast(bal), cents * F.col("n") > F.col("total_cents"))
+    idle = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy((F.col("c_custkey") % 10).alias("code")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")).alias("totacctbal_cents"),
+    )
