@@ -64,3 +64,57 @@ def global_row_number(
             (F.row_number().over(w) + F.col("__offset")).alias(id_name),
         )
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    sum_name: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """End-inclusive global running sum of ``value_col`` in ``order_by``
+    order (must be a total order), without ``Exchange SinglePartition``.
+
+    Same shape as :func:`global_row_number`: range-partition on the sort
+    key, per-partition prefix sums (a window that never crosses
+    partitions), plus a broadcast offset table of per-partition totals —
+    ``n_partitions`` rows is all that reaches the driver.  Requires an
+    integer-typed ``value_col``: integer partial sums are associative and
+    exact, so the result is bit-identical for ANY boundary placement
+    (float partials would make the offsets order-dependent).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # cache REQUIRED for correctness (see global_row_number): boundaries
+    # are sampled per execution; offsets and final ranks must see the
+    # same partitioning.
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = sorted(
+        ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["__s"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(off_df, "__pid")
+        .select(
+            *[c for c in df.columns],
+            (F.sum(value_col).over(w) + F.col("__offset")).alias(sum_name),
+        )
+    )

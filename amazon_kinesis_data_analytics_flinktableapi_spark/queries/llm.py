@@ -737,3 +737,56 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ), vocab AS (
+      SELECT term FROM toks GROUP BY term
+      ORDER BY count(*) DESC, term LIMIT 50
+    )
+    SELECT t.doc_id,
+           count(*) AS total_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+             // count(*) AS oov_permille
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="vocabulary coverage scoring: build the corpus top-50 vocabulary by "
+    "token frequency (tie-broken by token), broadcast it, and score every "
+    "document by its out-of-vocabulary token rate — the tokenizer-coverage "
+    "screen a pretraining corpus runs before committing to a vocab",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: tokens ride the scan (explode, no shuffle before the agg);
+    # the vocabulary is ONE distributed agg + TakeOrdered(50) — never a
+    # single-partition sort of the full term table — and the membership
+    # join broadcasts 50 rows to every executor.  Integer permille avoids
+    # float division in the output.
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = D.spread(docs)
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), "term")
+        .limit(50)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            oov.alias("oov_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN __in_vocab IS NULL THEN 1 ELSE 0 END) * 1000 AS BIGINT)"
+                " DIV count(*)"
+            ).alias("oov_permille"),
+        )
+    )

@@ -459,3 +459,52 @@ def q_boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks_kept"),
         F.sum("n_tokens").alias("n_tokens_kept"),
     )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 512 AS first_seq,
+           (start_offset + n_tokens - 1) // 512 AS last_seq,
+           (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_seqs_spanned
+    FROM c
+    """,
+    doc="training-sequence packing (concat-and-chop): global token offsets "
+    "assign every doc its position in the packed token stream, then each "
+    "doc maps to the 512-token training sequences it lands in — the exact "
+    "bookkeeping an LLM pretraining dataloader needs to locate documents "
+    "inside packed batches",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the naive cumsum is `sum() OVER (ORDER BY ...)` with no
+    # partition — Exchange SinglePartition, the 100 TB anti-pattern.
+    # global_running_sum ranges on doc_id, prefix-sums within partitions,
+    # and broadcasts an n_partitions-row offset table instead; integer
+    # token counts make the offsets exact under any boundary placement.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import global_running_sum
+
+    (docs,) = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    summed = global_running_sum(sized, [F.col("doc_id")], "n_tokens", sum_name="__cum")
+    start = F.col("__cum") - F.col("n_tokens")
+    last_tok = F.col("__cum") - 1
+    seq = F.lit(512)
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        (start / seq).cast("long").alias("first_seq"),
+        (last_tok / seq).cast("long").alias("last_seq"),
+        ((last_tok / seq).cast("long") - (start / seq).cast("long") + 1).alias("n_seqs_spanned"),
+    )

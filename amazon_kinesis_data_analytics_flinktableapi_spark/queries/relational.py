@@ -1164,3 +1164,113 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")).alias("totacctbal_cents"),
     )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS small_qty_rev_cents,
+           count(*) AS n_small_qty_items
+    FROM lineitem
+    JOIN pa USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey AND p_size < 15
+    WHERE 5 * l_quantity * cq < sq
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 shape: revenue from below-20%-of-part-average quantity "
+    "line items — the correlated avg-per-part scalar subquery decorrelated "
+    "into a pre-aggregated self-join; threshold compared in exact integer "
+    "arithmetic (qty*5*cnt < sum) so no engine disagrees on the boundary",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ONE shuffle on l_partkey builds the per-part (sum, count)
+    # aggregate; the fact-to-aggregate join reuses that key (AQE
+    # co-partitions both sides), and `part` broadcasts.  The textbook
+    # correlated form would re-scan lineitem per part — the decorrelated
+    # join is the plan every warehouse rewrites Q17 into.
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    small = li.join(pa, "l_partkey").filter(
+        F.lit(5) * F.col("l_quantity") * F.col("cq") < F.col("sq")
+    )
+    dim = F.broadcast(part.filter(F.col("p_size") < 15).select("p_partkey", "p_brand"))
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    return (
+        small.join(dim, small.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents).cast("bigint").alias("small_qty_rev_cents"),
+            F.count(F.lit(1)).alias("n_small_qty_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH eur AS (
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), lis AS (
+      SELECT l_partkey, l_extendedprice, s_name, s_acctbal
+      FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+    ), minp AS (
+      SELECT l_partkey, min(l_extendedprice) AS mp FROM lis GROUP BY l_partkey
+    )
+    SELECT DISTINCT p_partkey AS part_key, p_brand, s_name,
+           CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           CAST(FLOOR(mp * 100 + 0.5) AS BIGINT) AS min_price_cents
+    FROM lis
+    JOIN minp USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_extendedprice = mp
+    """,
+    doc="TPC-H Q2 shape (no partsupp table in this star — lineitem plays "
+    "its role): for every part, the EUROPE supplier(s) offering its "
+    "minimum observed price — min-per-group then join-back-on-equality, "
+    "the distributed argmin that keeps ALL ties deterministically",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: region/nation/supplier collapse into one broadcast dim before
+    # the fact scan; the argmin is one shuffle on l_partkey for the min plus
+    # a same-key join-back (AQE co-partitions).  min_by/max_by would save
+    # the join but picks an arbitrary tie — the equality join-back is the
+    # deterministic form.  Price equality is safe: both sides compare the
+    # SAME untouched double from the scan, no arithmetic before the compare.
+    li, supp, nat, reg, part = load(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    eur = (
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg.filter(F.col("r_name") == "EUROPE"), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    lis = li.join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey).select(
+        "l_partkey", "l_extendedprice", "s_name", "s_acctbal"
+    )
+    minp = lis.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("mp"))
+    pdim = F.broadcast(part.select("p_partkey", "p_brand"))
+    return (
+        lis.join(minp, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("mp"))
+        .join(pdim, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            "p_brand",
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").alias("acctbal_cents"),
+            F.floor(F.col("mp") * 100 + 0.5).cast("bigint").alias("min_price_cents"),
+        )
+        .distinct()
+    )

@@ -160,3 +160,34 @@ def test_global_sort_index_never_single_partition(spark):
     plan = explain_str(q("global_sort_index", spark))
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_sequence_packing_never_single_partition(spark):
+    """Packing offsets come from the range-partitioned running sum — the
+    plan must never collapse to Exchange SinglePartition."""
+    plan = explain_str(q("sequence_packing", spark))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_vocab_oov_rate_broadcast_vocab(spark):
+    """The 50-term vocabulary must broadcast; the token table is never
+    shuffled for the membership join."""
+    plan = explain_str(q("vocab_oov_rate", spark))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_broadcast_part_dim(spark):
+    """Q17's part dim broadcasts; the fact-to-aggregate join is the only
+    keyed shuffle pair."""
+    plan = explain_str(q("tpch_q17_small_qty_revenue", spark))
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(q("tpch_q17_small_qty_revenue", spark))
+
+
+def test_tpch_q2_broadcast_dims(spark):
+    """Q2's region/nation/supplier dim chain and part dim broadcast."""
+    df = q("tpch_q2_min_cost_supplier", spark)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert_no_cartesian(df)
