@@ -1274,3 +1274,57 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "tpch_q19_disjunctive_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicate mixing "
+    "build-side and probe-side columns — the optimizer stress test where a "
+    "naive plan degenerates to a cartesian filter; here the equi key joins "
+    "and the disjunction evaluates post-join inside codegen",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the p_partkey = l_partkey conjunct is common to every branch,
+    # so Catalyst keeps a broadcast HASH join on it and evaluates the OR as
+    # a join-condition residual — never a BroadcastNestedLoop.  The
+    # single-side conjuncts (p_size lower bound, l_quantity range) are also
+    # derivable per-branch; p_size's common `>= 1` prefix pushes to the dim
+    # scan.  Plan-asserted: BroadcastHashJoin, no cartesian.
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("bigint")
+    return (
+        j.filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -191,3 +191,12 @@ def test_tpch_q2_broadcast_dims(spark):
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert_no_cartesian(df)
+
+
+def test_tpch_q19_hash_join_not_nested_loop(spark):
+    """The disjunctive predicate must not defeat the equi-key hash join."""
+    df = q("tpch_q19_disjunctive_join", spark)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
