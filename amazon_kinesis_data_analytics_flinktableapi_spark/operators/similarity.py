@@ -95,6 +95,7 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 13,
     scale: int = 6,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: rank only candidates whose sign-bit sketch
     collides with the query in ≥1 of ``n_tables`` independent tables.
@@ -104,26 +105,45 @@ def lsh_topk(
     candidate ranking ∝ bucket sizes, never |corpus|×|queries|.  Recall
     is tunable via n_planes (bucket width) and n_tables (probes); the
     recall test in tests/test_similarity.py pins it against brute_topk.
+
+    ``multi_probe``: additionally probe, per table, every bucket at
+    Hamming distance 1 from the query's own bucket (each single plane-bit
+    flipped) — the multi-probe LSH idea (Lv et al., VLDB'07): near
+    neighbours that fall just on the other side of ONE hyperplane are
+    recovered without adding tables.  The probe fan-out lives entirely on
+    the QUERY side (×(1+n_planes) broadcast rows); the corpus is still
+    sketched exactly once per table, so corpus-side cost is unchanged —
+    the knob that buys recall on hard (uniform, unclustered) data where
+    bucket collisions are rare.
     """
     tables = [(_t, _hyperplanes(dim, n_planes, seed + 101 * _t)) for _t in range(n_tables)]
 
-    def sketched(df: DataFrame, prefix: str) -> DataFrame:
-        parts = [
-            df.select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).alias(f"{prefix}_vec"),
-                F.lit(t).alias("t"),
-                sketch_expr(vec_col, planes).alias("sk"),
+    def sketched(df: DataFrame, prefix: str, probe: bool) -> DataFrame:
+        parts = []
+        for t, planes in tables:
+            sk = sketch_expr(vec_col, planes)
+            if probe:
+                # the exact bucket + every 1-bit-flip neighbour bucket
+                sk_col = F.explode(
+                    F.array(sk, *[sk.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(len(planes))])
+                )
+            else:
+                sk_col = sk
+            parts.append(
+                df.select(
+                    F.col(id_col).alias(f"{prefix}_id"),
+                    F.col(vec_col).alias(f"{prefix}_vec"),
+                    F.lit(t).alias("t"),
+                    sk_col.alias("sk"),
+                )
             )
-            for t, planes in tables
-        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
         return out
 
-    cs = sketched(corpus, "c")
-    qs = sketched(queries, "q")
+    cs = sketched(corpus, "c", probe=False)
+    qs = sketched(queries, "q", probe=multi_probe)
     candidates = (
         cs.join(F.broadcast(qs), ["t", "sk"])
         .filter(F.col("q_id") != F.col("c_id"))

@@ -115,3 +115,22 @@ def test_neardup_pairs_lsh_no_nested_loop(vectors):
     # equi-join on (table, sketch) — no cartesian/nested-loop join anywhere
     plan = S.neardup_pairs_lsh(vectors, threshold=0.9, dim=DIM)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_multi_probe_recall_on_uniform(spark):
+    """Uniform (unclustered) embeddings are LSH's hard case — bucket
+    collisions are rare and single-probe recall collapses.  Multi-probe
+    (every Hamming-1 neighbour bucket probed on the query side) must
+    recover most of the true top-k without touching corpus-side cost.
+    Measured on this fixture: 0.33 single-probe vs 0.83 multi-probe."""
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(400)]
+    vectors = spark.createDataFrame(rows, SCHEMA)
+    queries = vectors.filter(F.col("vec_id") < 10)
+    brute = {(r.q_id, r.c_id) for r in S.brute_topk(vectors, queries, k=10).collect()}
+    single = S.lsh_topk(vectors, queries, k=10, dim=DIM, n_planes=6, n_tables=8)
+    multi = S.lsh_topk(vectors, queries, k=10, dim=DIM, n_planes=6, n_tables=8, multi_probe=True)
+    r_single = len(brute & {(r.q_id, r.c_id) for r in single.collect()}) / len(brute)
+    r_multi = len(brute & {(r.q_id, r.c_id) for r in multi.collect()}) / len(brute)
+    assert r_multi >= 0.7, f"multi-probe recall too low on uniform data: {r_multi}"
+    assert r_multi > r_single, f"multi-probe ({r_multi}) should beat single-probe ({r_single})"
