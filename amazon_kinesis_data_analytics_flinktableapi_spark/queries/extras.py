@@ -562,3 +562,99 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(rates.groupBy("currency"))
         .applyInPandas(merge, "id bigint, amount int, currency string, rate int, converted_amount int")
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice)
+    FROM orders
+    """,
+    doc="table profiling (ANALYZE-style data-quality stats): per-column row/"
+    "null/exact-distinct counts in ONE scan — the pre-ingestion audit every "
+    "pipeline runs before trusting a new drop of data",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ONE pass over the fact — Catalyst plans multiple count(DISTINCT)
+    # via a single Expand (rows ×4 pre-shuffle, map-side partially
+    # aggregated), not four scans; the oracle's UNION ALL of four scans is
+    # the semantic twin, not the plan twin.  For approximate profiling at
+    # 100 TB swap count(DISTINCT) for approx_count_distinct and the Expand
+    # disappears entirely.
+    (orders,) = load(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c in ("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+            for e in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"'{c}', n_rows, nn_{c}, nd_{c}"
+                for c in ("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+            )
+            + ") AS (column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )
+
+
+@query(
+    "integrity_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_order' AS check_name, count(*) AS n_violations
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'order_orphan_customer', count(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orphan_part', count(*)
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'order_nonpositive_price', count(*)
+    FROM orders WHERE o_totalprice <= 0
+    """,
+    doc="referential-integrity + validity audit: orphan foreign keys via "
+    "anti joins and a rule check, one row per constraint — zero counts are "
+    "the attestation that the drop is consistent",
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each orphan check is a LEFT ANTI join on the key — the dim key
+    # sets (orders/customer/part keys) broadcast when they fit, else AQE
+    # picks shuffle hash; counts are map-side partial.  NOT IN with a
+    # nullable subquery would be the SQL trap (NULL semantics) — keys here
+    # are non-null by construction, and the Spark side uses anti joins
+    # which have no such edge.
+    li, orders, customer, part = load(spark, sf_dir, "lineitem", "orders", "customer", "part")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    return (
+        check("lineitem_orphan_order", li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"))
+        .union(check("order_orphan_customer", orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")))
+        .union(check("lineitem_orphan_part", li.join(part, li.l_partkey == part.p_partkey, "left_anti")))
+        .union(check("order_nonpositive_price", orders.filter(F.col("o_totalprice") <= 0)))
+    )
