@@ -652,3 +652,45 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         timeout_sec=240,
     )
+
+
+@query(
+    "robust_stats_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           floor(max(m.med) * 1000000 + 0.5) / 1000000 AS value_median,
+           floor(quantile_cont(abs(e.value - m.med), 0.5) * 1000000 + 0.5) / 1000000
+             AS value_mad,
+           count(*) AS n_events
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    doc="robust dispersion: median absolute deviation per group — the "
+    "outlier-immune stddev replacement a data-quality monitor wants; two "
+    "exact-median passes with the group medians broadcast back between them",
+)
+def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: pass 1 aggregates per-group medians (tiny result — group
+    # cardinality rows, broadcast back); pass 2 re-scans the fact once and
+    # aggregates |x − med|.  MAD is inherently two-pass; the broadcast
+    # keeps the second pass shuffle-free on the fact side except the final
+    # per-group agg.  Identical IEEE expressions both engines: interpolated
+    # median, subtraction, abs — no rounding until the output.
+    def r6(c):
+        return F.floor(c * 1_000_000 + 0.5) / 1_000_000
+
+    (ev,) = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            r6(F.max("med")).alias("value_median"),
+            r6(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))).alias("value_mad"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

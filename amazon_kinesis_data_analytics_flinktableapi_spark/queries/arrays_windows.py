@@ -217,3 +217,50 @@ def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(big).alias("n_big"),
         F.aggregate(big, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("big_cents_sum"),
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_first) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+    doc="running COUNT(DISTINCT) over a window — unsupported directly in "
+    "Spark (and expensive anywhere) — via the portable first-occurrence-"
+    "flag decomposition: row_number()=1 per (key, value) marks each value's "
+    "debut, a running sum of debuts IS the running distinct count",
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: two window passes over the SAME (user_id-rooted) partitioning —
+    # the second window's partition key is a prefix of the first's, so
+    # Catalyst reuses one shuffle on user_id (plus in-partition sorts);
+    # state per group is one counter, never a distinct-set.
+    (ev,) = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )
