@@ -49,3 +49,24 @@ def test_approx_sketches_accuracy(spark):
         a = out[et]
         assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a.approx_users, e.users)
         assert abs(a.q50 - e.p50) / max(abs(e.p50), 1e-9) <= 0.05
+
+
+def test_global_running_sum_partition_invariant(spark):
+    """The running sum must be bit-identical for ANY partition count —
+    offsets + local prefix sums compose to the same totals regardless of
+    where the sampled range boundaries land."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import global_running_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    expect = {}
+    acc = 0
+    for i, v in rows:  # ids are already in order
+        acc += v
+        expect[i] = acc
+    for n in (1, 3, 8):
+        got = {
+            r["id"]: r["rs"]
+            for r in global_running_sum(df, [F.col("id")], "v", sum_name="rs", num_partitions=n).collect()
+        }
+        assert got == expect, f"num_partitions={n} diverged"
