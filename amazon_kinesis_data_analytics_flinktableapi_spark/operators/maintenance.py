@@ -39,3 +39,22 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
     return n_files
+
+
+def zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """SQL expression interleaving the low ``bits`` bits of two integer
+    columns into a Z-order (Morton) key — engine-portable (pure shift/and/
+    or, identical text runs on Spark SQL and DuckDB).
+
+    Layout use: ``df.repartitionByRange(n, F.expr(zorder_sql("x","y")))``
+    then write — rows close in BOTH dimensions land in the same files, so
+    per-file min/max stats prune scans filtered on EITHER column (the
+    no-table-format equivalent of Delta's OPTIMIZE ZORDER BY).  Pure
+    expression: scan-local, zero shuffle until the layout repartition
+    itself.
+    """
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) | ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(f"({t})" for t in terms) + ")"

@@ -508,3 +508,58 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (last_tok / seq).cast("long").alias("last_seq"),
         ((last_tok / seq).cast("long") - (start / seq).cast("long") + 1).alias("n_seqs_spanned"),
     )
+
+
+@query(
+    "zorder_layout",
+    oracle=None,  # set below: the oracle embeds the SAME generated expression
+    doc="Z-order (Morton) layout audit: interleave user_id × floor(value) "
+    "bits into a space-filling key, bucket the key space, and report each "
+    "bucket's min/max in BOTH dimensions — narrow per-bucket ranges are "
+    "exactly why z-ordered files prune scans filtered on either column "
+    "(OPTIMIZE ZORDER BY without a table format)",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the key is a pure shift/and/or expression (scan-local, codegen);
+    # the audit is one groupBy on the bucket id.  The layout itself would be
+    # repartitionByRange(z) at write time — no extra machinery.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.maintenance import zorder_sql
+
+    (ev,) = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("x"),
+        F.floor("value").cast("long").alias("y"),
+    )
+    z_bucket = F.expr(f"{zorder_sql('x', 'y', bits=10)} >> 12")
+    return (
+        pts.select("x", "y", z_bucket.alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.maintenance import zorder_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT user_id AS x, CAST(FLOOR(value) AS BIGINT) AS y FROM events
+    )
+    SELECT ({zorder_sql("x", "y", bits=10)} >> 12) AS z_bucket,
+           count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM pts
+    GROUP BY z_bucket
+    """
+
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["zorder_layout"].oracle = _zorder_oracle()
