@@ -520,9 +520,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(OPTIMIZE ZORDER BY without a table format)",
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: the key is a pure shift/and/or expression (scan-local, codegen);
-    # the audit is one groupBy on the bucket id.  The layout itself would be
-    # repartitionByRange(z) at write time — no extra machinery.
+    # Scale: both dims min-max normalize to a shared 10-bit domain first —
+    # raw columns with different scales would let the wider dim dominate
+    # the interleave and the narrower dim's locality vanish (measured: at
+    # sf0.001 user_id spans 4 bits vs value's 9, and un-normalized buckets
+    # covered user_id's whole range).  The bounds are ONE tiny aggregate
+    # cross-joined back as a broadcast literal row; the key itself is pure
+    # shift/and/or (scan-local, codegen); the audit is one groupBy.  The
+    # layout path at write time is repartitionByRange(z).
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.maintenance import zorder_sql
 
     (ev,) = load(spark, sf_dir, "events")
@@ -530,9 +535,19 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("x"),
         F.floor("value").cast("long").alias("y"),
     )
-    z_bucket = F.expr(f"{zorder_sql('x', 'y', bits=10)} >> 12")
+    bounds = pts.agg(
+        F.min("x").alias("bx0"), F.max("x").alias("bx1"),
+        F.min("y").alias("by0"), F.max("y").alias("by1"),
+    )
+    normed = pts.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        F.expr("(x - bx0) * 1023 DIV greatest(bx1 - bx0, 1)").alias("xn"),
+        F.expr("(y - by0) * 1023 DIV greatest(by1 - by0, 1)").alias("yn"),
+    )
+    z_bucket = F.expr(f"{zorder_sql('xn', 'yn', bits=10)} >> 14")
     return (
-        pts.select("x", "y", z_bucket.alias("z_bucket"))
+        normed.select("x", "y", z_bucket.alias("z_bucket"))
         .groupBy("z_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -550,12 +565,19 @@ def _zorder_oracle() -> str:
     return f"""
     WITH pts AS (
       SELECT user_id AS x, CAST(FLOOR(value) AS BIGINT) AS y FROM events
+    ), b AS (
+      SELECT min(x) AS bx0, max(x) AS bx1, min(y) AS by0, max(y) AS by1 FROM pts
+    ), normed AS (
+      SELECT x, y,
+             (x - bx0) * 1023 // greatest(bx1 - bx0, 1) AS xn,
+             (y - by0) * 1023 // greatest(by1 - by0, 1) AS yn
+      FROM pts, b
     )
-    SELECT ({zorder_sql("x", "y", bits=10)} >> 12) AS z_bucket,
+    SELECT ({zorder_sql("xn", "yn", bits=10)} >> 14) AS z_bucket,
            count(*) AS n_rows,
            min(x) AS x_min, max(x) AS x_max,
            min(y) AS y_min, max(y) AS y_max
-    FROM pts
+    FROM normed
     GROUP BY z_bucket
     """
 

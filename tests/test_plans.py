@@ -200,3 +200,26 @@ def test_tpch_q19_hash_join_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert_no_cartesian(df)
+
+
+def test_table_profile_single_scan(spark):
+    """Per-column profiling must be ONE scan of orders (multiple
+    count(DISTINCT) planned via Expand), not a scan per column."""
+    plan = explain_str(q("table_profile", spark))
+    # formatted plans print each node twice (tree + detail): one scan == 2 hits
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" in plan
+
+
+def test_zorder_buckets_narrow_both_dims(spark):
+    """The point of z-ordering: every key-space bucket covers a narrow
+    slice of BOTH dimensions (so per-file min/max stats prune on either
+    filter column).  Each bucket must span < 40% of each dim's global
+    range; a single-column sort would leave the other dim's spans at
+    ~100%."""
+    rows = q("zorder_layout", spark).collect()
+    gx = max(r.x_max for r in rows) - min(r.x_min for r in rows)
+    gy = max(r.y_max for r in rows) - min(r.y_min for r in rows)
+    for r in rows:
+        assert (r.x_max - r.x_min) <= 0.4 * gx, (r.z_bucket, r.x_min, r.x_max, gx)
+        assert (r.y_max - r.y_min) <= 0.4 * gy, (r.z_bucket, r.y_min, r.y_max, gy)
