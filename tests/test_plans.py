@@ -223,3 +223,43 @@ def test_zorder_buckets_narrow_both_dims(spark):
     for r in rows:
         assert (r.x_max - r.x_min) <= 0.4 * gx, (r.z_bucket, r.x_min, r.x_max, gx)
         assert (r.y_max - r.y_min) <= 0.4 * gy, (r.z_bucket, r.y_min, r.y_max, gy)
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Catalyst's runtime row-level bloom filter: a selective dim filter is
+    turned into a bloom_filter_agg on the build side and a
+    BloomFilterMightContain probe on the 100 TB fact side — rows that
+    cannot join are dropped AT THE SCAN, before the shuffle.  Thresholds
+    are lowered here because the test tables are tiny; at real scale the
+    defaults (10 MB creation / 10 GB application) trigger on their own."""
+    from pyspark.sql import functions as F
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+    from tests.conftest import SF_SMOKE
+
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in saved:
+        saved[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B"
+        )
+        # bloom reduction applies to shuffle joins; force one
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        orders = read_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
