@@ -10,24 +10,74 @@ cliques, so 2-4 rounds in practice.  Each round is one shuffle on node id;
 no driver-side graph state (only a scalar convergence count crosses to the
 driver).
 
-Iteration mechanics (the r1 weak spot, ~25 s at sf0.1 for tiny graphs):
-- ``localCheckpoint`` after each materialization truncates lineage, so
-  analysis/planning cost stays constant per round instead of growing with
-  the accumulated plan (the dominant cost at small data).
-- Two propagation steps run lazily between materializations: a no-change
-  *last* step still proves convergence, so checking every 2nd round is
-  exact, not a heuristic.
-- No cached DataFrame escapes: checkpointed blocks are released by Spark's
-  ContextCleaner when the returned DataFrame is garbage collected (callers
-  need no unpersist discipline).
+Two executions paths, picked by measured edge count (the count is free —
+it rides the edge-list materialization every path needs anyway):
+
+- **small graph** (≤ ``small_graph_edges``, default 1M): one
+  ``applyInPandas`` task runs union-find with path compression over the
+  whole edge list.  Near-dup pair lists are usually tiny relative to the
+  corpus (pairs ∝ duplicates, not documents), so even a 100 TB corpus
+  commonly lands here — and the iterative loop's fixed overhead
+  (checkpoint + count action per 2-step window, ~17 s at sf0.1 for a 10k
+  node graph) collapses to one task.
+- **large graph**: the label-propagation loop.  Per check window:
+  - Two propagation steps run lazily between materializations: a
+    no-change *last* step still proves convergence, so checking every 2nd
+    round is exact, not a heuristic.
+  - ``localCheckpoint`` truncates lineage, so analysis/planning cost
+    stays constant per round instead of growing with the accumulated plan.
+
+Fault-tolerance tradeoff (cluster mode): ``localCheckpoint`` blocks are
+unreplicated and NON-recoverable — an executor loss mid-iteration fails
+the job (fail-loud; the lineage-free blocks cannot be recomputed).  That
+is the correct local/bench default, but on a real cluster pass
+``reliable_checkpoint=True`` (with ``spark.sparkContext.setCheckpointDir``
+pointing at durable storage) to swap in replicated ``checkpoint()``
+materializations that survive executor loss.
 """
 
 from __future__ import annotations
 
 import warnings
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _unionfind_components(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Single-pass union-find (path halving) over an edge list; emits
+    (node, comp) with comp = min member of the component.  Result is
+    order-independent, so it is deterministic for any edge arrival order."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in pdf_iter:
+        for u, v in zip(pdf["u"], pdf["v"]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+    # min member per root labels the component (same convention as the
+    # min-label propagation loop — the two paths are interchangeable)
+    comp_min: dict = {}
+    nodes = set(parent)
+    for n in list(nodes):
+        nodes.add(find(n))
+    for n in nodes:
+        r = find(n)
+        m = comp_min.get(r)
+        comp_min[r] = n if m is None or n < m else m
+    out = [(n, comp_min[find(n)]) for n in nodes]
+    yield pd.DataFrame(out, columns=["node", "comp"])
 
 
 def connected_components(
@@ -36,6 +86,8 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     check_every: int = 2,
+    small_graph_edges: int = 1_000_000,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
@@ -46,15 +98,37 @@ def connected_components(
     diameter exceeds ``max_iterations``, which near-dup clique unions
     never approach.
     """
+
+    def pin(df: DataFrame) -> DataFrame:
+        # reliable checkpoint() replicates to the configured checkpoint dir
+        # (survives executor loss — the cluster-mode path); localCheckpoint
+        # is executor-local and fail-loud (the local/bench default)
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     # materialize the edge list BEFORE mirroring it: union(e, e.swap) runs
     # its input subplan twice, and the input here is typically the whole
     # near-dup pair pipeline (the expensive part)
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    bidir = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()  # every round joins against it
-    )
+    e = pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    bidir = pin(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )  # every round (or the union-find pass) reads it
+    # scalar count over the already-materialized edge list — effectively
+    # free, and it picks the execution path
+    n_edges = bidir.count()
+
+    if n_edges <= small_graph_edges:
+        # one task, one pandas pass — no per-round actions at all.  The
+        # constant grouping key plans Exchange SinglePartition deliberately:
+        # the edge list is measured-small, not assumed-small.
+        node_t = bidir.schema["u"].dataType.simpleString()
+        return (
+            bidir.groupBy(F.lit(1).alias("__g"))
+            .applyInPandas(
+                lambda _key, pdf: next(_unionfind_components(iter([pdf]))),
+                schema=f"node {node_t}, comp {node_t}",
+            )
+        )
+
     labels = (
         bidir.select(F.col("u").alias("node"))
         .distinct()
@@ -80,7 +154,7 @@ def connected_components(
         cur = labels
         for _ in range(steps):
             cur = step(cur.select("node", "comp"))
-        cur = cur.localCheckpoint()  # one materialization per check window
+        cur = pin(cur)  # one materialization per check window
         # __changed reflects only the LAST lazy step: zero there means that
         # step was a fixpoint application — exact convergence, not a sample
         changed = cur.filter(F.col("__changed")).count()

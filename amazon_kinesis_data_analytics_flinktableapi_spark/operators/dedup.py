@@ -99,7 +99,7 @@ def spread(df: DataFrame) -> DataFrame:
 
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
 
@@ -113,6 +113,11 @@ def jaccard_pairs(
     corpus scale are quadratic poison and discriminate nothing).  With
     ``max_df`` set, reported jaccard is over the *filtered* shingle sets —
     an approximation that only drops ubiquitous shingles.
+
+    ``max_df="auto"`` derives the cap as ``max(10, ceil(1% of shingled
+    docs))`` from the cached postings themselves — one distinct-count that
+    doubles as the cache materialization, instead of a separate full pass
+    over the input corpus.
     """
     from pyspark.sql import Window
 
@@ -122,6 +127,12 @@ def jaccard_pairs(
         # index both read the postings — deriving each from `sets` would
         # re-run the tokenize→shingle→hash chain per reference
         inv0 = sets.select(F.col(id_col), F.explode("shingles").alias("s")).cache()
+        if max_df == "auto":
+            # integer ceil — float ceil(0.01*n) can land on 10.0000…2 and
+            # diverge between engines; this action also materializes inv0,
+            # so the hot-set scan below reads from cache
+            n_docs = inv0.select(id_col).distinct().count()
+            max_df = max(10, (n_docs + 99) // 100)
         hot = (
             inv0.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -33,15 +33,18 @@ def global_row_number(
     data that leaves the executors.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # cache is REQUIRED for correctness, not speed: repartitionByRange
-    # samples its boundaries per execution, so without materializing, the
-    # offset job and the final job could rank against different
-    # partitionings.  (At 100 TB persist to disk, or write the ranged
-    # intermediate out — the invariant is one materialization.)
+    # localCheckpoint (NOT cache) is REQUIRED for correctness, not speed:
+    # repartitionByRange samples its boundaries per execution, and cached
+    # blocks are best-effort — an evicted/lost block would silently
+    # recompute with re-sampled boundaries and different partition ids,
+    # corrupting ranks.  Checkpointing truncates lineage so recompute is
+    # impossible: a lost block fails the job loudly instead.  (On a real
+    # cluster prefer reliable ``checkpoint()`` or writing the ranged
+    # intermediate out — the invariant is ONE pinned materialization.)
     ranged = (
         df.repartitionByRange(n, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint()
     )
     # n_partitions rows — bounded by the partition count, never by |df|
     counts = sorted(
@@ -85,13 +88,13 @@ def global_running_sum(
     (float partials would make the offsets order-dependent).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # cache REQUIRED for correctness (see global_row_number): boundaries
-    # are sampled per execution; offsets and final ranks must see the
-    # same partitioning.
+    # localCheckpoint REQUIRED for correctness (see global_row_number):
+    # boundaries are sampled per execution; offsets and prefix sums must
+    # see the SAME pinned partitioning, and cache() can't guarantee that.
     ranged = (
         df.repartitionByRange(n, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint()
     )
     totals = sorted(
         ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s")).collect(),

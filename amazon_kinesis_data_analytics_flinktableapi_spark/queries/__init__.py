@@ -85,65 +85,64 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # the reference's literal workload (StreamingJob.java:91-101)
-    "interval_join",
-    "currency_conversion",
-    "projection_filter",
-    # SURVEY §2 core relational surface
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "topk_orders",
-    "window_rank",
-    "window_moving_avg",
-    "set_ops",
-    "join_semi",
-    "join_anti",
-    "rollup_customer_geo",
-    "large_order_customers",
-    "nation_pair_revenue",
-    "cube_status_priority",
-    "unpivot_lineitem_metrics",
-    "value_histogram",
-    "grouped_having",
-    "distinct_pairs",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "conditional_agg",
-    "shipping_priority",
-    "string_functions",
-    "math_functions",
-    "date_functions",
-    # r1 driver failures, fixed in r2 — need fresh attestation
-    "json_extract_agg",
-    "pivot_status_by_priority",
-    "session_gaps_islands",
-    "approx_sketches",
-    # changed in r2 (scale-path rewires) — need fresh attestation
-    "neardup_jaccard",
-    "embedding_neardup",
+    # --- round 3 window -----------------------------------------------------
+    # 1-25: the 25 queries with NO driver row in r1 or r2 (VERDICT r2
+    # "What's missing" #1) — first-ever attestation.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_join",
+    "tpch_q22_idle_customers",
+    "table_profile",
+    "integrity_audit",
+    "window_running_distinct",
+    "robust_stats_mad",
+    "merge_upsert_snapshot",
+    "global_sort_index",
+    "sequence_packing",
+    "vocab_oov_rate",
+    "pii_redaction",
+    "embedding_label_centroids",
+    "boilerplate_chunk_removal",
+    "tfidf_top_terms",
+    "topp_cumulative_share",
+    "try_arithmetic",
+    "map_functions",
+    "cogroup_asof_pandas",
+    "zorder_layout",
+    "streaming_topk_complete",
+    "streaming_chained_windows",
+    # 26-33: changed in r3 — convergence/count-action rewires, oracle-parity
+    # fixes, and the approximate ops upgraded from rows-only to deterministic
+    # hash-checkable oracles.
     "dedup_clusters",
-    # previously outside the window
-    "deterministic_sample",
-    # new in r2 — need first attestation
-    "asof_forward_join",
-    "timeseries_interpolate",
-    "grouping_sets_revenue",
-    "tpch_q8_market_share",
-    "salted_join_revenue",
-    "media_frame_sample",
-    "media_resize",
-    "array_hof_pipeline",
-    "regex_extract_tokens",
-    "tpch_q21_late_supplier",
-    "contamination_ngram_overlap",
-    "repetition_signals",
+    "neardup_jaccard",
     "embedding_quantize_int8",
-    # streaming flagships (S4/S5/K3 attestations ride on these; the four
-    # r1-attested-green streaming window/stateful queries rotated out to
-    # make room for the new queries above — they re-enter a later round)
-    "streaming_interval_join",
-    "streaming_sliding_window",
-    "streaming_dedup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "streaming_late_data",
+    # 34-50: r1-attested-only tail rotated back in (streaming stateful ops
+    # first — they rode out of the window in r2).
+    "streaming_tumbling_window",
+    "streaming_session_window",
+    "streaming_running_aggregate",
+    "streaming_static_enrich",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ann_cosine_topk",
+    "edit_distance_verify",
+    "stat_aggregates",
+    "correlated_subquery",
+    "rank_family",
+    "window_value_family",
+    "range_frame_window",
+    "pandas_grouped_zscore",
+    "pandas_udaf_weighted_avg",
+    "python_udtf_bigrams",
+    "asof_join_latest_rate",
 ]
 
 

@@ -572,6 +572,71 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_late_data",
+    oracle="""
+    WITH c0 AS (SELECT ts, value FROM events WHERE event_id % 10 <> 0),
+    wm1 AS (SELECT max(ts) AS w FROM c0),
+    kept AS (
+      SELECT ts, value, 0 AS is_late FROM c0
+      UNION ALL
+      -- first late wave arrives before any eviction: always merged
+      SELECT ts, value, 1 FROM events WHERE event_id % 20 = 0
+      UNION ALL
+      -- second late wave: dropped iff the window was already evicted, i.e.
+      -- window end <= the watermark active during the PREVIOUS batch
+      -- (= max on-time event time); late rows into still-live windows merge
+      SELECT e.ts, e.value, 1 FROM events e, wm1
+      WHERE e.event_id % 20 = 10
+        AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm1.w
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM kept
+    GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    """,
+    doc="STREAMING late/out-of-order data: events replayed as 3 micro-batches "
+    "— on-time rows (event_id%10!=0), then two late waves.  Pins Spark's "
+    "measured late-row semantics: a late row is dropped iff its window's "
+    "state was already EVICTED (window end <= watermark active in the prior "
+    "batch); late rows into still-live windows merge even past the "
+    "watermark.  Oracle reconstructs exactly that batch-by-batch rule",
+)
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import file_replay
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        dump_json_parts,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    cols = [f.name for f in EVENTS_SCHEMA.fields]
+    ontime = ev.filter(F.col("event_id") % 10 != 0).select(cols)
+    late1 = ev.filter(F.col("event_id") % 20 == 0).select(cols)
+    late2 = ev.filter(F.col("event_id") % 20 == 10).select(cols)
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    dump_json_parts([ontime, late1, late2], tmp)
+    stream = file_replay(spark, tmp, EVENTS_SCHEMA, 1)
+    agg = (
+        stream.withColumn("is_late", (F.col("event_id") % 10 == 0).cast("long"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_late").alias("n_late"),
+            # integer cents per row, summed exactly — double sums are
+            # partition-order-dependent and flake the cross-engine hash
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_late", "value_cents")
+    )
+    return run_to_memory(agg, spark, timeout_sec=240)
+
+
+@query(
     "streaming_topk_complete",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n

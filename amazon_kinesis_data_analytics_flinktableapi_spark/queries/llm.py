@@ -159,8 +159,10 @@ _DUCK_NEARDUP_CORPUS = f"""
     sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
     ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
     hot AS (
+      -- cap counts docs WITH shingles (= distinct posting ids), matching the
+      -- Spark side's postings-derived "auto" cap — no separate corpus pass
       SELECT s FROM ex0 GROUP BY s
-      HAVING count(*) > (SELECT greatest(10, (count(*) + 99) // 100) FROM corpus)
+      HAVING count(*) > (SELECT greatest(10, (count(DISTINCT doc_id) + 99) // 100) FROM ex0)
     ),
     ex AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
     pairs AS (
@@ -185,11 +187,10 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_neardup_copies(spark, sf_dir)
     # hot-shingle cap: a shingle in k docs contributes k² join rows, and at
     # corpus scale boilerplate shingles are quadratic poison.  cap = 1% of
-    # the corpus (integer ceil — float ceil(0.01*n) can land on 10.0000…2
-    # and diverge between engines), floored at 10 so planted near-dup pairs
-    # at the small test scales keep their shared shingles.
-    cap = max(10, (corpus.count() + 99) // 100)
-    return D.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5, max_df=cap)
+    # shingled docs, floored at 10 so planted near-dup pairs at the small
+    # test scales keep their shared shingles — derived inside jaccard_pairs
+    # from the cached postings (no separate full corpus pass).
+    return D.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5, max_df="auto")
 
 
 @query(

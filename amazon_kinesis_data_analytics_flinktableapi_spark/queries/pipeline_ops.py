@@ -255,7 +255,9 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT vec_id, label, scale,
              list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
-      FROM s WHERE scale > 0
+      -- same predicate as the Spark side (floor(scale*1e9) > 0, not scale > 0):
+      -- a vector with 0 < scale < 1e-9 must be dropped by BOTH engines
+      FROM s WHERE floor(scale * 1e9) > 0
     )
     SELECT vec_id, label,
            CAST(floor(scale * 1e9) AS BIGINT) AS scale_ppb,

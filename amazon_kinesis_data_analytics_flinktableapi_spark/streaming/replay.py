@@ -43,6 +43,28 @@ def dump_json_chunks(df: DataFrame, out_dir: str, n_chunks: int = 1, order_col: 
     return out_dir
 
 
+def dump_json_parts(dfs: list[DataFrame], out_dir: str) -> str:
+    """Write each DataFrame in ``dfs`` as ONE JSON chunk file, named and
+    mtime-ordered so a maxFilesPerTrigger=1 stream replays them as one
+    micro-batch per part, in list order.  This is the out-of-order/late-data
+    fixture writer: callers control exactly which rows arrive in which
+    batch (``dump_json_chunks`` only splits a single table in time order)."""
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
+
+    for i, df in enumerate(dfs):
+        jcol = F.to_json(F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT})
+        rows = [r[0] for r in df.select(jcol).collect()]
+        path = os.path.join(out_dir, f"chunk-{i:05d}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(rows))
+        t = 1_700_000_000 + i
+        os.utime(path, (t, t))
+    return out_dir
+
+
 def run_to_memory(
     stream_df: DataFrame,
     spark: SparkSession,

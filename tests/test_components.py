@@ -34,3 +34,31 @@ def test_two_cliques_bridged(spark):
     )
     comps = {r.node: r.comp for r in connected_components(edges).collect()}
     assert len(set(comps.values())) == 1 and set(comps.values()) == {100}
+
+
+def test_small_and_large_paths_agree(spark):
+    # the measured-edge-count dispatch must be invisible to callers: force
+    # the label-propagation loop (small_graph_edges=0) and compare against
+    # the union-find short-circuit on an awkward shape (chain + bridged
+    # cliques + string-sortable ids via longs)
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # diameter-6 chain
+            (50, 51), (51, 52), (50, 52), (52, 40),          # clique + bridge
+            (90, 91)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    small = {r.node: r.comp for r in connected_components(edges).collect()}
+    large = {
+        r.node: r.comp
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert small == large
+    assert small[7] == 1 and small[50] == 40 and small[91] == 90
+
+
+def test_string_node_ids(spark):
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps["doc-a"] == comps["doc-b"] == comps["doc-c"] == "doc-a"
+    assert comps["doc-x"] == comps["doc-y"] == "doc-x"
