@@ -34,6 +34,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return normalize_timestamps(df)
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (ltz).
+
+    Parquet ``timestamp[us]`` columns with no zone annotation load as
+    TIMESTAMP_NTZ under Spark 4.x, but the engine's time operators
+    (``unix_micros``, watermarks, the JSON wire format) assume TIMESTAMP.
+    The session zone is pinned UTC, so the cast is value-identical — and
+    DuckDB reads the same column as naive UTC, keeping oracle hashes
+    equal.  Normalizing once at the source boundary keeps every
+    downstream call site free of per-type branches (the reference binds
+    java.sql.Timestamp by reflection and never sees zone flavors either,
+    Order.java:4-9)."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -27,6 +27,14 @@ from pyspark.sql.types import StructType
 #: for event times (the default SSS format silently truncates to millis)
 JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+#: tolerant read-side variant: fraction and zone offset are both optional,
+#: so offset-less ISO-8601 (what ``to_json`` emits for a TIMESTAMP_NTZ
+#: column that slipped past write-side normalization) still parses instead
+#: of silently becoming NULL and being dropped by the watermark.  With the
+#: session zone pinned UTC an offset-less literal parses to the identical
+#: instant.
+JSON_TS_READ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
+
 
 def parse_json_stream(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
     """bytes/str JSON records → typed columns (S2+S3).
@@ -53,7 +61,7 @@ def file_replay(
     ``max_files_per_trigger=1`` replays file-by-file so watermarks advance
     between micro-batches like a live stream.
     """
-    reader = spark.readStream.schema(schema).option("timestampFormat", JSON_TS_FORMAT)
+    reader = spark.readStream.schema(schema).option("timestampFormat", JSON_TS_READ_FORMAT)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(path)

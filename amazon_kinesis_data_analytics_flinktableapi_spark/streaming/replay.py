@@ -23,6 +23,12 @@ def dump_json_chunks(df: DataFrame, out_dir: str, n_chunks: int = 1, order_col: 
 
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
+
+    # TIMESTAMP_NTZ columns ignore to_json's timestampFormat (no offset,
+    # millis only), which the replay reader would parse to NULL — cast to
+    # TIMESTAMP before serializing so the wire format is always canonical
+    df = normalize_timestamps(df)
     src = df.orderBy(order_col) if (order_col is not None and n_chunks > 1) else df
     # full microsecond precision — the default toJSON format truncates to
     # millis, which would corrupt event times on replay
@@ -54,7 +60,10 @@ def dump_json_parts(dfs: list[DataFrame], out_dir: str) -> str:
 
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
+
     for i, df in enumerate(dfs):
+        df = normalize_timestamps(df)
         jcol = F.to_json(F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT})
         rows = [r[0] for r in df.select(jcol).collect()]
         path = os.path.join(out_dir, f"chunk-{i:05d}.json")

@@ -305,3 +305,24 @@ def test_stream_dedup_within_watermark_retimed_duplicates(spark, events, tmp_pat
     )
     n = out.count()
     assert n == base.count(), f"within-watermark dedup kept {n} rows, want {base.count()}"
+
+
+def test_replay_roundtrip_no_null_ts(spark, events, tmp_path):
+    """Wire-format guard: dump → file_replay must lose ZERO event times,
+    whatever timestamp flavor (TIMESTAMP or TIMESTAMP_NTZ) the batch side
+    carries.  Round 4 regression: NTZ columns ignore to_json's
+    timestampFormat (offset-less millis output), the reader's strict
+    offset-ful pattern parsed every ts to NULL, and the watermark dropped
+    all rows."""
+    base = events.select("event_id", "ts", "event_type").limit(300)
+    for flavor in ("timestamp", "timestamp_ntz"):
+        df = base.withColumn("ts", F.col("ts").cast(flavor))
+        stream = replay_stream(
+            spark, df, "event_id long, ts timestamp, event_type string",
+            str(tmp_path / f"rt_{flavor}"),
+        )
+        out = run_to_memory(stream, spark)
+        assert out.filter(F.col("ts").isNull()).count() == 0
+        got = {(r.event_id, r.ts) for r in out.collect()}
+        want = {(r.event_id, r.ts) for r in base.collect()}
+        assert got == want, f"{flavor}: replayed event times drifted"
