@@ -133,6 +133,15 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+def md5_hash60(c: Column) -> Column:
+    """Cross-engine 60-bit integer hash: first 15 hex chars of md5, parsed
+    base-16.  The portable stand-in for ``xxhash64`` wherever the hash
+    value is output- or oracle-affecting: DuckDB reproduces it as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.  60 bits keeps the value
+    positive and leaves headroom for modular permutation arithmetic."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 #: rolling-hash modulus (2³¹−1, Mersenne): keeps every intermediate
 #: (h·31 + token) < 2³⁷ — no BIGINT overflow in Spark ANSI mode or DuckDB.
 ROLLING_MOD = (1 << 31) - 1

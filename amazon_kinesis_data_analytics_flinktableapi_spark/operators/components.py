@@ -52,6 +52,12 @@ def _unionfind_components(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     (node, comp) with comp = min member of the component.  Result is
     order-independent, so it is deterministic for any edge arrival order."""
     parent: dict = {}
+    # every endpoint, tracked from the edges themselves — deriving the node
+    # set from `parent` misses nodes whose only edges were self-loops (no
+    # union ever fires, so they never get a parent entry) and would silently
+    # drop them from the output, diverging from the propagation path, which
+    # labels every node appearing in the edge list
+    seen: set = set()
 
     def find(x):
         root = x
@@ -63,20 +69,19 @@ def _unionfind_components(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
     for pdf in pdf_iter:
         for u, v in zip(pdf["u"], pdf["v"]):
+            seen.add(u)
+            seen.add(v)
             ru, rv = find(u), find(v)
             if ru != rv:
                 parent[ru] = rv
     # min member per root labels the component (same convention as the
     # min-label propagation loop — the two paths are interchangeable)
     comp_min: dict = {}
-    nodes = set(parent)
-    for n in list(nodes):
-        nodes.add(find(n))
-    for n in nodes:
+    for n in seen:
         r = find(n)
         m = comp_min.get(r)
         comp_min[r] = n if m is None or n < m else m
-    out = [(n, comp_min[find(n)]) for n in nodes]
+    out = [(n, comp_min[find(n)]) for n in seen]
     yield pd.DataFrame(out, columns=["node", "comp"])
 
 
@@ -113,7 +118,10 @@ def connected_components(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )  # every round (or the union-find pass) reads it
     # scalar count over the already-materialized edge list — effectively
-    # free, and it picks the execution path
+    # free, and it picks the execution path.  NOTE: this counts the
+    # MIRRORED, deduplicated edge list (≈ 2× the input pair count), so
+    # ``small_graph_edges`` is a bound on directed edges after mirroring —
+    # an input of ~500k undirected pairs sits right at the default 1M.
     n_edges = bidir.count()
 
     if n_edges <= small_graph_edges:

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens, word_ngram_hashes, word_ngrams
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import (
+    half_up_round,
+    md5_hash60,
+    tokens,
+    word_ngram_hashes,
+    word_ngrams,
+)
 
 # 31-bit Mersenne prime: (a*h + b) with a,h < 2^31 stays < 2^62, so the
 # modular permutation never overflows a signed long (ANSI mode throws on
@@ -121,6 +127,8 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    if max_df is not None and max_df != "auto" and not isinstance(max_df, int):
+        raise ValueError(f"max_df must be an int, 'auto', or None; got {max_df!r}")
     sets = shingle_sets(df, id_col, text_col, n, hashed=True)
     if max_df is not None:
         # explode ONCE and cache: the hot-set derivation and the filtered
@@ -222,14 +230,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig) — MinHash signature as array<long>, fully JVM-side.
 
-    Shingles hash via xxhash64; each permutation is array_min over
-    (a*h + b) mod p.  pmod keeps hashes non-negative so min is well
-    defined.  Cost: O(shingles × num_perm) multiply-adds inside codegen.
+    Shingles hash via the portable md5-derived 60-bit hash (not xxhash64:
+    signature values are OUTPUT, so they must be reproducible by a SQL
+    oracle on any engine — ``functions.text.md5_hash60``); each
+    permutation is array_min over (a*h + b) mod p.  pmod keeps hashes
+    non-negative so min is well defined.  Cost: one md5 per shingle plus
+    O(shingles × num_perm) multiply-adds, all built-in expressions.
     """
-    sets = shingle_sets(df, id_col, text_col, n, hashed=True)
+    sets = shingle_sets(df, id_col, text_col, n)
     hashed = sets.select(
         F.col(id_col),
-        F.transform("shingles", lambda s: F.pmod(s, F.lit(MERSENNE_PRIME))).alias("hs"),
+        F.transform("shingles", lambda s: F.pmod(md5_hash60(s), F.lit(MERSENNE_PRIME))).alias("hs"),
     )
     # ONE F.expr for the whole signature: composing 64 perm-min expressions
     # through per-node Column calls costs thousands of py4j round-trips
@@ -261,8 +272,10 @@ def minhash_lsh_pairs(
 
     bands=16 × rows=4 over 64 perms ⇒ collision probability ≈
     1-(1-j⁴)¹⁶ — ~0.98 recall at j=0.7, ~0.47 at j=0.4.  Scale: the only
-    shuffle of documents is on (band, band_hash); candidates are verified
-    with a shingle-set join restricted to candidate ids.
+    shuffle of documents is on (band, band_key); candidates are verified
+    with a shingle-set join restricted to candidate ids.  The band key is
+    the joined signature slice (portable across engines), not an engine
+    hash of it — same equi-join, oracle-reproducible buckets.
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
@@ -273,7 +286,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", bi * rows + 1, rows), lambda x: x.cast("string")
+                            ),
+                            ",",
+                        ).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
@@ -302,30 +320,40 @@ def minhash_lsh_pairs(
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        # half-up floor, not round(): small-integer ratios can land exactly
+        # on a 5th-decimal tie (e.g. 17/32), where engine round() modes split
+        .select("id_a", "id_b", half_up_round(jac, 4).alias("jaccard"))
     )
 
 
+#: SimHash width: 60 bits (= the md5-derived portable token hash width).
+#: 4 blocking chunks of 15 bits each.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash over token xxhash64 values.
+    """(id, simhash) — 60-bit SimHash over portable md5-derived token
+    hashes (``functions.text.md5_hash60``: fingerprints are OUTPUT, so a
+    SQL oracle must reproduce them bit-for-bit on any engine).
 
     Per bit position: majority vote of token-hash bits, built with
     transform/aggregate (no UDF).  Near-dup detection = Hamming distance
     ≤ k via ``simhash_pairs``.
     """
     toked = df.select(
-        F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hs")
+        F.col(id_col), F.transform(tokens(F.col(text_col)), md5_hash60).alias("hs")
     ).filter(F.size("hs") > 0)
     # The shift amount is a per-element Column, which the Python shiftleft
     # wrapper rejects — SQL-level shiftleft takes arbitrary expressions.
     fp = F.expr(
-        """
+        f"""
         aggregate(
           zip_with(
-            transform(sequence(0, 63), b ->
+            transform(sequence(0, {SIMHASH_BITS - 1}), b ->
               aggregate(hs, 0, (acc, h) ->
                 acc + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), b)) != 0 THEN 1 ELSE -1 END)),
-            sequence(0, 63),
+            sequence(0, {SIMHASH_BITS - 1}),
             (v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
           CAST(0 AS BIGINT), (acc, x) -> acc | x)
         """
@@ -340,11 +368,13 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
-    Candidate generation: block on 4 × 16-bit chunks — two fingerprints
+    Candidate generation: block on 4 × 15-bit chunks — two fingerprints
     within Hamming ≤ 3 must agree exactly on ≥1 of the 4 chunks
     (pigeonhole), so the self-join is equi on (chunk_idx, chunk_value),
     never a cross join.
     """
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
     fps = simhash(df, id_col, text_col)
     chunks = fps.select(
         F.col(id_col),
@@ -354,9 +384,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("c"),

@@ -52,13 +52,36 @@ def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def has_real_decoder() -> bool:
+    """Runtime capability probe: True when PIL is importable in this
+    environment (the container this engine ships in does not carry it)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def real_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
-    """Placeholder for the PIL/ffmpeg-backed decoder (libs not in this
-    container)."""
-    raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg, not available in this environment; "
-        "install and set_decoder(real_decode_impl)"
-    )
+    """PIL-backed image decoder behind the runtime capability probe: used
+    automatically when the library is present (``set_decoder(real_decode)``
+    after a true ``has_real_decoder()``), otherwise raises the documented
+    NotImplementedError.  Audio/video need ffmpeg and stay stubbed either
+    way — the Spark-side plumbing (schema, Arrow batching, pruned
+    projection) is identical for every decoder."""
+    if not has_real_decoder():
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg, not available in this environment; "
+            "pip install pillow, then set_decoder(real_decode)"
+        )
+    if kind != "image":
+        raise NotImplementedError("audio/video decode requires ffmpeg, not available")
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, int(getattr(im, "n_frames", 1))
 
 
 _DECODER: Callable[[bytes, str], tuple[int, int, int]] = fake_decode

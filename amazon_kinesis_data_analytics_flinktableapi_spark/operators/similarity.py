@@ -294,6 +294,171 @@ def neardup_lsh_planes(
 NEARDUP_QUANT = 1_000_000
 
 
+def quantized(vec_col: str | "F.Column") -> "F.Column":
+    """FLOOR(x·10⁶) integer quantization of a vector column — the shared
+    input of every cross-engine-deterministic sketch/dot below."""
+    return F.transform(as_double(vec_col), lambda x: F.floor(x * NEARDUP_QUANT))
+
+
+def quantized_sketch(qv_col: str, planes: list[list[int]]) -> "F.Column":
+    """Sign-bit sketch of a quantized vector column against integer planes.
+
+    Every product and partial sum is an integer < 2⁵³ — exactly
+    representable in a double — so ANY engine computing the same dot gets
+    the identical sign bits (see ``neardup_lsh_planes``)."""
+    bits = []
+    for i, p in enumerate(planes):
+        # ONE py4j call per plane: building this as
+        # F.array(*[F.lit(c).cast("long") ...]) costs dim×2 gateway
+        # round-trips per plane — 4096 literals ≈ 12 s of pure Python
+        # plan construction before Spark even sees the query
+        coeffs = F.expr("array(" + ",".join(f"{c}L" for c in p) + ")")
+        d = F.aggregate(
+            F.zip_with(F.col(qv_col), coeffs, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _int_dot(qv_col: str, coeffs_ints: list[int]) -> "F.Column":
+    """Integer dot of a quantized vector column against literal integer
+    coefficients — exact (< 2⁵³) on any engine, same as the sketch dots."""
+    coeffs = F.expr("array(" + ",".join(f"{int(c)}L" for c in coeffs_ints) + ")")
+    return F.aggregate(
+        F.zip_with(F.col(qv_col), coeffs, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def _topk_tail(scored: DataFrame, k: int, scale: int) -> DataFrame:
+    """(q_id, c_id, __sim) → ranked top-k with the shared output contract."""
+    w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("c_id"))
+    return (
+        scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("__sim", scale).alias("cos_sim"), "rn")
+    )
+
+
+def lsh_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 13,
+    scale: int = 6,
+) -> DataFrame:
+    """Deterministic LSH top-k: same plan shape as :func:`lsh_topk` (equi
+    join on (table, sketch), candidate-only ranking) but with
+    integer-quantized vectors and hyperplanes, so the buckets — and hence
+    the approximate result — are bit-identical on any engine and a SQL
+    oracle can hash-check the whole query (``queries/llm._ann_lsh_oracle``
+    is the generated DuckDB twin).  Scale properties are unchanged:
+    shuffle ∝ corpus × n_tables, never |corpus| × |queries|."""
+    tables = neardup_lsh_planes(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+
+    def sketched(df: DataFrame, prefix: str) -> DataFrame:
+        # ids-only sketch rows (see neardup_pairs_lsh): the candidate join
+        # and dedup never shuffle vector payloads
+        base = df.select(F.col(id_col).alias(f"{prefix}_id"), quantized(vec_col).alias("qv"))
+        parts = [
+            base.select(
+                f"{prefix}_id", F.lit(t).alias("t"), quantized_sketch("qv", planes).alias("sk")
+            )
+            for t, planes in enumerate(tables)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    candidates = (
+        sketched(corpus, "c")
+        .join(F.broadcast(sketched(queries, "q")), ["t", "sk"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    cv = corpus.select(F.col(id_col).alias("c_id"), as_double(vec_col).alias("c_vec"))
+    qv = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"))
+    scored = (
+        candidates.join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
+    )
+    return _topk_tail(scored, k, scale)
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    scale: int = 6,
+) -> DataFrame:
+    """Deterministic IVF top-k: the oracle-checkable sibling of
+    :func:`ivf_topk`.  Centroids are the ``n_centroids`` lowest-id corpus
+    vectors (TakeOrderedAndProject — a bounded driver collect, no global
+    sort) instead of sampled k-means, and list assignment/probing uses
+    exact integer-quantized dot products with ties broken toward the
+    smaller centroid id — every step reproducible by a SQL twin
+    (``queries/llm._ann_ivf_oracle``).  The plan shape IS the production
+    IVF plan: one corpus scan to assign buckets (broadcast-literal
+    centroid expressions, codegen, no shuffle), queries probe their
+    ``nprobe`` best lists, candidate join equi on the bucket id.  Use
+    :func:`ivf_topk` (k-means-trained, recall-pinned in tests) when index
+    quality matters more than cross-engine determinism."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("j"), quantized(vec_col).alias("cqv"))
+        .collect()
+    )
+
+    def cdots(qv_col: str) -> list:
+        # struct(dot, -j): array_max picks the highest dot, ties toward the
+        # SMALLER centroid id (max of -j) — mirrored by the oracle's
+        # ORDER BY s DESC, j ASC
+        return [
+            F.struct(
+                _int_dot(qv_col, r["cqv"]).alias("s"),
+                F.lit(-int(r["j"])).cast("long").alias("nj"),
+            )
+            for r in cents
+        ]
+
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double(vec_col).alias("c_vec"), quantized(vec_col).alias("qv")
+    )
+    c = c.select("c_id", "c_vec", (-F.array_max(F.array(*cdots("qv"))).getField("nj")).alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"), quantized(vec_col).alias("qv")
+    )
+    probes = F.slice(F.sort_array(F.array(*cdots("qv")), asc=False), 1, nprobe)
+    q = q.select(
+        "q_id", "q_vec", F.explode(F.transform(probes, lambda s: -s.getField("nj"))).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
+    )
+    return _topk_tail(scored, k, scale)
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.4,
@@ -345,33 +510,24 @@ def neardup_pairs_lsh(
         .cache()
     )
 
-    def sketch(planes: list[list[int]]):
-        bits = []
-        for i, p in enumerate(planes):
-            # ONE py4j call per plane: building this as
-            # F.array(*[F.lit(c).cast("long") ...]) costs dim×2 gateway
-            # round-trips per plane — 4096 literals ≈ 12 s of pure Python
-            # plan construction before Spark even sees the query
-            coeffs = F.expr("array(" + ",".join(f"{c}L" for c in p) + ")")
-            d = F.aggregate(
-                F.zip_with(F.col("qv"), coeffs, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            )
-            bits.append(F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
+    # sketch rows carry ONLY (id, table, sketch) — never the vector.  The
+    # bucket self-join and the candidate dedup shuffle 24-byte rows; with
+    # the vectors attached (the previous shape) every one of the ~Σbucket²
+    # candidate rows dragged two 64-double arrays plus norms through two
+    # shuffles (~3 GB at 10k vectors — measured 20-45 s; ids-only: ~2 s).
+    # Vectors re-attach AFTER the dedup via two equi-joins against the
+    # cached base — |candidates| + 2|base| rows of payload, the minimum.
     sk = base.select(
         "id",
-        "vd",
-        "nrm",
         F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), sketch(p).alias("sk")) for t, p in enumerate(tables)])
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), quantized_sketch("qv", p).alias("sk"))
+                    for t, p in enumerate(tables)
+                ]
+            )
         ).alias("b"),
-    ).select("id", "vd", "nrm", "b.t", "b.sk")
+    ).select("id", "b.t", "b.sk")
     l, r = sk.alias("l"), sk.alias("r")
     candidates = (
         l.join(
@@ -380,22 +536,19 @@ def neardup_pairs_lsh(
             & (F.col("l.sk") == F.col("r.sk"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.vd").alias("va"),
-            F.col("r.vd").alias("vb"),
-            F.col("l.nrm").alias("na"),
-            F.col("r.nrm").alias("nb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    a = base.select(F.col("id").alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
     # dot / (na·nb) with the precomputed norms is the identical double
     # expression tree as cosine() — sqrt(Σa²)·sqrt(Σb²) — just not
     # re-scanned per candidate pair
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        candidates.select("id_a", "id_b", sim.alias("__sim"))
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("__sim"))
         .filter(F.col("__sim") >= threshold)
         .select("id_a", "id_b", F.round("__sim", scale).alias("cos_sim"))
     )

@@ -85,64 +85,73 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 3 window -----------------------------------------------------
-    # 1-25: the 25 queries with NO driver row in r1 or r2 (VERDICT r2
-    # "What's missing" #1) — first-ever attestation.
-    "tpch_q2_min_cost_supplier",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_join",
-    "tpch_q22_idle_customers",
-    "table_profile",
-    "integrity_audit",
-    "window_running_distinct",
-    "robust_stats_mad",
-    "merge_upsert_snapshot",
-    "global_sort_index",
-    "sequence_packing",
-    "vocab_oov_rate",
-    "pii_redaction",
-    "embedding_label_centroids",
-    "boilerplate_chunk_removal",
-    "tfidf_top_terms",
-    "topp_cumulative_share",
-    "try_arithmetic",
-    "map_functions",
-    "cogroup_asof_pandas",
-    "zorder_layout",
-    "streaming_topk_complete",
+    # --- round 5 window -----------------------------------------------------
+    # 1-15: everything repaired or changed this round.  1-11 sat in the
+    # round-4 blast radius of the TIMESTAMP_NTZ environment shift (flagship
+    # interval join + as-of joins crashed; replay wire format NULLed every
+    # event time, zeroing the streaming windows) — the fix lives at the
+    # source boundary (sources/batch.normalize_timestamps) and these rows
+    # re-attest it in the driver's environment.  12-15 were rows-only
+    # (oracle=None) for four straight rounds; this round rebuilt them on
+    # portable md5-derived hashes / integer-quantized sketches so the
+    # driver hash-checks the approximate results themselves.
+    "interval_join",
+    "currency_conversion",
+    "projection_filter",
+    "asof_join_latest_rate",
+    "asof_forward_join",
+    "streaming_interval_join",
+    "streaming_tumbling_window",
+    "streaming_session_window",
+    "streaming_late_data",
     "streaming_chained_windows",
-    # 26-33: changed in r3 — convergence/count-action rewires, oracle-parity
-    # fixes, and the approximate ops upgraded from rows-only to deterministic
-    # hash-checkable oracles.
-    "dedup_clusters",
-    "neardup_jaccard",
-    "embedding_quantize_int8",
+    "streaming_running_aggregate",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "streaming_late_data",
-    # 34-50: r1-attested-only tail rotated back in (streaming stateful ops
-    # first — they rode out of the window in r2).
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "streaming_running_aggregate",
+    # 16-25: adjacent surfaces touched this round — bench-headline
+    # additions (dedup_clusters, embedding_neardup), the max_df-validated
+    # jaccard path, the remaining replay-path streaming ops, and the
+    # capability-probed media decoders.
+    "dedup_clusters",
+    "embedding_neardup",
+    "neardup_jaccard",
     "streaming_static_enrich",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "ann_cosine_topk",
-    "edit_distance_verify",
-    "stat_aggregates",
-    "correlated_subquery",
-    "rank_family",
-    "window_value_family",
-    "range_frame_window",
-    "pandas_grouped_zscore",
-    "pandas_udaf_weighted_avg",
-    "python_udtf_bigrams",
-    "asof_join_latest_rate",
+    "streaming_sliding_window",
+    "streaming_dedup",
+    "streaming_topk_complete",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_resize",
+    # 26-50: staleness rotation — queries whose newest driver row is r2
+    # (the r3/r4 windows excluded them); r4 proved attestation rot is real,
+    # so the tail cycles back in oldest-first.
+    "json_extract_agg",
+    "pivot_status_by_priority",
+    "array_agg_sorted",
+    "set_intersect",
+    "self_range_join",
+    "null_scalars",
+    "array_hof_pipeline",
+    "timeseries_interpolate",
+    "lag_lead_gaps",
+    "explode_token_frequencies",
+    "event_sequence_detect",
+    "funnel_steps",
+    "timeseries_gap_fill",
+    "session_gaps_islands",
+    "cascaded_rollup",
+    "token_stats",
+    "bpe_token_estimate",
+    "quality_score",
+    "lang_id",
+    "corpus_clean_pipeline",
+    "contamination_ngram_overlap",
+    "repetition_signals",
+    "doc_chunks",
+    "normalize_text",
+    "rolling_fingerprint",
 ]
 
 

@@ -193,11 +193,56 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5, max_df="auto")
 
 
+def _minhash_lsh_oracle(n: int = 3, num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.5, seed: int = 7) -> str:
+    """DuckDB twin of ``D.minhash_lsh_pairs``: the md5-derived 60-bit
+    shingle hash and the literal (a,b) permutation coefficients reproduce
+    the identical signatures, band keys, candidate pairs, and verified
+    jaccards — the LSH approximation is deterministic across engines, so
+    the oracle hash-checks the banded plan exactly."""
+    rows = num_perm // bands
+    p = D.MERSENNE_PRIME
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+        for a, b in D._minhash_params(num_perm, seed)
+    )
+    return f"""
+    WITH {_DUCK_NEARDUP_CORPUS},
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= {n}
+               THEN list_transform(range(1, len(tk) - {n - 2}),
+                                   i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+               ELSE [] END) AS shingles
+           FROM toks),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    hs AS (SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hs
+           FROM sh2),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs),
+    bands AS (SELECT doc_id, b,
+               array_to_string(sig[CAST(b*{rows}+1 AS INT):CAST(b*{rows}+{rows} AS INT)], ',') AS bh
+              FROM sig CROSS JOIN range({bands}) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    v AS (SELECT id_a, id_b,
+            len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+            len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)) AS un
+          FROM cand
+          JOIN sh2 sa ON sa.doc_id = id_a
+          JOIN sh2 sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, floor(inter * 1.0 / un * 10000 + 0.5) / 10000 AS jaccard
+    FROM v WHERE inter * 1.0 / un >= {threshold}
+    """
+
+
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # hash functions differ across engines; verified against
-    # exact Jaccard in tests/test_dedup.py (recall/precision on planted pairs)
-    doc="MinHash + banded LSH near-dup candidates, exact-Jaccard verified",
+    oracle=_minhash_lsh_oracle(),
+    doc="MinHash + banded LSH near-dup candidates, exact-Jaccard verified; "
+    "portable md5-derived shingle hashes make the whole banded plan "
+    "deterministic and oracle-hash-checkable",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_neardup_copies(spark, sf_dir)
@@ -206,9 +251,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based fingerprint not reproducible in DuckDB;
-    # Hamming/blocking properties verified in tests/test_dedup.py
-    doc="64-bit SimHash fingerprints with chunk-blocked Hamming≤3 pair detection",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    h AS (SELECT doc_id,
+            unnest(list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+          FROM toks WHERE len(tk) > 0),
+    bits AS (SELECT doc_id, b,
+               sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+             FROM h CROSS JOIN range({D.SIMHASH_BITS}) t(b) GROUP BY doc_id, b)
+    SELECT doc_id,
+           bit_or(CASE WHEN v > 0 THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="60-bit SimHash fingerprints (portable md5-derived token hashes, "
+    "bit-for-bit oracle-checkable) with chunk-blocked Hamming≤3 pair detection",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
@@ -348,15 +404,58 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
+                    seed: int = 13, n_queries: int = 5) -> str:
+    """DuckDB twin of ``S.lsh_topk_det``: identical integer-quantized
+    sketches ⇒ identical buckets ⇒ identical candidates ⇒ identical
+    approximate top-k (see ``_neardup_lsh_oracle`` for the exactness
+    argument)."""
+    tables = S.neardup_lsh_planes(dim=64, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    selects = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {coeffs}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, coeffs in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS t, ({bits}) AS sk FROM q")
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> floor(x * {S.NEARDUP_QUANT})) AS qv
+      FROM embeddings
+    ),
+    sk AS ({union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM sk a JOIN sk b ON a.t = b.t AND a.sk = b.sk
+      WHERE a.vec_id < {n_queries} AND b.vec_id <> a.vec_id
+    ),
+    scored AS (
+      SELECT q_id, c_id,
+             list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS cs
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = q_id
+      JOIN embeddings ec ON ec.vec_id = c_id
+    ),
+    ranked AS (SELECT q_id, c_id, cs,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+               FROM scored)
+    SELECT q_id, c_id, round(cs, 6) AS cos_sim, rn FROM ranked WHERE rn <= {k}
+    """
+
+
 @query(
     "ann_lsh_topk",
-    oracle=None,  # approximate by construction; recall vs brute_topk pinned
-    # in tests/test_similarity.py
-    doc="LSH-bucketed approximate cosine top-k (random-hyperplane sketches)",
+    oracle=_ann_lsh_oracle(),
+    doc="LSH-bucketed approximate cosine top-k — deterministic "
+    "integer-quantized hyperplane sketches, so the approximate result "
+    "itself is oracle-hash-checkable; recall vs brute_topk additionally "
+    "pinned in tests/test_similarity.py",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return S.lsh_topk_det(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 @query(
@@ -451,15 +550,60 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "id_a").select("id_a", "id_b", d.alias("edit_dist"), sim.alias("sim"))
 
 
+def _ann_ivf_oracle(k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                    n_queries: int = 5) -> str:
+    """DuckDB twin of ``S.ivf_topk_det``: lowest-id centroids, exact
+    integer-quantized assignment dots with ties toward the smaller
+    centroid id — the inverted-file partitioning is reproduced exactly,
+    so candidates and the approximate top-k hash-match."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> floor(x * {S.NEARDUP_QUANT})) AS qv
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS j, qv AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}),
+    assign AS (
+      SELECT e.vec_id AS c_id, cent.j,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.qv, cent.cv) DESC, cent.j) AS r
+      FROM e CROSS JOIN cent
+    ),
+    buck AS (SELECT c_id, j AS bucket FROM assign WHERE r = 1),
+    probes AS (
+      SELECT e.vec_id AS q_id, cent.j AS bucket,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.qv, cent.cv) DESC, cent.j) AS r
+      FROM e CROSS JOIN cent WHERE e.vec_id < {n_queries}
+    ),
+    cand AS (
+      SELECT q_id, c_id
+      FROM (SELECT q_id, bucket FROM probes WHERE r <= {nprobe}) p
+      JOIN buck USING (bucket)
+      WHERE c_id <> q_id
+    ),
+    scored AS (
+      SELECT q_id, c_id, list_cosine_similarity(eq.v, ec.v) AS cs
+      FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = c_id
+    ),
+    ranked AS (SELECT q_id, c_id, cs,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+               FROM scored)
+    SELECT q_id, c_id, round(cs, 6) AS cos_sim, rn FROM ranked WHERE rn <= {k}
+    """
+
+
 @query(
     "ann_ivf_topk",
-    oracle=None,  # approximate by construction; recall vs brute_topk pinned
-    # in tests/test_similarity.py
-    doc="IVF approximate cosine top-k (sampled k-means centroids, nprobe lists)",
+    oracle=_ann_ivf_oracle(),
+    doc="IVF approximate cosine top-k — deterministic lowest-id centroids "
+    "+ integer-quantized assignment make the inverted-file partitioning "
+    "oracle-hash-checkable; the k-means-trained ivf_topk stays the "
+    "production index build (recall pinned in tests/test_similarity.py)",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4)
+    return S.ivf_topk_det(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4)
 
 
 def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16, seed: int = 13) -> str:
@@ -500,6 +644,7 @@ def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16,
 @query(
     "embedding_neardup",
     oracle=_neardup_lsh_oracle(threshold=0.35),
+    headline=True,
     doc="embedding-cosine near-duplicate pairs (threshold 0.35) via "
     "deterministic LSH bucketing — equi-join on (table, sketch), exact "
     "cosine verify on candidates only; no all-pairs join anywhere in the plan",

@@ -107,6 +107,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_id, coalesce(cl.comp, c.doc_id) AS cluster_id
     FROM corpus c LEFT JOIN closure cl ON cl.node = c.doc_id
     """,
+    headline=True,  # the r3 components rewrite was never benched (r2: 17.4 s)
     doc="iterative connected components: near-dup pairs -> dedup clusters "
     "(min-label propagation; oracle = recursive-CTE transitive closure)",
 )

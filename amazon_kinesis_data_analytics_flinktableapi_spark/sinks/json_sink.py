@@ -47,6 +47,27 @@ def write_stream_json(
     return writer.start()
 
 
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """The Kafka sink's option set, exposed as data so wiring is testable
+    without a broker (mirrors the reference's producer config,
+    StreamingJob.java:110-130)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def kafka_payload(df: DataFrame, fixed_key: str | None = None) -> DataFrame:
+    """Project rows to the Kafka record shape: a ``value`` JSON column,
+    plus a constant ``key`` when ``fixed_key`` is set (the reference's
+    fixed partition key "0" — total order via a single shard)."""
+    payload = serialize_json(df)
+    if fixed_key is not None:
+        payload = payload.withColumn("key", F.lit(fixed_key))
+    return payload
+
+
 def write_stream_kafka(
     df: DataFrame,
     brokers: str,
@@ -56,14 +77,10 @@ def write_stream_kafka(
 ) -> StreamingQuery:
     """Kafka JSON sink; ``fixed_key="0"`` replicates the reference's
     single-shard totally-ordered output."""
-    payload = serialize_json(df)
-    if fixed_key is not None:
-        payload = payload.withColumn("key", F.lit(fixed_key))
     return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        kafka_payload(df, fixed_key)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
         .outputMode("append")
         .start()
     )

@@ -67,6 +67,17 @@ def file_replay(
     return reader.json(path)
 
 
+def kafka_source_options(brokers: str, topic: str, starting_offsets: str = "latest") -> dict[str, str]:
+    """The Kafka source's option set, exposed as data so wiring is testable
+    without a broker (mirrors the reference's consumer config: LATEST
+    initial position, StreamingJob.java:26-41)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_json(
     spark: SparkSession,
     brokers: str,
@@ -78,9 +89,7 @@ def kafka_json(
     equivalent of the reference's LATEST-position Kinesis consumer)."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
     )
     return parse_json_stream(raw, schema)

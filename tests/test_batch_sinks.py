@@ -102,3 +102,34 @@ def test_compact_parquet_small_files(spark, tmp_path):
     # content preserved exactly
     assert spark.read.parquet(dst).count() == ev.count()
     assert spark.read.parquet(dst).exceptAll(ev).count() == 0
+
+
+def test_kafka_builder_wiring(spark):
+    """Kafka source/sink option builders and the record-shape projection,
+    asserted without a broker (e2e is env-blocked; the wiring is not)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sinks.json_sink import kafka_payload, kafka_sink_options
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import kafka_source_options
+
+    so = kafka_source_options("b1:9092,b2:9092", "orders")
+    assert so == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "orders",
+        "startingOffsets": "latest",  # reference: LATEST initial position
+    }
+    assert kafka_source_options("b:9092", "t", "earliest")["startingOffsets"] == "earliest"
+
+    ko = kafka_sink_options("b:9092", "results", "/tmp/ckpt")
+    assert ko == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "results",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+
+    df = spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    plain = kafka_payload(df)
+    assert plain.columns == ["value"]
+    keyed = kafka_payload(df, fixed_key="0")
+    assert keyed.columns == ["value", "key"]
+    rows = keyed.collect()
+    assert all(r["key"] == "0" for r in rows)  # reference fixed shard key
+    assert all(r["value"].startswith("{") for r in rows)

@@ -62,3 +62,16 @@ def test_string_node_ids(spark):
     comps = {r.node: r.comp for r in connected_components(edges).collect()}
     assert comps["doc-a"] == comps["doc-b"] == comps["doc-c"] == "doc-a"
     assert comps["doc-x"] == comps["doc-y"] == "doc-x"
+
+
+def test_unionfind_handles_self_loop_only_nodes(spark):
+    """A node whose only edge is a self-loop must still be labeled (its own
+    singleton component) — previously the union-find path dropped it because
+    no union ever fired for it."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)}

@@ -75,3 +75,10 @@ def test_simhash_pairs_blocking(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
     for i in range(5):
         assert pairs.get((i, 100 + i)) == 0, f"exact copy pair ({i},{100+i}) not found at hamming 0"
+
+
+def test_jaccard_pairs_rejects_bad_max_df(corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_df"):
+        D.jaccard_pairs(corpus, "doc_id", "text", max_df="5%")

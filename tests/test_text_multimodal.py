@@ -143,3 +143,23 @@ def test_set_decoder_plugs_in(spark):
         assert (out.width, out.height, out.n_frames) == (1, 2, 3)
     finally:
         M.set_decoder(M.fake_decode)
+
+
+def test_real_decode_capability_probe():
+    """real_decode is a runtime capability probe: PIL present → decodes an
+    actual image; absent → the documented NotImplementedError."""
+    import io
+
+    import pytest as _pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
+
+    if not M.has_real_decoder():
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            M.real_decode(b"\x89PNG", "image")
+        return
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    assert M.real_decode(buf.getvalue(), "image") == (12, 7, 1)
