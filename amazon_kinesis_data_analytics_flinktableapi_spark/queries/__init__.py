@@ -124,7 +124,13 @@ _PRIORITY: list[str] = [
     "media_decode_meta",
     "media_frame_sample",
     "media_resize",
-    # 26-50: staleness rotation — queries whose newest driver row is r2
+    # 26-29: brand-new this round (first-ever attestation): TPC-H Q4/Q6/
+    # Q10/Q14 shapes.
+    "tpch_q4_priority_check",
+    "tpch_q6_revenue_delta",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share",
+    # 30-50: staleness rotation — queries whose newest driver row is r2
     # (the r3/r4 windows excluded them); r4 proved attestation rot is real,
     # so the tail cycles back in oldest-first.
     "json_extract_agg",
@@ -148,10 +154,6 @@ _PRIORITY: list[str] = [
     "lang_id",
     "corpus_clean_pipeline",
     "contamination_ngram_overlap",
-    "repetition_signals",
-    "doc_chunks",
-    "normalize_text",
-    "rolling_fingerprint",
 ]
 
 

@@ -1328,3 +1328,171 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q6_revenue_delta",
+    oracle="""
+    SELECT CAST(sum(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_delta_cents,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: single-table forecasting aggregate — every "
+    "predicate pushes to the parquet scan, zero joins, one partial+final "
+    "aggregation pair; the canonical scan-bound query",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ALL three filters reach PushedFilters (shipdate range,
+    # discount range, quantity bound), so at 100 TB row-group statistics
+    # prune most of the scan before a single row decodes; the aggregate
+    # ships one partial row per task.
+    (li,) = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents).cast("bigint").alias("revenue_delta_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: order-priority checking — date-range scan + "
+    "correlated EXISTS (left-semi join with a cross-side residual "
+    "predicate) + tiny aggregation.  Adapted: TESTDATA carries no "
+    "commit/receipt dates, so 'late' = any line shipped >60 days after "
+    "the order date (same semi-join-with-residual plan shape)",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the EXISTS is a LEFT SEMI shuffle join on l_orderkey — the
+    # equi component drives partitioning, the ship-lag comparison rides as
+    # a join-condition residual; the order date range pushes to the orders
+    # scan, pruning the build side before the shuffle.
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.alias("o")
+        .join(li.alias("l"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, acctbal_cents
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking — fact-to-fact "
+    "equi join chain + broadcast dims + top-20 by revenue (deterministic "
+    "custkey tie-break)",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: lineitem('R' rows) ⋈ orders(one quarter) shuffle on the
+    # orderkey — both sides pre-filtered at their scans; customer joins on
+    # the aggregated (≤|customers in window|) result; nation broadcasts.
+    # The final top-20 is TakeOrderedAndProject, never a global sort.
+    customer, orders, li, nation = load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("bigint")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+    )
+    return (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("acctbal_cents"),
+            "revenue_cents",
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+             p_type LIKE 'PROMO%' AS is_promo
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT) AS promo_revenue_cents,
+           CAST(sum(cents) AS BIGINT) AS total_revenue_cents,
+           CAST(FLOOR(sum(CASE WHEN is_promo THEN cents ELSE 0 END) * 10000.0
+                      / sum(cents)) AS BIGINT) AS promo_share_bp
+    FROM r
+    """,
+    doc="TPC-H Q14 shape: promotion revenue share — one-month scan, "
+    "broadcast part dim, conditional aggregation, integer basis-point "
+    "ratio (exact-double floor, engine-portable)",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the month filter pushes to the lineitem scan; part broadcasts;
+    # one partial+final aggregate pair — no shuffle of fact rows at all.
+    # Integer-cents sums < 2^53 keep the 10000.0 ratio double exact, so the
+    # basis-point floor is identical on any engine.
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    j = (
+        li.filter((F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("bigint")
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), cents).otherwise(F.lit(0))).cast("bigint")
+    total = F.sum(cents).cast("bigint")
+    return j.agg(
+        promo.alias("promo_revenue_cents"),
+        total.alias("total_revenue_cents"),
+        F.floor(promo * 10000.0 / total).cast("bigint").alias("promo_share_bp"),
+    )

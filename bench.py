@@ -61,6 +61,10 @@ def main() -> None:
     )
     from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import run_to_memory
 
+    # drop the batch phase's cached intermediates (near-dup corpora, sketch
+    # bases) before timing the stream: leftover storage memory inflates GC
+    # during micro-batches and was measured to halve the rec/s number
+    spark.catalog.clearCache()
     joined = prepare_streaming_interval_join(spark, sf_dir)
     t = time.time()
     stream_rows = run_to_memory(joined, spark, timeout_sec=240).count()

@@ -271,3 +271,37 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q6_all_filters_pushed(spark):
+    """Q6 is the canonical scan-bound aggregate: shipdate/discount/quantity
+    predicates must all reach the parquet scan; no join anywhere."""
+    df = q("tpch_q6_revenue_delta", spark)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)")
+    plan = explain_str(df)
+    assert "Join" not in plan
+
+
+def test_tpch_q4_semi_join_no_cartesian(spark):
+    """Q4's EXISTS must plan as a LEFT SEMI equi join on the orderkey with
+    the ship-lag comparison as a residual — never a nested loop."""
+    df = q("tpch_q4_priority_check", spark)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q10_topk_and_broadcast_nation(spark):
+    """Q10's top-20 must be TakeOrderedAndProject (never a global sort);
+    the nation dim broadcasts."""
+    df = q("tpch_q10_returned_revenue", spark)
+    assert_take_ordered(df)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_tpch_q14_broadcast_part(spark):
+    """Q14's part dim broadcasts; the month filter reaches the fact scan."""
+    df = q("tpch_q14_promo_share", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
