@@ -124,16 +124,18 @@ _PRIORITY: list[str] = [
     "media_decode_meta",
     "media_frame_sample",
     "media_resize",
-    # 26-29: brand-new this round (first-ever attestation): TPC-H Q4/Q6/
-    # Q10/Q14 shapes.
+    # 26-30: brand-new this round (first-ever attestation): TPC-H Q4/Q6/
+    # Q10/Q14 shapes + the deterministic KMV distinct sketch.
     "tpch_q4_priority_check",
     "tpch_q6_revenue_delta",
     "tpch_q10_returned_revenue",
     "tpch_q14_promo_share",
-    # 30-50: staleness rotation — queries whose newest driver row is r2
+    "kmv_distinct_sketch",
+    # 31-50: staleness rotation — queries whose newest driver row is r2
     # (the r3/r4 windows excluded them); r4 proved attestation rot is real,
-    # so the tail cycles back in oldest-first.
-    "json_extract_agg",
+    # so the tail cycles back in oldest-first.  (json_extract_agg yields
+    # its slot to the new queries this round — pure scalar-function
+    # surface, lowest rot risk.)
     "pivot_status_by_priority",
     "array_agg_sorted",
     "set_intersect",

@@ -499,6 +499,76 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    topk AS (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+             FROM h),
+    agg AS (SELECT event_type, max(h) AS hk, count(*) AS m
+            FROM topk WHERE rn <= 256 GROUP BY event_type)
+    SELECT event_type,
+           CASE WHEN m < 256 THEN m
+                ELSE CAST(FLOOR(255 * (POW(2, 60) / CAST(hk AS DOUBLE))) AS BIGINT)
+           END AS kmv_users
+    FROM agg
+    """,
+    doc="deterministic distinct-count sketch: k-minimum-values (k=256) over "
+    "the portable md5-derived 60-bit hash — the oracle-checkable sibling of "
+    "approx_sketches' HLL (same estimate on ANY engine computing the same "
+    "hash, unlike HLL whose register layout is implementation-specific)",
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimator: keep each group's k smallest distinct hash values;
+    with h_k = the k-th smallest over hash space [0, 2^60), the density
+    estimate is (k-1) / (h_k / 2^60).  Exact when the group has < k
+    distinct values (every value is in the sketch).
+
+    Scale shape: the sketch is MERGEABLE — union two k-smallest sets and
+    re-take the k smallest.  The plan exploits that: per-input-partition
+    k-smallest first (partial ``collect_set`` dedups map-side, sorted and
+    sliced to k), then a merge of ≤ k×n_partitions survivors per group —
+    the group shuffle never carries a group's full distinct set, which is
+    what the naive distinct+window plan would do at 100 TB.  The i64→
+    double conversion and the division are IEEE-identical on any engine,
+    so the estimate — not just the sketch — is deterministic."""
+    (ev,) = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=256).withColumnRenamed(
+        "kmv_distinct", "kmv_users"
+    )
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 256) -> DataFrame:
+    """(group, kmv_distinct) — the mergeable KMV estimator described in
+    ``q_kmv_distinct_sketch``; ``k`` dials accuracy (rel. error ≈ 1/√k)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    hashed = df.select(
+        F.spark_partition_id().alias("__p"),
+        group_col,
+        md5_hash60(F.col(value_col).cast("string")).alias("h"),
+    )
+    pre = hashed.groupBy("__p", group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+    )
+    merged = (
+        pre.select(group_col, F.explode("hs").alias("h"))
+        .groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+    )
+    m = F.size("hs")
+    hk = F.element_at("hs", m)
+    est = F.when(m < k, m.cast("bigint")).otherwise(
+        F.floor((k - 1) * (F.lit(float(2**60)) / hk.cast("double"))).cast("bigint")
+    )
+    return merged.select(group_col, est.alias("kmv_distinct"))
+
+
+@query(
     "cogroup_asof_pandas",
     oracle="""
     WITH o AS (

@@ -70,3 +70,25 @@ def test_global_running_sum_partition_invariant(spark):
             for r in global_running_sum(df, [F.col("id")], "v", sum_name="rs", num_partitions=n).collect()
         }
         assert got == expect, f"num_partitions={n} diverged"
+
+
+def test_kmv_estimator_accuracy(spark):
+    """The KMV estimator path (group cardinality > k): relative error stays
+    within ~4/sqrt(k) of the exact distinct count on synthetic groups."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.extras import kmv_distinct
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        # group 0: 20k candidate values with collisions -> ~9.9k distinct
+        # group 1: distinct-per-row ids
+        F.when(F.col("id") % 2 == 0, F.pmod(F.xxhash64("id"), 10_000)).otherwise(
+            F.col("id") + 1_000_000
+        ).alias("v"),
+    )
+    exact = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    got = {r["g"]: r["kmv_distinct"] for r in kmv_distinct(df, "g", "v", k=256).collect()}
+    assert set(got) == set(exact)
+    for g, n in exact.items():
+        assert n > 256, "test must exercise the estimator path"
+        rel = abs(got[g] - n) / n
+        assert rel < 0.25, f"group {g}: est {got[g]} vs exact {n} (rel {rel:.3f})"
