@@ -65,6 +65,14 @@ def main() -> None:
     # bases) before timing the stream: leftover storage memory inflates GC
     # during micro-batches and was measured to halve the rec/s number
     spark.catalog.clearCache()
+    # Size STATE partitions to the workload: every stateful operator opens
+    # and commits one state store per shuffle partition per micro-batch, a
+    # fixed ~100ms-class overhead that dwarfs the row work when partitions
+    # outnumber the throughput (measured on this 100k-event replay:
+    # 32 partitions → ~8.5k rec/s, 8 → ~31k, 4 → ~35k).  At cluster scale
+    # the same knob goes UP with state volume; the principle is sizing to
+    # rows-per-partition-per-batch, never the batch default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     joined = prepare_streaming_interval_join(spark, sf_dir)
     t = time.time()
     stream_rows = run_to_memory(joined, spark, timeout_sec=240).count()

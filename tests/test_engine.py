@@ -106,3 +106,15 @@ def test_observe_batch_metrics(engine, spark):
     assert obs.get["rows"] == ev.count()
     assert obs.get["max_value"] > 0
     assert kept <= obs.get["rows"]
+
+
+def test_read_table_never_yields_ntz(spark):
+    """Environment canary (round-4 regression class): whatever timestamp
+    flavor TESTDATA's parquet carries (ns, us-NTZ, us-UTC), read_table must
+    hand every query plain TIMESTAMP columns."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+
+    for t in ["events", "orders", "lineitem"]:
+        schema = read_table(spark, "/root/testdata/sf0.001", t).schema
+        bad = [f.name for f in schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+        assert not bad, f"{t}: NTZ columns leaked through the source boundary: {bad}"
