@@ -134,3 +134,49 @@ def test_lsh_multi_probe_recall_on_uniform(spark):
     r_multi = len(brute & {(r.q_id, r.c_id) for r in multi.collect()}) / len(brute)
     assert r_multi >= 0.7, f"multi-probe recall too low on uniform data: {r_multi}"
     assert r_multi > r_single, f"multi-probe ({r_multi}) should beat single-probe ({r_single})"
+
+
+def test_lsh_topk_det_recall_and_values(vectors):
+    """The deterministic (oracle-checkable) LSH variant: candidate top-k
+    values are exact cosines, recall vs brute force holds on clustered
+    data, and repeated runs are bit-identical."""
+    queries = vectors.filter(F.col("vec_id") < 10)
+    brute = S.brute_topk(vectors, queries, k=10)
+    det = S.lsh_topk_det(vectors, queries, k=10, dim=DIM, n_planes=6, n_tables=8)
+    b = {(r.q_id, r.c_id) for r in brute.collect()}
+    d1 = {(r.q_id, r.c_id, r.cos_sim, r.rn) for r in det.collect()}
+    d2 = {(r.q_id, r.c_id, r.cos_sim, r.rn) for r in S.lsh_topk_det(
+        vectors, queries, k=10, dim=DIM, n_planes=6, n_tables=8).collect()}
+    assert d1 == d2, "deterministic variant must be run-to-run identical"
+    hits = {(q, c) for q, c, _, _ in d1}
+    assert len(hits & b) / len(b) >= 0.6
+    # every reported cosine must be the exact value (verified, not sketched)
+    rows = dict((r.vec_id, np.array(r.embedding)) for r in vectors.collect())
+    for q, c, sim, _rn in list(d1)[:20]:
+        expect = float(rows[q] @ rows[c] / (np.linalg.norm(rows[q]) * np.linalg.norm(rows[c])))
+        assert math.isclose(sim, expect, abs_tol=1e-5)
+
+
+def test_ivf_topk_det_deterministic_and_exact_within_probes(vectors):
+    """The deterministic IVF variant: run-to-run identical, and reported
+    neighbours are exact cosines drawn from the probed lists."""
+    queries = vectors.filter(F.col("vec_id") == 0)
+    a = [(r.q_id, r.c_id, r.cos_sim, r.rn) for r in S.ivf_topk_det(
+        vectors, queries, k=5, n_centroids=10, nprobe=3).orderBy("rn").collect()]
+    b = [(r.q_id, r.c_id, r.cos_sim, r.rn) for r in S.ivf_topk_det(
+        vectors, queries, k=5, n_centroids=10, nprobe=3).orderBy("rn").collect()]
+    assert a == b
+    assert len(a) == 5
+    rows = dict((r.vec_id, np.array(r.embedding)) for r in vectors.collect())
+    for q, c, sim, _rn in a:
+        expect = float(rows[q] @ rows[c] / (np.linalg.norm(rows[q]) * np.linalg.norm(rows[c])))
+        assert math.isclose(sim, expect, abs_tol=1e-5)
+
+
+def test_ivf_topk_det_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 10)
+    brute = S.brute_topk(vectors, queries, k=10)
+    det = S.ivf_topk_det(vectors, queries, k=10, n_centroids=10, nprobe=3)
+    b = {(r.q_id, r.c_id) for r in brute.collect()}
+    d = {(r.q_id, r.c_id) for r in det.collect()}
+    assert len(d & b) / len(b) >= 0.5  # lowest-id centroids trade recall for determinism
