@@ -131,12 +131,12 @@ _PRIORITY: list[str] = [
     "tpch_q10_returned_revenue",
     "tpch_q14_promo_share",
     "kmv_distinct_sketch",
-    # 31-50: staleness rotation — queries whose newest driver row is r2
+    "streaming_asof_enrich",
+    # 32-50: staleness rotation — queries whose newest driver row is r2
     # (the r3/r4 windows excluded them); r4 proved attestation rot is real,
-    # so the tail cycles back in oldest-first.  (json_extract_agg yields
-    # its slot to the new queries this round — pure scalar-function
-    # surface, lowest rot risk.)
-    "pivot_status_by_priority",
+    # so the tail cycles back in oldest-first.  (json_extract_agg and
+    # pivot_status_by_priority yield their slots to the new queries this
+    # round — simple, low-rot-risk surfaces.)
     "array_agg_sorted",
     "set_intersect",
     "self_range_join",

@@ -759,3 +759,109 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "streaming_asof_enrich",
+    oracle="""
+    WITH o AS (
+      SELECT event_id AS id, ts AS order_time,
+             CAST(FLOOR(value * 100) AS INTEGER) AS amount,
+             event_type AS currency
+      FROM events
+    ), r AS (
+      SELECT ts AS rate_time, event_type AS currency,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events WHERE event_id % 17 = 0
+    ), j AS (
+      SELECT o.id, o.order_time, o.amount, o.currency, r.rate_time, r.rate
+      FROM o JOIN r
+        ON o.currency = r.currency
+       AND o.order_time >= r.rate_time
+       AND r.rate_time > o.order_time - INTERVAL 1 HOUR
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY rate_time DESC, rate DESC) AS rn
+      FROM j
+    )
+    SELECT id, amount, currency, rate, amount * rate AS converted_amount
+    FROM ranked
+    WHERE rn = 1
+      AND date_trunc('hour', order_time) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events WHERE event_id % 17 = 0) - INTERVAL 1 HOUR
+    """,
+    doc="STREAMING as-of enrichment (Flink temporal-join analogue): "
+    "stream-stream interval join chained into a per-order latest-rate "
+    "aggregation — two stateful operators; append mode emits exactly the "
+    "order-hour windows the rate-side output watermark (held back by the "
+    "join's 1h interval bound) closes — oracle-proven",
+)
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order enriched with the LATEST rate in (t-1h, t] — the
+    reference's currency-conversion use case as a true temporal join
+    rather than a fan-out interval join.  Chained stateful operators
+    (Spark 3.4+): watermarked stream-stream interval join, then an
+    event-time-windowed max_by aggregation keyed by order.  The emission
+    cutoff in the oracle is EMPIRICAL and exact: the join holds the
+    output watermark back by the interval bound on the rate side, so
+    order windows emit iff window_end <= max(rate ts) - interval
+    (validated row-for-row at sf0.001 and sf0.01)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
+        interval_join_bucketed,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+        EXCHANGE_RATE_SCHEMA,
+        ORDER_SCHEMA,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    orders_b = ev.select(
+        F.col("event_id").cast("int").alias("id"),
+        F.col("ts").alias("orderTime"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates_b = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("exchangeRateTime"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    o = replay_stream(spark, orders_b, ORDER_SCHEMA, f"{tmp}/o").withWatermark(
+        "orderTime", "0 seconds"
+    )
+    r = (
+        replay_stream(spark, rates_b, EXCHANGE_RATE_SCHEMA, f"{tmp}/r")
+        .withColumnRenamed("exchangeRateTime", "rateTime")
+        .withWatermark("rateTime", "0 seconds")
+    )
+    joined = interval_join_bucketed(
+        o, r, on="currency", left_time="orderTime", right_time="rateTime",
+        interval="1 hour", how="inner",
+    ).select(
+        F.col("l.id").alias("id"),
+        F.col("l.orderTime").alias("orderTime"),
+        F.col("l.amount").alias("amount"),
+        F.col("l.currency").alias("currency"),
+        F.col("r.rateTime").alias("rateTime"),
+        F.col("r.rate").alias("rate"),
+    )
+    # latest rate per order = max (rateTime, rate) struct — deterministic
+    # tie-break, and an aggregate streaming supports (window functions are
+    # batch-only); the event-time window key keeps state evictable
+    agg = (
+        joined.groupBy(F.window("orderTime", "1 hour").alias("w"), "id", "amount", "currency")
+        .agg(F.max(F.struct(F.col("rateTime").alias("rt"), F.col("rate").alias("rate"))).alias("m"))
+        .select(
+            "id",
+            "amount",
+            "currency",
+            F.col("m.rate").alias("rate"),
+            (F.col("amount") * F.col("m.rate")).alias("converted_amount"),
+        )
+    )
+    return run_to_memory(agg, spark, timeout_sec=240)
