@@ -83,20 +83,27 @@ def main() -> None:
           f"{round(stream_sec, 2)}s = {streaming_rps} rec/s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "startup_sec": round(startup, 3),
-                "streaming_interval_join_recs_per_sec": streaming_rps,
-            }
-        )
-    )
+    # the headline set GREW in round 5 (+dedup_clusters, +embedding_neardup);
+    # report the round-1..3 10-query subset total alongside so round-over-
+    # round trend comparisons stay apples-to-apples
+    r3_set = [
+        "neardup_jaccard", "dedup_exact", "ann_cosine_topk", "interval_join",
+        "currency_conversion", "agg_pricing_summary", "join_revenue_by_nation",
+        "nation_pair_revenue", "tumbling_window_events", "shipping_priority",
+    ]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "startup_sec": round(startup, 3),
+        "streaming_interval_join_recs_per_sec": streaming_rps,
+    }
+    if all(q in timings for q in r3_set):
+        out["r3_comparable_subset_total"] = round(sum(timings[q] for q in r3_set), 3)
+    print(json.dumps(out))
     spark.stop()
 
 
