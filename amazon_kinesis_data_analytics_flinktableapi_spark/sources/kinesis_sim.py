@@ -1,0 +1,200 @@
+"""Kinesis-shaped custom connector via Spark 4's Python Data Source API.
+
+OSS Spark ships no Kinesis source (SURVEY.md §2 S1); the engine's source
+registry abstracts that away, and THIS module closes the remaining gap
+with an actual in-repo connector exposing Kinesis *semantics* — shards,
+per-shard monotonically increasing sequence numbers, TRIM_HORIZON /
+LATEST initial positions, and replayable get-records-between-sequence
+ranges — over a deterministic synthetic record generator shaped like the
+reference's Kinesis Data Generator templates (README.md:60-72: orders
+and exchange-rate JSON).  Swapping the generator for real AWS SDK calls
+changes only ``_record``/``_shard_tip``; every Spark-facing surface
+(schema, partition planning, offset model) stays identical.
+
+Wire parity with the reference consumer (StreamingJob.java:26-41):
+
+- one input partition per shard — Spark parallelism == shard count,
+  exactly FlinkKinesisConsumer's source-parallelism model;
+- records carry (shard_id, sequence_number, partition_key, data,
+  arrival_ts) with ``data`` = the JSON payload — downstream parsing goes
+  through ``parse_json_stream`` (S2) like every other source;
+- the streaming offset is {shard_id: next_sequence_number}, and
+  ``readBetweenOffsets`` regenerates any committed range bit-for-bit
+  (Kinesis' replay-by-sequence-range contract — what makes the source
+  exactly-once-compatible under Structured Streaming's WAL).
+
+Determinism: record content is a pure function of (seed, shard, seq) via
+md5 — no RNG state, so batch reads, streaming reads, and recovery
+replays all see identical bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+#: wire schema — the raw record envelope, pre-parse (S2 owns the payload)
+KINESIS_SIM_SCHEMA = (
+    "shard_id string, sequence_number bigint, partition_key string, "
+    "data string, arrival_ts timestamp"
+)
+
+CURRENCIES = ["click", "view", "signup", "purchase", "error"]
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _h(seed: int, shard: int, seq: int, salt: str) -> int:
+    digest = hashlib.md5(f"{seed}:{shard}:{seq}:{salt}".encode()).hexdigest()
+    return int(digest[:15], 16)
+
+
+def _record(template: str, seed: int, shard: int, seq: int, interval_ms: int) -> tuple:
+    """Deterministic (shard_id, seq, partition_key, json, arrival_ts)."""
+    ts = _EPOCH + timedelta(milliseconds=seq * interval_ms + shard)
+    iso = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    currency = CURRENCIES[_h(seed, shard, seq, "c") % len(CURRENCIES)]
+    if template == "rates":
+        payload = {
+            "exchangeRateTime": iso,
+            "currency": currency,
+            "rate": _h(seed, shard, seq, "r") % 97 + 2,
+        }
+    else:
+        payload = {
+            "id": shard * 1_000_000_000 + seq,
+            "orderTime": iso,
+            "amount": _h(seed, shard, seq, "a") % 10_000 + 1,
+            "currency": currency,
+        }
+    return (
+        f"shardId-{shard:012d}",
+        seq,
+        str(_h(seed, shard, seq, "pk") % 128),
+        json.dumps(payload, separators=(",", ":")),
+        ts,
+    )
+
+
+class _Opts:
+    """Validated option bag (data-source options arrive as strings)."""
+
+    def __init__(self, options: dict):
+        self.shards = int(options.get("shards", 1))
+        self.seed = int(options.get("seed", 42))
+        self.template = options.get("template", "orders")
+        self.interval_ms = int(options.get("interval_ms", 10))
+        #: batch mode / TRIM_HORIZON stream: records available per shard
+        self.records_per_shard = int(options.get("records_per_shard", 1000))
+        #: LATEST starts after this many pre-published records per shard
+        self.prepublished = int(options.get("prepublished", 0))
+        self.initial_position = options.get("initial_position", "TRIM_HORIZON").upper()
+        #: max records returned per shard per micro-batch
+        self.batch_records = int(options.get("batch_records", 100))
+        if self.template not in ("orders", "rates"):
+            raise ValueError(f"template must be 'orders' or 'rates', got {self.template!r}")
+        if self.initial_position not in ("TRIM_HORIZON", "LATEST"):
+            raise ValueError(
+                f"initial_position must be TRIM_HORIZON or LATEST, got {self.initial_position!r}"
+            )
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, start: int, end: int):
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class KinesisSimBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.opts = _Opts(options)
+
+    def partitions(self):
+        # one partition per shard — the connector's parallelism contract
+        o = self.opts
+        return [_ShardPartition(s, 0, o.records_per_shard) for s in range(o.shards)]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        o = self.opts
+        for seq in range(partition.start, partition.end):
+            yield _record(o.template, o.seed, partition.shard, seq, o.interval_ms)
+
+
+class KinesisSimStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {shard_id: next sequence number} — the Kinesis checkpoint
+    model.  ``read`` advances each shard by ≤ batch_records toward the
+    shard tip (records_per_shard simulates the currently-published tip;
+    an unbounded stream is records_per_shard=2**62)."""
+
+    def __init__(self, options: dict):
+        self.opts = _Opts(options)
+
+    def initialOffset(self) -> dict:
+        o = self.opts
+        start = o.prepublished if o.initial_position == "LATEST" else 0
+        return {f"shardId-{s:012d}": start for s in range(o.shards)}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        o = self.opts
+        end = {}
+        for shard_name, cursor in start.items():
+            tip = o.records_per_shard
+            end[shard_name] = min(int(cursor) + o.batch_records, tip)
+        return self._generate(start, end), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic regeneration of any committed range — Kinesis'
+        # replay-by-sequence-range; required for recovery after a failure
+        return self._generate(start, end)
+
+    def _generate(self, start: dict, end: dict) -> list[tuple]:
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
+        # returned iterator when planning partitions, and generators are
+        # not copyable.  Size is bounded by batch_records × shards.
+        o = self.opts
+        out = []
+        for shard_name, cursor in start.items():
+            shard = int(shard_name.rsplit("-", 1)[1])
+            for seq in range(int(cursor), int(end[shard_name])):
+                out.append(_record(o.template, o.seed, shard, seq, o.interval_ms))
+        return out
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — the generator is stateless
+
+
+class KinesisSimDataSource(DataSource):
+    """``spark.read.format("kinesis_sim")`` / ``spark.readStream.format(
+    "kinesis_sim")`` after ``spark.dataSource.register(KinesisSimDataSource)``.
+
+    Options: shards, seed, template (orders|rates), interval_ms,
+    records_per_shard, prepublished, initial_position
+    (TRIM_HORIZON|LATEST), batch_records.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_sim"
+
+    def schema(self) -> str:
+        return KINESIS_SIM_SCHEMA
+
+    def reader(self, schema) -> KinesisSimBatchReader:
+        return KinesisSimBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> KinesisSimStreamReader:
+        return KinesisSimStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the connector with a session."""
+    spark.dataSource.register(KinesisSimDataSource)

@@ -102,8 +102,20 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def kinesis_sim_json(spark: SparkSession, schema: StructType, **options) -> DataFrame:
+    """Kinesis-semantics stream (shards, sequence offsets, TRIM_HORIZON/
+    LATEST) from the in-repo Python Data Source connector
+    (``sources/kinesis_sim.py``), parsed through the shared S2 path."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import register
+
+    register(spark)
+    raw = spark.readStream.format("kinesis_sim").options(**options).load()
+    return parse_json_stream(raw, schema, value_col="data")
+
+
 SOURCES = {
     "file_replay": file_replay,
     "kafka": kafka_json,
+    "kinesis_sim": kinesis_sim_json,
     "rate": rate_source,
 }

@@ -1,0 +1,97 @@
+"""Kinesis-shaped Python Data Source connector (SURVEY.md §2 S1).
+
+Covers the connector's Kinesis-semantics contract: one partition per
+shard, deterministic content, TRIM_HORIZON/LATEST initial positions,
+bounded per-batch increments, and bit-identical replay of committed
+sequence ranges (the exactly-once recovery requirement).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+    KinesisSimStreamReader,
+    register,
+)
+
+
+def test_batch_read_deterministic_one_partition_per_shard(spark):
+    register(spark)
+    opts = {"shards": 3, "records_per_shard": 50, "template": "orders"}
+    df = spark.read.format("kinesis_sim").options(**opts).load()
+    assert df.count() == 150
+    assert df.select("shard_id").distinct().count() == 3
+    assert df.rdd.getNumPartitions() == 3  # parallelism == shard count
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in spark.read.format("kinesis_sim").options(**opts).load().collect())
+    assert a == b
+    # per-shard sequence numbers are dense from 0
+    seqs = [r.sequence_number for r in df.filter(F.col("shard_id").endswith("0")).collect()]
+    assert sorted(seqs) == list(range(50))
+
+
+def test_stream_reader_offsets_and_replay():
+    """Offset model unit contract, no query machinery needed."""
+    r = KinesisSimStreamReader(
+        {"shards": 2, "records_per_shard": 30, "batch_records": 7, "template": "rates"}
+    )
+    start = r.initialOffset()
+    assert start == {"shardId-000000000000": 0, "shardId-000000000001": 0}
+    rows1, end1 = r.read(start)
+    assert end1 == {"shardId-000000000000": 7, "shardId-000000000001": 7}
+    assert len(list(rows1)) == 14
+    # advancing clamps at the shard tip
+    cur = end1
+    for _ in range(10):
+        _rows, cur = r.read(cur)
+    assert cur == {"shardId-000000000000": 30, "shardId-000000000001": 30}
+    rows_tip, end_tip = r.read(cur)
+    assert list(rows_tip) == [] and end_tip == cur
+    # committed ranges replay bit-for-bit (recovery contract)
+    again = list(r.readBetweenOffsets(start, end1))
+    assert again == list(r.read(start)[0])
+    # LATEST skips the prepublished backlog
+    r2 = KinesisSimStreamReader(
+        {"shards": 1, "records_per_shard": 30, "prepublished": 20, "initial_position": "LATEST"}
+    )
+    assert r2.initialOffset() == {"shardId-000000000000": 20}
+    rows, end = r2.read(r2.initialOffset())
+    assert len(list(rows)) == 10 and end == {"shardId-000000000000": 30}
+
+
+def test_stream_drains_to_tip_and_parses(spark, tmp_path):
+    """Continuous micro-batches drain the shard tip; payloads parse through
+    the shared S2 path (parse_json_stream) with zero NULL event times."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
+
+    register(spark)
+    raw = (
+        spark.readStream.format("kinesis_sim")
+        .options(shards=2, records_per_shard=40, batch_records=16, template="orders")
+        .load()
+    )
+    parsed = parse_json_stream(raw, ORDER_SCHEMA, value_col="data")
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("kinesis_sim_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("kinesis_sim_drain").count() >= 80:
+                break
+            time.sleep(0.5)
+        got = spark.table("kinesis_sim_drain")
+        assert got.count() == 80
+        assert got.filter(F.col("orderTime").isNull()).count() == 0
+        assert got.select("id").distinct().count() == 80
+        assert set(got.columns) == {"id", "orderTime", "amount", "currency"}
+    finally:
+        q.stop()
