@@ -26,6 +26,14 @@ Wire parity with the reference consumer (StreamingJob.java:26-41):
 Determinism: record content is a pure function of (seed, shard, seq) via
 md5 — no RNG state, so batch reads, streaming reads, and recovery
 replays all see identical bytes.
+
+The module also carries the K2 SINK side (StreamingJob.java:110-130):
+``format("kinesis_sim")`` as a batch or streaming writer routes records
+to shards by partition-key hash — a fixed key "0" reproduces the
+reference's single-shard totally-ordered output — with the two-phase
+task-stage / driver-commit protocol (per-batch manifests) Structured
+Streaming needs for exactly-once sinks, and the K1 policy of swallowing
+serialize errors into empty payloads.
 """
 
 from __future__ import annotations
@@ -38,8 +46,11 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: wire schema — the raw record envelope, pre-parse (S2 owns the payload)
@@ -172,6 +183,107 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing to clean up — the generator is stateless
 
 
+class _PutsCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the uncommitted files this task staged."""
+
+    def __init__(self, files: list[tuple[int, str, int]]):
+        self.files = files  # (shard, tmp_path, n_records)
+
+
+class _KinesisSimWriterBase:
+    """Shared K2-parity writer core: rows → JSON puts routed to shards by
+    partition-key hash (fixed key "0" ⇒ one shard ⇒ totally ordered
+    output, StreamingJob.java:127), staged to uncommitted files by tasks
+    and made visible atomically by the driver-side commit — the
+    transactional two-phase contract Structured Streaming requires for
+    exactly-once sinks."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kinesis_sim sink requires a 'path' option")
+        self.shards = int(options.get("shards", 1))
+        self.partition_key = options.get("partition_key")  # fixed key (e.g. "0")
+        self.partition_key_col = options.get("partition_key_col")
+
+    def _route(self, row) -> int:
+        if self.partition_key is not None:
+            key = self.partition_key
+        elif self.partition_key_col is not None:
+            key = str(row[self.partition_key_col])
+        else:
+            key = "0"
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % self.shards
+
+    def write(self, iterator) -> _PutsCommitMessage:
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, ".uncommitted")
+        os.makedirs(tmp_dir, exist_ok=True)
+        buffers: dict[int, list[str]] = {}
+        for row in iterator:
+            # serialize-error policy K1: a bad record becomes an empty
+            # payload, never a failed task (StreamingJob.java:110-125)
+            try:
+                payload = json.dumps(row.asDict(), separators=(",", ":"), default=str)
+            except Exception:
+                payload = ""
+            buffers.setdefault(self._route(row), []).append(payload)
+        files = []
+        for shard, lines in buffers.items():
+            tmp = os.path.join(tmp_dir, f"{uuid.uuid4().hex}-shard-{shard}.jsonl")
+            with open(tmp, "w") as f:
+                f.write("\n".join(lines))
+            files.append((shard, tmp, len(lines)))
+        return _PutsCommitMessage(files)
+
+    def _finalize(self, messages, batch_id: int) -> None:
+        import os
+
+        batch_dir = os.path.join(self.path, f"batch={batch_id:08d}")
+        manifest = []
+        for m in messages:
+            if m is None:
+                continue
+            for shard, tmp, n in m.files:
+                shard_dir = os.path.join(batch_dir, f"shardId-{shard:012d}")
+                os.makedirs(shard_dir, exist_ok=True)
+                final = os.path.join(shard_dir, os.path.basename(tmp))
+                os.replace(tmp, final)
+                manifest.append({"shard": shard, "file": final, "n": n})
+        with open(os.path.join(batch_dir, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def _abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for _shard, tmp, _n in m.files:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+
+
+class KinesisSimBatchWriter(_KinesisSimWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._finalize(messages, 0)
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
+class KinesisSimStreamWriter(_KinesisSimWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        self._finalize(messages, batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort(messages)
+
+
 class KinesisSimDataSource(DataSource):
     """``spark.read.format("kinesis_sim")`` / ``spark.readStream.format(
     "kinesis_sim")`` after ``spark.dataSource.register(KinesisSimDataSource)``.
@@ -193,6 +305,12 @@ class KinesisSimDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> KinesisSimStreamReader:
         return KinesisSimStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> KinesisSimBatchWriter:
+        return KinesisSimBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> KinesisSimStreamWriter:
+        return KinesisSimStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -95,3 +95,69 @@ def test_stream_drains_to_tip_and_parses(spark, tmp_path):
         assert set(got.columns) == {"id", "orderTime", "amount", "currency"}
     finally:
         q.stop()
+
+
+def test_batch_sink_fixed_key_single_shard(spark, tmp_path):
+    """K2 parity: fixed partition key routes every record to ONE shard
+    (total order via single shard); commit publishes a manifest and the
+    uncommitted staging area drains."""
+    import glob
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "puts")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    (
+        df.write.format("kinesis_sim")
+        .option("path", out)
+        .option("partition_key", "0")
+        .option("shards", "4")
+        .mode("append")
+        .save()
+    )
+    manifest = json.load(open(os.path.join(out, "batch=00000000", "_manifest.json")))
+    assert sum(m["n"] for m in manifest) == 100
+    assert {m["shard"] for m in manifest} == {0}  # fixed key => one shard
+    rows = []
+    for m in manifest:
+        rows += [json.loads(line) for line in open(m["file"]) if line]
+    assert {r["id"] for r in rows} == set(range(100))
+    assert glob.glob(os.path.join(out, ".uncommitted", "*")) == []
+
+
+def test_stream_sink_commits_batches_transactionally(spark, tmp_path):
+    """Streaming writer: staged task files become visible only via the
+    driver-side commit (per-batch manifest); key-hash routing spreads
+    shards when no fixed key is set."""
+    import glob
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "stream_puts")
+    src = (
+        spark.readStream.format("kinesis_sim")
+        .options(shards=2, records_per_shard=20, batch_records=20, template="orders")
+        .load()
+    )
+    q = (
+        src.writeStream.format("kinesis_sim")
+        .option("path", out)
+        .option("partition_key_col", "partition_key")
+        .option("shards", "3")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = sorted(glob.glob(os.path.join(out, "batch=*")))
+    assert batches, "at least one committed batch"
+    total, shards = 0, set()
+    for b in batches:
+        manifest = json.load(open(os.path.join(b, "_manifest.json")))
+        total += sum(m["n"] for m in manifest)
+        shards |= {m["shard"] for m in manifest}
+    assert total == 40  # one availableNow increment: batch_records x shards
+    assert len(shards) > 1  # 128 distinct keys hash across 3 shards
+    assert glob.glob(os.path.join(out, ".uncommitted", "*")) == []
