@@ -161,3 +161,72 @@ def test_stream_sink_commits_batches_transactionally(spark, tmp_path):
     assert total == 40  # one availableNow increment: batch_records x shards
     assert len(shards) > 1  # 128 distinct keys hash across 3 shards
     assert glob.glob(os.path.join(out, ".uncommitted", "*")) == []
+
+
+def test_reference_topology_end_to_end(spark, tmp_path):
+    """The reference's COMPLETE dataflow (StreamingJob.java:21-135) on
+    in-repo connectors, no files or external services: kinesis_sim
+    orders/rates streams → JSON parse → watermarks → the verbatim
+    reference SQL (left-outer interval join + UDF) → JSON serialize →
+    kinesis_sim sink with fixed partition key "0".  Matched rows read
+    back from the sink's committed manifests must equal the batch run of
+    the identical query over the identical (deterministic) records."""
+    import glob
+    import json
+    import os
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+        EXCHANGE_RATE_SCHEMA,
+        ORDER_SCHEMA,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sinks import serialize_json
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.pipeline import (
+        build_reference_query,
+    )
+
+    register(spark)
+    o_opts = {"shards": 2, "records_per_shard": 150, "batch_records": 150,
+              "template": "orders", "interval_ms": 40, "seed": 7}
+    r_opts = {"shards": 1, "records_per_shard": 30, "batch_records": 30,
+              "template": "rates", "interval_ms": 400, "seed": 8}
+
+    def src(opts, streaming):
+        reader = spark.readStream if streaming else spark.read
+        return reader.format("kinesis_sim").options(**opts).load()
+
+    # batch reference answer over the SAME deterministic records
+    ob = parse_json_stream(src(o_opts, False), ORDER_SCHEMA, value_col="data")
+    rb = parse_json_stream(src(r_opts, False), EXCHANGE_RATE_SCHEMA, value_col="data")
+    batch = build_reference_query(spark, ob, rb, interval="5 seconds")
+    expected_matched = {tuple(r) for r in batch.collect() if r["convertedAmount"] is not None}
+    assert expected_matched, "fixture must produce matches"
+
+    # streaming topology → kinesis_sim sink, fixed key "0"
+    os_ = parse_json_stream(src(o_opts, True), ORDER_SCHEMA, value_col="data")
+    rs = parse_json_stream(src(r_opts, True), EXCHANGE_RATE_SCHEMA, value_col="data")
+    streamed = build_reference_query(spark, os_, rs, interval="5 seconds")
+    out = str(tmp_path / "result_puts")
+    q = (
+        serialize_json(streamed)
+        .writeStream.format("kinesis_sim")
+        .option("path", out)
+        .option("partition_key", "0")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = set()
+    for mpath in glob.glob(os.path.join(out, "batch=*", "_manifest.json")):
+        for m in json.load(open(mpath)):
+            assert m["shard"] == 0  # fixed key "0" => single ordered shard
+            for line in open(m["file"]):
+                if not line.strip():
+                    continue
+                rec = json.loads(json.loads(line)["value"])
+                got.add((rec["id"], rec["orderTime"], rec["originalAmount"],
+                         rec.get("convertedAmount")))
+    got_matched = {g for g in got if g[3] is not None}
+    assert got_matched == expected_matched
