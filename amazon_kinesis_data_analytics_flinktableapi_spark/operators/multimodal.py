@@ -63,12 +63,17 @@ def has_real_decoder() -> bool:
 
 
 def real_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
-    """PIL-backed image decoder behind the runtime capability probe: used
-    automatically when the library is present (``set_decoder(real_decode)``
-    after a true ``has_real_decoder()``), otherwise raises the documented
-    NotImplementedError.  Audio/video need ffmpeg and stay stubbed either
-    way — the Spark-side plumbing (schema, Arrow batching, pruned
-    projection) is identical for every decoder."""
+    """PIL-backed image decoder behind the runtime capability probe.
+
+    OPT-IN, not automatic: the default decoder stays ``fake_decode``
+    (the registered media queries run over synthetic text-byte payloads
+    whose oracles mirror the fake, so silently switching on PIL presence
+    would break them on non-image bytes).  When PIL is available
+    (``has_real_decoder()``), callers with real image payloads select it
+    via ``set_decoder(real_decode)``; without PIL it raises the
+    documented NotImplementedError.  Audio/video need ffmpeg and stay
+    stubbed either way — the Spark-side plumbing (schema, Arrow
+    batching, pruned projection) is identical for every decoder."""
     if not has_real_decoder():
         raise NotImplementedError(
             "media decoding requires PIL/ffmpeg, not available in this environment; "

@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import half_up_round
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.vector import as_double, cosine, dot, norm
 
 
@@ -52,7 +53,7 @@ def brute_topk(
     return (
         scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= k)
-        .select("q_id", "c_id", F.round("__sim", scale).alias("cos_sim"), "rn")
+        .select("q_id", "c_id", half_up_round(F.col("__sim"), scale).alias("cos_sim"), "rn")
     )
 
 
@@ -155,7 +156,7 @@ def lsh_topk(
     return (
         scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= k)
-        .select("q_id", "c_id", F.round("__sim", scale).alias("cos_sim"), "rn")
+        .select("q_id", "c_id", half_up_round(F.col("__sim"), scale).alias("cos_sim"), "rn")
     )
 
 
@@ -241,7 +242,7 @@ def ivf_topk(
     return (
         scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= k)
-        .select("q_id", "c_id", F.round("__sim", scale).alias("cos_sim"), "rn")
+        .select("q_id", "c_id", half_up_round(F.col("__sim"), scale).alias("cos_sim"), "rn")
     )
 
 
@@ -265,7 +266,7 @@ def neardup_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("__sim"))
         .filter(F.col("__sim") >= threshold)
-        .select("id_a", "id_b", F.round("__sim", scale).alias("cos_sim"))
+        .select("id_a", "id_b", half_up_round(F.col("__sim"), scale).alias("cos_sim"))
     )
 
 
@@ -342,7 +343,7 @@ def _topk_tail(scored: DataFrame, k: int, scale: int) -> DataFrame:
     return (
         scored.select("q_id", "c_id", "__sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= k)
-        .select("q_id", "c_id", F.round("__sim", scale).alias("cos_sim"), "rn")
+        .select("q_id", "c_id", half_up_round(F.col("__sim"), scale).alias("cos_sim"), "rn")
     )
 
 
@@ -366,34 +367,41 @@ def lsh_topk_det(
     is the generated DuckDB twin).  Scale properties are unchanged:
     shuffle ∝ corpus × n_tables, never |corpus| × |queries|."""
     tables = neardup_lsh_planes(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    # ONE corpus scan: quantize once into a cached base, emit all
+    # n_tables sketches via a single explode (the neardup_pairs_lsh
+    # shape) — a union of per-table selects would re-scan and
+    # re-quantize the corpus once per table.  Sketch rows carry ids only;
+    # vectors re-attach from the same cached base after the dedup.
+    cbase = corpus.select(
+        F.col(id_col).alias("c_id"), as_double(vec_col).alias("c_vec"), quantized(vec_col).alias("qv")
+    ).cache()
+    qbase = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"), quantized(vec_col).alias("qv")
+    )
 
     def sketched(df: DataFrame, prefix: str) -> DataFrame:
-        # ids-only sketch rows (see neardup_pairs_lsh): the candidate join
-        # and dedup never shuffle vector payloads
-        base = df.select(F.col(id_col).alias(f"{prefix}_id"), quantized(vec_col).alias("qv"))
-        parts = [
-            base.select(
-                f"{prefix}_id", F.lit(t).alias("t"), quantized_sketch("qv", planes).alias("sk")
-            )
-            for t, planes in enumerate(tables)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.union(p)
-        return out
+        return df.select(
+            f"{prefix}_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), quantized_sketch("qv", p).alias("sk"))
+                        for t, p in enumerate(tables)
+                    ]
+                )
+            ).alias("b"),
+        ).select(f"{prefix}_id", "b.t", "b.sk")
 
     candidates = (
-        sketched(corpus, "c")
-        .join(F.broadcast(sketched(queries, "q")), ["t", "sk"])
+        sketched(cbase, "c")
+        .join(F.broadcast(sketched(qbase, "q")), ["t", "sk"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    cv = corpus.select(F.col(id_col).alias("c_id"), as_double(vec_col).alias("c_vec"))
-    qv = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"))
     scored = (
-        candidates.join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
+        candidates.join(cbase.select("c_id", "c_vec"), "c_id")
+        .join(F.broadcast(qbase.select("q_id", "q_vec")), "q_id")
         .select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
     )
     return _topk_tail(scored, k, scale)
@@ -550,5 +558,5 @@ def neardup_pairs_lsh(
         .join(b, "id_b")
         .select("id_a", "id_b", sim.alias("__sim"))
         .filter(F.col("__sim") >= threshold)
-        .select("id_a", "id_b", F.round("__sim", scale).alias("cos_sim"))
+        .select("id_a", "id_b", half_up_round(F.col("__sim"), scale).alias("cos_sim"))
     )

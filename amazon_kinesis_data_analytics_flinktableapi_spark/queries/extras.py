@@ -504,7 +504,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT DISTINCT event_type,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     topk AS (SELECT event_type, h,
                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -547,7 +547,10 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 256) ->
     ``q_kmv_distinct_sketch``; ``k`` dials accuracy (rel. error ≈ 1/√k)."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
 
-    hashed = df.select(
+    # NULL values are excluded on BOTH sides (collect_set drops NULL hash
+    # rows silently on the Spark side; the oracle filters explicitly) —
+    # distinct-count conventionally ignores NULL
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         F.spark_partition_id().alias("__p"),
         group_col,
         md5_hash60(F.col(value_col).cast("string")).alias("h"),

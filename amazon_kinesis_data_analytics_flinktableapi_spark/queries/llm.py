@@ -385,7 +385,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_cosine_topk",
     oracle="""
-    SELECT q_id, c_id, round(cs, 6) AS cos_sim, rn FROM (
+    SELECT q_id, c_id, floor(cs * 1000000 + 0.5) / 1000000 AS cos_sim, rn FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
              list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs,
              row_number() OVER (
@@ -441,7 +441,7 @@ def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
     ranked AS (SELECT q_id, c_id, cs,
                  row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
                FROM scored)
-    SELECT q_id, c_id, round(cs, 6) AS cos_sim, rn FROM ranked WHERE rn <= {k}
+    SELECT q_id, c_id, floor(cs * 1000000 + 0.5) / 1000000 AS cos_sim, rn FROM ranked WHERE rn <= {k}
     """
 
 
@@ -589,7 +589,7 @@ def _ann_ivf_oracle(k: int = 10, n_centroids: int = 16, nprobe: int = 4,
     ranked AS (SELECT q_id, c_id, cs,
                  row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
                FROM scored)
-    SELECT q_id, c_id, round(cs, 6) AS cos_sim, rn FROM ranked WHERE rn <= {k}
+    SELECT q_id, c_id, floor(cs * 1000000 + 0.5) / 1000000 AS cos_sim, rn FROM ranked WHERE rn <= {k}
     """
 
 
@@ -633,7 +633,8 @@ def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16,
       FROM sk a JOIN sk b ON a.t = b.t AND a.sk = b.sk AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b,
-           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_sim
+           floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM cand
     JOIN embeddings ea ON ea.vec_id = id_a
     JOIN embeddings eb ON eb.vec_id = id_b

@@ -159,7 +159,10 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         end = {}
         for shard_name, cursor in start.items():
             tip = o.records_per_shard
-            end[shard_name] = min(int(cursor) + o.batch_records, tip)
+            # clamp at the cursor, never below it: a checkpointed restart
+            # with a SMALLER records_per_shard must not hand Spark a
+            # regressing offset (the WAL assumes monotonic offsets)
+            end[shard_name] = max(int(cursor), min(int(cursor) + o.batch_records, tip))
         return self._generate(start, end), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -270,7 +273,19 @@ class _KinesisSimWriterBase:
 
 class KinesisSimBatchWriter(_KinesisSimWriterBase, DataSourceWriter):
     def commit(self, messages) -> None:
-        self._finalize(messages, 0)
+        # append semantics: each batch write claims the next free batch
+        # index — a hardcoded 0 would overwrite the previous write's
+        # manifest and orphan its records
+        import os
+        import re
+
+        existing = [-1]
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                m = re.fullmatch(r"batch=(\d+)", d)
+                if m:
+                    existing.append(int(m.group(1)))
+        self._finalize(messages, max(existing) + 1)
 
     def abort(self, messages) -> None:
         self._abort(messages)
