@@ -170,17 +170,21 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         # replay-by-sequence-range; required for recovery after a failure
         return self._generate(start, end)
 
-    def _generate(self, start: dict, end: dict) -> list[tuple]:
-        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
-        # returned iterator when planning partitions, and generators are
-        # not copyable.  Size is bounded by batch_records × shards.
+    def _generate(self, start: dict, end: dict) -> Iterator[tuple]:
+        # a LIST ITERATOR, not a generator and not a bare list: Spark's
+        # prefetch cache copy.copy()s the returned value when planning
+        # partitions (generators are not copyable), while the checkpoint-
+        # recovery path consumes it with next() (bare lists are not
+        # iterators).  iter(list) satisfies both — list iterators are
+        # copyable via the pickle protocol.  Size is bounded by
+        # batch_records × shards.
         o = self.opts
         out = []
         for shard_name, cursor in start.items():
             shard = int(shard_name.rsplit("-", 1)[1])
             for seq in range(int(cursor), int(end[shard_name])):
                 out.append(_record(o.template, o.seed, shard, seq, o.interval_ms))
-        return out
+        return iter(out)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — the generator is stateless

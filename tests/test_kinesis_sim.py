@@ -278,7 +278,10 @@ def test_stream_restart_from_checkpoint_no_gaps_no_dupes(spark, tmp_path):
         q.stop()
         q.awaitTermination(60)
 
-    run_until(20, "2 seconds")  # stop partway through the tip
+    # stop as soon as ANYTHING commits; the 5 s trigger leaves ~25 s of
+    # margin before a full drain (6 batches), so the stop reliably lands
+    # mid-stream even on a loaded machine (a 2 s trigger flaked in-suite)
+    run_until(1, "5 seconds")
     n_first = len(committed())
     assert 0 < n_first < 120, f"first run committed {n_first}, want a mid-stream stop"
     run_until(120, "100 milliseconds")  # restart from the checkpoint, drain
