@@ -110,6 +110,15 @@ class _Opts:
         self.initial_position = options.get("initial_position", "TRIM_HORIZON").upper()
         #: max records returned per shard per micro-batch
         self.batch_records = int(options.get("batch_records", 100))
+        # range validation up front — shards=0 would otherwise surface as an
+        # empty read / ZeroDivisionError in the sink router, batch_records=0
+        # as a processingTime stream that idles forever
+        if self.shards < 1:
+            raise ValueError(f"shards must be >= 1, got {self.shards}")
+        if self.batch_records < 1:
+            raise ValueError(f"batch_records must be >= 1, got {self.batch_records}")
+        if self.records_per_shard < 0:
+            raise ValueError(f"records_per_shard must be >= 0, got {self.records_per_shard}")
         if self.template not in ("orders", "rates"):
             raise ValueError(f"template must be 'orders' or 'rates', got {self.template!r}")
         if self.initial_position not in ("TRIM_HORIZON", "LATEST"):
@@ -193,8 +202,8 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 class _PutsCommitMessage(WriterCommitMessage):
     """Per-task commit message: the uncommitted files this task staged."""
 
-    def __init__(self, files: list[tuple[int, str, int]]):
-        self.files = files  # (shard, tmp_path, n_records)
+    def __init__(self, files: list[tuple[int, str, int, int]]):
+        self.files = files  # (shard, tmp_path, n_records, n_empty_payloads)
 
 
 class _KinesisSimWriterBase:
@@ -210,6 +219,8 @@ class _KinesisSimWriterBase:
         if not self.path:
             raise ValueError("kinesis_sim sink requires a 'path' option")
         self.shards = int(options.get("shards", 1))
+        if self.shards < 1:
+            raise ValueError(f"shards must be >= 1, got {self.shards}")
         self.partition_key = options.get("partition_key")  # fixed key (e.g. "0")
         self.partition_key_col = options.get("partition_key_col")
 
@@ -229,36 +240,56 @@ class _KinesisSimWriterBase:
         tmp_dir = os.path.join(self.path, ".uncommitted")
         os.makedirs(tmp_dir, exist_ok=True)
         buffers: dict[int, list[str]] = {}
+        empties: dict[int, int] = {}
         for row in iterator:
             # serialize-error policy K1: a bad record becomes an empty
-            # payload, never a failed task (StreamingJob.java:110-125)
+            # payload, never a failed task (StreamingJob.java:110-125);
+            # written as "{}" so every manifest-counted line is valid JSONL
+            shard = self._route(row)
             try:
                 payload = json.dumps(row.asDict(), separators=(",", ":"), default=str)
             except Exception:
-                payload = ""
-            buffers.setdefault(self._route(row), []).append(payload)
+                payload = "{}"
+                empties[shard] = empties.get(shard, 0) + 1
+            buffers.setdefault(shard, []).append(payload)
         files = []
         for shard, lines in buffers.items():
             tmp = os.path.join(tmp_dir, f"{uuid.uuid4().hex}-shard-{shard}.jsonl")
             with open(tmp, "w") as f:
                 f.write("\n".join(lines))
-            files.append((shard, tmp, len(lines)))
+            files.append((shard, tmp, len(lines), empties.get(shard, 0)))
         return _PutsCommitMessage(files)
 
     def _finalize(self, messages, batch_id: int) -> None:
         import os
+        import shutil
 
         batch_dir = os.path.join(self.path, f"batch={batch_id:08d}")
+        if os.path.exists(os.path.join(batch_dir, "_manifest.json")):
+            # this batchId already committed (streaming replay after a
+            # post-commit crash) — drop the duplicate attempt's staged
+            # files so directory contents and manifest stay in agreement
+            self._abort(messages)
+            return
+        if os.path.isdir(batch_dir):
+            # a prior attempt crashed mid-place: clear its orphans so a
+            # raw glob over batch=*/shardId-*/ matches the manifest.
+            # Contents only — removing the dir itself would void the
+            # atomic-mkdir batch claim the batch writer just made.
+            for entry in os.listdir(batch_dir):
+                p = os.path.join(batch_dir, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         manifest = []
         for m in messages:
             if m is None:
                 continue
-            for shard, tmp, n in m.files:
+            for shard, tmp, n, n_empty in m.files:
                 shard_dir = os.path.join(batch_dir, f"shardId-{shard:012d}")
                 os.makedirs(shard_dir, exist_ok=True)
                 final = os.path.join(shard_dir, os.path.basename(tmp))
                 os.replace(tmp, final)
-                manifest.append({"shard": shard, "file": final, "n": n})
+                manifest.append({"shard": shard, "file": final, "n": n, "n_empty": n_empty})
+        os.makedirs(batch_dir, exist_ok=True)
         with open(os.path.join(batch_dir, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
 
@@ -268,7 +299,7 @@ class _KinesisSimWriterBase:
         for m in messages:
             if m is None:
                 continue
-            for _shard, tmp, _n in m.files:
+            for _shard, tmp, *_rest in m.files:
                 try:
                     os.remove(tmp)
                 except FileNotFoundError:
@@ -276,20 +307,41 @@ class _KinesisSimWriterBase:
 
 
 class KinesisSimBatchWriter(_KinesisSimWriterBase, DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool = False):
+        super().__init__(options)
+        self.overwrite = overwrite
+
     def commit(self, messages) -> None:
         # append semantics: each batch write claims the next free batch
         # index — a hardcoded 0 would overwrite the previous write's
-        # manifest and orphan its records
+        # manifest and orphan its records.  mode("overwrite") truncates
+        # the stream first (DataSourceWriter overwrite contract).
         import os
         import re
+        import shutil
 
-        existing = [-1]
-        if os.path.isdir(self.path):
+        if self.overwrite and os.path.isdir(self.path):
             for d in os.listdir(self.path):
-                m = re.fullmatch(r"batch=(\d+)", d)
-                if m:
-                    existing.append(int(m.group(1)))
-        self._finalize(messages, max(existing) + 1)
+                if re.fullmatch(r"batch=\d+", d):
+                    shutil.rmtree(os.path.join(self.path, d))
+        # claim the index with an atomic mkdir — listdir+max would let two
+        # concurrent writers claim the same batch and clobber each other
+        os.makedirs(self.path, exist_ok=True)
+        batch_id = 0
+        if os.path.isdir(self.path):
+            taken = [
+                int(m.group(1))
+                for d in os.listdir(self.path)
+                if (m := re.fullmatch(r"batch=(\d+)", d))
+            ]
+            batch_id = max(taken, default=-1) + 1
+        while True:
+            try:
+                os.mkdir(os.path.join(self.path, f"batch={batch_id:08d}"))
+                break
+            except FileExistsError:
+                batch_id += 1
+        self._finalize(messages, batch_id)
 
     def abort(self, messages) -> None:
         self._abort(messages)
@@ -326,7 +378,7 @@ class KinesisSimDataSource(DataSource):
         return KinesisSimStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> KinesisSimBatchWriter:
-        return KinesisSimBatchWriter(self.options)
+        return KinesisSimBatchWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> KinesisSimStreamWriter:
         return KinesisSimStreamWriter(self.options)

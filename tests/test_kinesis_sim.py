@@ -232,6 +232,129 @@ def test_reference_topology_end_to_end(spark, tmp_path):
     assert got_matched == expected_matched
 
 
+def test_option_range_validation():
+    """shards=0 / batch_records=0 / records_per_shard<0 are option errors,
+    not confusing runtime behavior (empty reads, idle streams,
+    ZeroDivisionError in the sink router)."""
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        KinesisSimBatchWriter,
+        _Opts,
+    )
+
+    with pytest.raises(ValueError, match="shards"):
+        _Opts({"shards": "0"})
+    with pytest.raises(ValueError, match="batch_records"):
+        _Opts({"batch_records": "0"})
+    with pytest.raises(ValueError, match="records_per_shard"):
+        _Opts({"records_per_shard": "-1"})
+    with pytest.raises(ValueError, match="shards"):
+        KinesisSimBatchWriter({"path": "/tmp/x", "shards": "0"})
+
+
+def test_batch_sink_overwrite_truncates(spark, tmp_path):
+    """mode('overwrite') truncates previously committed batches instead of
+    silently appending (DataSourceWriter overwrite contract)."""
+    import glob
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "puts")
+
+    def write(n, mode):
+        (
+            spark.range(n).select(F.col("id"))
+            .write.format("kinesis_sim")
+            .option("path", out)
+            .option("partition_key", "0")
+            .mode(mode)
+            .save()
+        )
+
+    write(10, "append")
+    write(20, "append")
+    assert len(glob.glob(os.path.join(out, "batch=*"))) == 2
+    write(5, "overwrite")
+    batches = glob.glob(os.path.join(out, "batch=*"))
+    assert len(batches) == 1
+    manifest = json.load(open(os.path.join(batches[0], "_manifest.json")))
+    assert sum(m["n"] for m in manifest) == 5
+
+
+def test_replayed_batch_dir_agrees_with_manifest(spark, tmp_path):
+    """A replayed streaming batch must leave the batch dir and its manifest
+    in agreement: a raw glob over batch=*/shardId-*/*.jsonl sees exactly
+    the manifest-listed files (no orphans from the first attempt)."""
+    import glob
+    import json
+    import os
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        KinesisSimStreamWriter,
+    )
+
+    out = str(tmp_path / "puts")
+    w = KinesisSimStreamWriter({"path": out, "partition_key": "0"})
+
+    class Row:
+        def __init__(self, i):
+            self.i = i
+        def __getitem__(self, k):
+            return self.i
+        def asDict(self):
+            return {"id": self.i}
+
+    # first attempt commits batch 3
+    m1 = w.write(iter([Row(1), Row(2)]))
+    w.commit([m1], 3)
+    first_files = set(glob.glob(os.path.join(out, "batch=*", "shardId-*", "*.jsonl")))
+    # replay of batch 3 (post-commit crash recovery): new attempt's files
+    # are dropped, the committed manifest and dir contents stay identical
+    m2 = w.write(iter([Row(1), Row(2)]))
+    w.commit([m2], 3)
+    files_after = set(glob.glob(os.path.join(out, "batch=*", "shardId-*", "*.jsonl")))
+    assert files_after == first_files
+    manifest = json.load(open(os.path.join(out, "batch=00000003", "_manifest.json")))
+    assert {m["file"] for m in manifest} == first_files
+    assert glob.glob(os.path.join(out, ".uncommitted", "*")) == []
+
+
+def test_serialize_error_policy_counts_empties(tmp_path):
+    """K1 policy: a row that fails to serialize becomes a '{}' line (every
+    manifest-counted line is valid JSONL) and the manifest reports the
+    empty-payload count separately."""
+    import json
+    import os
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        KinesisSimStreamWriter,
+    )
+
+    class Good:
+        def __getitem__(self, k):
+            return 1
+        def asDict(self):
+            return {"id": 1}
+
+    class Bad:
+        def __getitem__(self, k):
+            return 1
+        def asDict(self):
+            raise RuntimeError("unserializable")
+
+    out = str(tmp_path / "puts")
+    w = KinesisSimStreamWriter({"path": out, "partition_key": "0"})
+    w.commit([w.write(iter([Good(), Bad(), Good()]))], 0)
+    manifest = json.load(open(os.path.join(out, "batch=00000000", "_manifest.json")))
+    assert sum(m["n"] for m in manifest) == 3
+    assert sum(m["n_empty"] for m in manifest) == 1
+    lines = [json.loads(line) for m in manifest for line in open(m["file"]) if line.strip()]
+    assert len(lines) == 3  # every counted line parses ('{}' not '')
+    assert sum(1 for rec in lines if rec == {}) == 1
+
+
 def test_stream_restart_from_checkpoint_no_gaps_no_dupes(spark, tmp_path):
     """Exactly-once recovery contract, source AND sink together: stop a
     draining kinesis_sim→kinesis_sim query mid-stream, restart from the
