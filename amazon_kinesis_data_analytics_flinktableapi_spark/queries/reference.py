@@ -144,6 +144,133 @@ def q_currency_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_join_forward",
+    oracle=f"""
+    WITH o AS ({_ORDERS_ROLE}), r AS ({_RATES_ROLE})
+    SELECT o.id, o.order_time, o.amount, o.currency, r.rate,
+           o.amount * r.rate AS converted_amount
+    FROM o LEFT JOIN r
+      ON o.currency = r.currency
+     AND r.rate_time >= o.order_time
+     AND r.rate_time < o.order_time + INTERVAL 1 HOUR
+    """,
+    doc="Q4 mirror: forward-direction bucketed interval join, half-open [t, t+1h)",
+)
+def q_interval_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look-ahead variant of the centerpiece join: each order matches rates
+    published in the NEXT hour ``[t, t+W)``.  Exercises the forward branch
+    of the bucket algebra (``interval_join.py``: b(t) ∈ {b(s)−1, b(s)},
+    shift = −1) that the reference-shaped backward queries never touch —
+    the 2×-explode equi-join plan is correctness-critical and needs its own
+    driver attestation."""
+    o = _orders_role(spark, sf_dir)
+    r = _rates_role(spark, sf_dir)
+    j = interval_join_bucketed(
+        o,
+        r,
+        on="currency",
+        left_time="order_time",
+        right_time="rate_time",
+        interval="1 hour",
+        direction="forward",
+    )
+    return j.select(
+        F.col("l.id").alias("id"),
+        F.col("l.order_time").alias("order_time"),
+        F.col("l.amount").alias("amount"),
+        F.col("l.currency").alias("currency"),
+        F.col("r.rate").alias("rate"),
+        (F.col("l.amount") * F.col("r.rate")).alias("converted_amount"),
+    )
+
+
+#: DuckDB twin of kinesis_sim._h — 60-bit md5-derived hash, same convention
+#: as functions.text.md5_hash60 (15 hex chars always fit a positive BIGINT).
+_DUCK_KSIM_H = "('0x' || substr(md5({seed} || ':' || s.shard || ':' || q.seq || ':' || '{salt}'), 1, 15))::BIGINT"
+
+#: one generated shard×seq grid per template — the literal DuckDB
+#: re-derivation of kinesis_sim._record (same seed/shard/seq → same bytes)
+_DUCK_KSIM_ORDERS = f"""
+    SELECT s.shard * 1000000000 + q.seq AS id,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (q.seq * 40 + s.shard) * INTERVAL 1 MILLISECOND AS order_time,
+           CAST({_DUCK_KSIM_H.format(seed=7, salt='a')} % 10000 + 1 AS INTEGER) AS amount,
+           ['click','view','signup','purchase','error']
+             [{_DUCK_KSIM_H.format(seed=7, salt='c')} % 5 + 1] AS currency
+    FROM range(2) s(shard), range(150) q(seq)
+"""
+_DUCK_KSIM_RATES = f"""
+    SELECT TIMESTAMP '2024-01-01 00:00:00'
+             + (q.seq * 400 + s.shard) * INTERVAL 1 MILLISECOND AS rate_time,
+           ['click','view','signup','purchase','error']
+             [{_DUCK_KSIM_H.format(seed=8, salt='c')} % 5 + 1] AS currency,
+           CAST({_DUCK_KSIM_H.format(seed=8, salt='r')} % 97 + 2 AS INTEGER) AS rate
+    FROM range(1) s(shard), range(30) q(seq)
+"""
+
+
+@query(
+    "kinesis_interval_join",
+    oracle=f"""
+    WITH o AS ({_DUCK_KSIM_ORDERS}), r AS ({_DUCK_KSIM_RATES})
+    SELECT o.id, o.order_time, o.amount AS original_amount, r.rate,
+           CAST(o.amount * r.rate AS INTEGER) AS converted_amount
+    FROM o LEFT JOIN r
+      ON o.currency = r.currency
+     AND o.order_time >= r.rate_time
+     AND r.rate_time > o.order_time - INTERVAL 5 SECOND
+    """,
+    doc="S1+S2+Q4 end-to-end through the in-repo kinesis_sim connector",
+)
+def q_kinesis_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference topology driven entirely through ``format("kinesis_sim")``
+    (StreamingJob.java:26-41 consumer contract + 96-100 join): two
+    Kinesis-shaped generated streams (orders 2 shards × 150 records @ 40 ms,
+    rates 1 shard × 30 @ 400 ms — the e2e test fixture's shape), JSON-parsed
+    via the shared S2 path, joined with the reference's 5-second half-open
+    interval.  The DuckDB oracle regenerates the *identical* records from the
+    same (seed, shard, seq) → md5 derivation, so the driver hash-checks the
+    connector's wire bytes, the JSON parse, and the join in one row.
+    ``sf_dir`` is unused — the connector is the source."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+        EXCHANGE_RATE_SCHEMA,
+        ORDER_SCHEMA,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        register as register_kinesis,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
+
+    register_kinesis(spark)
+
+    def src(template: str, **opts):
+        return (
+            spark.read.format("kinesis_sim")
+            .options(template=template, **{k: str(v) for k, v in opts.items()})
+            .load()
+        )
+
+    o_raw = src("orders", shards=2, records_per_shard=150, interval_ms=40, seed=7)
+    r_raw = src("rates", shards=1, records_per_shard=30, interval_ms=400, seed=8)
+    o = parse_json_stream(o_raw, ORDER_SCHEMA, value_col="data").withColumnRenamed(
+        "orderTime", "order_time"
+    )
+    r = parse_json_stream(r_raw, EXCHANGE_RATE_SCHEMA, value_col="data").withColumnRenamed(
+        "exchangeRateTime", "rate_time"
+    )
+    j = interval_join_bucketed(
+        o, r, on="currency", left_time="order_time", right_time="rate_time", interval="5 seconds"
+    )
+    return j.select(
+        F.col("l.id").alias("id"),
+        F.col("l.order_time").alias("order_time"),
+        F.col("l.amount").alias("original_amount"),
+        F.col("r.rate").alias("rate"),
+        (F.col("l.amount") * F.col("r.rate")).cast("int").alias("converted_amount"),
+    )
+
+
+@query(
     "projection_filter",
     oracle="""
     SELECT l_orderkey,
