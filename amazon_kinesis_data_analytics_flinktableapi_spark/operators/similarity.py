@@ -22,6 +22,7 @@ Dot products are built-in zip_with/aggregate expressions (functions.vector)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -326,6 +327,38 @@ def quantized_sketch(qv_col: str, planes: list[list[int]]) -> "F.Column":
     return out
 
 
+def quantized_sketches_all(qv_col: str, tables: list[list[list[int]]]) -> "F.Column":
+    """All per-table sign-bit sketches of a quantized vector in ONE Arrow
+    batch: array<bigint> of length n_tables, element t == the value
+    ``quantized_sketch(qv, tables[t])`` would compute.
+
+    Semantics are identical to n_tables × n_planes ``quantized_sketch``
+    dots — the matmul is pure int64 arithmetic (|q| ≤ ~10⁶·|x|, |coeff| ≤
+    ~4·scale ⇒ |dot| < 2⁴², no overflow), so the sign bits are
+    bit-identical on any engine, same as the HOF form.  Why it exists:
+    ``aggregate(zip_with(...))`` is an interpreted expression — at
+    n_tables × n_planes dots per row it is the dominant cost of the LSH
+    pipeline (measured 5.3 s of an 8 s query at sf0.1); one numpy matmul
+    per Arrow batch is ~100× cheaper and keeps the work off the driver.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = len(tables[0])
+    planes = np.array(
+        [c for tbl in tables for p in tbl for c in p], dtype=np.int64
+    ).reshape(len(tables) * n_planes, -1)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sketches(qv: pd.Series) -> pd.Series:
+        q = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
+        bits = (q @ planes.T) >= 0  # (rows, n_tables*n_planes)
+        sk = bits.reshape(len(q), len(tables), n_planes) @ weights
+        return pd.Series(list(sk))
+
+    return _sketches(F.col(qv_col))
+
+
 def _int_dot(qv_col: str, coeffs_ints: list[int]) -> "F.Column":
     """Integer dot of a quantized vector column against literal integer
     coefficients — exact (< 2⁵³) on any engine, same as the sketch dots."""
@@ -507,8 +540,16 @@ def neardup_pairs_lsh(
     # re-evaluation is the pipeline's dominant constant (measured ~2.5×
     # end-to-end at sf0.01).  At real scale this cache is the persisted
     # sketch-input intermediate.
+    # repartition to the session's parallelism: a small corpus arrives as
+    # one file ⇒ one partition, and since every join below is broadcast
+    # (no exchange until the final post-filter dedup) the ENTIRE candidate
+    # verify would otherwise run in a single task — measured 13 s
+    # single-threaded vs ~2 s spread over local[32].  At cluster scale the
+    # corpus is already many partitions and this is a near-no-op.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("vd"))
+        df.repartition(n_parts)
+        .select(F.col(id_col).alias("id"), as_double(vec_col).alias("vd"))
         .select(
             "id",
             "vd",
@@ -519,44 +560,41 @@ def neardup_pairs_lsh(
     )
 
     # sketch rows carry ONLY (id, table, sketch) — never the vector.  The
-    # bucket self-join and the candidate dedup shuffle 24-byte rows; with
-    # the vectors attached (the previous shape) every one of the ~Σbucket²
-    # candidate rows dragged two 64-double arrays plus norms through two
-    # shuffles (~3 GB at 10k vectors — measured 20-45 s; ids-only: ~2 s).
-    # Vectors re-attach AFTER the dedup via two equi-joins against the
-    # cached base — |candidates| + 2|base| rows of payload, the minimum.
+    # bucket self-join shuffles 24-byte rows; with the vectors attached
+    # (the previous shape) every one of the ~Σbucket² candidate rows
+    # dragged two 64-double arrays plus norms through two shuffles (~3 GB
+    # at 10k vectors — measured 20-45 s; ids-only: ~2 s).  Vectors
+    # re-attach via two equi-joins against the cached base (broadcast-able
+    # per bucket-bounded candidate volume).  All n_tables sketches come
+    # from ONE Arrow matmul per row batch (quantized_sketches_all) — the
+    # per-dot HOF expressions were the pipeline's dominant cost.
     sk = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), quantized_sketch("qv", p).alias("sk"))
-                    for t, p in enumerate(tables)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.t", "b.sk")
-    l, r = sk.alias("l"), sk.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.sk") == F.col("r.sk"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        "id", F.posexplode(quantized_sketches_all("qv", tables)).alias("t", "sk")
     )
+    l, r = sk.alias("l"), sk.alias("r")
+    candidates = l.join(
+        r,
+        (F.col("l.t") == F.col("r.t"))
+        & (F.col("l.sk") == F.col("r.sk"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     a = base.select(F.col("id").alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
     # dot / (na·nb) with the precomputed norms is the identical double
     # expression tree as cosine() — sqrt(Σa²)·sqrt(Σb²) — just not
-    # re-scanned per candidate pair
+    # re-scanned per candidate pair.
+    # A pair colliding in k tables is verified k times (identical sims) and
+    # deduplicated AFTER the threshold filter: the duplicate-verify factor
+    # is bounded by n_tables and ~1.6 measured, while deduplicating first
+    # costs a full shuffle of the candidate set — orders of magnitude
+    # larger than the post-filter survivor set (measured 3.2 s vs ~0 s on
+    # 2.1M candidates → 3.8k survivors at sf0.1).
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", sim.alias("__sim"))
         .filter(F.col("__sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", half_up_round(F.col("__sim"), scale).alias("cos_sim"))
     )
