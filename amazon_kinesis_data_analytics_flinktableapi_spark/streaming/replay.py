@@ -14,38 +14,75 @@ from pyspark.sql import DataFrame, SparkSession
 from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import file_replay
 
 
+def _staged_json_lines(df: DataFrame, n_chunks: int, order_col: str | None) -> DataFrame:
+    """One string column ``value`` (canonical wire JSON), partitioned so
+    that output partition index == replay chunk index."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
+
+    # TIMESTAMP_NTZ columns ignore to_json's timestampFormat (no offset,
+    # millis only), which the replay reader would parse to NULL — cast to
+    # TIMESTAMP before serializing so the wire format is always canonical.
+    # Full microsecond precision — the default toJSON format truncates to
+    # millis, which would corrupt event times on replay.
+    df = normalize_timestamps(df)
+    jcol = F.to_json(F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT})
+    if n_chunks > 1 and order_col is not None:
+        # range partitioning on event time ⇒ partition 0 holds the earliest
+        # rows, so sorted part files replay in time order (chunk sizes are
+        # range-balanced rather than exactly equal — the replay contract
+        # only needs cross-chunk time order)
+        return (
+            df.select(F.col(order_col).alias("__ord"), jcol.alias("value"))
+            .repartitionByRange(n_chunks, "__ord")
+            .select("value")
+        )
+    if n_chunks > 1:
+        return df.select(jcol.alias("value")).repartition(n_chunks)
+    return df.select(jcol.alias("value")).coalesce(1)
+
+
+def _publish_chunks(staging_df: DataFrame, out_dir: str, first_index: int = 0) -> int:
+    """Distributed write of ``staging_df`` (single ``value`` column) into
+    ``out_dir`` as ``chunk-{i:05d}.json`` files with monotonically
+    increasing mtimes (the file source's listing order).  Executors write
+    the data; the driver only renames part files — the fixture writer never
+    materializes the table driver-side (the previous ``collect()`` loop was
+    linear in table size and sat on the streaming bench path).
+
+    Returns the next free chunk index."""
+    import glob
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(out_dir, f".staging-{uuid.uuid4().hex}")
+    try:
+        staging_df.write.mode("overwrite").text(staging)
+        # part-%05d file index == output partition index == chunk order;
+        # empty partitions produce empty part files — skip them (the
+        # collect()-era writer also wrote no file for an empty chunk)
+        parts = sorted(
+            p for p in glob.glob(os.path.join(staging, "part-*")) if os.path.getsize(p) > 0
+        )
+        i = first_index
+        for p in parts:
+            dest = os.path.join(out_dir, f"chunk-{i:05d}.json")
+            os.replace(p, dest)
+            t = 1_700_000_000 + i
+            os.utime(dest, (t, t))
+            i += 1
+        return i
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def dump_json_chunks(df: DataFrame, out_dir: str, n_chunks: int = 1, order_col: str | None = None) -> str:
     """Write a batch DataFrame as ``n_chunks`` JSON files named in replay
     order (chunk index = event-time order when ``order_col`` given), so a
     maxFilesPerTrigger=1 stream sees data arrive roughly in time order."""
-    os.makedirs(out_dir, exist_ok=True)
-    from pyspark.sql import functions as F
-
-    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
-
-    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
-
-    # TIMESTAMP_NTZ columns ignore to_json's timestampFormat (no offset,
-    # millis only), which the replay reader would parse to NULL — cast to
-    # TIMESTAMP before serializing so the wire format is always canonical
-    df = normalize_timestamps(df)
-    src = df.orderBy(order_col) if (order_col is not None and n_chunks > 1) else df
-    # full microsecond precision — the default toJSON format truncates to
-    # millis, which would corrupt event times on replay
-    jcol = F.to_json(F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT})
-    rows = [r[0] for r in src.select(jcol).collect()]
-    per = max(1, (len(rows) + n_chunks - 1) // n_chunks)
-    for i in range(n_chunks):
-        chunk = rows[i * per : (i + 1) * per]
-        if not chunk:
-            break
-        path = os.path.join(out_dir, f"chunk-{i:05d}.json")
-        with open(path, "w") as f:
-            f.write("\n".join(chunk))
-        # monotonically increasing mtimes so the file source lists chunks
-        # in replay order
-        t = 1_700_000_000 + i
-        os.utime(path, (t, t))
+    _publish_chunks(_staged_json_lines(df, n_chunks, order_col), out_dir)
     return out_dir
 
 
@@ -55,22 +92,9 @@ def dump_json_parts(dfs: list[DataFrame], out_dir: str) -> str:
     micro-batch per part, in list order.  This is the out-of-order/late-data
     fixture writer: callers control exactly which rows arrive in which
     batch (``dump_json_chunks`` only splits a single table in time order)."""
-    os.makedirs(out_dir, exist_ok=True)
-    from pyspark.sql import functions as F
-
-    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
-
-    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
-
-    for i, df in enumerate(dfs):
-        df = normalize_timestamps(df)
-        jcol = F.to_json(F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT})
-        rows = [r[0] for r in df.select(jcol).collect()]
-        path = os.path.join(out_dir, f"chunk-{i:05d}.json")
-        with open(path, "w") as f:
-            f.write("\n".join(rows))
-        t = 1_700_000_000 + i
-        os.utime(path, (t, t))
+    i = 0
+    for df in dfs:
+        i = _publish_chunks(_staged_json_lines(df, 1, None), out_dir, first_index=i)
     return out_dir
 
 
