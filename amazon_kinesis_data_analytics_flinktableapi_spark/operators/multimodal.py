@@ -62,31 +62,77 @@ def has_real_decoder() -> bool:
     return True
 
 
+def has_ffmpeg() -> bool:
+    """Runtime capability probe for audio/video: True when ffprobe (the
+    ffmpeg suite's inspector) is on PATH.  Mirrors ``has_real_decoder``:
+    the container this engine ships in does not carry ffmpeg, so the
+    probe returns False here and the audio/video branch of
+    ``real_decode`` upgrades itself automatically in any environment
+    that provides it."""
+    import shutil
+
+    return shutil.which("ffprobe") is not None
+
+
+def _ffprobe_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """ffprobe-backed audio/video metadata: (width, height, n_frames);
+    audio reports (0, 0, #frames≈#packets? → stream nb_frames or 1)."""
+    import json
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=f".{kind}") as tmp:
+        tmp.write(payload)
+        tmp.flush()
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-print_format", "json",
+                "-show_streams", tmp.name,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+    streams = json.loads(out.stdout).get("streams", [])
+    vstreams = [s for s in streams if s.get("codec_type") == "video"]
+    s = vstreams[0] if vstreams else (streams[0] if streams else {})
+    width = int(s.get("width", 0) or 0)
+    height = int(s.get("height", 0) or 0)
+    n_frames = int(s.get("nb_frames", 1) or 1)
+    return width, height, n_frames
+
+
 def real_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
-    """PIL-backed image decoder behind the runtime capability probe.
+    """Capability-probed real decoder: PIL for images, ffprobe for
+    audio/video.
 
     OPT-IN, not automatic: the default decoder stays ``fake_decode``
     (the registered media queries run over synthetic text-byte payloads
-    whose oracles mirror the fake, so silently switching on PIL presence
-    would break them on non-image bytes).  When PIL is available
-    (``has_real_decoder()``), callers with real image payloads select it
-    via ``set_decoder(real_decode)``; without PIL it raises the
-    documented NotImplementedError.  Audio/video need ffmpeg and stay
-    stubbed either way — the Spark-side plumbing (schema, Arrow
+    whose oracles mirror the fake, so silently switching on library
+    presence would break them on non-media bytes).  When the probes pass
+    (``has_real_decoder()`` / ``has_ffmpeg()``), callers with real
+    payloads select this via ``set_decoder(real_decode)``; in an
+    environment without the library it raises the documented
+    NotImplementedError.  The Spark-side plumbing (schema, Arrow
     batching, pruned projection) is identical for every decoder."""
-    if not has_real_decoder():
+    if kind == "image":
+        if not has_real_decoder():
+            raise NotImplementedError(
+                "image decoding requires PIL, not available in this environment; "
+                "pip install pillow, then set_decoder(real_decode)"
+            )
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, int(getattr(im, "n_frames", 1))
+    if not has_ffmpeg():
         raise NotImplementedError(
-            "media decoding requires PIL/ffmpeg, not available in this environment; "
-            "pip install pillow, then set_decoder(real_decode)"
+            "audio/video decoding requires ffmpeg (ffprobe), not available in "
+            "this environment; install ffmpeg, then set_decoder(real_decode)"
         )
-    if kind != "image":
-        raise NotImplementedError("audio/video decode requires ffmpeg, not available")
-    import io
-
-    from PIL import Image
-
-    with Image.open(io.BytesIO(payload)) as im:
-        return im.width, im.height, int(getattr(im, "n_frames", 1))
+    return _ffprobe_decode(payload, kind)
 
 
 _DECODER: Callable[[bytes, str], tuple[int, int, int]] = fake_decode

@@ -145,6 +145,40 @@ def test_set_decoder_plugs_in(spark):
         M.set_decoder(M.fake_decode)
 
 
+def test_ffmpeg_capability_probe():
+    """Audio/video decode mirrors the PIL probe: ffprobe present → real
+    metadata from a generated clip; absent → the documented
+    NotImplementedError (the engine container has no ffmpeg, so the
+    absent branch is what runs here; the present branch self-verifies in
+    any environment that provides ffmpeg)."""
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
+
+    if not M.has_ffmpeg():
+        with _pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.real_decode(b"\x00\x00\x00\x18ftypmp42", "video")
+        with _pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.real_decode(b"RIFF....WAVE", "audio")
+        return
+    # environment provides ffmpeg: generate a 4-frame 16x8 clip and decode it
+    assert shutil.which("ffmpeg") is not None
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+        subprocess.run(
+            ["ffmpeg", "-y", "-v", "error", "-f", "lavfi",
+             "-i", "testsrc=size=16x8:rate=4:duration=1", tmp.name],
+            check=True,
+        )
+        payload = open(tmp.name, "rb").read()
+    w, h, nf = M.real_decode(payload, "video")
+    assert (w, h) == (16, 8) and nf >= 1
+
+
 def test_real_decode_capability_probe():
     """real_decode is a runtime capability probe: PIL present → decodes an
     actual image; absent → the documented NotImplementedError."""
