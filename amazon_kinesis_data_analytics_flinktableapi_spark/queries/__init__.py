@@ -85,77 +85,70 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 5 window -----------------------------------------------------
-    # 1-15: everything repaired or changed this round.  1-11 sat in the
-    # round-4 blast radius of the TIMESTAMP_NTZ environment shift (flagship
-    # interval join + as-of joins crashed; replay wire format NULLed every
-    # event time, zeroing the streaming windows) — the fix lives at the
-    # source boundary (sources/batch.normalize_timestamps) and these rows
-    # re-attest it in the driver's environment.  12-15 were rows-only
-    # (oracle=None) for four straight rounds; this round rebuilt them on
-    # portable md5-derived hashes / integer-quantized sketches so the
-    # driver hash-checks the approximate results themselves.
-    "interval_join",
-    "currency_conversion",
-    "projection_filter",
-    "asof_join_latest_rate",
-    "asof_forward_join",
+    # --- round 6 window -----------------------------------------------------
+    # 1-14: everything new or changed this round.  kinesis_interval_join
+    # drives the reference topology end-to-end through the in-repo
+    # format("kinesis_sim") connector (its first driver attestation);
+    # interval_join_forward attests the forward branch of the bucket
+    # algebra; embedding_neardup was rewritten (Arrow matmul sketches,
+    # post-filter dedup, parallelism fix); the 11 streaming queries all
+    # ride the replay fixture writer, which became distributed this round
+    # (executors write chunks — the driver collect() loop is gone).
+    "kinesis_interval_join",
+    "interval_join_forward",
+    "embedding_neardup",
     "streaming_interval_join",
     "streaming_tumbling_window",
     "streaming_session_window",
     "streaming_late_data",
     "streaming_chained_windows",
     "streaming_running_aggregate",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # 16-25: adjacent surfaces touched this round — bench-headline
-    # additions (dedup_clusters, embedding_neardup), the max_df-validated
-    # jaccard path, the remaining replay-path streaming ops, and the
-    # capability-probed media decoders.
-    "dedup_clusters",
-    "embedding_neardup",
-    "neardup_jaccard",
     "streaming_static_enrich",
     "streaming_sliding_window",
     "streaming_dedup",
     "streaming_topk_complete",
-    "media_decode_meta",
-    "media_frame_sample",
-    "media_resize",
-    # 26-30: brand-new this round (first-ever attestation): TPC-H Q4/Q6/
-    # Q10/Q14 shapes + the deterministic KMV distinct sketch.
-    "tpch_q4_priority_check",
-    "tpch_q6_revenue_delta",
-    "tpch_q10_returned_revenue",
-    "tpch_q14_promo_share",
-    "kmv_distinct_sketch",
     "streaming_asof_enrich",
-    # 32-50: staleness rotation — queries whose newest driver row is r2
-    # (the r3/r4 windows excluded them); r4 proved attestation rot is real,
-    # so the tail cycles back in oldest-first.  (json_extract_agg and
-    # pivot_status_by_priority yield their slots to the new queries this
-    # round — simple, low-rot-risk surfaces.)
-    "array_agg_sorted",
-    "set_intersect",
-    "self_range_join",
-    "null_scalars",
-    "array_hof_pipeline",
-    "timeseries_interpolate",
-    "lag_lead_gaps",
-    "explode_token_frequencies",
-    "event_sequence_detect",
-    "funnel_steps",
-    "timeseries_gap_fill",
-    "session_gaps_islands",
-    "cascaded_rollup",
-    "token_stats",
-    "bpe_token_estimate",
-    "quality_score",
-    "lang_id",
-    "corpus_clean_pipeline",
-    "contamination_ngram_overlap",
+    # 15-50: staleness rotation (VERDICT r5 #1): the 37 queries whose
+    # newest green driver row was ≤ r2, oldest first — r1 block (15-19),
+    # then the r2 tail.  36 of the 37 fit; pivot_status_by_priority (a
+    # simple low-rot-risk pivot, benched deliberately in r5 as well)
+    # yields the one missing slot and rotates back next round.
+    "doc_chunks",
+    "normalize_text",
+    "rolling_fingerprint",
+    "stratified_sample",
+    "reservoir_per_group",
+    "deterministic_sample",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders",
+    "window_rank",
+    "window_moving_avg",
+    "set_ops",
+    "join_semi",
+    "join_anti",
+    "rollup_customer_geo",
+    "large_order_customers",
+    "nation_pair_revenue",
+    "cube_status_priority",
+    "unpivot_lineitem_metrics",
+    "value_histogram",
+    "grouped_having",
+    "distinct_pairs",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "conditional_agg",
+    "shipping_priority",
+    "string_functions",
+    "math_functions",
+    "date_functions",
+    "grouping_sets_revenue",
+    "tpch_q8_market_share",
+    "salted_join_revenue",
+    "regex_extract_tokens",
+    "tpch_q21_late_supplier",
+    "repetition_signals",
+    "json_extract_agg",
 ]
 
 
