@@ -86,15 +86,17 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # rounds).
 _PRIORITY: list[str] = [
     # --- round 6 window -----------------------------------------------------
-    # 1-14: everything new or changed this round.  kinesis_interval_join
-    # drives the reference topology end-to-end through the in-repo
-    # format("kinesis_sim") connector (its first driver attestation);
+    # 1-15: everything new or changed this round.  kinesis_interval_join /
+    # streaming_kinesis_tumbling drive the reference topology end-to-end
+    # through the in-repo format("kinesis_sim") connector, batch and
+    # streaming read paths respectively (first driver attestations);
     # interval_join_forward attests the forward branch of the bucket
     # algebra; embedding_neardup was rewritten (Arrow matmul sketches,
     # post-filter dedup, parallelism fix); the 11 streaming queries all
     # ride the replay fixture writer, which became distributed this round
     # (executors write chunks — the driver collect() loop is gone).
     "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
     "interval_join_forward",
     "embedding_neardup",
     "streaming_interval_join",
@@ -108,11 +110,12 @@ _PRIORITY: list[str] = [
     "streaming_dedup",
     "streaming_topk_complete",
     "streaming_asof_enrich",
-    # 15-50: staleness rotation (VERDICT r5 #1): the 37 queries whose
-    # newest green driver row was ≤ r2, oldest first — r1 block (15-19),
-    # then the r2 tail.  36 of the 37 fit; pivot_status_by_priority (a
-    # simple low-rot-risk pivot, benched deliberately in r5 as well)
-    # yields the one missing slot and rotates back next round.
+    # 16-50: staleness rotation (VERDICT r5 #1): the 37 queries whose
+    # newest green driver row was ≤ r2, oldest first — r1 block (16-20),
+    # then the r2 tail.  35 of the 37 fit (≥30 asked); json_extract_agg
+    # and pivot_status_by_priority (simple low-rot-risk surfaces, benched
+    # deliberately in r5 as well) yield the missing slots and lead the r7
+    # rotation.
     "doc_chunks",
     "normalize_text",
     "rolling_fingerprint",
@@ -148,7 +151,6 @@ _PRIORITY: list[str] = [
     "regex_extract_tokens",
     "tpch_q21_late_supplier",
     "repetition_signals",
-    "json_extract_agg",
 ]
 
 

@@ -865,3 +865,90 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, spark, timeout_sec=240)
+
+
+#: DuckDB regeneration of the kinesis_sim orders stream used by
+#: q_streaming_kinesis_tumbling (seed 11, 2 shards x 300 records @ 100 ms)
+#: — same md5 derivation as sources/kinesis_sim._record, so the oracle
+#: sees the identical records the connector streams.
+_KSIM_STREAM_ORDERS = """
+    SELECT TIMESTAMP '2024-01-01 00:00:00'
+             + (q.seq * 100 + s.shard) * INTERVAL 1 MILLISECOND AS ts,
+           CAST(('0x' || substr(md5('11:' || s.shard || ':' || q.seq || ':a'), 1, 15))::BIGINT
+                % 10000 + 1 AS INTEGER) AS amount,
+           ['click','view','signup','purchase','error']
+             [('0x' || substr(md5('11:' || s.shard || ':' || q.seq || ':c'), 1, 15))::BIGINT
+              % 5 + 1] AS currency
+    FROM range(2) s(shard), range(300) q(seq)
+"""
+
+
+@query(
+    "streaming_kinesis_tumbling",
+    oracle=f"""
+    WITH o AS ({_KSIM_STREAM_ORDERS}),
+    agg AS (
+      SELECT currency,
+             time_bucket(INTERVAL 5 SECONDS, ts) AS window_start,
+             time_bucket(INTERVAL 5 SECONDS, ts) + INTERVAL 5 SECONDS AS window_end,
+             count(*) AS n_orders,
+             CAST(sum(amount) AS BIGINT) AS total_amount
+      FROM o
+      GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT max(ts) FROM o)
+    """,
+    doc="STREAMING tumbling window fed by the in-repo kinesis_sim connector "
+    "(readStream, shard partitions, sequence-number offsets); append mode "
+    "emits exactly the windows the terminal watermark closes — the oracle "
+    "regenerates the connector's deterministic records in SQL",
+)
+def q_streaming_kinesis_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 streaming attestation for the kinesis_sim connector: the batch
+    twin (``kinesis_interval_join``) proves the wire bytes; this row proves
+    the *streaming* read path — readStream → JSON parse (S2) → watermark
+    (S4) → windowed aggregation — inside the driver's environment.
+    ``batch_records == records_per_shard`` so the whole stream arrives as
+    one increment; the drain runner then keeps triggering micro-batches
+    until the advanced watermark has flushed every window whose end <=
+    max event time (the engine's append-mode emission contract) — a
+    SimpleDataSourceStreamReader never sees availableNow's no-data flush
+    batch, see ``run_to_memory_drain``.  ``sf_dir`` unused — the
+    connector is the source."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        register as register_kinesis,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        run_to_memory_drain,
+    )
+
+    register_kinesis(spark)
+    raw = (
+        spark.readStream.format("kinesis_sim")
+        .options(
+            template="orders",
+            shards="2",
+            records_per_shard="300",
+            batch_records="300",
+            interval_ms="100",
+            seed="11",
+        )
+        .load()
+    )
+    parsed = parse_json_stream(raw, ORDER_SCHEMA, value_col="data")
+    agg = (
+        parsed.withWatermark("orderTime", "0 seconds")
+        .groupBy(F.window("orderTime", "5 seconds").alias("w"), "currency")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("amount").alias("total_amount"))
+        .select(
+            "currency",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_orders",
+            "total_amount",
+        )
+    )
+    return run_to_memory_drain(agg, spark, timeout_sec=240)

@@ -120,6 +120,50 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_memory_drain(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    name: str | None = None,
+    timeout_sec: int = 120,
+    output_mode: str = "append",
+    trigger_interval: str = "100 milliseconds",
+    idle_batches: int = 3,
+) -> DataFrame:
+    """Drain a FINITE stream whose source is a ``SimpleDataSourceStreamReader``
+    (e.g. ``format("kinesis_sim")``) and return the collected result.
+
+    Why not ``run_to_memory``: under ``availableNow`` Spark consumes exactly
+    ONE prefetched increment from a simple stream reader and never runs the
+    no-data batch, so the watermark stays at epoch and an append-mode
+    windowed aggregation emits nothing (pinned in tests/test_kinesis_sim.py).
+    A ``processingTime`` trigger keeps executing micro-batches: the first
+    empty batch after the tip carries the advanced watermark and flushes
+    every closed window; the query is stopped once ``idle_batches``
+    consecutive empty batches confirm there is nothing left to emit."""
+    import time
+
+    name = name or f"drain_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_sec
+        while time.time() < deadline:
+            progress = q.recentProgress
+            tail = [p["numInputRows"] for p in progress[-idle_batches:]]
+            if len(progress) >= idle_batches + 1 and tail == [0] * idle_batches:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name)
+
+
 def replay_stream(
     spark: SparkSession,
     batch_df: DataFrame,
