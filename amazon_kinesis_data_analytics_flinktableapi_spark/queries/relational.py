@@ -1496,3 +1496,267 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_revenue_cents"),
         F.floor(promo * 10000.0 / total).cast("bigint").alias("promo_share_bp"),
     )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                    - CAST(FLOOR(p_retailprice * l_quantity * 50 + 0.5) AS BIGINT))
+                AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: product-type profit by supplier nation and order "
+    "year — the 5-table join tree (no partsupp in this star: unit cost is "
+    "proxied as half of p_retailprice, keeping the revenue-minus-cost "
+    "measure); per-row integer-cents arithmetic makes the profit exact",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the only fact-sized shuffle is lineitem⋈orders on the orderkey
+    # (both sides AQE-co-partitioned); supplier, nation, and the name-
+    # filtered part dim all broadcast, so the 5-way tree costs ONE fact
+    # shuffle + three map-side hash joins.  The p_name filter prunes part
+    # before broadcast (predicate reaches the dim scan).
+    li, orders, supp, nat, part = load(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
+    )
+    j = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+    )
+    revenue = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("bigint")
+    cost = F.floor(F.col("p_retailprice") * F.col("l_quantity") * 50 + 0.5).cast("bigint")
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(revenue - cost).cast("bigint").alias("profit_cents"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS part_key, value_cents
+    FROM val
+    WHERE value_cents > (SELECT CAST(FLOOR(sum(value_cents) * 0.001) AS BIGINT) FROM val)
+    """,
+    doc="TPC-H Q11 shape: important stock — per-part inventory value for "
+    "one nation's suppliers, kept only above a fraction of the GLOBAL "
+    "total (scalar-subquery threshold; lineitem plays partsupp's role in "
+    "this star)",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one fact shuffle on l_partkey after the broadcast nation-
+    # filtered supplier join; the global total is a second aggregation of
+    # the ALREADY-AGGREGATED per-part values (|parts| rows, not fact rows)
+    # broadcast back as a one-row threshold — the two-pass shape that
+    # avoids any window-over-everything.
+    li, supp, nat = load(spark, sf_dir, "lineitem", "supplier", "nation")
+    nation7 = supp.join(
+        F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    val = (
+        li.join(F.broadcast(nation7), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).cast("bigint").alias("value_cents"))
+    )
+    threshold = val.agg(
+        F.floor(F.sum("value_cents") * 0.001).cast("bigint").alias("__thr")
+    )
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value_cents") > F.col("__thr"))
+        .select(F.col("l_partkey").alias("part_key"), "value_cents")
+    )
+
+
+@query(
+    "tpch_q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape: late shipments split by order priority class — "
+    "cross-table date-arithmetic predicate (ship > order + 90 days) with "
+    "conditional counting (this star has no l_shipmode/commitdate; "
+    "l_returnflag plays the mode dimension)",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the one-year l_shipdate range pushes to the fact scan; the
+    # join is the one fact shuffle (orderkey); the cross-side date
+    # comparison is a join residual inside codegen; the CASE-sums are a
+    # two-row aggregate.
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct suppliers per (brand, type, size) with a "
+    "NOT-IN exclusion subquery (complaint suppliers := negative account "
+    "balance in this star; lineitem is the part-supplier bridge)",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the size/brand filters prune the part dim BEFORE broadcast;
+    # the exclusion list is a broadcast LEFT ANTI join (never a
+    # NOT-IN-as-cartesian); count(DISTINCT) runs as the standard two-level
+    # expand+agg on (brand, type, size) — all fact movement is one shuffle.
+    li, part, supp = load(spark, sf_dir, "lineitem", "part", "supplier")
+    dim = part.filter((F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 2, 3, 4, 5))
+    complaints = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(dim), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(FLOOR(sum(l_quantity)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_cents,
+           total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: large-volume customers — HAVING-filtered fact "
+    "aggregation joined back to orders and customer",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: aggregate lineitem FIRST (one fact shuffle on orderkey, with
+    # map-side partial sums), so only the few hundred qualifying orderkeys
+    # join onward; orders joins on the same key (AQE co-partition or
+    # broadcast of the tiny big-side), customer broadcasts.
+    li, orders, cust = load(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey", F.floor("__q").cast("bigint").alias("total_qty"))
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("total_price_cents"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, CAST(FLOOR(sum(l_quantity)) AS BIGINT) AS blue_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100
+    )
+    SELECT s_name,
+           CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           blue_qty
+    FROM shipped
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+    """,
+    doc="TPC-H Q20 shape: suppliers who moved significant volume of one "
+    "part family in one nation — nested IN subquery (semi-join), "
+    "HAVING-thresholded aggregation, dim join-back (availqty has no home "
+    "in this star, so the shipped-quantity threshold plays its role)",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the part-name IN list is a broadcast LEFT SEMI join onto the
+    # fact scan (no fact shuffle for the filter); the per-supplier agg is
+    # the one shuffle; supplier and nation broadcast onto the tiny
+    # HAVING-filtered survivor set.
+    li, part, supp, nat = load(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    blue = part.filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 100)
+        .select("l_suppkey", F.floor("__q").cast("bigint").alias("blue_qty"))
+    )
+    return (
+        shipped.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").alias("acctbal_cents"),
+            "blue_qty",
+        )
+    )
