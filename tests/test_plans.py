@@ -305,3 +305,62 @@ def test_tpch_q14_broadcast_part(spark):
     df = q("tpch_q14_promo_share", spark)
     assert_broadcast_join(df, min_count=1)
     assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_tpch_q9_one_fact_shuffle_three_broadcasts(spark):
+    """Q9's 5-table tree: supplier/nation/name-filtered part all broadcast;
+    the only fact-sized join is lineitem⋈orders; never a nested loop."""
+    df = q("tpch_q9_product_profit", spark)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
+def test_tpch_q11_threshold_broadcast(spark):
+    """Q11's global-total threshold joins back as a broadcast of ONE row —
+    the scalar subquery must never become a cartesian of fact rows."""
+    df = q("tpch_q11_important_stock", spark)
+    assert_broadcast_join(df, min_count=1)
+    plan = explain_str(df)
+    # the threshold join is a single-row broadcast nested loop at most;
+    # no CartesianProduct (a shuffled cartesian of fact rows) is allowed
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_range_pushdown_partial_agg(spark):
+    """Q12's one-year ship window reaches the fact scan; the cross-table
+    date comparison stays a join residual (equi join on the orderkey)."""
+    df = q("tpch_q12_late_priority", spark)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q16_anti_join_broadcast(spark):
+    """Q16's NOT IN must plan as a broadcast LEFT ANTI join, and the
+    size/brand filters must prune the part dim before broadcast."""
+    df = q("tpch_q16_supplier_part_counts", spark)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """Q18 must aggregate lineitem BEFORE joining orders/customer — the
+    HAVING survivor set, not the fact table, drives the joins."""
+    plan = explain_str(q("tpch_q18_large_volume_customer", spark))
+    assert "HashAggregate" in plan
+    # aggregation happens upstream of every join: the first Join node in
+    # the bottom-up plan text appears after the aggregate of lineitem
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q20_semi_join_chain(spark):
+    """Q20's IN-subquery must be a LEFT SEMI broadcast join riding the
+    fact scan; supplier/nation broadcast onto the survivor set."""
+    df = q("tpch_q20_promotion_suppliers", spark)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert_broadcast_join(df, min_count=2)
