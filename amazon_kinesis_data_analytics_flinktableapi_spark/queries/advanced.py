@@ -952,3 +952,74 @@ def q_streaming_kinesis_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_drain(agg, spark, timeout_sec=240)
+
+
+@query(
+    "streaming_kinesis_roundtrip",
+    oracle="""
+    SELECT s.shard * 1000000000 + q.seq AS id,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (q.seq * 50 + s.shard) * INTERVAL 1 MILLISECOND AS order_time,
+           CAST(('0x' || substr(md5('13:' || s.shard || ':' || q.seq || ':a'), 1, 15))::BIGINT
+                % 10000 + 1 AS INTEGER) AS amount,
+           ['click','view','signup','purchase','error']
+             [('0x' || substr(md5('13:' || s.shard || ':' || q.seq || ':c'), 1, 15))::BIGINT
+              % 5 + 1] AS currency
+    FROM range(2) s(shard), range(200) q(seq)
+    """,
+    doc="K1+K2 driver attestation: kinesis_sim stream -> kinesis_sim SINK "
+    "(two-phase task-stage/driver-commit, key-hash shard routing) -> read "
+    "the committed JSONL back through a distributed scan; the oracle "
+    "regenerates the source records, so a hash match proves no record was "
+    "lost, duplicated, or corrupted through the full write path",
+)
+def q_streaming_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sink side (StreamingJob.java:110-130) end-to-end in
+    the driver's environment: a finite kinesis_sim orders stream is driven
+    through ``writeStream.format("kinesis_sim")`` (availableNow — the sink
+    path needs no watermark flush, unlike the windowed query), then the
+    committed ``batch=*/shardId-*/*.jsonl`` files are read back with a
+    DISTRIBUTED ``spark.read.json`` scan and parsed through the shared S2
+    path.  ``sf_dir`` unused — the connector is the source AND the sink."""
+    import glob as _glob
+    import tempfile as _tf
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        register as register_kinesis,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
+
+    register_kinesis(spark)
+    out = _tf.mkdtemp(prefix="ksim_rt_")
+    src = (
+        spark.readStream.format("kinesis_sim")
+        .options(
+            template="orders",
+            shards="2",
+            records_per_shard="200",
+            batch_records="200",
+            interval_ms="50",
+            seed="13",
+        )
+        .load()
+    )
+    q = (
+        src.writeStream.format("kinesis_sim")
+        .option("path", out)
+        .option("partition_key_col", "partition_key")
+        .option("shards", "4")
+        .option("checkpointLocation", f"{out}/.ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = _glob.glob(f"{out}/batch=*/shardId-*/*.jsonl")
+    raw = spark.read.json(files).select(F.col("data"))
+    parsed = parse_json_stream(raw, ORDER_SCHEMA, value_col="data")
+    return parsed.select(
+        "id",
+        F.col("orderTime").alias("order_time"),
+        "amount",
+        "currency",
+    )
