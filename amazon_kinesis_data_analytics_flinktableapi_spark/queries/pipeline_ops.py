@@ -588,3 +588,97 @@ def _zorder_oracle() -> str:
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["zorder_layout"].oracle = _zorder_oracle()
+
+
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE CAST(substr(source, 4) AS INTEGER) % 4
+               WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100
+             END AS rate_permille,
+             ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000 AS u_permille
+      FROM documents
+    )
+    SELECT doc_id, source, rate_permille
+    FROM rated
+    WHERE u_permille < rate_permille
+    """,
+    doc="domain mixture sampling: per-source keep rates (100%/50%/25%/10% by "
+    "source-index class) applied as a deterministic content-hash Bernoulli — "
+    "the up/down-sampling step that shapes a training mixture",
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture shaping at 100 TB is a pure map: no shuffle, no state — each
+    row keeps or drops itself from (hash(doc_id) mod 1000 < rate(source)).
+    The md5-derived permille is the portable uniform (functions.text.
+    md5_hash60 convention), so reruns and engines agree row-for-row;
+    skew-free because the decision never groups by source."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    (docs,) = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 1000)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 500)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 250)
+        .otherwise(100)
+    )
+    u = md5_hash60(F.concat(F.lit("mix:"), F.col("doc_id"))) % 1000
+    return (
+        docs.select("doc_id", "source", rate.alias("rate_permille"), u.alias("__u"))
+        .filter(F.col("__u") < F.col("rate_permille"))
+        .select("doc_id", "source", "rate_permille")
+    )
+
+
+@query(
+    "unigram_surprisal_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    model AS (
+      SELECT tok,
+             CAST(FLOOR(-log2(count(*) * 1.0 / (SELECT count(*) FROM toks)) * 1000)
+                  AS BIGINT) AS millibits
+      FROM toks GROUP BY tok
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(FLOOR(sum(millibits) * 1.0 / count(*)) AS BIGINT) AS avg_surprisal_millibits
+    FROM toks JOIN model USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="unigram-LM surprisal scoring: corpus token frequencies -> per-token "
+    "-log2 p quantized to integer millibits -> per-doc average — the "
+    "perplexity-proxy quality filter of a training pipeline",
+)
+def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass shape that scales: pass 1 aggregates token counts (one
+    shuffle on the token; the model table is |vocab| rows), pass 2 joins
+    the model back onto the postings (vocab broadcasts at any realistic
+    size) and averages per doc (one shuffle on doc_id).  Per-token
+    surprisal is quantized to integer millibits BEFORE summing, so the
+    per-doc sums are exact integers — summation order, engine, and
+    parallelism cannot move the result (same trick as the deterministic
+    sketches)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).cache()
+    n_total = toks.count()
+    model = toks.groupBy("tok").agg(
+        F.floor(-F.log2(F.count(F.lit(1)) / F.lit(float(n_total))) * 1000)
+        .cast("bigint")
+        .alias("millibits")
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(F.sum("millibits") / F.count(F.lit(1))).cast("bigint")
+            .alias("avg_surprisal_millibits"),
+        )
+    )
