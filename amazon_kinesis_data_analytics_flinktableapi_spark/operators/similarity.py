@@ -598,3 +598,61 @@ def neardup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", half_up_round(F.col("__sim"), scale).alias("cos_sim"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then within each cluster drop every vector
+    that has a near-duplicate (cosine ≥ threshold) with a smaller id — one
+    representative survives per local duplicate chain.  Returns the KEPT
+    rows as (vec_id, cluster).
+
+    Deterministic end-to-end so a SQL oracle reproduces it: clusters are
+    the ``ivf_topk_det`` assignment (lowest-id centroids, integer-quantized
+    dots, ties toward the smaller centroid id) and the drop rule uses exact
+    double cosine with the id order as priority — no RNG, no k-means.
+
+    Scale shape: centroid assignment rides the corpus scan (broadcast
+    literal centroids, no shuffle); candidate pairs are generated ONLY
+    within a cluster via an ids+vectors equi self-join on the cluster id
+    (pair work ∝ Σ cluster² — n_centroids grows with the corpus exactly
+    like ivf lists); the drop set distincts ids only, and the final filter
+    is an anti join.  Nothing is ever pairwise across clusters.
+    """
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("j"), quantized(vec_col).alias("cqv"))
+        .collect()
+    )
+    cdots = [
+        F.struct(
+            _int_dot("qv", r["cqv"]).alias("s"),
+            F.lit(-int(r["j"])).cast("long").alias("nj"),
+        )
+        for r in cents
+    ]
+    base = (
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("vd"), quantized(vec_col).alias("qv"))
+        .select("id", "vd", (-F.array_max(F.array(*cdots)).getField("nj")).alias("cluster"))
+        .cache()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("vd").alias("va"), F.col("cluster"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vd").alias("vb"), F.col("cluster"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("va", "vb") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        base.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cluster")
+    )

@@ -937,3 +937,44 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_permille"),
         )
     )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.35, n_centroids: int = 16) -> str:
+    """DuckDB twin of ``S.semantic_dedup``: same lowest-id centroids and
+    integer-quantized assignment as ``_ann_ivf_oracle``, same exact-double
+    cosine drop rule — the pruned set is engine-independent."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> floor(x * {S.NEARDUP_QUANT})) AS qv
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS j, qv AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}),
+    assign AS (
+      SELECT e.vec_id, e.v, cent.j,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.qv, cent.cv) DESC, cent.j) AS r
+      FROM e CROSS JOIN cent
+    ),
+    buck AS (SELECT vec_id, v, j AS cluster FROM assign WHERE r = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM buck a JOIN buck b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    )
+    SELECT vec_id, cluster
+    FROM buck
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic pruning: deterministic IVF clusters, then "
+    "drop every vector with a smaller-id near-duplicate (cos >= 0.35) in "
+    "its cluster — cluster-local pair work only, nothing cross-cluster",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.35, n_centroids=16)

@@ -180,3 +180,36 @@ def test_ivf_topk_det_recall(vectors):
     b = {(r.q_id, r.c_id) for r in brute.collect()}
     d = {(r.q_id, r.c_id) for r in det.collect()}
     assert len(d & b) / len(b) >= 0.5  # lowest-id centroids trade recall for determinism
+
+
+def test_semantic_dedup_invariants(spark):
+    """After pruning, no two kept vectors in the same cluster are near-
+    duplicates, and every dropped vector has a smaller-id kept-or-dropped
+    near-duplicate justifying the drop; the result is deterministic."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.similarity import cosine, semantic_dedup
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    kept = semantic_dedup(emb, threshold=0.35, n_centroids=8)
+    k = kept.cache()
+    n_kept, n_all = k.count(), emb.count()
+    assert 0 < n_kept <= n_all
+    # no surviving intra-cluster pair at/above the threshold
+    ka = k.join(emb, "vec_id").select(
+        F.col("vec_id").alias("id_a"), F.col("cluster"), F.col("embedding").alias("ea")
+    )
+    kb = ka.select(
+        F.col("id_a").alias("id_b"), F.col("cluster"), F.col("ea").alias("eb")
+    )
+    offenders = (
+        ka.join(kb, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("ea", "eb") >= 0.35)
+    )
+    assert offenders.count() == 0
+    # deterministic: a second run returns the identical kept set
+    again = semantic_dedup(emb, threshold=0.35, n_centroids=8)
+    assert sorted(r.vec_id for r in k.collect()) == sorted(r.vec_id for r in again.collect())
