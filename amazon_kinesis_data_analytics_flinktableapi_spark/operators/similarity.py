@@ -578,8 +578,25 @@ def neardup_pairs_lsh(
         & (F.col("l.sk") == F.col("r.sk"))
         & (F.col("l.id") < F.col("r.id")),
     ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-    a = base.select(F.col("id").alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
+    # The exact verify reads the vectors as 64 FLAT scalar double columns,
+    # not arrays: per-candidate array access (whether `aggregate(zip_with)`
+    # — interpreted — or an unrolled `vd[i]` chain) measured 7-18 s over the
+    # ~2M-candidate verify at sf0.1, while the same left-to-right
+    # Σ aᵢ·bᵢ over flat Tungsten double columns runs in ~1.5 s: scalar
+    # doubles stay in whole-stage-codegen locals with no per-row array
+    # deserialization.  Values are bit-identical — same elements, same
+    # multiply, same left-to-right summation order — so the DuckDB oracle
+    # (list_cosine_similarity) is unchanged.
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("nrm").alias("na"),
+        *[F.col("vd")[i].alias(f"__a{i}") for i in range(dim)],
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("nrm").alias("nb"),
+        *[F.col("vd")[i].alias(f"__b{i}") for i in range(dim)],
+    )
     # dot / (na·nb) with the precomputed norms is the identical double
     # expression tree as cosine() — sqrt(Σa²)·sqrt(Σb²) — just not
     # re-scanned per candidate pair.
@@ -589,7 +606,10 @@ def neardup_pairs_lsh(
     # costs a full shuffle of the candidate set — orders of magnitude
     # larger than the post-filter survivor set (measured 3.2 s vs ~0 s on
     # 2.1M candidates → 3.8k survivors at sf0.1).
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = F.col("__a0") * F.col("__b0")
+    for i in range(1, dim):
+        sim = sim + F.col(f"__a{i}") * F.col(f"__b{i}")
+    sim = sim / (F.col("na") * F.col("nb"))
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
