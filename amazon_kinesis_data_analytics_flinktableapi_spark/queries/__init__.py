@@ -110,12 +110,24 @@ _PRIORITY: list[str] = [
     "streaming_dedup",
     "streaming_topk_complete",
     "streaming_asof_enrich",
-    # 16-50: staleness rotation (VERDICT r5 #1): the 37 queries whose
-    # newest green driver row was ≤ r2, oldest first — r1 block (16-20),
-    # then the r2 tail.  35 of the 37 fit (≥30 asked); json_extract_agg
-    # and pivot_status_by_priority (simple low-rot-risk surfaces, benched
-    # deliberately in r5 as well) yield the missing slots and lead the r7
-    # rotation.
+    # 16-20: also new this round, added after the first window cut —
+    # never driver-attested, so they outrank the stale rotation:
+    # the sink-side kinesis attestation, the three new pipeline ops,
+    # and one representative of the six new TPC-H shapes (the other
+    # five are plan-shape twins of already-attested shapes; r7 rotates
+    # them through).
+    "streaming_kinesis_roundtrip",
+    "semantic_dedup",
+    "domain_mixture_sample",
+    "unigram_surprisal_score",
+    "tpch_q9_product_profit",
+    # 21-50: staleness rotation (VERDICT r5 #1): queries whose newest
+    # green driver row was ≤ r2, oldest first — r1 block first, then the
+    # r2 tail.  30 of the 37 fit (≥30 asked); the slots the never-attested
+    # round-6 additions above took came from the lowest-rot-risk stale
+    # surfaces (string/math functions, set_ops, semi/anti join,
+    # json_extract_agg, pivot_status_by_priority — pure relational ops
+    # with no timestamp/env coupling), which lead the r7 rotation.
     "doc_chunks",
     "normalize_text",
     "rolling_fingerprint",
@@ -127,9 +139,6 @@ _PRIORITY: list[str] = [
     "topk_orders",
     "window_rank",
     "window_moving_avg",
-    "set_ops",
-    "join_semi",
-    "join_anti",
     "rollup_customer_geo",
     "large_order_customers",
     "nation_pair_revenue",
@@ -142,8 +151,6 @@ _PRIORITY: list[str] = [
     "sliding_window_events",
     "conditional_agg",
     "shipping_priority",
-    "string_functions",
-    "math_functions",
     "date_functions",
     "grouping_sets_revenue",
     "tpch_q8_market_share",
