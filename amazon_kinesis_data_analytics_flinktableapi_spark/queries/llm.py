@@ -272,6 +272,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_span_detect",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    s AS (
+      SELECT doc_id, md5(substr(text, pos + 1, 40)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - 40, 10)) AS pos
+            FROM d) u
+    ),
+    c AS (SELECT h, count(*) AS cnt FROM s GROUP BY h)
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           (sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END))::BIGINT AS n_dup_spans,
+           floor(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 1000000 + 0.5) / 1000000 AS dup_ratio
+    FROM s JOIN c USING (h)
+    GROUP BY s.doc_id
+    """,
+    doc="substring-level duplicate-span statistics (Lee et al. 2021 "
+    "ExactSubstr family): stride-aligned 40-char windows fingerprinted "
+    "with md5, counted corpus-wide — the repeated-boilerplate detector "
+    "that document-level dedup tiers cannot see",
+)
+def q_duplicate_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, "doc_id", "text", span_len=40, stride=10)
+
+
+@query(
     "token_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)

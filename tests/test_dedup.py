@@ -82,3 +82,33 @@ def test_jaccard_pairs_rejects_bad_max_df(corpus):
 
     with _pytest.raises(ValueError, match="max_df"):
         D.jaccard_pairs(corpus, "doc_id", "text", max_df="5%")
+
+
+def test_duplicate_spans_finds_planted_boilerplate(spark):
+    # 3 distinct docs sharing one 120-char boilerplate block at stride-
+    # aligned offsets, plus one fully unique doc; span_len=40 / stride=10
+    # must flag dup spans in the sharers and none in the unique doc
+    boiler = "".join(f"b{j % 10}" for j in range(60))  # 120 chars
+    uniq = ["".join(f"u{i}{j % 7}" for j in range(60)) for i in range(4)]
+    rows = [
+        (0, boiler + uniq[0]),
+        (1, uniq[1] + boiler),   # offset 180 ≠ 0 but still stride-aligned
+        (2, boiler + uniq[2]),
+        (3, uniq[3]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.duplicate_spans(df, span_len=40, stride=10).collect()}
+    assert len(out) == 4
+    for i in (0, 1, 2):
+        assert out[i].n_dup_spans > 0, f"doc {i} shares boilerplate"
+        assert 0 < out[i].dup_ratio <= 1.0
+    assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
+    # every doc's span count = floor((len-40)/10)+1
+    for i, (_, text) in enumerate(rows):
+        assert out[i].n_spans == (len(text) - 40) // 10 + 1
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    df = spark.createDataFrame([(0, "tiny"), (1, "x" * 80)], "doc_id long, text string")
+    out = D.duplicate_spans(df, span_len=40, stride=10).collect()
+    assert {r.doc_id for r in out} == {1}
