@@ -540,6 +540,48 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_restamped",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    doc="STREAMING dedup via dropDuplicatesWithinWatermark: every event "
+    "replayed twice with the duplicate RE-STAMPED +3s (producer-retry "
+    "semantics — same key, different event time, so plain dropDuplicates "
+    "state on (key, ts) would NOT collapse it); within-watermark state "
+    "keys on event_id alone and evicts at first-sighting + delay — "
+    "output == the original distinct rows",
+)
+def q_streaming_dedup_restamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import stream_dedup
+
+    (ev,) = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    restamped = ev.select(*cols).union(
+        ev.select(
+            "event_id", "user_id", "event_type", "value",
+            (F.col("ts") + F.expr("INTERVAL 3 SECONDS")).alias("ts"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ddw_")
+    # the +3s re-stamp sorts the retry AFTER its original, possibly into a
+    # later micro-batch — the within-watermark state must bridge batches.
+    # Output projects ts AWAY, so whichever copy arrives first inside a
+    # batch yields the identical output row (determinism by construction).
+    stream = replay_stream(
+        spark, restamped, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    out = stream_dedup(stream, "ts", ["event_id"], watermark="10 seconds", within_watermark=True)
+    return run_to_memory(out, spark, timeout_sec=240).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
     "streaming_dedup",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events

@@ -682,3 +682,120 @@ def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_surprisal_millibits"),
         )
     )
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bucket
+      FROM toks
+    ),
+    cr AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+    ct AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src18' GROUP BY bucket),
+    r AS (
+      SELECT cr.bucket,
+             CAST(floor(1000000.0 * ((coalesce(ct, 0) + 1.0) / (cr + 1.0))) AS BIGINT) AS q
+      FROM cr LEFT JOIN ct USING (bucket)
+    ),
+    s AS (
+      SELECT doc_id, CAST(sum(q) AS BIGINT) AS score
+      FROM b JOIN r USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, score, sel_rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS sel_rank
+      FROM s
+    ) WHERE sel_rank <= 100
+    """,
+    doc="DSIR-style importance selection (Xie et al. 2023, arXiv:2302.03169): "
+    "hashed-unigram bucket counts for a target domain vs the raw corpus, "
+    "per-doc importance score, top-N selected — deterministic linear-ratio "
+    "variant so the oracle hash-checks the selection itself",
+)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, re-expressed for exact
+    cross-engine checkability: DSIR proper scores each document with
+    Σ log(p_target(feature)/p_raw(feature)) over hashed n-gram features
+    and samples by the resulting weights; here the per-bucket ratio is
+    quantized to an integer once — floor(1e6·(ct+1)/(cr+1)), exact on any
+    IEEE engine because division and multiplication are correctly-rounded
+    single operations — and the per-doc score is an integer SUM of those
+    ratios, so summation order, engine, and parallelism cannot move the
+    ranking.  (The log-weight form needs libm parity; the linear-ratio
+    form needs none.)
+
+    Scale shape: two token-postings shuffles (bucket count, per-doc sum)
+    plus a 256-row broadcast ratio table; selection is a distributed
+    TakeOrdered (sort-limit), never a global single-partition window.
+    """
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60, tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", "source", (md5_hash60(F.col("tok")) % 256).alias("bucket"))
+        .cache()
+    )
+    cr = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        toks.filter(F.col("source") == "src18")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ratios = cr.join(ct, "bucket", "left").select(
+        "bucket",
+        F.floor(
+            F.lit(1000000.0)
+            * ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("cr") + F.lit(1.0)))
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    scored = (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("q").cast("bigint").alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select("doc_id", "score", F.row_number().over(w).alias("sel_rank"))
+
+
+@query(
+    "dataset_split_assign",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS pct
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+    FROM u
+    """,
+    doc="deterministic train/val/test split assignment (80/10/10) from a "
+    "salted content-hash permille — reproducible across reruns, engines, "
+    "and cluster sizes, with zero shuffle",
+)
+def q_dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment at 100 TB is a pure map (no shuffle, no state, no
+    RNG): each row derives its split from md5('split:' || id) mod 100 —
+    the same portable-uniform convention as domain_mixture_sample, with a
+    distinct salt so the two decisions are independent.  Adding documents
+    never reassigns existing ones (hash, not row_number), which is the
+    property that keeps eval sets stable as the corpus grows."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pct = md5_hash60(F.concat(F.lit("split:"), F.col("doc_id"))) % 100
+    return docs.select(
+        "doc_id",
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
+    )
