@@ -468,3 +468,127 @@ def duplicate_spans(
             half_up_round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Cut repeated spans out of the corpus, keeping the first occurrence.
+
+    The removal half of the ExactSubstr recipe (Lee et al. 2021,
+    arXiv:2107.06499): every stride-aligned ``span_len``-char window whose
+    fingerprint occurs more than once corpus-wide is removed from every
+    position EXCEPT the canonical first occurrence (min (id, pos)); a
+    document's overlapping removal windows are merged into maximal
+    intervals before splicing, so self-repeating runs collapse in one cut.
+    Returns (id, clean_text, n_removed_chars) for EVERY input document —
+    documents with nothing to remove pass through verbatim.
+
+    Approximation vs the paper's suffix array: spans start only at stride
+    offsets, so removal granularity is ``stride`` chars and duplicates
+    shorter than ``span_len`` survive; ``stride=1`` tightens both at
+    stride× the index size.
+
+    Scale shape: the fingerprint shuffle carries (id, pos, 32-byte hash);
+    interval merging is one windowed pass partitioned by document; the
+    splice is a per-row expression over the collected interval array
+    (intervals per doc are few after merging — bounded by len/stride).
+    The text column itself never enters a shuffle wider than its own
+    groupBy-collect per document.
+    """
+    from pyspark.sql import Window
+
+    spans = (
+        df.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(stride))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.expr(f"substring({text_col}, pos + 1, {span_len})")).alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy(id_col, "pos")
+    removals = (
+        spans.select(
+            id_col,
+            "pos",
+            F.count(F.lit(1)).over(wh).alias("cnt"),
+            F.row_number().over(who).alias("rn"),
+        )
+        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select(id_col, F.col("pos").alias("s0"), (F.col("pos") + span_len).alias("e0"))
+    )
+    # merge overlapping/adjacent intervals: gaps-and-islands on a running
+    # max of interval ends (ROWS ... 1 PRECEDING so the current row's own
+    # end is excluded — identical frame in the DuckDB twin)
+    wprev = (
+        Window.partitionBy(id_col).orderBy("s0", "e0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wisl = Window.partitionBy(id_col).orderBy("s0", "e0")
+    merged = (
+        removals.select(id_col, "s0", "e0", F.max("e0").over(wprev).alias("prev_max"))
+        .select(
+            id_col,
+            "s0",
+            "e0",
+            F.sum(
+                F.when(F.col("prev_max").isNull() | (F.col("s0") > F.col("prev_max")), 1)
+                .otherwise(0)
+            ).over(wisl).alias("island"),
+        )
+        .groupBy(id_col, "island")
+        .agg(F.min("s0").alias("ms"), F.max("e0").alias("me"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("ms", "me"))).alias("ivals"))
+    )
+    # splice: fold the interval array left to right, emitting the kept
+    # segment before each cut, then the tail after the last cut
+    text = F.col(text_col)
+    spliced = F.aggregate(
+        F.col("ivals"),
+        F.struct(F.lit(0).cast("long").alias("last"), F.lit("").alias("out")),
+        lambda acc, iv: F.struct(
+            F.greatest(acc["last"], iv["me"].cast("long")).alias("last"),
+            F.concat(
+                acc["out"],
+                F.substring(
+                    text,
+                    (acc["last"] + 1).cast("int"),
+                    F.greatest(iv["ms"].cast("long") - acc["last"], F.lit(0).cast("long")).cast("int"),
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(
+                text,
+                (acc["last"] + 1).cast("int"),
+                F.greatest(F.length(text).cast("long") - acc["last"], F.lit(0).cast("long")).cast("int"),
+            ),
+        ),
+    )
+    return (
+        df.join(merged, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("ivals").isNull(), text).otherwise(spliced).alias("clean_text"),
+            F.length(text).alias("__orig_len"),
+        )
+        .select(
+            id_col,
+            "clean_text",
+            (F.col("__orig_len") - F.length("clean_text")).alias("n_removed_chars"),
+        )
+    )

@@ -112,3 +112,36 @@ def test_duplicate_spans_short_docs_excluded(spark):
     df = spark.createDataFrame([(0, "tiny"), (1, "x" * 80)], "doc_id long, text string")
     out = D.duplicate_spans(df, span_len=40, stride=10).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    # fixtures must be APERIODIC: a periodic filler self-duplicates at the
+    # stride and the operator (correctly) collapses the repeats
+    boiler = "".join(f"b{j:02d}" for j in range(40))  # 120 chars
+    uniq = ["".join(f"{i}u{j:02d}" for j in range(45)) for i in range(3)]  # 180 chars
+    rows = [
+        (0, boiler + uniq[0]),   # canonical first occurrence (doc 0, pos 0)
+        (1, uniq[1] + boiler),   # dup at offset 180 -> removed
+        (2, uniq[2]),            # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.remove_duplicate_spans(df, span_len=40, stride=10).collect()}
+    assert out[0].clean_text == rows[0][1], "canonical occurrence must survive"
+    assert out[0].n_removed_chars == 0
+    assert out[2].clean_text == rows[2][1] and out[2].n_removed_chars == 0
+    # doc 1: the boilerplate block is cut; the unique prefix survives.
+    # Spans cover [180, 300) at stride 10 -> merged interval removes the
+    # whole block (the last span starts at 260 and ends at 300).
+    assert out[1].clean_text == uniq[1]
+    assert out[1].n_removed_chars == 120
+
+
+def test_remove_duplicate_spans_self_repetition_merges(spark):
+    # one doc that repeats its own 80-char block: second occurrence cut
+    block = "".join(f"r{j:02d}x" for j in range(20))   # 80 chars, aperiodic
+    filler = "".join(f"f{j:02d}y" for j in range(20))  # 80 chars, distinct
+    df = spark.createDataFrame([(0, block + filler + block)], "doc_id long, text string")
+    out = D.remove_duplicate_spans(df, span_len=40, stride=10).collect()[0]
+    assert out.n_removed_chars >= 40, "repeated tail must lose at least one span"
+    assert out.clean_text.startswith(block), "first occurrence survives"
+    assert len(out.clean_text) + out.n_removed_chars == 240
