@@ -592,3 +592,45 @@ def remove_duplicate_spans(
             (F.col("__orig_len") - F.length("clean_text")).alias("n_removed_chars"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: C(A⊆B) = |A∩B| / |A|.
+
+    The excerpt detector Jaccard cannot be: a quote or excerpt covering
+    10% of a larger document has jaccard ≈ 0.1 (invisible below any sane
+    symmetric threshold) but containment ≈ 1.0 in the small→large
+    direction.  Emits (id_a, id_b, containment_a, containment_b) for every
+    shingle-sharing pair whose LARGER directional containment clears the
+    threshold — containment_a = shared/|A| is how much of A lives in B.
+
+    Same inverted-index plan as :func:`jaccard_pairs` (equi-join on the
+    hashed shingle, pair counts carry set sizes on the postings) and the
+    same hot-shingle caveat: at corpus scale apply a ``max_df``-style cap
+    upstream, because a boilerplate shingle in k docs costs k² join rows
+    here exactly as it does there.
+    """
+    sets = shingle_sets(df, id_col, text_col, n, hashed=True)
+    inv = sets.select(
+        F.col(id_col), F.size("shingles").alias("nsh"), F.explode("shingles").alias("s")
+    ).cache()
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a.nsh").alias("n_a"),
+            F.first("b.nsh").alias("n_b"),
+        )
+    )
+    c_a = F.col("shared") / F.col("n_a")
+    c_b = F.col("shared") / F.col("n_b")
+    return shared.filter(F.greatest(c_a, c_b) >= threshold).select(
+        "id_a",
+        "id_b",
+        half_up_round(c_a, 4).alias("containment_a"),
+        half_up_round(c_b, 4).alias("containment_b"),
+    )

@@ -144,6 +144,45 @@ _DUCK_NEARDUP_CORPUS = f"""
 
 
 @query(
+    "containment_neardup",
+    oracle=f"""
+    WITH {_DUCK_NEARDUP_CORPUS},
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2)
+    SELECT id_a, id_b,
+           floor(shared * 1.0 / sa.n * 10000 + 0.5) / 10000 AS containment_a,
+           floor(shared * 1.0 / sb.n * 10000 + 0.5) / 10000 AS containment_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(shared * 1.0 / sa.n, shared * 1.0 / sb.n) >= 0.9
+    """,
+    doc="asymmetric n-gram containment pairs (|A∩B|/|A|): the excerpt/quote "
+    "detector — an excerpt has jaccard ≈ its length share (invisible to "
+    "symmetric thresholds) but containment ≈ 1.0 in the small→large "
+    "direction; same inverted-index plan as neardup_jaccard",
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    return D.containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
+
+
+@query(
     "neardup_jaccard",
     oracle=f"""
     WITH {_DUCK_NEARDUP_CORPUS},

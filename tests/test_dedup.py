@@ -145,3 +145,20 @@ def test_remove_duplicate_spans_self_repetition_merges(spark):
     assert out.n_removed_chars >= 40, "repeated tail must lose at least one span"
     assert out.clean_text.startswith(block), "first occurrence survives"
     assert len(out.clean_text) + out.n_removed_chars == 240
+
+
+def test_containment_finds_excerpts_jaccard_misses(corpus, spark):
+    # a 25%-slice excerpt: jaccard vs the source ≈ 0.25 (below any sane
+    # symmetric threshold) but containment(excerpt ⊆ source) ≈ 1.0
+    big = make_doc(3, n=80)
+    excerpt = " ".join(big.split()[:20])
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, make_doc(7, n=60))], "doc_id long, text string"
+    )
+    cont = {(r.id_a, r.id_b): r for r in D.containment_pairs(df, "doc_id", "text", threshold=0.9).collect()}
+    jac = {(r.id_a, r.id_b) for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in cont, "excerpt must clear the containment threshold"
+    assert cont[(1, 2)].containment_b >= 0.99, "excerpt is fully contained"
+    assert cont[(1, 2)].containment_a < 0.5, "direction matters: source is not in excerpt"
+    assert (1, 2) not in jac, "symmetric jaccard at 0.5 misses the excerpt"
+    assert (1, 3) not in cont and (2, 3) not in cont
