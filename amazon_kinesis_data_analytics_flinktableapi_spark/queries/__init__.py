@@ -86,37 +86,40 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # rounds).
 _PRIORITY: list[str] = [
     # --- round 6 window -----------------------------------------------------
-    # 1-15: everything new or changed this round.  kinesis_interval_join /
+    # 1-9: changed surfaces.  kinesis_interval_join /
     # streaming_kinesis_tumbling drive the reference topology end-to-end
     # through the in-repo format("kinesis_sim") connector, batch and
     # streaming read paths respectively (first driver attestations);
     # interval_join_forward attests the forward branch of the bucket
-    # algebra; embedding_neardup was rewritten (Arrow matmul sketches,
-    # post-filter dedup, parallelism fix); the 11 streaming queries all
-    # ride the replay fixture writer, which became distributed this round
-    # (executors write chunks — the driver collect() loop is gone).
+    # algebra; embedding_neardup was rewritten twice (Arrow matmul
+    # sketches, then the flat-column exact verify); 5 streaming queries
+    # represent the replay fixture writer that became distributed this
+    # round (one code path shared by all 11 riders — the other 6, all
+    # green r5 with unchanged operator code, yield their slots to
+    # never-attested queries and lead the r7 rotation).
     "kinesis_interval_join",
     "streaming_kinesis_tumbling",
     "interval_join_forward",
     "embedding_neardup",
     "streaming_interval_join",
     "streaming_tumbling_window",
-    "streaming_session_window",
     "streaming_late_data",
-    "streaming_chained_windows",
-    "streaming_running_aggregate",
-    "streaming_static_enrich",
-    "streaming_sliding_window",
     "streaming_dedup",
-    "streaming_topk_complete",
     "streaming_asof_enrich",
-    # 16-20: also new this round, added after the first window cut —
-    # never driver-attested, so they outrank the stale rotation:
-    # the sink-side kinesis attestation, the three new pipeline ops,
-    # and one representative of the six new TPC-H shapes (the other
-    # five are plan-shape twins of already-attested shapes; r7 rotates
-    # them through).
+    # 10-20: new this round, never driver-attested — window policy rule 3
+    # (new queries enter on their first round): the sink-side kinesis
+    # attestation, the substring-dedup tier (detect + remove), DSIR
+    # selection, containment pairs, within-watermark streaming dedup,
+    # split assignment, three pipeline ops, and one representative of the
+    # six new TPC-H shapes (plan-shape twins of attested shapes; r7
+    # rotates the rest).
     "streaming_kinesis_roundtrip",
+    "duplicate_span_detect",
+    "duplicate_span_removal",
+    "dsir_importance_select",
+    "containment_neardup",
+    "streaming_dedup_restamped",
+    "dataset_split_assign",
     "semantic_dedup",
     "domain_mixture_sample",
     "unigram_surprisal_score",
