@@ -116,6 +116,16 @@ def interval_join_bucketed(
     ~2 buckets of right rows.  This is the plan that survives 100 TB; the
     naive form is kept for Catalyst-chosen broadcast cases.
     """
+    normalized_how = how.lower().replace("_", "")
+    if normalized_how in ("rightouter", "right", "fullouter", "full", "outer"):
+        # the 2x right-side explode makes right-preserving joins WRONG here:
+        # an unmatched right row has two bucket copies, both unmatched, so
+        # it would emit twice.  Use the naive interval_join for those.
+        raise ValueError(
+            f"interval_join_bucketed does not support how={how!r}: the right "
+            "side is bucket-exploded 2x, so right-preserving joins would emit "
+            "unmatched right rows twice — use interval_join for right/full outer"
+        )
     spark = left.sparkSession
     w_us = _interval_micros(spark, interval)
     keys = [on] if isinstance(on, str) else list(on)

@@ -92,6 +92,44 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_join_full",
+    oracle=f"""
+    WITH o0 AS ({_ORDERS_ROLE}),
+    o AS (SELECT * FROM o0 WHERE currency <> 'view'),
+    r AS ({_RATES_ROLE})
+    SELECT o.id, o.amount,
+           o.currency AS o_currency, r.currency AS r_currency, r.rate,
+           o.amount * r.rate AS converted_amount
+    FROM o FULL JOIN r
+      ON o.currency = r.currency
+     AND o.order_time >= r.rate_time
+     AND r.rate_time > o.order_time - INTERVAL 1 HOUR
+    """,
+    doc="full-outer interval join: unmatched orders AND unmatched rates "
+    "both emit NULL-extended (orders drop the 'view' currency so every "
+    "'view' rate genuinely exercises right preservation) — through the "
+    "NAIVE operator, because the bucketed plan's 2x right-side explode is "
+    "left-preserving only (it rejects right/full outer by contract, "
+    "ValueError-tested)",
+)
+def q_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders_role(spark, sf_dir).filter(F.col("currency") != "view")
+    r = _rates_role(spark, sf_dir)
+    j = interval_join(
+        o, r, on="currency", left_time="order_time", right_time="rate_time",
+        interval="1 hour", how="full_outer",
+    )
+    return j.select(
+        F.col("l.id").alias("id"),
+        F.col("l.amount").alias("amount"),
+        F.col("l.currency").alias("o_currency"),
+        F.col("r.currency").alias("r_currency"),
+        F.col("r.rate").alias("rate"),
+        (F.col("l.amount") * F.col("r.rate")).alias("converted_amount"),
+    )
+
+
 #: DuckDB replica of java.sql.Timestamp.toString() (see functions.scalar):
 #: seconds part, then fraction with trailing zeros stripped, min 1 digit.
 _DUCK_TS_TO_STRING = (

@@ -66,3 +66,17 @@ def test_left_outer_null_when_no_rate(joined):
 
 def test_left_outer_null_when_rate_out_of_window(joined):
     assert {r for i, r in joined if i == 4} == {None}
+
+
+def test_bucketed_rejects_right_preserving_joins(spark):
+    import pytest as _pytest
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
+        interval_join_bucketed,
+    )
+
+    df = spark.createDataFrame([(1, "EUR")], "id long, currency string").withColumn(
+        "t", F.current_timestamp()
+    )
+    for how in ("right_outer", "full_outer", "full", "outer"):
+        with _pytest.raises(ValueError, match="right-preserving"):
+            interval_join_bucketed(df, df, on="currency", left_time="t", right_time="t", how=how)
