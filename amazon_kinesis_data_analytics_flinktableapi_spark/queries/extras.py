@@ -731,3 +731,92 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(check("lineitem_orphan_part", li.join(part, li.l_partkey == part.p_partkey, "left_anti")))
         .union(check("order_nonpositive_price", orders.filter(F.col("o_totalprice") <= 0)))
     )
+
+
+@query(
+    "cms_frequency_sketch",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT d, ('0x' || substr(md5('cms' || d || ':' || tok), 1, 15))::BIGINT % 256 AS bucket,
+             count(*) AS c
+      FROM toks CROSS JOIN range(4) t(d)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT e.tok, e.exact_n, t.d,
+             ('0x' || substr(md5('cms' || t.d || ':' || e.tok), 1, 15))::BIGINT % 256 AS bucket
+      FROM exact e CROSS JOIN range(4) t(d)
+    )
+    SELECT p.tok, p.exact_n, CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY p.tok, p.exact_n
+    """,
+    doc="Count-Min frequency sketch (Cormode & Muthukrishnan 2005): depth-4 "
+    "x width-256 counter grid over portable md5 row hashes, probed with the "
+    "exact top-20 tokens — cell counts are pure sums, so unlike Misra-Gries "
+    "the sketch is order-independent and the oracle hash-checks estimates",
+)
+def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimate(x) = min over rows d of cell[d][h_d(x)]; every cell is
+    an order-independent SUM, so the sketch — and therefore the estimate —
+    is identical under any partitioning, engine, or merge order (the
+    property that makes CMS the streaming/distributed heavy-hitter sketch:
+    partial sketches from any number of executors or micro-batches merge
+    by cell-wise addition).  Estimates only OVERCOUNT (collisions add),
+    never undercount — pinned in tests.
+
+    Scale shape: one shuffle on (row, bucket) — the grid is depth x width
+    = 1024 cells regardless of corpus size; the probe side is a broadcast
+    of top-k x depth lookups.  At 100 TB the same plan holds: the sketch
+    stays 1024 cells."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60, tokens
+
+    DEPTH, WIDTH = 4, 256
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok")).cache()
+
+    def bucket(d: int, tok_col) -> F.Column:
+        return md5_hash60(F.concat(F.lit(f"cms{d}:"), tok_col)) % WIDTH
+
+    cells = (
+        toks.select(
+            "tok",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket"))
+                    for d in range(DEPTH)
+                ])
+            ).alias("e"),
+        )
+        .groupBy(F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket"))
+                for d in range(DEPTH)
+            ])
+        ).alias("e"),
+    ).select("tok", "exact_n", F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+    return (
+        cells.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )

@@ -92,3 +92,20 @@ def test_kmv_estimator_accuracy(spark):
         assert n > 256, "test must exercise the estimator path"
         rel = abs(got[g] - n) / n
         assert rel < 0.25, f"group {g}: est {got[g]} vs exact {n} (rel {rel:.3f})"
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, tmp_path):
+    # CMS property: estimate >= exact always; with 1024 cells over a small
+    # vocab the top tokens should estimate exactly or nearly so
+    import shutil
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.extras import (
+        q_cms_frequency_sketch,
+    )
+
+    src = "/root/testdata/sf0.001"
+    rows = q_cms_frequency_sketch(spark, src).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n, f"CMS undercounted {r.tok}"
+        assert r.cms_estimate <= r.exact_n * 2, f"CMS wildly loose on heavy hitter {r.tok}"
