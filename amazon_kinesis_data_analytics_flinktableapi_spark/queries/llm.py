@@ -903,6 +903,122 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_DUCK_5GRAM_SETS = f"""
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 5
+               THEN list_transform(range(1, len(tk) - 3),
+                                   i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    nz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)
+"""
+
+
+@query(
+    "bloom_contamination_screen",
+    oracle=f"""
+    WITH {_DUCK_5GRAM_SETS},
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM nz WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, unnest(shingles) AS s FROM nz WHERE doc_id % 97 <> 0),
+    bpos AS (
+      SELECT DISTINCT j,
+             ('0x' || substr(md5('bloom' || j || ':' || s), 1, 15))::BIGINT % 15360 AS p
+      FROM bench CROSS JOIN range(3) t(j)
+    ),
+    bloom AS (SELECT p // 60 AS word, bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS bits
+              FROM bpos GROUP BY 1),
+    probe AS (
+      SELECT doc_id, s, j,
+             ('0x' || substr(md5('bloom' || j || ':' || s), 1, 15))::BIGINT % 15360 AS p
+      FROM corpus CROSS JOIN range(3) t(j)
+    ),
+    hits AS (
+      SELECT pr.doc_id, pr.s,
+             min(CASE WHEN b.bits IS NULL THEN 0
+                      ELSE (b.bits >> CAST(pr.p % 60 AS INT)) & 1 END) AS all_set
+      FROM probe pr LEFT JOIN bloom b ON b.word = pr.p // 60
+      GROUP BY pr.doc_id, pr.s
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(all_set) AS BIGINT) AS n_flagged,
+           floor(sum(all_set) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS flag_ratio
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Bloom-filter contamination screen: the benchmark 5-gram set "
+    "compressed to a 15360-bit / 3-hash filter (256 bigint words — "
+    "broadcastable at ANY benchmark size, unlike the exact shingle set) "
+    "probed by every corpus shingle; false positives possible but "
+    "deterministic, so the oracle hash-checks the flags themselves",
+)
+def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for contamination screening: the exact screen joins
+    corpus shingles against the materialized benchmark set — fine while
+    that set broadcasts, degenerate when the benchmark is itself huge.
+    The Bloom bits are a fixed 256-word table whatever the benchmark
+    size, and membership is k index probes per shingle.  Bits are set
+    via bit_or aggregation — order-independent, so the filter (and every
+    false positive) is bit-identical on any engine or partitioning.
+
+    Plan: build = one distinct + groupBy(word) over the benchmark; probe
+    = explode k positions, broadcast-join the 256-row filter, AND the k
+    bits per shingle, count per doc.  One corpus-side shuffle (the
+    per-(doc, shingle) min), no benchmark-size dependence anywhere."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    M_BITS, WORD_BITS, K = 15360, 60, 3
+    (docs,) = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bsh = D.shingle_sets(bench, "doc_id", "text", n=5).select(
+        F.explode("shingles").alias("s")
+    ).distinct()
+    csh = D.shingle_sets(corpus, "doc_id", "text", n=5).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+
+    def positions(src):
+        return src.select(
+            "*",
+            F.explode(
+                F.array(*[
+                    (md5_hash60(F.concat(F.lit(f"bloom{j}:"), F.col("s"))) % M_BITS).alias("p")
+                    for j in range(K)
+                ])
+            ).alias("p"),
+        )
+
+    bloom = (
+        positions(bsh)
+        .select((F.col("p") / WORD_BITS).cast("long").alias("word"),
+                F.expr(f"shiftleft(1L, cast(p % {WORD_BITS} as int))").alias("m"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    hits = (
+        positions(csh)
+        .select("doc_id", "s", (F.col("p") / WORD_BITS).cast("long").alias("word"),
+                (F.col("p") % WORD_BITS).cast("int").alias("bit"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id", "s",
+            F.when(F.col("bits").isNull(), 0)
+            .otherwise(F.expr("cast(shiftright(bits, bit) & 1 as int)")).alias("hit"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("hit").alias("all_set"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("all_set").cast("bigint").alias("n_flagged"),
+        T.half_up_round(F.sum("all_set") / F.count(F.lit(1)), 4).alias("flag_ratio"),
+    )
+
+
 @query(
     "repetition_signals",
     oracle=f"""

@@ -162,3 +162,18 @@ def test_containment_finds_excerpts_jaccard_misses(corpus, spark):
     assert cont[(1, 2)].containment_a < 0.5, "direction matters: source is not in excerpt"
     assert (1, 2) not in jac, "symmetric jaccard at 0.5 misses the excerpt"
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_bloom_screen_no_false_negatives_vs_exact(spark):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        q_bloom_contamination_screen,
+        q_contamination_ngram_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bloom = {r.doc_id: r for r in q_bloom_contamination_screen(spark, sf).collect()}
+    exact = {r.doc_id: r for r in q_contamination_ngram_overlap(spark, sf).collect()}
+    assert set(bloom) == set(exact)
+    for d, e in exact.items():
+        assert bloom[d].n_shingles == e.n_shingles
+        assert bloom[d].n_flagged >= e.n_shared, f"bloom false negative on doc {d}"
