@@ -440,7 +440,8 @@ def duplicate_spans(
     corpus-linear end to end, unlike the pairwise tiers above.
     """
     spans = (
-        df.filter(F.length(text_col) >= span_len)
+        spread(df)
+        .filter(F.length(text_col) >= span_len)
         .select(
             F.col(id_col),
             F.explode(
@@ -503,7 +504,8 @@ def remove_duplicate_spans(
     from pyspark.sql import Window
 
     spans = (
-        df.filter(F.length(text_col) >= span_len)
+        spread(df)
+        .filter(F.length(text_col) >= span_len)
         .select(
             F.col(id_col),
             F.explode(

@@ -799,3 +799,76 @@ def q_dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "bigram_surprisal_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ),
+    heads AS (SELECT w1, count(*) AS ch FROM bg GROUP BY w1),
+    model AS (
+      SELECT b.w1, b.w2,
+             CAST(FLOOR(-log2(count(*) * 1.0 / any_value(h.ch)) * 1000) AS BIGINT)
+               AS millibits
+      FROM bg b JOIN heads h USING (w1)
+      GROUP BY b.w1, b.w2
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(FLOOR(sum(millibits) * 1.0 / count(*)) AS BIGINT) AS avg_surprisal_millibits
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    doc="bigram-LM surprisal scoring: corpus P(w2|w1) -> per-bigram -log2 p "
+    "quantized to integer millibits -> per-doc average — the sequence-aware "
+    "step up from unigram_surprisal_score (phrase-salad text scores high "
+    "here even when its unigram distribution looks natural)",
+)
+def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-pass scale shape as the unigram model (model aggregation,
+    then a broadcast-model re-join and a per-doc shuffle) with one more
+    join to condition on the bigram head.  Per-bigram surprisal is
+    quantized to integer millibits BEFORE summing — per-doc sums are
+    exact integers, immune to summation order."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    bg = (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, F.size("tk") - 1).alias("w1"),
+                    F.slice("tk", 2, F.size("tk") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .cache()
+    )
+    heads = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ch"))
+    model = (
+        bg.join(heads, "w1")
+        .groupBy("w1", "w2")
+        .agg(
+            F.floor(-F.log2(F.count(F.lit(1)) * F.lit(1.0) / F.any_value("ch")) * 1000)
+            .cast("bigint")
+            .alias("millibits")
+        )
+    )
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.sum("millibits") / F.count(F.lit(1))).cast("bigint")
+            .alias("avg_surprisal_millibits"),
+        )
+    )
