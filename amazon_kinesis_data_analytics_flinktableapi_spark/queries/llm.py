@@ -385,6 +385,7 @@ def q_duplicate_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(d.text) - length(coalesce(r.clean_text, '')) AS n_removed_chars
     FROM d LEFT JOIN rebuilt r USING (doc_id)
     """,
+    headline=True,  # the round-6 capability: substring-tier dedup at 0.9 s sf0.1
     doc="ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2021): every "
     "repeated 40-char window cut from all but its first corpus occurrence, "
     "overlapping cuts merged, text respliced — oracle rebuilds the same "
