@@ -820,3 +820,67 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "exact_n")
         .agg(F.min("c").cast("bigint").alias("cms_estimate"))
     )
+
+
+@query(
+    "recursive_ewma_rates",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT event_type AS currency, ts AS rate_time,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events WHERE event_id % 17 = 0
+    ),
+    seq AS (
+      SELECT currency, rate,
+             row_number() OVER (PARTITION BY currency ORDER BY rate_time, rate) AS rn
+      FROM base
+    ),
+    head AS (SELECT currency, rate, rn FROM seq WHERE rn <= 50),
+    ew(currency, rn, rate, ewma) AS (
+      SELECT currency, rn, rate, CAST(rate AS DOUBLE) FROM head WHERE rn = 1
+      UNION ALL
+      SELECT h.currency, h.rn, h.rate, 0.25 * h.rate + 0.75 * e.ewma
+      FROM head h JOIN ew e ON h.currency = e.currency AND h.rn = e.rn + 1
+    )
+    SELECT currency, rn, rate,
+           floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
+    FROM ew
+    """,
+    doc="recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL form): per-currency "
+    "EWMA over the first 50 rates — a linear recursion whose fp op chain "
+    "(0.25·x + 0.75·prev, both correctly-rounded) is identical in any IEEE "
+    "engine, so the recursive surface itself is oracle-hash-checked",
+)
+def q_recursive_ewma_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's recursive CTEs execute one batch per recursion level, so
+    depth is the cost driver: the sequence is capped at 50 rows per key
+    (depth 50 regardless of data size — at scale you shard long series
+    into bounded segments or use the applyInPandasWithState EWMA in
+    streaming/windows.py, which this query's recursion cross-checks).
+    Spark supports only the UNION ALL recursion form (no fixpoint dedup),
+    which a linear per-key sequence satisfies naturally: each level joins
+    exactly the next row number."""
+    (ev,) = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ewma_events")
+    return spark.sql("""
+      WITH RECURSIVE base AS (
+        SELECT event_type AS currency, ts AS rate_time,
+               CAST(FLOOR(value) AS INT) % 97 + 2 AS rate
+        FROM __ewma_events WHERE event_id % 17 = 0
+      ),
+      seq AS (
+        SELECT currency, rate,
+               row_number() OVER (PARTITION BY currency ORDER BY rate_time, rate) AS rn
+        FROM base
+      ),
+      head AS (SELECT currency, rate, rn FROM seq WHERE rn <= 50),
+      ew(currency, rn, rate, ewma) AS (
+        SELECT currency, rn, rate, CAST(rate AS DOUBLE) FROM head WHERE rn = 1
+        UNION ALL
+        SELECT h.currency, h.rn, h.rate, 0.25 * h.rate + 0.75 * e.ewma
+        FROM head h JOIN ew e ON h.currency = e.currency AND h.rn = e.rn + 1
+      )
+      SELECT currency, rn, rate,
+             floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
+      FROM ew
+    """)
