@@ -1219,3 +1219,65 @@ def _semantic_dedup_oracle(threshold: float = 0.35, n_centroids: int = 16) -> st
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+
+
+@query(
+    "char_entropy_score",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch, length(text) AS n
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+            FROM documents WHERE length(text) > 0) u
+    ),
+    hist AS (SELECT doc_id, ch, any_value(n) AS n, count(*) AS c
+             FROM chars GROUP BY doc_id, ch),
+    terms AS (
+      SELECT doc_id, n,
+             CAST(FLOOR(-log2(c * 1.0 / n) * 1000) AS BIGINT) * c AS millibits_c
+      FROM hist
+    )
+    SELECT doc_id,
+           CAST(FLOOR(sum(millibits_c) * 1.0 / any_value(n)) AS BIGINT)
+             AS entropy_millibits
+    FROM terms GROUP BY doc_id
+    """,
+    doc="character-entropy quality score: per-doc Shannon entropy of the "
+    "char distribution in integer millibits — near-zero flags repeated-"
+    "char/mojibake runs, near-log2(alphabet) flags random noise; the "
+    "cheap first-pass gibberish detector",
+)
+def q_char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(doc) = Σ_ch (c/n)·(-log2(c/n)).  Each histogram term is quantized
+    to integer millibits BEFORE the weighted sum, so per-doc totals are
+    exact integer arithmetic — engine- and order-independent (same
+    convention as the surprisal scores).  Scale shape: chars explode
+    len(text) rows but immediately collapse to the per-(doc, char)
+    histogram — the shuffle carries (doc_id, char) pairs, bounded by
+    |alphabet| per doc, and everything after is per-doc arithmetic."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens as _  # noqa: F401
+
+    (docs,) = load(spark, sf_dir, "documents")
+    chars = (
+        D.spread(docs.filter(F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.length("text").alias("n"),
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.any_value(F.col("n")).alias("n"), F.count(F.lit(1)).alias("c")
+    )
+    terms = hist.select(
+        "doc_id",
+        "n",
+        (
+            F.floor(-F.log2(F.col("c") * F.lit(1.0) / F.col("n")) * 1000).cast("bigint")
+            * F.col("c")
+        ).alias("millibits_c"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.floor(F.sum("millibits_c") / F.any_value("n")).cast("bigint")
+        .alias("entropy_millibits")
+    )

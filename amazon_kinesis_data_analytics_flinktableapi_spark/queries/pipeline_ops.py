@@ -872,3 +872,103 @@ def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_surprisal_millibits"),
         )
     )
+
+
+@query(
+    "canonical_doc_select",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    hits AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+    pairs AS (
+      SELECT id_a, id_b FROM hits
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    closure AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ),
+    clustered AS (
+      SELECT c.doc_id, coalesce(cl.comp, c.doc_id) AS cluster_id,
+             length(c.text) AS n_chars
+      FROM corpus c LEFT JOIN closure cl ON cl.node = c.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM clustered
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="canonical-document selection: near-dup clusters -> keep the best "
+    "copy per cluster (longest text, id tiebreak) — the decision step that "
+    "turns pair/cluster detection into an actual deduplicated corpus",
+)
+def q_canonical_doc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition: jaccard pairs -> connected components ->
+    per-cluster argmax.  The argmax is one windowed pass partitioned by
+    cluster (clusters are small cliques, so no skew); singleton docs are
+    their own cluster and self-select.  At 100 TB the expensive stages are
+    the upstream pair/CC ones, already scale-shaped; this adds one shuffle
+    on cluster_id."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import dedup_clusters
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import jaccard_pairs
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        _docs_with_neardup_copies,
+    )
+
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs, corpus, "doc_id")
+    joined = clusters.join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"), "n_members")
+    )
