@@ -884,3 +884,51 @@ def q_recursive_ewma_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
              floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
       FROM ew
     """)
+
+
+@query(
+    "variant_semistructured",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"id": ' || event_id || ', "user": {"uid": ' || user_id
+               || '}, "tags": ["' || event_type || '", "evt"]}' AS payload
+      FROM events WHERE event_id % 50 = 0 AND user_id IS NOT NULL
+    )
+    SELECT event_id,
+           json_extract(payload, '$.user.uid')::BIGINT AS uid,
+           json_extract_string(payload, '$.tags[0]') AS tag0,
+           json_extract_string(payload, '$.tags[1]') AS tag1,
+           json_extract(payload, '$.missing')::BIGINT AS missing
+    FROM j
+    """,
+    doc="semi-structured VARIANT path (Spark 4): parse_json into the binary "
+    "VARIANT type, typed variant_get extraction of nested object / array "
+    "paths, try_variant_get NULL on absent paths — the schema-on-read "
+    "surface for ragged JSON columns, oracle-twinned by DuckDB JSON paths",
+)
+def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT stores parsed JSON as a binary tree — path access skips
+    re-tokenizing the document per extraction, the practical difference
+    from get_json_object at scale when many fields are pulled from wide
+    semi-structured rows.  The JSON here is constructed from typed
+    columns (ints/strings only: float stringification differs between
+    engines) so the oracle sees the byte-identical document."""
+    (ev,) = load(spark, sf_dir, "events")
+    ev.filter((F.col("event_id") % 50 == 0) & F.col("user_id").isNotNull()) \
+        .createOrReplaceTempView("__variant_events")
+    return spark.sql("""
+      WITH j AS (
+        SELECT event_id,
+               concat('{"id": ', event_id, ', "user": {"uid": ', user_id,
+                      '}, "tags": ["', event_type, '", "evt"]}') AS payload
+        FROM __variant_events
+      ),
+      v AS (SELECT event_id, parse_json(payload) AS var FROM j)
+      SELECT event_id,
+             variant_get(var, '$.user.uid', 'bigint') AS uid,
+             variant_get(var, '$.tags[0]', 'string') AS tag0,
+             variant_get(var, '$.tags[1]', 'string') AS tag1,
+             try_variant_get(var, '$.missing', 'bigint') AS missing
+      FROM v
+    """)
