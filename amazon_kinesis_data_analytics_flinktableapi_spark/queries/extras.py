@@ -932,3 +932,82 @@ def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
              try_variant_get(var, '$.missing', 'bigint') AS missing
       FROM v
     """)
+
+
+@query(
+    "winsorize_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, event_id, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+             min(CASE WHEN rn = n - (n * 5 + 99) // 100 + 1 THEN cents END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, any_value(b.lo) AS lo_cents, any_value(b.hi) AS hi_cents,
+           CAST(sum(CASE WHEN r.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN r.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(FLOOR(sum(greatest(b.lo, least(b.hi, r.cents))) * 1.0 / count(*)) AS BIGINT)
+             AS winsorized_mean_cents
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type
+    """,
+    doc="per-group winsorization at the 5th/95th ORDER STATISTICS (rank-"
+    "based, not interpolated — engine-exact where percentile interpolation "
+    "is not): clamp bounds, clamp counts, and the winsorized mean in "
+    "integer cents — the outlier-robust normalization step of a cleaning "
+    "pipeline",
+)
+def q_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds are the k-th order statistics with k = ceil(0.05·n) computed
+    in INTEGER arithmetic ((5n+99) div 100) and values pre-quantized to
+    integer cents — no percentile interpolation anywhere, so every engine
+    lands on the identical element.  Scale shape: one shuffle on the
+    group key for the rank window, a groups-sized bounds table joined
+    back broadcast, and integer aggregation; rank-based bounds beat
+    interpolated percentiles at scale anyway (no double pass over
+    unaggregatable state)."""
+    from pyspark.sql import Window
+
+    (ev,) = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "event_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.floor((F.col("n") * 5 + 99) / 100), F.col("cents"))).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.col("n") - F.floor((F.col("n") * 5 + 99) / 100) + 1,
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("lo"), F.col("hi"), F.col("cents"),
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))).alias("wcents"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.any_value("lo").alias("lo_cents"),
+        F.any_value("hi").alias("hi_cents"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0)).cast("bigint").alias("n_below"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.floor(F.sum("wcents") * F.lit(1.0) / F.count(F.lit(1))).cast("bigint")
+        .alias("winsorized_mean_cents"),
+    )
