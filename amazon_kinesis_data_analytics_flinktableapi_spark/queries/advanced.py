@@ -714,6 +714,60 @@ def q_streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cms_sketch",
+    oracle="""
+    WITH u AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+    SELECT d,
+           ('0x' || substr(md5('cms' || d || ':' || user_id), 1, 15))::BIGINT % 256
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM u CROSS JOIN range(4) t(d)
+    GROUP BY 1, 2
+    """,
+    doc="STREAMING Count-Min sketch: the depth-4 x width-256 grid built as a "
+    "complete-mode running aggregation across 3 replay micro-batches — the "
+    "final snapshot equals the batch grid cell-for-cell, PROVING the "
+    "sketch's merge property (cells are sums, so incremental micro-batch "
+    "merges land exactly on the one-shot answer)",
+)
+def q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    cells = (
+        stream.filter(F.col("user_id").isNotNull())
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            md5_hash60(
+                                F.concat(F.lit(f"cms{d}:"), F.col("user_id").cast("string"))
+                            )
+                            % 256
+                        ).alias("bucket"),
+                    )
+                    for d in range(4)
+                ])
+            ).alias("e")
+        )
+        .groupBy(F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return run_to_memory(cells, spark, timeout_sec=240, output_mode="complete")
+
+
+@query(
     "streaming_chained_windows",
     oracle="""
     SELECT TIMESTAMP '1970-01-01 00:00:00'
