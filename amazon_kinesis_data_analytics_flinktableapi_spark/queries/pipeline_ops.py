@@ -972,3 +972,63 @@ def q_canonical_doc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"), "n_members")
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, CAST(d AS INTEGER) AS dim, qv[CAST(d AS INT) + 1] AS v
+      FROM q CROSS JOIN range(8) t(d)
+    )
+    SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_q,
+           CAST(sum(v * v) AS BIGINT) AS sum_q2,
+           CAST(FLOOR((sum(v * v) * count(*) - sum(v) * sum(v)) * 1.0
+                      / (count(*) * count(*))) AS BIGINT) AS var_micro2
+    FROM ex GROUP BY label, dim
+    """,
+    doc="per-label per-dimension embedding variance in exact integer "
+    "micro-units (first 8 dims): the collapsed-dimension / dead-feature "
+    "detector — var ≈ 0 on a dim means the encoder ignores it for that "
+    "label; Σq and Σq² are exact integer partial aggregates (|q| ≤ ~4e6, "
+    "q² ≤ 2e13, x 2k rows < 2^53), so the variance is engine-exact",
+)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance via the one-pass identity n·Σx² − (Σx)² over integer
+    quanta — a single groupBy with integer partial aggregation (the same
+    order-independence argument as the centroid accumulators; a two-pass
+    mean-then-residual plan would rescan the corpus).  The dims explode
+    8× but collapse immediately into the (label, dim) aggregation."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.slice(
+                F.transform(
+                    "embedding", lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long")
+                ),
+                1,
+                8,
+            )
+        ).alias("dim", "v"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("bigint").alias("sum_q"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sum_q2"),
+        F.floor(
+            (F.sum(F.col("v") * F.col("v")) * F.count(F.lit(1)) - F.sum("v") * F.sum("v"))
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.count(F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("var_micro2"),
+    )
