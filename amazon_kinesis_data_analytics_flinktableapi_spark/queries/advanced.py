@@ -1119,3 +1119,58 @@ def q_streaming_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "amount",
         "currency",
     )
+
+
+@query(
+    "streaming_sequence_detect",
+    oracle="""
+    SELECT s.user_id, s.ts AS s_ts, p.ts AS p_ts
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 6 HOUR
+    """,
+    doc="STREAMING CEP sequence detection: signup-then-purchase within 6h "
+    "as a watermarked stream-stream SELF-join (two readers over the same "
+    "replayed stream, one per pattern step) — matched pairs equal the "
+    "batch interval self-join exactly",
+)
+def q_streaming_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MATCH_RECOGNIZE-lite: each pattern step is a
+    filtered reader over the same source, and the step constraint is the
+    interval join's time bound — state for each side is evicted once the
+    watermark passes the 6h window, exactly like the reference's
+    orders-rates join with the roles self-assigned.  Scale: both sides
+    pre-filter to their step's type at the scan, the join key is the
+    high-cardinality user_id — no skew; state is bounded by the interval."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import EVENTS_SCHEMA
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_seq_")
+    s_stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, f"{tmp}/s", n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    p_stream = replay_stream(
+        spark, ev, EVENTS_SCHEMA, f"{tmp}/p", n_chunks=3, order_col="ts", max_files_per_trigger=1
+    )
+    s = (
+        s_stream.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "0 seconds")
+    )
+    p = (
+        p_stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select("user_id", "s_ts", "p_ts")
+    return run_to_memory(joined, spark, timeout_sec=240)
