@@ -1011,3 +1011,45 @@ def q_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("wcents") * F.lit(1.0) / F.count(F.lit(1))).cast("bigint")
         .alias("winsorized_mean_cents"),
     )
+
+
+@query(
+    "xml_roundtrip_extract",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 40 = 0 AND user_id IS NOT NULL
+    """,
+    doc="XML ingestion surface (Spark 4 from_xml): per-row XML documents "
+    "parsed against a declared schema and the typed fields extracted back "
+    "— roundtrip-attested (oracle = the original columns), the same "
+    "self-certifying pattern as the kinesis sink roundtrip",
+)
+def q_xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsing XML event payloads is the same schema-on-read contract as
+    the reference's JSON deserialization (S2) in a second wire format:
+    from_xml binds elements to a declared struct, type-casting on the
+    way.  The XML is constructed from typed int/string columns so the
+    roundtrip is value-exact; a parse or binding regression breaks the
+    hash, not just a count."""
+    from pyspark.sql.functions import from_xml
+
+    (ev,) = load(spark, sf_dir, "events")
+    xml = ev.filter((F.col("event_id") % 40 == 0) & F.col("user_id").isNotNull()).select(
+        F.concat(
+            F.lit("<event><id>"), F.col("event_id"),
+            F.lit("</id><uid>"), F.col("user_id"),
+            F.lit("</uid><kind>"), F.col("event_type"),
+            F.lit("</kind></event>"),
+        ).alias("payload")
+    )
+    parsed = xml.select(
+        from_xml(
+            F.col("payload"),
+            "id bigint, uid bigint, kind string",
+        ).alias("e")
+    )
+    return parsed.select(
+        F.col("e.id").alias("event_id"),
+        F.col("e.uid").alias("user_id"),
+        F.col("e.kind").alias("event_type"),
+    )
