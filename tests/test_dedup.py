@@ -177,3 +177,34 @@ def test_bloom_screen_no_false_negatives_vs_exact(spark):
     for d, e in exact.items():
         assert bloom[d].n_shingles == e.n_shingles
         assert bloom[d].n_flagged >= e.n_shared, f"bloom false negative on doc {d}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# small alphabet + shared fragments force genuine cross-doc span collisions
+_frag = st.text(alphabet="abc", min_size=20, max_size=60)
+_corpus_st = st.lists(
+    st.tuples(_frag, _frag, st.booleans()), min_size=2, max_size=5
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(parts=_corpus_st)
+def test_remove_duplicate_spans_invariants(spark, parts):
+    shared = "s" * 25 + "t" * 25  # 50-char block planted into some docs
+    rows = [
+        (i, (a + (shared if plant else "") + b))
+        for i, (a, b, plant) in enumerate(parts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.remove_duplicate_spans(df, span_len=40, stride=10).collect()}
+    assert set(out) == {i for i, _ in enumerate(rows)}, "every doc must come back"
+    texts = dict(rows)
+    for i, r in out.items():
+        # conservation: removed + kept chars account for the original
+        assert len(r.clean_text) + r.n_removed_chars == len(texts[i])
+        assert r.n_removed_chars >= 0
+        # the spliced text is a subsequence of the original (only deletions)
+        it = iter(texts[i])
+        assert all(ch in it for ch in r.clean_text), f"doc {i} not a subsequence"
