@@ -364,3 +364,52 @@ def test_tpch_q20_semi_join_chain(spark):
     plan = explain_str(df)
     assert "LeftSemi" in plan
     assert_broadcast_join(df, min_count=2)
+
+
+def test_duplicate_spans_no_cartesian_no_text_in_shuffle(spark):
+    """The substring tier is corpus-linear: no self-join blowup, and the
+    fingerprint count shuffle must not carry the text column."""
+    df = q("duplicate_span_detect", spark)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    # the text column feeds substring() at the scan stage, then must be
+    # projected away before any KEYED shuffle (the spread() round-robin
+    # fan-out AT the scan is exempt: it moves each doc once to spread CPU
+    # work and is a no-op on a many-split scan at scale)
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("+-", 1)[0]
+        assert "text#" not in head, "text column crossed a keyed shuffle"
+
+
+def test_span_removal_no_cartesian(spark):
+    df = q("duplicate_span_removal", spark)
+    assert_no_cartesian(df)
+
+
+def test_containment_is_equi_join(spark):
+    df = q("containment_neardup", spark)
+    assert_no_cartesian(df)
+
+
+def test_dsir_broadcasts_ratio_table(spark):
+    df = q("dsir_importance_select", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_bloom_screen_broadcasts_filter_words(spark):
+    df = q("bloom_contamination_screen", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_cms_probe_broadcasts(spark):
+    df = q("cms_frequency_sketch", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    df = q("winsorize_outliers", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
