@@ -1032,3 +1032,112 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_micro2"),
     )
+
+
+def _pagerank_oracle(n_iters: int = 5) -> str:
+    """Unrolled integer PageRank twin: every iteration is exact integer
+    arithmetic (contrib = r // deg, next = 150000 + 85% of Σcontrib via
+    integer // 100), so 5 chained CTEs reproduce the Spark loop bit-for-
+    bit — no recursive CTE needed, no float drift possible."""
+    its = []
+    prev = "it0"
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT e.v AS node,
+             150000 + (sum({prev}.r // d.deg) * 85) // 100 AS r
+      FROM edges e
+      JOIN {prev} ON {prev}.node = e.u
+      JOIN deg d ON d.node = e.u
+      GROUP BY e.v
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
+      FROM documents
+    ),
+    toks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+             FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    hits AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+    pairs AS (
+      SELECT id_a, id_b FROM hits
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+    it0 AS (SELECT node, 1000000::BIGINT AS r FROM deg),{",".join(its)}
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM {prev}
+    """
+
+
+@query(
+    "pagerank_dup_graph",
+    oracle=_pagerank_oracle(),
+    doc="integer-exact PageRank (5 iterations, damping 0.85) over the "
+    "near-dup graph: contrib = r div deg and next = 150000 + 85%·Σ in "
+    "pure integer arithmetic, so the iterative fixpoint trajectory is "
+    "bit-identical on any engine — ranks surface duplicate HUBS (one doc "
+    "near-duplicating many) that pairwise counts and CC sizes both miss",
+)
+def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-algorithm class beyond connected components: each
+    iteration is one edges⋈ranks⋈degrees join and a groupBy on the
+    destination — the standard distributed PageRank shape (shuffle ∝
+    edges per iteration, no driver-side graph state).  Determinism comes
+    from quantization: ranks live in integer micro-units and every
+    update is integer div/mul, so no float summation order can move the
+    result (same convention as the sketch/centroid family).  Mirrored
+    near-dup edges mean every node has in- and out-degree ≥ 1 — no
+    dangling-mass redistribution branch is needed on this graph."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import jaccard_pairs
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        _docs_with_neardup_copies,
+    )
+
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks, edges["u"] == ranks["node"])
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("r div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("v")
+            .agg((F.lit(150000) + F.expr("(sum(c) * 85) div 100")).cast("bigint").alias("r"))
+            .select(F.col("v").alias("node"), "r")
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
