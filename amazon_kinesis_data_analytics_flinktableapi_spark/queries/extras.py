@@ -1053,3 +1053,100 @@ def q_xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.uid").alias("user_id"),
         F.col("e.kind").alias("event_type"),
     )
+
+
+@query(
+    "kmv_set_ops",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')
+    ),
+    sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    ka AS (SELECT h FROM sk WHERE event_type = 'view' AND rn <= 256),
+    kb AS (SELECT h FROM sk WHERE event_type = 'click' AND rn <= 256),
+    uni AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+    ),
+    ku AS (SELECT h FROM uni WHERE rn <= 256),
+    stats AS (
+      SELECT (SELECT count(*) FROM ku) AS m_u,
+             (SELECT max(h) FROM ku) AS hk_u,
+             (SELECT count(*) FROM ku
+              WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS j_num
+    )
+    SELECT
+      CAST(CASE WHEN m_u < 256 THEN m_u
+                ELSE CAST(FLOOR(255 * (POW(2, 60) / CAST(hk_u AS DOUBLE))) AS BIGINT)
+           END AS BIGINT) AS est_union,
+      CAST(j_num AS BIGINT) AS sketch_overlap,
+      CAST(CASE WHEN m_u < 256 THEN j_num
+                ELSE CAST(FLOOR(j_num * CAST(FLOOR(255 * (POW(2, 60) / CAST(hk_u AS DOUBLE)))
+                                             AS BIGINT) / 256.0) AS BIGINT)
+           END AS BIGINT) AS est_intersect
+    FROM stats
+    """,
+    doc="KMV sketch ALGEBRA: |A∪B| and |A∩B| estimated purely from the two "
+    "per-set k-minimum-values sketches (union sketch = k smallest of the "
+    "merged sketches; membership of a union-sketch element in a per-set "
+    "sketch is EXACT by the KMV property) — the mergeable set-operation "
+    "layer a distinct-count sketch needs to be useful across partitions",
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only set operations: no raw-set pass anywhere after the
+    initial per-set sketches — at 100 TB the sketches (256 longs each)
+    travel to one place and every estimate derives from them.  The
+    intersection estimator is Jaccard-from-KMV (Beyer et al. 2007):
+    elements of the union sketch present in both per-set sketches form
+    an exact sample of A∩B within the k smallest of A∪B, so
+    est = overlap/k · est_union; when the union holds fewer than k
+    distinct values everything is exact.  All arithmetic is the same
+    correctly-rounded double shape as kmv_distinct_sketch."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    K = 256
+    (ev,) = load(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isin("view", "click"))
+        .select("event_type", md5_hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = h.select("event_type", "h", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= K)
+    ka = sk.filter(F.col("event_type") == "view").select("h")
+    kb = sk.filter(F.col("event_type") == "click").select("h")
+    uni = (
+        ka.union(kb).distinct()
+        .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
+        .filter(F.col("rn") <= K)
+        .select("h")
+    )
+    ku = uni
+    both = (
+        ku.join(ka.withColumnRenamed("h", "ha"), ku["h"] == F.col("ha"), "left_semi")
+        .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left_semi")
+    )
+    stats = (
+        ku.agg(F.count(F.lit(1)).alias("m_u"), F.max("h").alias("hk_u"))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("j_num")))
+    )
+    est_union = F.when(F.col("m_u") < K, F.col("m_u")).otherwise(
+        F.floor(255 * (F.lit(float(2**60)) / F.col("hk_u").cast("double"))).cast("bigint")
+    )
+    return stats.select(
+        est_union.cast("bigint").alias("est_union"),
+        F.col("j_num").cast("bigint").alias("sketch_overlap"),
+        F.when(F.col("m_u") < K, F.col("j_num"))
+        .otherwise(F.floor(F.col("j_num") * est_union.cast("bigint") / F.lit(256.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("est_intersect"),
+    )
