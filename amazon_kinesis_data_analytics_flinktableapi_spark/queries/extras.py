@@ -1150,3 +1150,71 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_intersect"),
     )
+
+
+@query(
+    "rolling_anomaly_flags",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, h, cents,
+             count(*) OVER win AS wn,
+             sum(cents) OVER win AS ws,
+             sum(cents * cents) OVER win AS ws2
+      FROM hourly
+      WINDOW win AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS bucket_hour, cents,
+           CAST(ws AS BIGINT) AS win_sum,
+           CAST(wn AS BIGINT) AS win_n,
+           (wn >= 3 AND
+            (cents * wn - ws) * (cents * wn - ws)
+              > 9 * (ws2 * wn - ws * ws)) AS is_anomaly
+    FROM w
+    """,
+    doc="rolling anomaly flags on the hourly value series: |x − μ_win| > "
+    "3σ_win over a 6-hour trailing window, evaluated ENTIRELY in integer "
+    "arithmetic — (x·n − Σ)² > 9·(n·Σx² − (Σx)²) is the 3-sigma test "
+    "cleared of divisions and square roots, so the flags are engine-exact "
+    "(no float variance, no sqrt rounding)",
+)
+def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier detection without floats: with integer window sums
+    Σ and Σx² over n points, |x−μ|>3σ  ⇔  (x·n−Σ)² > 9·(n·Σx²−Σ²) after
+    multiplying both sides by n² — every quantity is an exact BIGINT
+    (cents ≤ ~1e5, squares × window ≤ 2^50), so the comparison can never
+    flip between engines the way a float σ near the threshold can.
+    Scale: one shuffle for the hourly pre-agg, one per-key ordered window
+    pass over the |keys|×|hours| grid."""
+    from pyspark.sql import Window
+
+    (ev,) = load(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100)).cast("bigint").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    win = Window.partitionBy("event_type").orderBy("h").rowsBetween(-6, -1)
+    w = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("wn"),
+        F.sum("cents").over(win).alias("ws"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("ws2"),
+    )
+    dev = F.col("cents") * F.col("wn") - F.col("ws")
+    var_n3 = F.col("ws2") * F.col("wn") - F.col("ws") * F.col("ws")
+    return w.select(
+        "event_type",
+        F.col("h").alias("bucket_hour"),
+        "cents",
+        F.col("ws").cast("bigint").alias("win_sum"),
+        F.col("wn").cast("bigint").alias("win_n"),
+        ((F.col("wn") >= 3) & (dev * dev > 9 * var_n3)).alias("is_anomaly"),
+    )
