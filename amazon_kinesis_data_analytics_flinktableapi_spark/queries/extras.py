@@ -1218,3 +1218,60 @@ def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wn").cast("bigint").alias("win_n"),
         ((F.col("wn") >= 3) & (dev * dev > 9 * var_n3)).alias("is_anomaly"),
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, count(*) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n FROM k),
+    top AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rn FROM k
+    )
+    SELECT t.rn AS rank, t.key AS hot_key, t.n AS n_rows_key,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           CAST(tot.n_rows AS BIGINT) AS n_rows,
+           CAST(FLOOR(t.n * 1000.0 * tot.n_keys / tot.n_rows) AS BIGINT)
+             AS skew_x1000
+    FROM top t CROSS JOIN tot
+    WHERE t.rn <= 10
+    """,
+    doc="join-key skew report: top-10 hottest o_custkey values with their "
+    "skew factor (key rows ÷ mean rows per key, ×1000 integer) — the "
+    "pre-flight diagnostic that decides between a plain shuffle join, "
+    "AQE skew splitting, and explicit salting (operators/skew.py)",
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew is the silent killer of shuffle joins; this is the one-scan
+    report you run BEFORE keying a 100 TB join.  Plan: one groupBy on the
+    key, a 1-row global aggregate broadcast back, a top-k rank — the
+    report costs one shuffle of (key, count) pairs.  skew_x1000 uses
+    exact integer arithmetic (n·1000·n_keys / n_rows floored), so the
+    report itself is oracle-checkable."""
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    # distributed TakeOrdered first, then rank the 10 survivors — a global
+    # row_number window would funnel every key through one partition
+    top10 = k.orderBy(F.col("n").desc(), "key").limit(10)
+    top = top10.select(
+        "key", "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "key")).alias("rn")
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("rn").alias("rank"),
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("n_rows_key"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.floor(F.col("n") * F.lit(1000.0) * F.col("n_keys") / F.col("n_rows"))
+        .cast("bigint")
+        .alias("skew_x1000"),
+    )
