@@ -1275,3 +1275,60 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skew_x1000"),
     )
+
+
+@query(
+    "binned_quantile_estimate",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) // 10 AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cum * 2 >= n THEN bin END) * 10 AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum * 20 >= n * 19 THEN bin END) * 10 AS BIGINT) AS p95_cents,
+           CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * 10 AS BIGINT) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+    doc="deterministic quantile estimates from a fixed-width bin histogram "
+    "(10-cent bins): p50/p95/p99 as the first bin whose cumulative count "
+    "crosses the rank — integer comparisons only (cum·k ≥ n·q, no "
+    "division), mergeable (bin counts are sums), the oracle-checkable "
+    "sibling of approx_sketches' engine-specific quantile sketch",
+)
+def q_binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for percentiles over append-only streams/partitions:
+    bin counts are pure sums (mergeable across executors and micro-
+    batches, like the CMS cells), the histogram is fixed-size whatever
+    the data volume, and rank crossings are integer comparisons — no
+    float quantile interpolation to disagree about.  Error is bounded by
+    the bin width, chosen from the known value domain."""
+    from pyspark.sql import Window
+
+    (ev,) = load(spark, sf_dir, "events")
+    b = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.expr("CAST(FLOOR(value * 100) AS BIGINT) div 10").alias("bin")
+    )
+    hist = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    def cross(k: int, q: int):
+        return F.min(F.when(F.col("cum") * k >= F.col("n") * q, F.col("bin"))) * 10
+
+    return cum.groupBy("event_type").agg(
+        cross(2, 1).cast("bigint").alias("p50_cents"),
+        cross(20, 19).cast("bigint").alias("p95_cents"),
+        cross(100, 99).cast("bigint").alias("p99_cents"),
+    )
