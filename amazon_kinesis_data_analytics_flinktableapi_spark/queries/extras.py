@@ -1332,3 +1332,77 @@ def q_binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross(20, 19).cast("bigint").alias("p95_cents"),
         cross(100, 99).cast("bigint").alias("p99_cents"),
     )
+
+
+@query(
+    "chisq_priority_status",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT p.p, s.s, coalesce(c.o, 0) AS o
+      FROM (SELECT DISTINCT p FROM cells) p
+      CROSS JOIN (SELECT DISTINCT s FROM cells) s
+      LEFT JOIN cells c ON c.p = p.p AND c.s = s.s
+    ),
+    m AS (
+      SELECT g.p, g.s, g.o,
+             sum(g.o) OVER (PARTITION BY g.p) AS r,
+             sum(g.o) OVER (PARTITION BY g.s) AS c,
+             sum(g.o) OVER () AS n
+      FROM grid g
+    ),
+    terms AS (
+      SELECT p, s,
+             CAST(FLOOR(CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+                        * 1000000.0 / (CAST(r * c AS DOUBLE) * n)) AS BIGINT) AS t
+      FROM m
+    )
+    SELECT CAST(sum(t) AS BIGINT) AS chi2_micro,
+           CAST((count(DISTINCT p) - 1) * (count(DISTINCT s) - 1) AS BIGINT) AS dof
+    FROM terms
+    """,
+    doc="chi-square independence test (order priority × status) in "
+    "quantized-integer form: per-cell (O·n−r·c)²·10⁶/(r·c·n) floored to "
+    "an integer BEFORE summing, so the statistic is summation-order-free "
+    "and engine-exact — the categorical-drift detector for corpus "
+    "composition monitoring",
+)
+def q_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² = Σ (O−E)²/E with E = r·c/n, multiplied through by n² to keep
+    the numerator in exact integer products (counts ≤ 15k at sf0.01 ⇒
+    every product < 2⁵³), then one correctly-rounded double square,
+    multiply, divide — identical op sequence on any IEEE engine — and an
+    integer floor per cell.  The grid completes missing (row, col) combos
+    so zero cells contribute their expected-count term.  Scale: one
+    groupBy on the pair, window marginals over the |rows|×|cols| grid."""
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        cells.select("p").distinct()
+        .crossJoin(cells.select("s").distinct())
+        .join(cells, ["p", "s"], "left")
+        .select("p", "s", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    m = grid.select(
+        "p", "s", "o",
+        F.sum("o").over(Window.partitionBy("p")).alias("r"),
+        F.sum("o").over(Window.partitionBy("s")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    t = F.floor(
+        d * d * F.lit(1000000.0) / ((F.col("r") * F.col("c")).cast("double") * F.col("n"))
+    ).cast("bigint")
+    return m.select("p", "s", t.alias("t")).agg(
+        F.sum("t").cast("bigint").alias("chi2_micro"),
+        (
+            (F.count_distinct(F.col("p")) - 1) * (F.count_distinct(F.col("s")) - 1)
+        ).cast("bigint").alias("dof"),
+    )
