@@ -1281,3 +1281,105 @@ def q_char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("millibits_c") / F.any_value("n")).cast("bigint")
         .alias("entropy_millibits")
     )
+
+
+@query(
+    "dedup_pipeline_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM corpus
+      ) WHERE rn = 1
+    ),
+    long_docs AS (SELECT doc_id, text FROM s1 WHERE length(text) >= 40),
+    sp AS (
+      SELECT doc_id, pos, md5(substr(text, pos + 1, 40)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - 40, 10)) AS pos
+            FROM long_docs) u
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS cnt,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sp
+    ),
+    rem AS (SELECT doc_id, pos AS s0, pos + 40 AS e0 FROM ranked WHERE cnt >= 2 AND rn > 1),
+    ord_rem AS (
+      SELECT doc_id, s0, e0,
+             max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM rem
+    ),
+    isl AS (
+      SELECT doc_id, s0, e0,
+             sum(CASE WHEN prev_max IS NULL OR s0 > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s0, e0) AS island
+      FROM ord_rem
+    ),
+    merged AS (SELECT doc_id, min(s0) AS ms, max(e0) AS me
+               FROM isl GROUP BY doc_id, island),
+    removed AS (SELECT doc_id, sum(me - ms) AS cut FROM merged GROUP BY doc_id),
+    s2 AS (
+      SELECT s1.doc_id, length(s1.text) - coalesce(r.cut, 0) AS n_chars
+      FROM s1 LEFT JOIN removed r USING (doc_id)
+    )
+    SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM corpus
+    UNION ALL
+    SELECT 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+    FROM s1
+    UNION ALL
+    SELECT 'span_removal', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+    FROM s2
+    """,
+    doc="the dedup ladder composed end-to-end with per-stage accounting: "
+    "raw corpus (originals + exact copies + 80%-prefix near-copies) -> "
+    "exact dedup (min-id per md5) -> duplicate-span removal, reporting "
+    "(stage, n_docs, n_chars) — the shrinkage audit a data engineer reads "
+    "after every corpus build",
+)
+def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage composition is pure DataFrame chaining — each tier consumes
+    the previous tier's output, so the whole ladder is ONE lazy plan and
+    Catalyst shares the scan.  The synthetic corpus plants work for every
+    stage: exact copies vanish at tier 1, the shared 80% prefixes lose
+    their duplicated spans at tier 2.  Char accounting rides the existing
+    operators' outputs (span removal reports n_removed_chars directly)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.col("text").substr(F.lit(1), F.floor(F.length("text") * 0.8).cast("int")).alias("text"))
+    ).unionByName(
+        docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    s1 = D.dedup_exact(corpus, "doc_id", key=F.md5("text")).select("doc_id", "text")
+    s2 = D.remove_duplicate_spans(s1, "doc_id", "text", span_len=40, stride=10)
+    raw_row = corpus.agg(
+        F.lit("raw").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    s1_row = s1.agg(
+        F.lit("exact_dedup").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    s2_row = s2.agg(
+        F.lit("span_removal").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("clean_text")).cast("bigint").alias("n_chars"),
+    )
+    return raw_row.unionByName(s1_row).unionByName(s2_row)
