@@ -25,29 +25,20 @@ def main() -> None:
     spark = build_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # untimed warmup: run every headline query once at the TARGET SF so the
-    # generated whole-stage-codegen classes are C2-compiled before timing.
-    # Warming at a smaller SF is not enough: AQE re-plans per actual data
-    # size (broadcast thresholds, partition coalescing), so the generated
-    # classes differ and the first timed run still pays the JIT cold start
-    # — measured 14s+ of compile-queue stall on a 17s query, with run-to-
-    # run swings of 2-4x until steady state.  The timed loop below measures
-    # sustained throughput; caches are dropped in between so it still pays
-    # the full data-path cost.
-    heads = [s for s in all_specs().values() if s.headline]
-    for s in heads:
-        s.fn(spark, sf_dir).count()
-    spark.catalog.clearCache()
     startup = time.time() - t0
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     timings: dict[str, float] = {}
     headline = {n: s for n, s in all_specs().items() if s.headline}
-    # min of 2 timed runs per query (caches dropped in between): running
-    # OTHER queries between a query's warmup and its timed run measurably
-    # disturbs JVM state (measured 12s vs 3.2s back-to-back for the same
-    # query in the same session) — the min isolates sustained per-query
-    # capability from cross-query GC/deopt interference
+    # min of 2 back-to-back runs per query (caches dropped in between):
+    # run 1 doubles as the query's warmup — its first execution at the
+    # target SF compiles the AQE-final generated classes (warming at a
+    # smaller SF compiles DIFFERENT classes: AQE re-plans per data size),
+    # and running OTHER queries in between deoptimizes them again
+    # (measured 12s vs 3.2s for the identical plan in one session).  The
+    # min therefore reads run 2's sustained, steady-state cost while
+    # still paying the full data path (caches dropped) — the number a
+    # long-running cluster job actually experiences.
     for name, spec in headline.items():
         best, n_rows = None, 0
         for _ in range(2):
