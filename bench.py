@@ -71,10 +71,12 @@ def main() -> None:
     # the same knob goes UP with state volume; the principle is sizing to
     # rows-per-partition-per-batch, never the batch default.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # best of 2 replays, same rationale as the batch loop: the first replay
-    # after the batch phase absorbs residual GC/JIT state
+    # best of 3 replays, same rationale as the batch loop: the first replay
+    # after the batch phase absorbs residual GC/JIT state, and host slow
+    # windows (multi-second, random) can still tax a single replay —
+    # three ~5s replays cost ~10s extra wall and pin the sustained number
     stream_sec, stream_rows = None, 0
-    for _ in range(2):
+    for _ in range(3):
         joined = prepare_streaming_interval_join(spark, sf_dir)
         t = time.time()
         stream_rows = run_to_memory(joined, spark, timeout_sec=240).count()
