@@ -69,12 +69,13 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa:
     arrays_windows,
     extras,
     llm,
+    mining,
     pipeline_ops,
     reference,
     relational,
 )
 
-_ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pipeline_ops]
+_ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pipeline_ops, mining]
 
 # --- explicit registry ordering -------------------------------------------
 # The driver's correctness gate records the FIRST 50 registered queries per

@@ -1,0 +1,316 @@
+"""Corpus/graph mining staples beyond the dedup ladder: tokenizer-training
+statistics (one BPE merge iteration), interaction-graph construction with
+triangle counting, deterministic weighted sampling, CDC snapshot diffing,
+and the hashing-trick feature vectorizer — each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    t2 AS (SELECT tok FROM toks WHERE length(tok) >= 2),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM t2
+    ),
+    c AS (SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair)
+    SELECT pair, n_occurrences, merge_rank FROM (
+      SELECT pair, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, pair) AS merge_rank
+      FROM c
+    ) WHERE merge_rank <= 20
+    """,
+    doc="one BPE merge iteration: corpus-wide adjacent-symbol-pair counts "
+    "over whitespace pre-tokens, top-20 merge candidates — the inner loop "
+    "of tokenizer training as a two-shuffle aggregation",
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training inner loop (count adjacent symbol pairs, pick
+    the argmax to merge) as a scan-shaped plan: pair explosion happens
+    inside the same stage as the scan (no token materialization), the only
+    shuffles are the pair-count groupBy (map-side partial agg collapses
+    ~26² keys per partition) and a top-20 TakeOrdered.  At 100 TB the pair
+    alphabet stays tiny (|symbols|²), so the reduce side is constant-size
+    regardless of corpus scale — the canonical high-cardinality-in,
+    low-cardinality-out aggregation.  Real BPE iterates this with merged
+    symbols; one step exercises the full dataflow."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= 20)
+    )
+
+
+@query(
+    "triangle_count_graph",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      FROM events
+    ),
+    sz AS (SELECT hr, event_type, count(*) AS n FROM b GROUP BY hr, event_type),
+    ok AS (
+      SELECT b.user_id, b.hr, b.event_type FROM b
+      JOIN sz USING (hr, event_type) WHERE sz.n <= 20
+    ),
+    pe AS (
+      SELECT a.user_id AS ua, c.user_id AS ub, count(*) AS shared
+      FROM ok a JOIN ok c
+        ON a.hr = c.hr AND a.event_type = c.event_type AND a.user_id < c.user_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+      FROM pe e1
+      JOIN pe e2 ON e2.ua = e1.ub
+      JOIN pe e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    ),
+    pertri AS (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT user_id, count(*) AS n_triangles FROM pertri GROUP BY user_id),
+    deg AS (
+      SELECT user_id, count(*) AS degree FROM (
+        SELECT ua AS user_id FROM pe UNION ALL SELECT ub FROM pe
+      ) GROUP BY user_id
+    )
+    SELECT deg.user_id, degree, coalesce(n_triangles, 0) AS n_triangles
+    FROM deg LEFT JOIN tcnt USING (user_id)
+    """,
+    doc="interaction-graph build + triangle counting: users co-occurring in "
+    "≥2 (hour, event_type) buckets form edges (hot buckets capped at 20 "
+    "users), triangles counted via the ordered-edge three-way join — "
+    "per-user degree and triangle participation",
+)
+def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph construction from co-occurrence plus the classic distributed
+    triangle count.  Scale levers: (1) the bucket-size cap (≤20 users)
+    bounds the pair fanout of any hot bucket at cap² before the self-join
+    — the same hot-key guard as the jaccard inverted index's max_df;
+    (2) edges are kept in id-ordered form (ua < ub), so each triangle is
+    enumerated exactly once and the three-way join never mirrors — at
+    production scale the ordering key becomes degree rather than id,
+    which bounds the join fanout by arboricity, same plan shape;
+    (3) everything shuffles ids only.  Output is per-user degree +
+    triangle participation — the cohesion features a community/abuse
+    pipeline feeds on."""
+    (ev,) = load(spark, sf_dir, "events")
+    buckets = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).distinct()
+    sized = buckets.groupBy("hr", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ok = buckets.join(sized.filter(F.col("n") <= 20), ["hr", "event_type"]).select(
+        "user_id", "hr", "event_type"
+    )
+    a, c = ok.alias("a"), ok.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.hr") == F.col("c.hr"))
+            & (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("ua", "ub")
+        .cache()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))
+        .join(e3, (F.col("e3.ua") == F.col("e1.ua")) & (F.col("e3.ub") == F.col("e2.ub")))
+        .select(F.col("e1.ua").alias("a"), F.col("e1.ub").alias("b"), F.col("e2.ub").alias("c"))
+    )
+    pertri = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    tcnt = pertri.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        edges.select(F.col("ua").alias("user_id"))
+        .unionAll(edges.select(F.col("ub").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tcnt, "user_id", "left").select(
+        "user_id", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5('ws:' || doc_id), 1, 15))::BIGINT
+               // greatest(n_chars, 1) AS rank_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, samp_rank FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY rank_key, doc_id) AS samp_rank
+      FROM keyed
+    ) WHERE samp_rank <= 5
+    """,
+    doc="deterministic weighted sampling without replacement: per-source "
+    "top-5 by hash(doc) div weight (longer docs → smaller keys → likelier "
+    "picked) — the A-Res reservoir analogue in exact integer arithmetic",
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling the portable way: the classic A-Res reservoir key
+    u^(1/w) needs floats and an RNG; hash60(doc) div weight preserves the
+    ordering property that heavier rows win more often while staying in
+    integer arithmetic — reruns, engines, and partitionings agree
+    row-for-row.  One shuffle (the per-source window); at 100 TB the
+    per-group top-k becomes the rank-filter pattern that never sorts a
+    whole partition globally, and adding documents never perturbs which
+    keys existing docs drew (growth-stable, same property as the split
+    assigner)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    (docs,) = load(spark, sf_dir, "documents")
+    h = md5_hash60(F.concat(F.lit("ws:"), F.col("doc_id")))
+    return (
+        docs.select("doc_id", "source", "n_chars", h.alias("__h"))
+        .select("doc_id", "source", "n_chars", F.expr("__h div greatest(n_chars, 1)").alias("__k"))
+        .withColumn(
+            "samp_rank",
+            F.row_number().over(Window.partitionBy("source").orderBy("__k", "doc_id")),
+        )
+        .filter(F.col("samp_rank") <= 5)
+        .select("doc_id", "source", "n_chars", "samp_rank")
+    )
+
+
+@query(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    snap_new AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 50 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT coalesce(snap_old.o_orderkey, snap_new.o_orderkey) AS o_orderkey,
+           CASE WHEN snap_old.o_orderkey IS NULL THEN 'insert'
+                WHEN snap_new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           snap_old.o_totalprice AS old_price,
+           snap_new.o_totalprice AS new_price
+    FROM snap_old FULL OUTER JOIN snap_new USING (o_orderkey)
+    WHERE snap_old.o_orderkey IS NULL OR snap_new.o_orderkey IS NULL
+       OR snap_old.o_totalprice <> snap_new.o_totalprice
+    """,
+    doc="CDC snapshot diff: two table versions full-outer-joined on the key, "
+    "rows classified insert/delete/update, unchanged rows dropped — the "
+    "change-capture step between pipeline runs without a table format",
+)
+def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC (the poor man's table-format changelog): one
+    full-outer sort-merge join on the key, change classification as pure
+    expressions, unchanged rows filtered before anything downstream —
+    output is proportional to the CHANGE volume, not the table.  The two
+    versions here are derived deterministically from orders (drop-by-mod
+    simulates deletes/inserts, +1.0-by-mod simulates updates) so the diff
+    is oracle-checkable; in production both sides are parquet snapshot
+    reads and the plan is identical.  At 100 TB: co-partition both
+    snapshots on the key at write time and the join needs no shuffle at
+    all (bucketed storage), which is the documented upgrade path."""
+    (orders,) = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 50 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("new_price"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    return (
+        joined.select(
+            "o_orderkey",
+            F.when(F.col("old_price").isNull(), F.lit("insert"))
+            .when(F.col("new_price").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
+
+
+@query(
+    "feature_hash_vector",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS INTEGER) AS bucket,
+           count(*) AS n
+    FROM toks
+    GROUP BY doc_id, bucket
+    """,
+    doc="hashing-trick vectorizer: tokens hashed into 64 buckets per doc "
+    "(sparse bag-of-words without a vocabulary) — the fixed-width feature "
+    "map a downstream classifier trains on",
+)
+def q_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing needs no vocabulary build, no broadcast, no second
+    pass: bucket = hash(token) mod width rides the scan, and the only
+    shuffle is the (doc, bucket) groupBy whose key space is bounded by
+    docs × width.  That is why the hashing trick is the 100 TB default
+    over count-vectorizers — the md5-derived bucket (functions.text.
+    md5_hash60 convention) keeps the exact vector reproducible on any
+    engine."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60, tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", (md5_hash60(F.col("tok")) % 64).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
