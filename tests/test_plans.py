@@ -413,3 +413,48 @@ def test_winsorize_broadcasts_bounds(spark):
     df = q("winsorize_outliers", spark)
     assert_broadcast_join(df, min_count=1)
     assert_no_cartesian(df)
+
+
+# --- registry-wide sweep --------------------------------------------------
+
+#: queries whose physical plan legitimately contains a
+#: BroadcastNestedLoopJoin: every one crosses a SCALAR or tiny bounded side
+#: (a 1-row aggregate threshold, the k query vectors, global bounds) into
+#: the fact scan — the right plan at any scale, because the broadcast side
+#: is O(1) regardless of data volume.
+BNLJ_SCALAR_CROSS = {
+    "timeseries_interpolate",   # 1-row global (min, max) time bounds
+    "timeseries_gap_fill",      # 1-row global calendar bounds
+    "kmv_set_ops",              # k-th order statistic scalar per sketch
+    "join_key_skew_report",     # 1-row global row-count for the skew ratio
+    "chisq_priority_status",    # 1-row grand total for expected counts
+    "ann_cosine_topk",          # the k query vectors (bounded, tiny)
+    "zorder_layout",            # 1-row global min/max quantization bounds
+    "tpch_q22_idle_customers",  # 1-row global avg-balance threshold
+    "tpch_q11_important_stock", # 1-row global value threshold
+}
+
+
+def test_registry_sweep_no_cartesian_no_stray_nested_loop(spark):
+    """Global scalability invariant over EVERY batch query in the registry:
+    no CartesianProduct anywhere, and BroadcastNestedLoopJoin only for the
+    documented scalar-cross whitelist.  New queries get this guard for
+    free; a whitelist addition is a reviewed decision, not an accident."""
+    flagged, errors = {}, {}
+    for name, spec in REGISTRY.items():
+        if name.startswith(("streaming_", "kinesis")):
+            continue  # streaming plans are covered by test_streaming.py
+        try:
+            plan = explain_str(spec.fn(spark, SF_SMOKE), "extended")
+        except Exception as ex:  # noqa: BLE001 — collect, report all at once
+            errors[name] = repr(ex)
+            continue
+        if "CartesianProduct" in plan:
+            flagged[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SCALAR_CROSS:
+            flagged[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not errors, f"queries failed to build a plan: {errors}"
+    assert not flagged, f"scalability regressions: {flagged}"
+    # the whitelist must not rot: every entry still exists and still BNLJs
+    for name in sorted(BNLJ_SCALAR_CROSS):
+        assert name in REGISTRY, f"stale whitelist entry {name}"
