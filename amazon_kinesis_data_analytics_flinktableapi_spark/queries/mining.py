@@ -314,3 +314,79 @@ def q_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Brute-force and IVF oracle bodies (queries.llm) wrapped as
+    subqueries and joined on (q_id, c_id): the overlap count IS the
+    recall, and both sides are already proven hash-exact twins of the
+    Spark operators, so the report hash-checks end-to-end."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import _ann_ivf_oracle
+
+    brute = """
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rn <= 10
+    """
+    return f"""
+    WITH brute AS ({brute}),
+    ivf AS (SELECT q_id, c_id FROM ({_ann_ivf_oracle()}))
+    SELECT brute.q_id,
+           count(*) AS n_exact,
+           count(ivf.c_id) AS n_recalled,
+           CAST(floor(count(ivf.c_id) * 1000.0 / count(*)) AS BIGINT)
+             AS recall_permille
+    FROM brute LEFT JOIN ivf
+      ON ivf.q_id = brute.q_id AND ivf.c_id = brute.c_id
+    GROUP BY brute.q_id
+    """
+
+
+@query(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    doc="ANN index quality accounting: IVF top-10 joined against the exact "
+    "brute-force top-10 per query, per-query recall in integer permille — "
+    "measure the index, don't guess",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measure-don't-guess closer for the ANN tier: recall of the
+    approximate index against the exact baseline computed IN the engine,
+    as one query.  Both sides are the existing deterministic operators
+    (brute_topk broadcast-crosses only the 5 query vectors; ivf_topk_det
+    scans the corpus once for bucket assignment), and the comparison is
+    an id-only equi-join of two k×|queries| result sets — negligible on
+    top of the index cost at any scale.  In production this runs on a
+    sampled query set after every index build; a recall drop gates the
+    index swap."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
+    ivf = (
+        S.ivf_topk_det(emb, qs, k=10, n_centroids=16, nprobe=4)
+        .select("q_id", F.col("c_id").alias("ivf_c_id"))
+    )
+    return (
+        brute.join(
+            ivf,
+            (ivf["q_id"] == brute["q_id"]) & (ivf["ivf_c_id"] == brute["c_id"]),
+            "left",
+        )
+        .groupBy(brute["q_id"].alias("q_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("ivf_c_id").alias("n_recalled"),
+            F.floor(F.count("ivf_c_id") * 1000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("recall_permille"),
+        )
+    )
