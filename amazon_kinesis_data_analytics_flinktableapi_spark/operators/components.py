@@ -110,32 +110,40 @@ def connected_components(
         # is executor-local and fail-loud (the local/bench default)
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
 
-    # materialize the edge list BEFORE mirroring it: union(e, e.swap) runs
-    # its input subplan twice, and the input here is typically the whole
-    # near-dup pair pipeline (the expensive part)
+    # materialize the edge list BEFORE anything reads it twice: the input
+    # here is typically the whole near-dup pair pipeline (the expensive
+    # part), and both paths below re-read it
     e = pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    bidir = pin(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    )  # every round (or the union-find pass) reads it
     # scalar count over the already-materialized edge list — effectively
-    # free, and it picks the execution path.  NOTE: this counts the
-    # MIRRORED, deduplicated edge list (≈ 2× the input pair count), so
-    # ``small_graph_edges`` is a bound on directed edges after mirroring —
-    # an input of ~500k undirected pairs sits right at the default 1M.
-    n_edges = bidir.count()
+    # free, and it picks the execution path.  ``small_graph_edges`` is
+    # documented as a bound on directed edges after mirroring, so compare
+    # against 2× the undirected count (a safe upper bound of the mirrored
+    # distinct size) — an input of ~500k undirected pairs sits right at
+    # the default 1M.
+    n_edges = 2 * e.count()
 
     if n_edges <= small_graph_edges:
-        # one task, one pandas pass — no per-round actions at all.  The
-        # constant grouping key plans Exchange SinglePartition deliberately:
-        # the edge list is measured-small, not assumed-small.
-        node_t = bidir.schema["u"].dataType.simpleString()
+        # one task, one pandas pass — no per-round actions at all.  Union-
+        # find is direction- and duplicate-insensitive, so the UNDIRECTED
+        # list feeds it as-is: no mirror union, no distinct shuffle, no
+        # second materialization (measured ~0.6 s of the sf0.1 headline).
+        # The constant grouping key plans Exchange SinglePartition
+        # deliberately: the edge list is measured-small, not assumed-small.
+        node_t = e.schema["u"].dataType.simpleString()
         return (
-            bidir.groupBy(F.lit(1).alias("__g"))
+            e.groupBy(F.lit(1).alias("__g"))
             .applyInPandas(
                 lambda _key, pdf: next(_unionfind_components(iter([pdf]))),
                 schema=f"node {node_t}, comp {node_t}",
             )
         )
+
+    # label propagation needs the mirrored view (each round takes the min
+    # over IN-neighbors); built from the pinned list, so the pair pipeline
+    # still runs once
+    bidir = pin(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )  # every round reads it
 
     labels = (
         bidir.select(F.col("u").alias("node"))
