@@ -390,3 +390,118 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firstwk AS (SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY user_id)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+           count(*) AS n_users
+    FROM act JOIN firstwk USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="cohort retention matrix: users bucketed by first-active week, "
+    "counted per (cohort, week-offset) — the product-analytics staple as "
+    "two aggregations and a broadcastable first-seen join",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention at scale is two shuffles, not a per-user timeline scan:
+    (1) distinct (user, week) activity — one shuffle that also carries the
+    min-week (first-seen) aggregation; (2) re-join first-seen onto the
+    activity rows and count per (cohort, offset).  The first-seen table is
+    one row per user; for a billion users it is still an EQUI-join Spark
+    shuffles or broadcasts by measured size — never a window over the full
+    event history.  The matrix itself is tiny (weeks × offsets)."""
+    (ev,) = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    firstwk = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(firstwk, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    base AS (
+      SELECT o_orderpriority, count(*) AS n_orders, sum(price_cents) AS total_cents,
+             min(price_cents) AS min_cents, max(price_cents) AS max_cents
+      FROM cents WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY o_orderpriority
+    ),
+    delta AS (
+      SELECT o_orderpriority, count(*) AS n_orders, sum(price_cents) AS total_cents,
+             min(price_cents) AS min_cents, max(price_cents) AS max_cents
+      FROM cents WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY o_orderpriority
+    ),
+    merged AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    SELECT o_orderpriority,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(total_cents) AS BIGINT) AS total_cents,
+           min(min_cents) AS min_cents,
+           max(max_cents) AS max_cents,
+           CAST(sum(total_cents) // sum(n_orders) AS BIGINT) AS avg_cents
+    FROM merged GROUP BY o_orderpriority
+    """,
+    doc="incremental aggregate maintenance: a pre-aggregated base state "
+    "merged with a delta partition's partial aggregates via the merge "
+    "algebra (sum+sum, min-min, max-max, avg = merged sum/count) — "
+    "refresh without recomputing history",
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta refresh: history is aggregated ONCE into a
+    per-key state of mergeable partials (count, sum, min, max — avg is
+    derived, never stored), and each new partition contributes only its
+    own partials; the merge is a union + re-aggregate over |keys| rows.
+    At 100 TB this is the difference between scanning one day and
+    scanning three years — and it works because every statistic kept is
+    a commutative monoid (the same property the KMV/CMS sketch algebra
+    queries exercise for distinct-count and frequency).  Prices are
+    quantized to integer cents BEFORE summing, so base+delta merge order
+    cannot move the result and the oracle matches bit-for-bit."""
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("price_cents"),
+    )
+    cutoff = "1999-01-01"
+
+    def partials(part: DataFrame) -> DataFrame:
+        return part.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+            F.min("price_cents").alias("min_cents"),
+            F.max("price_cents").alias("max_cents"),
+        )
+
+    base = partials(cents.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")))
+    delta = partials(cents.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.expr("sum(total_cents) div sum(n_orders)").cast("bigint").alias("avg_cents"),
+        )
+    )
