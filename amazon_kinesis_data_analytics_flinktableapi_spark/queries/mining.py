@@ -505,3 +505,86 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(total_cents) div sum(n_orders)").cast("bigint").alias("avg_cents"),
         )
     )
+
+
+_DUCK_FP = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))), ' '))"
+)
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 5 <> 4 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 5 = 4 AND doc_id % 3 = 0
+    ),
+    hfp AS (SELECT DISTINCT {_DUCK_FP} AS fp FROM hist),
+    bfp AS (SELECT doc_id, {_DUCK_FP} AS fp FROM batch),
+    ranked AS (
+      SELECT bfp.doc_id, bfp.fp,
+             hfp.fp IS NOT NULL AS in_hist,
+             row_number() OVER (PARTITION BY bfp.fp ORDER BY bfp.doc_id) AS rn
+      FROM bfp LEFT JOIN hfp ON hfp.fp = bfp.fp
+    )
+    SELECT doc_id,
+           CASE WHEN in_hist THEN 'dup_of_history'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM ranked
+    """,
+    doc="incremental corpus dedup: a new batch checked against HISTORY "
+    "FINGERPRINTS (history text never rescanned) then deduped within "
+    "itself — per-doc status new / dup_of_history / dup_in_batch",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival-time dedup pattern every growing corpus needs: history
+    is represented ONLY by its distinct fingerprint set (16 bytes/doc —
+    at 100 TB of text that is a few hundred GB of state, stored
+    partitioned on the fingerprint), the new batch joins against it on
+    the fingerprint (equi-join, co-partitioned with the state so only
+    the BATCH shuffles), and intra-batch duplicates collapse with one
+    window over the batch's own fingerprints.  Cost per refresh scales
+    with the batch, never the corpus — the streaming-dedup state-store
+    idea expressed as a batch join.  The planted batch mixes genuinely
+    new docs, re-submissions of history docs, and within-batch copies so
+    all three statuses are exercised."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import fingerprint
+
+    (docs,) = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter((F.col("doc_id") % 5 != 4) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    hfp = hist.select(fingerprint("text").alias("fp")).distinct()
+    bfp = batch.select("doc_id", fingerprint("text").alias("fp"))
+    ranked = bfp.join(
+        hfp.select(F.col("fp"), F.lit(True).alias("in_hist")), "fp", "left"
+    ).withColumn("rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+    return ranked.select(
+        "doc_id",
+        F.when(F.col("in_hist"), F.lit("dup_of_history"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
