@@ -588,3 +588,116 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("new"))
         .alias("status"),
     )
+
+
+def _minhash_accuracy_oracle(n: int = 3, num_perm: int = 64, seed: int = 7) -> str:
+    """DuckDB twin: identical md5-derived shingle hashes + literal
+    permutation coefficients (operators.dedup._minhash_params) rebuild the
+    very same signatures, so the estimator error itself hash-matches."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as D
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        _DUCK_NEARDUP_CORPUS,
+        COPY_OFFSET,
+    )
+
+    p = D.MERSENNE_PRIME
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+        for a, b in D._minhash_params(num_perm, seed)
+    )
+    return f"""
+    WITH {_DUCK_NEARDUP_CORPUS},
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= {n}
+               THEN list_transform(range(1, len(tk) - {n - 2}),
+                                   i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+               ELSE [] END) AS shingles
+           FROM toks),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    hs AS (SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hs
+           FROM sh2),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + {COPY_OFFSET}
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(1, {num_perm + 1}), i -> sa[i] = sb[i])) AS m
+      FROM pairs
+    ),
+    ex AS (
+      SELECT id_a, id_b,
+             len(list_intersect(xa.shingles, xb.shingles)) AS inter,
+             len(xa.shingles) + len(xb.shingles)
+               - len(list_intersect(xa.shingles, xb.shingles)) AS un
+      FROM est JOIN sh2 xa ON xa.doc_id = id_a JOIN sh2 xb ON xb.doc_id = id_b
+    )
+    SELECT est.id_a, est.id_b,
+           CAST(m * 1000 // {num_perm} AS BIGINT) AS est_permille,
+           CAST(inter * 1000 // un AS BIGINT) AS exact_permille,
+           CAST(abs(m * 1000 // {num_perm} - inter * 1000 // un) AS BIGINT)
+             AS err_permille
+    FROM est JOIN ex ON ex.id_a = est.id_a AND ex.id_b = est.id_b
+    """
+
+
+@query(
+    "minhash_accuracy_report",
+    oracle=_minhash_accuracy_oracle(),
+    doc="MinHash estimator accounting: signature-agreement estimate vs "
+    "exact Jaccard per planted pair, error in integer permille — the "
+    "dedup tier's measure-don't-guess gate (64 perms ⇒ σ ≈ 1/√64 ≈ 6%)",
+)
+def q_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator-quality twin of ann_recall_report for the dedup tier:
+    MinHash's Pr[sig position agrees] = jaccard, so the fraction of
+    agreeing positions IS the estimate — compared here against the exact
+    shingle-set jaccard on the planted copy pairs.  The signature compare
+    shuffles only (id, 64-long) rows and the exact side runs on candidate
+    ids only; in production this runs on a sampled pair set to pick
+    num_perm/bands before committing a corpus-wide LSH pass (64 perms ⇒
+    σ = √(j(1-j)/64) ≈ 6% worst case)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as D
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        COPY_OFFSET,
+        _docs_with_neardup_copies,
+    )
+
+    num_perm = 64
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, "doc_id", "text", n=3, num_perm=num_perm)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(
+        (F.col("doc_id") - COPY_OFFSET).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sb"),
+    )
+    est = a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda t: t)).alias("m"),
+    )
+    sets = D.shingle_sets(corpus, "doc_id", "text", n=3)
+    xa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    xb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    est_pm = F.expr(f"m * 1000 div {num_perm}").cast("bigint")
+    return (
+        est.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est_pm.alias("est_permille"),
+            F.expr("size(array_intersect(sh_a, sh_b)) * 1000 div "
+                   "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))")
+            .cast("bigint")
+            .alias("exact_permille"),
+        )
+        .withColumn(
+            "err_permille",
+            F.abs(F.col("est_permille") - F.col("exact_permille")).cast("bigint"),
+        )
+    )
