@@ -701,3 +701,66 @@ def q_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_permille") - F.col("exact_permille")).cast("bigint"),
         )
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+           CAST(sum(qv[CAST(t1.i AS INT)] * qv[CAST(t2.j AS INT)]) AS BIGINT)
+             AS gram_sum
+    FROM e
+    CROSS JOIN range(1, 65) t1(i)
+    CROSS JOIN range(1, 65) t2(j)
+    WHERE t2.j >= t1.i
+    GROUP BY t1.i, t2.j
+    """,
+    doc="distributed Gram matrix (X^T X upper triangle) over the embedding "
+    "corpus: per-partition numpy matmul partials in exact integer "
+    "micro-quanta, merged by a d²-key sum — the covariance/PCA/whitening "
+    "precursor",
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-side-matrix pattern: each Arrow batch computes its own
+    X^T X with one int64 numpy matmul (exact — no float summation), and
+    only d(d+1)/2 partial cells per PARTITION ever shuffle; the reduce is
+    a sum over a fixed 2,080-key space no matter the corpus size.  This
+    is how covariance/PCA/whitening statistics come off a 100 TB
+    embedding table: compute cost rides the scan, communication is
+    O(partitions · d²).  Quantization to 1e6 keeps every product exact in
+    int64 up to ~10⁶ rows per partition at |x| ≤ 1; for trillion-row
+    corpora drop the quant to 1e3 or add one intermediate merge level —
+    the algebra (integer monoid) is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    dim, quant = 64, 1_000_000
+    iu, ju = np.triu_indices(dim)
+
+    def gram_partials(pdf_iter):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in pdf_iter:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * quant).astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "partial": acc[iu, ju]}
+            )
+
+    partials = spread(emb.select("embedding")).mapInPandas(
+        gram_partials, schema="i int, j int, partial long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").cast("bigint").alias("gram_sum")
+    )
