@@ -764,3 +764,100 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         F.sum("partial").cast("bigint").alias("gram_sum")
     )
+
+
+def _pca_power_oracle(n_iters: int = 5) -> str:
+    """Unrolled integer power iteration over the Gram CTE: rescale,
+    matrix-vector product, max-norm requantize — every step integer
+    (DuckDB ``//`` and Spark ``div`` both truncate toward zero), so the
+    5-step trajectory is bit-identical."""
+    its = []
+    prev = "v0"
+    for k in range(1, n_iters + 1):
+        its.append(f"""
+    w{k} AS (
+      SELECT g.i AS dim, sum(g.g * {prev}.val) AS w
+      FROM g JOIN {prev} ON {prev}.dim = g.j GROUP BY g.i
+    ),
+    v{k} AS (
+      SELECT dim, (w * 1000) // (SELECT max(abs(w)) FROM w{k}) AS val FROM w{k}
+    )""")
+        prev = f"v{k}"
+    return f"""
+    WITH e AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+             CAST(sum(qv[CAST(t1.i AS INT)] * qv[CAST(t2.j AS INT)]) AS BIGINT)
+               AS gram_sum
+      FROM e
+      CROSS JOIN range(1, 65) t1(i)
+      CROSS JOIN range(1, 65) t2(j)
+      WHERE t2.j >= t1.i
+      GROUP BY t1.i, t2.j
+    ),
+    gfull AS (
+      SELECT i, j, gram_sum FROM gram
+      UNION ALL
+      SELECT j, i, gram_sum FROM gram WHERE i < j
+    ),
+    g AS (
+      SELECT i, j,
+             gram_sum // ((SELECT max(abs(gram_sum)) FROM gfull) // 1000000 + 1)
+               AS g
+      FROM gfull
+    ),
+    v0 AS (SELECT DISTINCT i AS dim, 1000::BIGINT AS val FROM g),{",".join(its)}
+    SELECT dim, CAST(val AS BIGINT) AS v_milli FROM {prev}
+    """
+
+
+@query(
+    "pca_power_iteration",
+    oracle=_pca_power_oracle(),
+    doc="leading principal direction of the embedding corpus: 5 integer "
+    "power-iteration steps over the distributed Gram matrix (rescale → "
+    "matvec → max-norm requantize, all integer ops) — iterative linear "
+    "algebra with a bit-identical cross-engine trajectory",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA's top component the 100 TB way: the corpus is touched ONCE (the
+    Gram partials of embedding_gram_matrix, cached at d²=4,096 cells);
+    the power iteration then runs on that fixed-size table — each step is
+    one 64×64 matvec join plus a 1-value max, so iteration cost is
+    independent of corpus size (the property that makes eigen-solves
+    feasible at scale: reduce to sufficient statistics first, iterate on
+    the small object).  Integer trajectory: Gram cells are rescaled to
+    ≤1e6, the vector lives in milli-units, and every divide truncates
+    toward zero on both engines — no float accumulates anywhere, so 5
+    steps reproduce bit-for-bit.  The two driver collects per step fetch
+    ONE scalar each (the max-norm), never data."""
+    gram = q_embedding_gram_matrix(spark, sf_dir)
+    gfull = (
+        gram.unionAll(
+            gram.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gram_sum"
+            )
+        )
+        .cache()
+    )
+    s = gfull.agg(F.max(F.abs(F.col("gram_sum")))).collect()[0][0]
+    g = gfull.select(
+        "i", "j", F.expr(f"gram_sum div {s // 1_000_000 + 1}").alias("g")
+    ).cache()
+    v = g.select(F.col("i").alias("dim")).distinct().withColumn(
+        "val", F.lit(1000).cast("bigint")
+    )
+    for _ in range(5):
+        w = (
+            g.join(v, g["j"] == v["dim"])
+            .groupBy(F.col("i").alias("wdim"))
+            .agg(F.sum(F.col("g") * F.col("val")).alias("w"))
+        )
+        w = w.cache()
+        m = w.agg(F.max(F.abs(F.col("w")))).collect()[0][0]
+        v = w.select(F.col("wdim").alias("dim"), F.expr(f"(w * 1000) div {m}").alias("val"))
+    return v.select("dim", F.col("val").cast("bigint").alias("v_milli"))
