@@ -542,6 +542,7 @@ _DUCK_FP = (
                 ELSE 'new' END AS status
     FROM ranked
     """,
+    headline=True,  # measures the batch-vs-history fingerprint join path
     doc="incremental corpus dedup: a new batch checked against HISTORY "
     "FINGERPRINTS (history text never rescanned) then deduped within "
     "itself — per-doc status new / dup_of_history / dup_in_batch",
@@ -720,6 +721,7 @@ def q_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE t2.j >= t1.i
     GROUP BY t1.i, t2.j
     """,
+    headline=True,  # measures the Arrow mapInPandas matmul path
     doc="distributed Gram matrix (X^T X upper triangle) over the embedding "
     "corpus: per-partition numpy matmul partials in exact integer "
     "micro-quanta, merged by a d²-key sum — the covariance/PCA/whitening "
