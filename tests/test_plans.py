@@ -429,6 +429,7 @@ BNLJ_SCALAR_CROSS = {
     "join_key_skew_report",     # 1-row global row-count for the skew ratio
     "chisq_priority_status",    # 1-row grand total for expected counts
     "ann_cosine_topk",          # the k query vectors (bounded, tiny)
+    "ann_recall_report",        # composes brute_topk — same query-vector cross
     "zorder_layout",            # 1-row global min/max quantization bounds
     "tpch_q22_idle_customers",  # 1-row global avg-balance threshold
     "tpch_q11_important_stock", # 1-row global value threshold
