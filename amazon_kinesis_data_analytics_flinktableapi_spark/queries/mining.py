@@ -863,3 +863,110 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = w.agg(F.max(F.abs(F.col("w")))).collect()[0][0]
         v = w.select(F.col("wdim").alias("dim"), F.expr(f"(w * 1000) div {m}").alias("val"))
     return v.select("dim", F.col("val").cast("bigint").alias("v_milli"))
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ),
+    bg AS (
+      SELECT tk[CAST(i AS INT)] AS tok_a, tk[CAST(i AS INT) + 1] AS tok_b
+      FROM toks CROSS JOIN unnest(range(1, len(tk))) t(i)
+      WHERE len(tk) >= 2
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+    ),
+    bgc AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY tok_a, tok_b),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n, (SELECT count(*) FROM bg) AS m
+    ),
+    scored AS (
+      SELECT tok_a, tok_b, n_ab,
+             CAST(floor(log2(n_ab) * 1000) + 2 * floor(log2(n) * 1000)
+                  - floor(log2(m) * 1000) - floor(log2(ca.c) * 1000)
+                  - floor(log2(cb.c) * 1000) AS BIGINT) AS pmi_millibits
+      FROM bgc
+      JOIN uni ca ON ca.tok = tok_a
+      JOIN uni cb ON cb.tok = tok_b
+      CROSS JOIN tot
+      WHERE n_ab >= 5
+    )
+    SELECT tok_a, tok_b, n_ab, pmi_millibits, colloc_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi_millibits DESC, tok_a, tok_b)
+               AS colloc_rank
+      FROM scored
+    ) WHERE colloc_rank <= 20
+    """,
+    doc="PMI collocation mining: adjacent-token pair counts vs unigram "
+    "expectations, PMI in quantized integer millibits (per-term floored "
+    "log2s, so the combination is engine-exact), top-20 phrase candidates "
+    "at min-support 5",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining for tokenizer/vocab prep: which adjacent pairs occur
+    far above chance.  Plan: one bigram explode riding the scan, a bigram
+    groupBy and a unigram groupBy (both map-side combined; key spaces are
+    vocab-sized, not corpus-sized), then two joins of the bigram counts
+    against the unigram model — the model side is vocab-bounded and
+    broadcasts.  The corpus totals N and M are two scalar driver fetches
+    (the surprisal precedent).  Quantize-then-combine: each log2 is
+    floored to millibits BEFORE the signed sum, so no float composition
+    can diverge between engines; min-support 5 also keeps the PMI
+    estimator itself out of its high-variance regime."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tk = docs.select(tokens("text").alias("tk")).cache()
+    uni = (
+        tk.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS tok_a, tk[i] AS tok_b))")
+            ).alias("p")
+        )
+        .select("p.tok_a", "p.tok_b")
+    )
+    bgc = bg.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    n = tk.select(F.sum(F.size("tk"))).collect()[0][0]
+    m = bg.count()
+    mb = lambda c: F.floor(F.log2(c) * 1000)  # noqa: E731 — per-term millibit quantize
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        bgc.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (
+                mb(F.col("n_ab")) + 2 * F.lit(int(np_floor_log2_millibits(n)))
+                - F.lit(int(np_floor_log2_millibits(m)))
+                - mb(F.col("c_a")) - mb(F.col("c_b"))
+            ).cast("bigint").alias("pmi_millibits"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_millibits"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        scored.withColumn("colloc_rank", F.row_number().over(w))
+        .filter(F.col("colloc_rank") <= 20)
+    )
+
+
+def np_floor_log2_millibits(x: int) -> int:
+    """floor(log2(x)·1000) computed on the DRIVER for the two corpus-total
+    scalars — math.log2 on an exact int yields the same correctly-rounded
+    double as any engine's log2 of that int, so the floored millibits
+    match the oracle's scalar subquery."""
+    import math
+
+    return math.floor(math.log2(x) * 1000)
