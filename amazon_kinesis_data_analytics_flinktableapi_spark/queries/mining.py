@@ -1,7 +1,14 @@
-"""Corpus/graph mining staples beyond the dedup ladder: tokenizer-training
-statistics (one BPE merge iteration), interaction-graph construction with
-triangle counting, deterministic weighted sampling, CDC snapshot diffing,
-and the hashing-trick feature vectorizer — each oracle-checked.
+"""Corpus/graph mining staples beyond the dedup ladder — each oracle-checked:
+
+- tokenizer training: one BPE merge iteration, PMI collocation mining;
+- graph: co-occurrence build + triangle counting;
+- sampling: deterministic weighted top-k (A-Res analogue);
+- incremental pipelines: CDC snapshot diff, partial-agg view maintenance,
+  batch-vs-history incremental dedup;
+- features: hashing-trick vectorizer, Gram matrix (X^T X partials), PCA
+  leading component by integer power iteration;
+- accounting: ANN recall report (IVF vs brute), MinHash estimator error;
+- product analytics: cohort retention matrix.
 """
 
 from __future__ import annotations
