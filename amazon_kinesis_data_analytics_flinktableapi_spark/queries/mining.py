@@ -5,8 +5,9 @@
 - sampling: deterministic weighted top-k (A-Res analogue);
 - incremental pipelines: CDC snapshot diff, partial-agg view maintenance,
   batch-vs-history incremental dedup;
-- features: hashing-trick vectorizer, Gram matrix (X^T X partials), PCA
-  leading component by integer power iteration;
+- features: hashing-trick vectorizer, Gram matrix (X^T X partials — batch
+  and complete-mode streaming forms), PCA leading component by integer
+  power iteration;
 - accounting: ANN recall report (IVF vs brute), MinHash estimator error;
 - product analytics: cohort retention matrix.
 """
@@ -977,3 +978,82 @@ def np_floor_log2_millibits(x: int) -> int:
     import math
 
     return math.floor(math.log2(x) * 1000)
+
+
+@query(
+    "streaming_gram_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+           CAST(sum(qv[CAST(t1.i AS INT)] * qv[CAST(t2.j AS INT)]) AS BIGINT)
+             AS gram_sum
+    FROM e
+    CROSS JOIN range(1, 65) t1(i)
+    CROSS JOIN range(1, 65) t2(j)
+    WHERE t2.j >= t1.i
+    GROUP BY t1.i, t2.j
+    """,
+    doc="STREAMING Gram matrix: pre-quantized integer vectors replayed in 3 "
+    "micro-batches, per-batch numpy X^T X partials (stateless mapInPandas) "
+    "merged by a complete-mode running sum — the final snapshot equals the "
+    "batch Gram cell-for-cell, proving the partials monoid composes with "
+    "streaming state exactly like CMS cells do",
+)
+def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics-accumulation pattern on a LIVE stream: vectors are
+    quantized to integer micro-units at the producer side (integers
+    survive any wire format bit-for-bit — floats through JSON would risk
+    re-parse drift), each micro-batch contributes its own exact int64
+    X^T X, and the d²-key running sum is the only state (4,096 cells —
+    constant regardless of stream volume or uptime).  A model-monitoring
+    job computes covariance/drift statistics this way without ever
+    re-reading history."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    quantized = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding AS array<double>), x -> cast(floor(x * 1000000) AS bigint))"
+        ).alias("qv"),
+    )
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("qv", ArrayType(LongType()))]
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_gram_")
+    stream = replay_stream(
+        spark, quantized, schema, tmp, n_chunks=3, order_col="vec_id", max_files_per_trigger=1
+    )
+
+    def gram_partials(pdf_iter):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in pdf_iter:
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame({"i": iu + 1, "j": ju + 1, "partial": acc[iu, ju]})
+
+    cells = (
+        stream.select("qv")
+        .mapInPandas(gram_partials, schema="i int, j int, partial long")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").cast("bigint").alias("gram_sum"))
+    )
+    return run_to_memory(cells, spark, timeout_sec=240, output_mode="complete")
