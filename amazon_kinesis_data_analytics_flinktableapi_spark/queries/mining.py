@@ -153,27 +153,11 @@ def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ua", "ub")
         .cache()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))
-        .join(e3, (F.col("e3.ua") == F.col("e1.ua")) & (F.col("e3.ub") == F.col("e2.ub")))
-        .select(F.col("e1.ua").alias("a"), F.col("e1.ub").alias("b"), F.col("e2.ub").alias("c"))
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.graph import (
+        triangle_participation,
     )
-    pertri = (
-        tri.select(F.col("a").alias("user_id"))
-        .unionAll(tri.select(F.col("b").alias("user_id")))
-        .unionAll(tri.select(F.col("c").alias("user_id")))
-    )
-    tcnt = pertri.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
-    deg = (
-        edges.select(F.col("ua").alias("user_id"))
-        .unionAll(edges.select(F.col("ub").alias("user_id")))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return deg.join(tcnt, "user_id", "left").select(
-        "user_id", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
-    )
+
+    return triangle_participation(edges)
 
 
 @query(
