@@ -40,14 +40,22 @@ def main() -> None:
     # still paying the full data path (caches dropped) — the number a
     # long-running cluster job actually experiences.
     for name, spec in headline.items():
-        best, n_rows = None, 0
+        samples, n_rows = [], 0
         for _ in range(2):
             spark.catalog.clearCache()
             t = time.time()
             n_rows = spec.fn(spark, sf_dir).count()
-            el = time.time() - t
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t)
+        # host-stall guard: multi-second random slow windows on a shared
+        # host can tax BOTH samples of one query while leaving neighbors
+        # clean; when the two runs disagree by >1.8× the measurement is
+        # suspect, so take one more and keep the min (steady-state cost)
+        if max(samples) > 1.8 * min(samples):
+            spark.catalog.clearCache()
+            t = time.time()
+            n_rows = spec.fn(spark, sf_dir).count()
+            samples.append(time.time() - t)
+        timings[name] = round(min(samples), 3)
         print(f"# {name}: {timings[name]}s ({n_rows} rows)", file=sys.stderr)
 
     # streaming throughput: records/sec through the watermarked
