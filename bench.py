@@ -95,6 +95,27 @@ def main() -> None:
     print(f"# streaming_interval_join: {stream_rows} rows, {n_events} events in "
           f"{round(stream_sec, 2)}s = {streaming_rps} rec/s", file=sys.stderr)
 
+    # kinesis_sim connector scan throughput: the Python Data Source API path
+    # (record generation + serde in Python workers) measured on a 200k-record
+    # 16-shard batch read; one small untimed read warms the Python workers,
+    # which the first read otherwise pays ~3-4 s for
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        KinesisSimDataSource,
+    )
+
+    spark.dataSource.register(KinesisSimDataSource)
+    def ks_read(n, shards):
+        return (
+            spark.read.format("kinesis_sim")
+            .option("stream", "orders").option("shards", shards)
+            .option("records_per_shard", n // shards).load().count()
+        )
+    ks_read(1000, 4)  # warm
+    t = time.time()
+    n_ks = ks_read(200_000, 16)
+    ks_rps = round(n_ks / (time.time() - t), 1)
+    print(f"# kinesis_sim_scan: {n_ks} records = {ks_rps} rec/s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # the headline set GREW in round 5 (+dedup_clusters, +embedding_neardup);
     # report the round-1..3 10-query subset total alongside so round-over-
@@ -113,6 +134,7 @@ def main() -> None:
         "n_queries": len(timings),
         "startup_sec": round(startup, 3),
         "streaming_interval_join_recs_per_sec": streaming_rps,
+        "kinesis_sim_scan_recs_per_sec": ks_rps,
     }
     if all(q in timings for q in r3_set):
         out["r3_comparable_subset_total"] = round(sum(timings[q] for q in r3_set), 3)
