@@ -1041,3 +1041,74 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("partial").cast("bigint").alias("gram_sum"))
     )
     return run_to_memory(cells, spark, timeout_sec=240, output_mode="complete")
+
+
+@query(
+    "theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS d,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (b.v_cents - a.v_cents) * 1000 // (b.d - a.d) AS slope
+      FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM slopes
+    )
+    SELECT user_id, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(slope AS BIGINT) AS slope_milli
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    """,
+    doc="Theil–Sen robust trend per user: median of all pairwise "
+    "daily-total slopes (integer milli-cents/day, lower-median rule) — "
+    "the outlier-immune regression slope, MAD's sibling for trends",
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend at scale: values are quantized to integer cents BEFORE
+    the daily sum (float sums are partitioning-dependent; integer sums are
+    not), the pairwise-slope self-join is bounded per key by days² — a
+    30-day window is ≤435 pairs per user no matter how many events — and
+    the exact median uses the rank-filter pattern (one window shuffle,
+    never a per-group sort collect).  Slopes are integer milli-cents/day
+    with truncating div, so the median element is engine-exact.  The
+    estimator tolerates ~29% outliers, which is why monitoring pipelines
+    prefer it over least squares for per-entity drift."""
+    (ev,) = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("v_cents").alias("v_cents"))
+    )
+    a = daily.select("user_id", F.col("d").alias("da"), F.col("v_cents").alias("va"))
+    b = daily.select("user_id", F.col("d").alias("db"), F.col("v_cents").alias("vb"))
+    slopes = (
+        a.join(b, "user_id")
+        .filter(F.col("db") > F.col("da"))
+        .select("user_id", F.expr("(vb - va) * 1000 div (db - da)").alias("slope"))
+    )
+    wrank = Window.partitionBy("user_id").orderBy("slope")
+    wcnt = Window.partitionBy("user_id")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("cnt"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("n_pairs"),
+        F.col("slope").cast("bigint").alias("slope_milli"),
+    )
