@@ -1112,3 +1112,83 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("n_pairs"),
         F.col("slope").cast("bigint").alias("slope_milli"),
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS d,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+      SELECT user_id, d,
+             v_cents * (count(*) OVER (PARTITION BY user_id))
+               - (sum(v_cents) OVER (PARTITION BY user_id)) AS dev_scaled
+      FROM daily
+    ),
+    cusum AS (
+      SELECT user_id, d,
+             sum(dev_scaled) OVER (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM dev
+    )
+    SELECT user_id, d AS change_day, CAST(abs(cs) AS BIGINT) AS max_abs_cusum
+    FROM (
+      SELECT user_id, d, cs,
+             row_number() OVER (PARTITION BY user_id ORDER BY abs(cs) DESC, d)
+               AS rn
+      FROM cusum
+    ) WHERE rn = 1
+    """,
+    doc="CUSUM changepoint per user: cumulative sum of mean-deviations over "
+    "daily totals, argmax |cusum| marks the most likely level-shift day — "
+    "deviations multiplied through by n_days so no mean division ever "
+    "happens (exact integers end-to-end)",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection the streaming-metrics way, made engine-exact:
+    instead of x − mean (a division that floats), deviations are scaled by
+    n_days (x·n − Σ, the rolling_anomaly_flags multiply-through), so the
+    cusum trajectory and its argmax are integers no summation order can
+    move.  Plan: the daily rollup is one shuffle; the per-user windows
+    (count, total, running sum, rank) all share the user_id partitioning —
+    Catalyst plans ONE Exchange for the lot.  Per-key state is days, not
+    events; at 100 TB the window never sees raw event rows."""
+    (ev,) = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("v_cents").alias("v_cents"))
+    )
+    wu = Window.partitionBy("user_id")
+    dev = daily.select(
+        "user_id",
+        "d",
+        (
+            F.col("v_cents") * F.count(F.lit(1)).over(wu) - F.sum("v_cents").over(wu)
+        ).alias("dev_scaled"),
+    )
+    wcs = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = dev.select("user_id", "d", F.sum("dev_scaled").over(wcs).alias("cs"))
+    wr = Window.partitionBy("user_id").orderBy(F.desc(F.abs(F.col("cs"))), F.asc("d"))
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("d").alias("change_day"),
+            F.abs(F.col("cs")).cast("bigint").alias("max_abs_cusum"),
+        )
+    )
