@@ -1192,3 +1192,101 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cs")).cast("bigint").alias("max_abs_cusum"),
         )
     )
+
+
+def _pca_outlier_oracle(n_iters: int = 5) -> str:
+    """The power-iteration oracle extended with the projection: every
+    vector's integer dot with the learned component, top-20 by |score|."""
+    its = []
+    prev = "v0"
+    for k in range(1, n_iters + 1):
+        its.append(f"""
+    w{k} AS (
+      SELECT g.i AS dim, sum(g.g * {prev}.val) AS w
+      FROM g JOIN {prev} ON {prev}.dim = g.j GROUP BY g.i
+    ),
+    v{k} AS (
+      SELECT dim, (w * 1000) // (SELECT max(abs(w)) FROM w{k}) AS val FROM w{k}
+    )""")
+        prev = f"v{k}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+             CAST(sum(qv[CAST(t1.i AS INT)] * qv[CAST(t2.j AS INT)]) AS BIGINT)
+               AS gram_sum
+      FROM e
+      CROSS JOIN range(1, 65) t1(i)
+      CROSS JOIN range(1, 65) t2(j)
+      WHERE t2.j >= t1.i
+      GROUP BY t1.i, t2.j
+    ),
+    gfull AS (
+      SELECT i, j, gram_sum FROM gram
+      UNION ALL
+      SELECT j, i, gram_sum FROM gram WHERE i < j
+    ),
+    g AS (
+      SELECT i, j,
+             gram_sum // ((SELECT max(abs(gram_sum)) FROM gfull) // 1000000 + 1)
+               AS g
+      FROM gfull
+    ),
+    v0 AS (SELECT DISTINCT i AS dim, 1000::BIGINT AS val FROM g),{",".join(its)},
+    proj AS (
+      SELECT e.vec_id, CAST(sum(qv[CAST(dim AS INT)] * val) AS BIGINT) AS score
+      FROM e CROSS JOIN {prev}
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, score, out_rank FROM (
+      SELECT vec_id, score,
+             row_number() OVER (ORDER BY abs(score) DESC, vec_id) AS out_rank
+      FROM proj
+    ) WHERE out_rank <= 20
+    """
+
+
+@query(
+    "pca_outlier_scores",
+    oracle=_pca_outlier_oracle(),
+    doc="principal-axis outlier detection: every embedding projected onto "
+    "the learned leading component (integer dot, scan-local via a "
+    "literalized 64-value model), top-20 by |score| — the learn→apply "
+    "closer for the PCA tier",
+)
+def q_pca_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying a learned model at 100 TB: the component is 64 integers, so
+    it ships to executors as a LITERAL expression — the projection rides
+    the corpus scan with zero shuffle and zero joins, and the only
+    reduction is TakeOrdered(20) on |score|.  (The posexplode-and-join
+    alternative would inflate the shuffle 64×; never shuffle what fits in
+    the plan.)  Learning the component costs one Gram pass (cached by
+    q_pca_power_iteration's plan); scoring is the marginal cost of one
+    scan — which is why principal-axis screens run on every corpus
+    refresh."""
+    v_rows = q_pca_power_iteration(spark, sf_dir).collect()  # 64 rows, bounded
+    v = [0] * 64
+    for r in v_rows:
+        v[r["dim"] - 1] = int(r["v_milli"])
+    (emb,) = load(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding AS array<double>), x -> cast(floor(x * 1000000) AS bigint))"
+        ).alias("qv"),
+    )
+    vlit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    score = F.expr(
+        f"aggregate(zip_with(qv, {vlit}, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("score"))), F.asc("vec_id"))
+    return (
+        quant.select("vec_id", score.cast("bigint").alias("score"))
+        .withColumn("out_rank", F.row_number().over(w))
+        .filter(F.col("out_rank") <= 20)
+    )
