@@ -1290,3 +1290,60 @@ def q_pca_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("out_rank", F.row_number().over(w))
         .filter(F.col("out_rank") <= 20)
     )
+
+
+@query(
+    "seasonal_residual_flags",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(hour(ts) AS INTEGER) AS hod,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    prof AS (
+      SELECT event_type, hod,
+             count(*) AS n, sum(v_cents) AS s, sum(v_cents * v_cents) AS s2
+      FROM ev GROUP BY event_type, hod
+    )
+    SELECT event_id, ev.event_type, ev.hod, v_cents
+    FROM ev JOIN prof ON prof.event_type = ev.event_type AND prof.hod = ev.hod
+    WHERE n >= 30
+      AND (v_cents * n - s) * (v_cents * n - s) > 9 * (n * s2 - s * s)
+    """,
+    doc="seasonality-adjusted 3σ anomaly flags: per (event_type, "
+    "hour-of-day) profile of count/Σ/Σx² in integer cents, deviation "
+    "tested as (x·n−Σ)² > 9·(n·Σx²−Σ²) — the profile-join baseline that "
+    "catches what a trailing window normalizes away",
+)
+def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal sibling of rolling_anomaly_flags: a trailing window
+    treats a nightly batch spike as 'normal recent level', a seasonal
+    profile knows 3am Tuesdays are always like this.  The baseline is a
+    (event_type × 24) table of mergeable integer partials — broadcast
+    back onto the event scan, so flagging costs one aggregation plus one
+    map-side join at any corpus size; the σ test keeps the
+    multiply-through form so no float mean/variance ever materializes.
+    Buckets under 30 observations are excluded (σ estimate unstable),
+    the same min-support discipline as the PMI screen."""
+    (ev,) = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
+    )
+    prof = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("s2"),
+    )
+    j = base.join(F.broadcast(prof), ["event_type", "hod"])
+    dev = F.col("v_cents") * F.col("n") - F.col("s")
+    return (
+        j.filter(
+            (F.col("n") >= 30)
+            & (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")))
+        )
+        .select("event_id", "event_type", "hod", "v_cents")
+    )
