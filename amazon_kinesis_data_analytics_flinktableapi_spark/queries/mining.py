@@ -1347,3 +1347,122 @@ def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "hod", "v_cents")
     )
+
+
+@query(
+    "template_doc_detect",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 + k,
+             'order ' || (doc_id * 7 + k * 13) || ' total ' || (k * 97 + 5)
+               || ' ' || substr(text, 1, 120)
+      FROM documents CROSS JOIN range(0, 4) t(k)
+      WHERE doc_id % 50 = 0
+    ),
+    sk AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS skeleton
+      FROM corpus
+    ),
+    t AS (
+      SELECT skeleton, count(*) AS n_docs FROM sk GROUP BY skeleton
+      HAVING count(*) >= 3
+    )
+    SELECT sk.doc_id, sk.skeleton, t.n_docs
+    FROM sk JOIN t USING (skeleton)
+    """,
+    doc="templated-document detection: digit runs collapsed before "
+    "fingerprinting, skeletons shared by ≥3 docs flagged (planted "
+    "4-variant receipt families make detection observable) — catches "
+    "machine-generated pages (receipts, listings, logs) that exact and "
+    "near-dup fingerprints both miss because the variable slots differ",
+)
+def q_template_doc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-ladder rung between exact dedup and MinHash: templated
+    pages differ in every digit (ids, prices, dates) so their exact
+    fingerprints all differ and their shingle overlap can dip below
+    near-dup thresholds, yet they carry one document's worth of
+    information.  Slot abstraction (digits → one symbol) before hashing
+    collapses the family to one skeleton; detection is then a plain
+    count-groupBy on the 16-byte skeleton — corpus-linear, one shuffle,
+    no pairwise anything.  Production variants add more slot classes
+    (emails, UUIDs, hex) to the same normalize-then-hash plan.  The
+    planted families (4 digit-varied 'receipts' per every 50th doc) give
+    the detector real positives to find — each family's members share a
+    skeleton but no exact fingerprint."""
+    (docs,) = load(spark, sf_dir, "documents")
+    planted = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text", F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"))
+        .select(
+            (F.col("doc_id") + 3000000 + F.col("k")).alias("doc_id"),
+            F.concat(
+                F.lit("order "),
+                (F.col("doc_id") * 7 + F.col("k") * 13).cast("string"),
+                F.lit(" total "),
+                (F.col("k") * 97 + 5).cast("string"),
+                F.lit(" "),
+                F.substring("text", 1, 120),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionAll(planted)
+    sk = corpus.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0")).alias("skeleton"),
+    )
+    t = (
+        sk.groupBy("skeleton")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )
+    return sk.join(t, "skeleton").select("doc_id", "skeleton", "n_docs")
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           CAST(count(*) * 10000 // (sum(count(*)) OVER (PARTITION BY event_type))
+                AS BIGINT) AS share_bp
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="Markov transition matrix over per-user event sequences: lead() "
+    "pairs consecutive events, counts + integer basis-point row shares — "
+    "the behavioral-model prior and the funnel/sequence ops' aggregate twin",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-to-matrix at scale: ONE window shuffle on user_id pairs
+    each event with its successor (ties broken by event_id so the
+    sequence is total-ordered and engine-identical), then the matrix
+    groupBy reduces to |types|² rows — the constant-size-out shape again.
+    Row-normalized shares use integer basis points with truncating
+    division; the matrix feeds session simulators and next-event priors
+    without ever re-reading the event log."""
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000 div sum(n) OVER (PARTITION BY from_type)")
+        .cast("bigint")
+        .alias("share_bp"),
+    )
