@@ -1526,3 +1526,72 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+@query(
+    "token_budget_select",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+               AS n_tokens,
+             floor((0.5 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * least(round(len(list_filter(
+                       list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                       t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
+                     / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                t -> t <> '')), 1), 6) * 5, 1.0)
+                   + 0.1 * (1 - least(round((length(text)
+                       - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+                     / greatest(length(text), 1), 6) * 10, 1.0)))
+                   * 10000 + 0.5) / 10000 AS quality
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, quality,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 20000
+    """,
+    doc="budget-capped data selection: docs ranked by quality, greedily "
+    "taken until a 20k-token budget fills — the global running sum uses "
+    "the range-partition + broadcast-offset plan, never Exchange "
+    "SinglePartition",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Give me the best N tokens' is a global cumulative constraint — the
+    classic place a naive window (`sum OVER (ORDER BY ...)`) collapses
+    the whole corpus into ONE partition.  This runs the same
+    range-partition + per-partition-prefix + broadcast-offset plan as
+    sequence_packing (operators.ranking.global_running_sum, SinglePartition
+    absence contract-tested there), ordered by (quality desc, doc_id) —
+    integer token counts make every offset exact under any sampled range
+    boundary.  The budget filter then rides the summed output; selection
+    cost is one range shuffle regardless of corpus size."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    summed = global_running_sum(
+        scored,
+        order_by=[F.desc("quality"), F.asc("doc_id")],
+        value_col="n_tokens",
+        sum_name="cum_tokens",
+    )
+    return summed.filter(F.col("cum_tokens") <= 20000).select(
+        "doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    )
