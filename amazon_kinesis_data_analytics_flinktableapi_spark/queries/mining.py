@@ -1595,3 +1595,65 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summed.filter(F.col("cum_tokens") <= 20000).select(
         "doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS c_ts, event_id AS c_id
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.p_id, p.user_id, c.c_id, c.c_ts, p.p_ts,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC NULLS LAST,
+                                         c.c_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts
+       AND c.c_ts > p.p_ts - INTERVAL 24 HOUR
+    )
+    SELECT p_id, user_id, c_id AS attributed_click,
+           CASE WHEN c_id IS NULL THEN NULL
+                ELSE epoch_us(p_ts) - epoch_us(c_ts) END AS gap_micros
+    FROM ranked WHERE rn = 1
+    """,
+    doc="last-touch attribution: each purchase joined as-of to the user's "
+    "most recent click within 24h (bucketed as-of plan, DESC tiebreak) — "
+    "the conversion-credit op, gap reported in exact epoch micros",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of operator applied to behavior: purchases are the left
+    (unique by event_id), clicks the right, equi key user_id, horizon 24h
+    backward — the same (key, time-bucket) equi plan as the flagship
+    interval join, so per-probe work is ~2 buckets of clicks rather than
+    the user's whole history, and unmatched purchases survive NULL-
+    extended (organic conversions are data, not dropped rows).  Gap is an
+    exact integer micros difference; no seconds-boundary semantics to
+    disagree on."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.asof_join import as_of_join
+
+    (ev,) = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    j = as_of_join(
+        p, c, on="user_id", left_id="p_id", left_time="p_ts",
+        right_time="c_ts", horizon="24 hours", tie_breakers=["c_id"],
+    )
+    return j.select(
+        "p_id",
+        "user_id",
+        F.col("r_c_id").alias("attributed_click"),
+        F.when(
+            F.col("r_c_id").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(F.unix_micros("p_ts") - F.unix_micros("r_c_ts")).alias("gap_micros"),
+    )
