@@ -1657,3 +1657,94 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_c_id").isNull(), F.lit(None).cast("bigint")
         ).otherwise(F.unix_micros("p_ts") - F.unix_micros("r_c_ts")).alias("gap_micros"),
     )
+
+
+@query(
+    "link_prediction_common_neighbors",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      FROM events
+    ),
+    sz AS (SELECT hr, event_type, count(*) AS n FROM b GROUP BY hr, event_type),
+    ok AS (
+      SELECT b.user_id, b.hr, b.event_type FROM b
+      JOIN sz USING (hr, event_type) WHERE sz.n <= 20
+    ),
+    pe AS (
+      SELECT a.user_id AS ua, c.user_id AS ub
+      FROM ok a JOIN ok c
+        ON a.hr = c.hr AND a.event_type = c.event_type AND a.user_id < c.user_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    bidir AS (SELECT ua, ub FROM pe UNION ALL SELECT ub, ua FROM pe),
+    fof AS (
+      SELECT x.ua AS a, y.ub AS b, count(*) AS common
+      FROM bidir x JOIN bidir y ON y.ua = x.ub
+      WHERE x.ua < y.ub
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a, b, common FROM fof
+      WHERE NOT EXISTS (SELECT 1 FROM pe WHERE pe.ua = a AND pe.ub = b)
+    )
+    SELECT a, b, common, pred_rank FROM (
+      SELECT a, b, common,
+             row_number() OVER (ORDER BY common DESC, a, b) AS pred_rank
+      FROM cand
+    ) WHERE pred_rank <= 20
+    """,
+    doc="link prediction by common neighbors: 2-hop paths through the "
+    "mirrored edge list, direct edges removed by anti-join, top-20 "
+    "non-adjacent pairs by shared-neighbor count — the "
+    "friend-of-friend recommender shape",
+)
+def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-hop pattern CC/PageRank/triangles don't cover: candidate
+    generation is the 2-hop self-join on the MIRRORED edge list (shuffle
+    on the middle vertex — at scale the one hot-vertex hazard, bounded
+    here by the same ≤20-user bucket cap that built the edges), scoring
+    is the pair groupBy, and existing edges leave via a LEFT ANTI join
+    (never a NOT-IN broadcast of the whole edge set).  a < b keeps each
+    candidate pair enumerated once.  Swap common-neighbor count for
+    Adamic-Adar (weight 1/log(deg(x)) in millibits) and the plan is
+    unchanged — the score is computed where the middle vertex is still
+    in hand."""
+    (ev,) = load(spark, sf_dir, "events")
+    buckets = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).distinct()
+    sized = buckets.groupBy("hr", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ok = buckets.join(sized.filter(F.col("n") <= 20), ["hr", "event_type"]).select(
+        "user_id", "hr", "event_type"
+    )
+    a, c = ok.alias("a"), ok.alias("c")
+    pe = (
+        a.join(
+            c,
+            (F.col("a.hr") == F.col("c.hr"))
+            & (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("ua", "ub")
+        .cache()
+    )
+    bidir = pe.unionAll(pe.select(F.col("ub").alias("ua"), F.col("ua").alias("ub")))
+    x, y = bidir.alias("x"), bidir.alias("y")
+    fof = (
+        x.join(y, F.col("y.ua") == F.col("x.ub"))
+        .filter(F.col("x.ua") < F.col("y.ub"))
+        .groupBy(F.col("x.ua").alias("a"), F.col("y.ub").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = fof.join(
+        pe.select(F.col("ua").alias("a"), F.col("ub").alias("b")), ["a", "b"], "left_anti"
+    )
+    w = Window.orderBy(F.desc("common"), F.asc("a"), F.asc("b"))
+    return (
+        cand.withColumn("pred_rank", F.row_number().over(w))
+        .filter(F.col("pred_rank") <= 20)
+    )
