@@ -1748,3 +1748,82 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
         cand.withColumn("pred_rank", F.row_number().over(w))
         .filter(F.col("pred_rank") <= 20)
     )
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 5 <> 4 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 5 = 4 AND doc_id % 3 = 0
+    ),
+    hfp AS (SELECT DISTINCT {_DUCK_FP} AS fp FROM hist),
+    bfp AS (SELECT DISTINCT {_DUCK_FP} AS fp FROM batch)
+    SELECT bfp.fp FROM bfp LEFT JOIN hfp ON hfp.fp = bfp.fp
+    WHERE hfp.fp IS NULL
+    """,
+    doc="STREAMING ingestion dedup: arriving docs replayed in 3 "
+    "micro-batches, fingerprinted in-stream, anti-joined against the "
+    "STATIC history fingerprint set, then dropDuplicates state collapses "
+    "within-stream copies across batch boundaries — output = the "
+    "genuinely-new fingerprint set, equal to the batch incremental_dedup's",
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_dedup's arrival-time form: the history state joins in
+    as a stream-STATIC left-anti (stateless per micro-batch — Spark
+    re-broadcasts or hash-joins the static side, no streaming state), and
+    only the within-stream dedup carries state (one fingerprint per
+    distinct new doc, exactly the state a production ingest keeps).
+    Chaining a stateless anti join into a stateful dropDuplicates is the
+    canonical two-operator ingest topology.  Output is the fingerprint
+    SET (not doc ids): which of several same-batch copies is dropped
+    depends on arrival interleaving, but the surviving set is
+    deterministic — so the set is what the oracle pins."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import fingerprint
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    hfp = hist.select(fingerprint("text").alias("fp")).distinct()
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter((F.col("doc_id") % 5 != 4) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_incdd_")
+    stream = replay_stream(
+        spark, batch, schema, tmp, n_chunks=3, order_col="doc_id", max_files_per_trigger=1
+    )
+    new_fps = (
+        stream.select(fingerprint("text").alias("fp"))
+        .join(hfp, "fp", "left_anti")
+        .dropDuplicates(["fp"])
+    )
+    return run_to_memory(new_fps, spark, timeout_sec=240)
