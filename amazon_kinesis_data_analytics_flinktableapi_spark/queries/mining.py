@@ -76,6 +76,35 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-ordered (ua < ub) co-occurrence edges: users sharing ≥2 (hour,
+    event_type) buckets, hot buckets capped at 20 users before the pair
+    self-join (the max_df guard generalized to graph construction).
+    Cached — every graph query reads it at least twice."""
+    (ev,) = load(spark, sf_dir, "events")
+    buckets = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).distinct()
+    sized = buckets.groupBy("hr", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ok = buckets.join(sized.filter(F.col("n") <= 20), ["hr", "event_type"]).select(
+        "user_id", "hr", "event_type"
+    )
+    a, c = ok.alias("a"), ok.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.hr") == F.col("c.hr"))
+            & (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("ua", "ub")
+        .cache()
+    )
+
+
 @query(
     "triangle_count_graph",
     oracle="""
@@ -131,33 +160,11 @@ def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) everything shuffles ids only.  Output is per-user degree +
     triangle participation — the cohesion features a community/abuse
     pipeline feeds on."""
-    (ev,) = load(spark, sf_dir, "events")
-    buckets = ev.select(
-        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
-    ).distinct()
-    sized = buckets.groupBy("hr", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    ok = buckets.join(sized.filter(F.col("n") <= 20), ["hr", "event_type"]).select(
-        "user_id", "hr", "event_type"
-    )
-    a, c = ok.alias("a"), ok.alias("c")
-    edges = (
-        a.join(
-            c,
-            (F.col("a.hr") == F.col("c.hr"))
-            & (F.col("a.event_type") == F.col("c.event_type"))
-            & (F.col("a.user_id") < F.col("c.user_id")),
-        )
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 2)
-        .select("ua", "ub")
-        .cache()
-    )
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.graph import (
         triangle_participation,
     )
 
-    return triangle_participation(edges)
+    return triangle_participation(_interaction_edges(spark, sf_dir))
 
 
 @query(
@@ -1710,28 +1717,7 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
     Adamic-Adar (weight 1/log(deg(x)) in millibits) and the plan is
     unchanged — the score is computed where the middle vertex is still
     in hand."""
-    (ev,) = load(spark, sf_dir, "events")
-    buckets = ev.select(
-        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
-    ).distinct()
-    sized = buckets.groupBy("hr", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    ok = buckets.join(sized.filter(F.col("n") <= 20), ["hr", "event_type"]).select(
-        "user_id", "hr", "event_type"
-    )
-    a, c = ok.alias("a"), ok.alias("c")
-    pe = (
-        a.join(
-            c,
-            (F.col("a.hr") == F.col("c.hr"))
-            & (F.col("a.event_type") == F.col("c.event_type"))
-            & (F.col("a.user_id") < F.col("c.user_id")),
-        )
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 2)
-        .select("ua", "ub")
-        .cache()
-    )
+    pe = _interaction_edges(spark, sf_dir)
     bidir = pe.unionAll(pe.select(F.col("ub").alias("ua"), F.col("ua").alias("ub")))
     x, y = bidir.alias("x"), bidir.alias("y")
     fof = (
