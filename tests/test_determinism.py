@@ -24,6 +24,9 @@ INVARIANT_QUERIES = [
     "pmi_collocations",          # signed sum of floored millibit terms
     "kmv_distinct_sketch",       # order-statistic sketch on portable hash
     "incremental_agg_merge",     # integer-cents partial-agg algebra
+    "binned_quantile_estimate",  # mergeable bin counts, integer rank crossings
+    "cms_frequency_sketch",      # cell-wise-mergeable integer grid
+    "theilsen_trend",            # rank-filter median with deterministic ties
 ]
 
 
