@@ -96,8 +96,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
-    ``edges`` is an undirected pair list; isolated nodes absent from it are
-    their own components by definition (add them downstream if needed).
+    ``edges`` is an undirected pair list — ONE orientation per pair, no
+    duplicate rows.  Duplicates or mirrored pairs never change the result
+    (both execution paths are duplicate-insensitive), but they inflate the
+    ``2 * count()`` path-choice estimate below and can push a genuinely
+    small graph onto the slower iterative path — dedupe upstream if the
+    pair generator can emit both orientations.  Isolated nodes absent from
+    the list are their own components by definition (add them downstream
+    if needed).
     Warns (and returns the partial labels) if ``max_iterations`` is
     exhausted before convergence — only possible when a component's
     diameter exceeds ``max_iterations``, which near-dup clique unions

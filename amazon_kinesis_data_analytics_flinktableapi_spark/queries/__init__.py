@@ -86,7 +86,70 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 6 window -----------------------------------------------------
+    # --- round 7 window -----------------------------------------------------
+    # VERDICT r6 #1: 50 registered queries have never held a driver window
+    # slot (judge replica-verified all oracle-bearing ones green, but
+    # unattested code rots).  The r7 window is therefore the entire
+    # never-attested backlog, ordered: (a) surfaces CHANGED this round
+    # first (seasonal_residual_flags' 3σ test moved to DECIMAL(38)/HUGEINT,
+    # event_transition_matrix touched), plus new r7 queries as they land;
+    # (b) the mining/sketch/stats tier and interval_join_full; (c) the five
+    # TPC-H never-attested shapes LAST — they are plan-shape twins of
+    # already-attested shapes, so they are the lowest-risk entries to slip
+    # into the r8 window if new r7 queries displace the tail.
+    "embedding_neardup_wide",       # NEW r7: second LSH shape (8 tables × 16 planes)
+    "kinesis_fake_sdk_roundtrip",   # NEW r7: adapter seam driven by the fake SDK client
+    "seasonal_residual_flags",      # changed r7: overflow-proof decimal 3σ test
+    "event_transition_matrix",      # changed r7 (dead local removed)
+    "incremental_dedup",            # bench headliner, never windowed
+    "embedding_gram_matrix",        # bench headliner, never windowed
+    "interval_join_full",           # reference-adjacent: full-outer interval join
+    "streaming_incremental_dedup",
+    "streaming_cms_sketch",
+    "streaming_sequence_detect",
+    "streaming_gram_matrix",
+    "cms_frequency_sketch",
+    "kmv_set_ops",
+    "binned_quantile_estimate",
+    "minhash_accuracy_report",
+    "ann_recall_report",
+    "bloom_contamination_screen",
+    "dedup_pipeline_report",
+    "canonical_doc_select",
+    "template_doc_detect",
+    "split_leakage_audit",
+    "token_budget_select",
+    "snapshot_cdc_diff",
+    "incremental_agg_merge",
+    "feature_hash_vector",
+    "weighted_sample_topk",
+    "char_entropy_score",
+    "bpe_merge_step",
+    "bigram_surprisal_score",
+    "pmi_collocations",
+    "pca_power_iteration",
+    "pca_outlier_scores",
+    "embedding_dim_variance",
+    "triangle_count_graph",
+    "pagerank_dup_graph",
+    "link_prediction_common_neighbors",
+    "attribution_last_touch",
+    "cohort_retention",
+    "recursive_ewma_rates",
+    "theilsen_trend",
+    "cusum_changepoint",
+    "rolling_anomaly_flags",
+    "winsorize_outliers",
+    "chisq_priority_status",
+    "join_key_skew_report",
+    "variant_semistructured",
+    "xml_roundtrip_extract",
+    "tpch_q11_important_stock",     # BNLJ-whitelisted shape — worth a driver row
+    "tpch_q18_large_volume_customer",
+    "tpch_q12_late_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    # --- round 6 window (attested r6; rotate behind the backlog) ------------
     # 1-9: changed surfaces.  kinesis_interval_join /
     # streaming_kinesis_tumbling drive the reference topology end-to-end
     # through the in-repo format("kinesis_sim") connector, batch and

@@ -781,6 +781,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_neardup_wide",
+    oracle=_neardup_lsh_oracle(threshold=0.35, n_planes=8, n_tables=16),
+    doc="second LSH shape (8 planes × 16 tables): pins the Arrow sketch "
+    "matmul + bit-packing algebra beyond the default 4×16 configuration — "
+    "256 buckets/table, the deeper-sketch regime a larger corpus runs at",
+)
+def q_embedding_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 #5: ``embedding_neardup``'s rewritten Arrow-matmul sketch
+    path was driver-attested at exactly one (n_planes=4, n_tables=16)
+    shape; a single configuration can hash-match while the bit-packing
+    loop is wrong for other widths (e.g. a hardcoded plane count or a
+    sign-bit shift that only works below 8 bits).  Same operator, same
+    threshold, twice the planes: every per-table sketch is now a full
+    8-bit bucket id, and the DuckDB oracle re-derives all 128
+    hyperplane dots independently.  Recall at this deeper shape is pinned
+    on the clustered fixture in tests/test_similarity.py."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.neardup_pairs_lsh(emb, threshold=0.35, n_planes=8, n_tables=16)
+
+
+@query(
     "media_decode_meta",
     oracle=f"""
     SELECT doc_id AS media_id,

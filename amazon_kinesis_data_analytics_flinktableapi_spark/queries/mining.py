@@ -1310,13 +1310,16 @@ def q_pca_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prof AS (
       SELECT event_type, hod,
-             count(*) AS n, sum(v_cents) AS s, sum(v_cents * v_cents) AS s2
+             count(*) AS n,
+             sum(CAST(v_cents AS HUGEINT)) AS s,
+             sum(CAST(v_cents AS HUGEINT) * CAST(v_cents AS HUGEINT)) AS s2
       FROM ev GROUP BY event_type, hod
     )
     SELECT event_id, ev.event_type, ev.hod, v_cents
     FROM ev JOIN prof ON prof.event_type = ev.event_type AND prof.hod = ev.hod
     WHERE n >= 30
-      AND (v_cents * n - s) * (v_cents * n - s) > 9 * (n * s2 - s * s)
+      AND (CAST(v_cents AS HUGEINT) * n - s) * (CAST(v_cents AS HUGEINT) * n - s)
+          > 9 * (n * s2 - s * s)
     """,
     doc="seasonality-adjusted 3σ anomaly flags: per (event_type, "
     "hour-of-day) profile of count/Σ/Σx² in integer cents, deviation "
@@ -1331,8 +1334,14 @@ def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the event scan, so flagging costs one aggregation plus one
     map-side join at any corpus size; the σ test keeps the
     multiply-through form so no float mean/variance ever materializes.
-    Buckets under 30 observations are excluded (σ estimate unstable),
-    the same min-support discipline as the PMI screen."""
+    The multiply-through products are computed in DECIMAL(38,0) (HUGEINT
+    on the DuckDB side): with per-bucket count n and |v_cents| ≤ V, the
+    largest term n·Σx² ≤ n²·V² needs n·V < 1e19 — e.g. $10k values
+    (V=1e6) allow 10 trillion rows PER (event_type, hour) bucket, far
+    past 100 TB of events, where plain int64 would have wrapped silently
+    around n·V ≈ 3e9.  Buckets under 30 observations are excluded
+    (σ estimate unstable), the same min-support discipline as the PMI
+    screen."""
     (ev,) = load(spark, sf_dir, "events")
     base = ev.filter(F.col("value").isNotNull()).select(
         "event_id",
@@ -1340,17 +1349,20 @@ def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hod"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
     )
+    vd = F.col("v_cents").cast("decimal(38,0)")
     prof = base.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v_cents").alias("s"),
-        F.sum(F.col("v_cents") * F.col("v_cents")).alias("s2"),
+        F.sum(vd).alias("s"),
+        F.sum(vd * vd).alias("s2"),
     )
     j = base.join(F.broadcast(prof), ["event_type", "hod"])
-    dev = F.col("v_cents") * F.col("n") - F.col("s")
+    nd = F.col("n").cast("decimal(38,0)")
+    dev = vd * nd - F.col("s")
+    nine = F.lit(9).cast("decimal(38,0)")
     return (
         j.filter(
             (F.col("n") >= 30)
-            & (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")))
+            & (dev * dev > nine * (nd * F.col("s2") - F.col("s") * F.col("s")))
         )
         .select("event_id", "event_type", "hod", "v_cents")
     )
@@ -1464,7 +1476,6 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = seq.groupBy(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
     ).agg(F.count(F.lit(1)).alias("n"))
-    wrow = Window.partitionBy("from_type")
     return counts.select(
         "from_type",
         "to_type",

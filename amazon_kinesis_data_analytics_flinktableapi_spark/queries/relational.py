@@ -7,7 +7,8 @@ user queries in the reference's style run on this engine — each implemented
 DataFrame-native (Catalyst plans the physical strategy) with a DuckDB
 oracle twin.
 
-Dialect-portability rules applied throughout (see .claude/skills/verify):
+Spark/DuckDB dialect-portability rules applied throughout so the value
+hashes compare exactly:
 - double aggregates rounded (sum→2dp, avg→4dp) so partial-aggregation
   order differences stay below the hash;
 - every ORDER BY ... LIMIT carries a unique tie-break key;

@@ -8,8 +8,11 @@ LATEST initial positions, and replayable get-records-between-sequence
 ranges — over a deterministic synthetic record generator shaped like the
 reference's Kinesis Data Generator templates (README.md:60-72: orders
 and exchange-rate JSON).  Swapping the generator for real AWS SDK calls
-changes only ``_record``/``_shard_tip``; every Spark-facing surface
-(schema, partition planning, offset model) stays identical.
+is a registered client factory away: ``client_mode=sdk`` routes every
+read through the boto3-shaped :class:`KinesisClient` protocol
+(``sources/kinesis_client.py``, contract-tested against the generator
+path); every Spark-facing surface (schema, partition planning, offset
+model) stays identical.
 
 Wire parity with the reference consumer (StreamingJob.java:26-41):
 
@@ -125,6 +128,32 @@ class _Opts:
             raise ValueError(
                 f"initial_position must be TRIM_HORIZON or LATEST, got {self.initial_position!r}"
             )
+        #: record-acquisition path: "generator" = direct in-process calls
+        #: (the hot default); "sdk" = route every read through a
+        #: KinesisClient (boto3 wire shape) — the contract-tested seam a
+        #: real AWS backend plugs into (see sources/kinesis_client.py)
+        self.client_mode = options.get("client_mode", "generator")
+        #: which registered client factory "sdk" mode builds on the executor
+        self.client = options.get("client", "fake_sdk")
+        self.stream_name = options.get("stream_name", "kinesis-sim")
+        if self.client_mode not in ("generator", "sdk"):
+            raise ValueError(
+                f"client_mode must be 'generator' or 'sdk', got {self.client_mode!r}"
+            )
+        if self.client_mode == "sdk":
+            from .kinesis_client import CLIENT_FACTORIES
+
+            if self.client not in CLIENT_FACTORIES:
+                raise ValueError(
+                    f"unknown client {self.client!r}; registered: "
+                    f"{sorted(CLIENT_FACTORIES)}"
+                )
+
+    def make_client(self):
+        """Build this read's KinesisClient (executor-side; sdk mode only)."""
+        from .kinesis_client import CLIENT_FACTORIES
+
+        return CLIENT_FACTORIES[self.client](self)
 
 
 class _ShardPartition(InputPartition):
@@ -145,6 +174,15 @@ class KinesisSimBatchReader(DataSourceReader):
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         o = self.opts
+        if o.client_mode == "sdk":
+            # the contract-tested seam: identical tuples, acquired through
+            # the boto3-shaped client instead of direct generator calls
+            from .kinesis_client import sdk_read_range
+
+            yield from sdk_read_range(
+                o.make_client(), o.stream_name, partition.shard, partition.start, partition.end
+            )
+            return
         for seq in range(partition.start, partition.end):
             yield _record(o.template, o.seed, partition.shard, seq, o.interval_ms)
 
@@ -189,6 +227,18 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         # batch_records × shards.
         o = self.opts
         out = []
+        if o.client_mode == "sdk":
+            from .kinesis_client import sdk_read_range
+
+            client = o.make_client()
+            for shard_name, cursor in start.items():
+                shard = int(shard_name.rsplit("-", 1)[1])
+                out.extend(
+                    sdk_read_range(
+                        client, o.stream_name, shard, int(cursor), int(end[shard_name])
+                    )
+                )
+            return iter(out)
         for shard_name, cursor in start.items():
             shard = int(shard_name.rsplit("-", 1)[1])
             for seq in range(int(cursor), int(end[shard_name])):
@@ -361,7 +411,10 @@ class KinesisSimDataSource(DataSource):
 
     Options: shards, seed, template (orders|rates), interval_ms,
     records_per_shard, prepublished, initial_position
-    (TRIM_HORIZON|LATEST), batch_records.
+    (TRIM_HORIZON|LATEST), batch_records; client_mode
+    (generator|sdk), client (registered KinesisClient factory name,
+    default fake_sdk), stream_name — the real-AWS seam, see
+    sources/kinesis_client.py.
     """
 
     @classmethod

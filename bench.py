@@ -39,24 +39,37 @@ def main() -> None:
     # min therefore reads run 2's sustained, steady-state cost while
     # still paying the full data path (caches dropped) — the number a
     # long-running cluster job actually experiences.
+    raw_samples: dict[str, list[float]] = {}
     for name, spec in headline.items():
         samples, n_rows = [], 0
-        for _ in range(2):
+
+        def one_run():
             spark.catalog.clearCache()
             t = time.time()
-            n_rows = spec.fn(spark, sf_dir).count()
-            samples.append(time.time() - t)
+            n = spec.fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t, 3))
+            return n
+
+        for _ in range(2):
+            n_rows = one_run()
         # host-stall guard: multi-second random slow windows on a shared
         # host can tax BOTH samples of one query while leaving neighbors
-        # clean; when the two runs disagree by >1.8× the measurement is
-        # suspect, so take one more and keep the min (steady-state cost)
-        if max(samples) > 1.8 * min(samples):
-            spark.catalog.clearCache()
-            t = time.time()
-            n_rows = spec.fn(spark, sf_dir).count()
-            samples.append(time.time() - t)
-        timings[name] = round(min(samples), 3)
-        print(f"# {name}: {timings[name]}s ({n_rows} rows)", file=sys.stderr)
+        # clean.  A third sample is taken when the measurement is jitter-
+        # prone: (a) the two runs disagree >1.8× (stall suspected), or
+        # (b) the query is sub-2s, where a single scheduler hiccup is the
+        # same order as the query itself — min-of-3 keeps round-over-round
+        # deltas from chasing jitter (VERDICT r6 #8).  dedup_clusters is
+        # the r6 watch item (driver 5.41s vs clean-machine 2.7-3.1s), so
+        # it always gets the third sample until the number settles (#3).
+        if (
+            max(samples) > 1.8 * min(samples)
+            or min(samples) < 2.0
+            or name == "dedup_clusters"
+        ):
+            n_rows = one_run()
+        timings[name] = min(samples)
+        raw_samples[name] = samples  # full trace → BENCH_r{N} (sample counts + spread)
+        print(f"# {name}: {timings[name]}s ({n_rows} rows) samples={samples}", file=sys.stderr)
 
     # streaming throughput: records/sec through the watermarked
     # stream-stream interval join (BASELINE.md floor: ≥100 rec/s).
@@ -135,6 +148,7 @@ def main() -> None:
         "startup_sec": round(startup, 3),
         "streaming_interval_join_recs_per_sec": streaming_rps,
         "kinesis_sim_scan_recs_per_sec": ks_rps,
+        "query_samples": raw_samples,
     }
     if all(q in timings for q in r3_set):
         out["r3_comparable_subset_total"] = round(sum(timings[q] for q in r3_set), 3)

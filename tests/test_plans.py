@@ -442,6 +442,7 @@ def test_registry_sweep_no_cartesian_no_stray_nested_loop(spark):
     documented scalar-cross whitelist.  New queries get this guard for
     free; a whitelist addition is a reviewed decision, not an accident."""
     flagged, errors = {}, {}
+    bnlj_seen: set[str] = set()
     for name, spec in REGISTRY.items():
         if name.startswith(("streaming_", "kinesis")):
             continue  # streaming plans are covered by test_streaming.py
@@ -452,10 +453,14 @@ def test_registry_sweep_no_cartesian_no_stray_nested_loop(spark):
             continue
         if "CartesianProduct" in plan:
             flagged[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SCALAR_CROSS:
-            flagged[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+        elif "BroadcastNestedLoopJoin" in plan:
+            bnlj_seen.add(name)
+            if name not in BNLJ_SCALAR_CROSS:
+                flagged[name] = "BroadcastNestedLoopJoin (not whitelisted)"
     assert not errors, f"queries failed to build a plan: {errors}"
     assert not flagged, f"scalability regressions: {flagged}"
-    # the whitelist must not rot: every entry still exists and still BNLJs
-    for name in sorted(BNLJ_SCALAR_CROSS):
-        assert name in REGISTRY, f"stale whitelist entry {name}"
+    # the whitelist must not rot: it must be EXACTLY the set of queries the
+    # sweep just saw BNLJ in — an entry that no longer BNLJs (or left the
+    # registry) is stale and must be removed, not silently carried
+    stale = BNLJ_SCALAR_CROSS - bnlj_seen
+    assert not stale, f"whitelist entries that no longer plan a BNLJ: {stale}"

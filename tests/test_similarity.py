@@ -110,6 +110,18 @@ def test_neardup_pairs_lsh_recall_and_precision(vectors):
     assert recall >= 0.7, f"LSH near-dup recall too low: {recall}"
 
 
+def test_neardup_pairs_lsh_wide_shape_recall(vectors):
+    """The embedding_neardup_wide driver shape (8 planes × 16 tables): on
+    the clustered fixture intra-cluster angles are tiny, so even the
+    deeper 8-bit sketches keep near-perfect recall — pins the bit-packing
+    algebra at a second width (VERDICT r6 #5)."""
+    exact = {(r.id_a, r.id_b) for r in S.neardup_pairs(vectors, threshold=0.9).collect()}
+    lsh_out = S.neardup_pairs_lsh(vectors, threshold=0.9, dim=DIM, n_planes=8, n_tables=16)
+    lsh = {(r.id_a, r.id_b) for r in lsh_out.collect()}
+    assert lsh <= exact, "wide-shape LSH reported a pair exact verify should reject"
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
 def test_neardup_pairs_lsh_no_nested_loop(vectors):
     # the whole point of the bucketed path: candidate generation is an
     # equi-join on (table, sketch) — no cartesian/nested-loop join anywhere
