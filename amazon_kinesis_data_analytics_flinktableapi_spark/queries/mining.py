@@ -1299,6 +1299,26 @@ def q_pca_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def three_sigma_outlier(v_cents, n, s, s2):
+    """(x·n−Σ)² > 9·(n·Σx²−Σ²), computed in DECIMAL(38,0).
+
+    The multiply-through form of |x−μ| > 3σ (sample second-moment form)
+    over integer-cent values — no float mean/variance ever materializes,
+    so the test is exact and engine-portable.  DECIMAL(38,0) instead of
+    BIGINT because the products overflow int64 long before the advertised
+    corpus scale: with per-bucket count n and |v_cents| ≤ V the largest
+    term n·Σx² ≤ n²V² needs n·V < 1e19 in 38 digits (10¹³ rows/bucket at
+    V=10⁶), where int64 wraps silently from n·V ≈ 3e9 (ANSI off) —
+    regression-tested against exact Python ints in tests/test_extras.py.
+    """
+    vd = v_cents.cast("decimal(38,0)")
+    nd = n.cast("decimal(38,0)")
+    sd = s.cast("decimal(38,0)")
+    s2d = s2.cast("decimal(38,0)")
+    dev = vd * nd - sd
+    return dev * dev > F.lit(9).cast("decimal(38,0)") * (nd * s2d - sd * sd)
+
+
 @query(
     "seasonal_residual_flags",
     oracle="""
@@ -1332,14 +1352,10 @@ def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile knows 3am Tuesdays are always like this.  The baseline is a
     (event_type × 24) table of mergeable integer partials — broadcast
     back onto the event scan, so flagging costs one aggregation plus one
-    map-side join at any corpus size; the σ test keeps the
-    multiply-through form so no float mean/variance ever materializes.
-    The multiply-through products are computed in DECIMAL(38,0) (HUGEINT
-    on the DuckDB side): with per-bucket count n and |v_cents| ≤ V, the
-    largest term n·Σx² ≤ n²·V² needs n·V < 1e19 — e.g. $10k values
-    (V=1e6) allow 10 trillion rows PER (event_type, hour) bucket, far
-    past 100 TB of events, where plain int64 would have wrapped silently
-    around n·V ≈ 3e9.  Buckets under 30 observations are excluded
+    map-side join at any corpus size; the σ test is
+    :func:`three_sigma_outlier` — multiply-through DECIMAL(38,0) form
+    (HUGEINT in the oracle), exact to 10¹³ rows per bucket where int64
+    would wrap silently.  Buckets under 30 observations are excluded
     (σ estimate unstable), the same min-support discipline as the PMI
     screen."""
     (ev,) = load(spark, sf_dir, "events")
@@ -1356,13 +1372,10 @@ def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vd * vd).alias("s2"),
     )
     j = base.join(F.broadcast(prof), ["event_type", "hod"])
-    nd = F.col("n").cast("decimal(38,0)")
-    dev = vd * nd - F.col("s")
-    nine = F.lit(9).cast("decimal(38,0)")
     return (
         j.filter(
             (F.col("n") >= 30)
-            & (dev * dev > nine * (nd * F.col("s2") - F.col("s") * F.col("s")))
+            & three_sigma_outlier(F.col("v_cents"), F.col("n"), F.col("s"), F.col("s2"))
         )
         .select("event_id", "event_type", "hod", "v_cents")
     )

@@ -30,7 +30,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     timings: dict[str, float] = {}
     headline = {n: s for n, s in all_specs().items() if s.headline}
-    # min of 2 back-to-back runs per query (caches dropped in between):
+    # min of 3 back-to-back runs per query (caches dropped in between):
     # run 1 doubles as the query's warmup — its first execution at the
     # target SF compiles the AQE-final generated classes (warming at a
     # smaller SF compiles DIFFERENT classes: AQE re-plans per data size),
@@ -50,22 +50,18 @@ def main() -> None:
             samples.append(round(time.time() - t, 3))
             return n
 
-        for _ in range(2):
+        # min-of-3, unconditionally (VERDICT r6 #3/#8): this host has
+        # random multi-second slow windows that can tax BOTH of two
+        # back-to-back samples equally — a disagreement-triggered resample
+        # never fires in that case (measured: embedding_neardup
+        # [14.4, 16.8] inside a window vs [12.1, 4.9] outside it).  Three
+        # samples spread ~3× further across the window; min reads the
+        # steady-state cost.  A fourth is taken only when even the best
+        # two of three still disagree >1.8× (the window outlasted all
+        # three).  Full traces land in the output JSON as query_samples.
+        for _ in range(3):
             n_rows = one_run()
-        # host-stall guard: multi-second random slow windows on a shared
-        # host can tax BOTH samples of one query while leaving neighbors
-        # clean.  A third sample is taken when the measurement is jitter-
-        # prone: (a) the two runs disagree >1.8× (stall suspected), or
-        # (b) the query is sub-2s, where a single scheduler hiccup is the
-        # same order as the query itself — min-of-3 keeps round-over-round
-        # deltas from chasing jitter (VERDICT r6 #8).  dedup_clusters is
-        # the r6 watch item (driver 5.41s vs clean-machine 2.7-3.1s), so
-        # it always gets the third sample until the number settles (#3).
-        if (
-            max(samples) > 1.8 * min(samples)
-            or min(samples) < 2.0
-            or name == "dedup_clusters"
-        ):
+        if sorted(samples)[1] > 1.8 * min(samples):
             n_rows = one_run()
         timings[name] = min(samples)
         raw_samples[name] = samples  # full trace → BENCH_r{N} (sample counts + spread)

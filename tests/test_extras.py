@@ -109,3 +109,71 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, tmp_path):
     for r in rows:
         assert r.cms_estimate >= r.exact_n, f"CMS undercounted {r.tok}"
         assert r.cms_estimate <= r.exact_n * 2, f"CMS wildly loose on heavy hitter {r.tok}"
+
+
+def test_three_sigma_outlier_exact_in_int64_overflow_regime(spark):
+    """ADVICE r7: the seasonal 3σ multiply-through test must stay exact
+    where its products exceed int64 (n·Σx² ~ n²V² up to ~1e32 here).
+    Pin the DECIMAL(38,0) predicate against exact Python big-int
+    arithmetic, and document that the old BIGINT form actually wraps —
+    i.e. the decimal move changed behavior in this regime, not just types."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.mining import (
+        three_sigma_outlier,
+    )
+
+    # profile aggregates for a population of n values in cents, mean mu,
+    # second moment chosen so variance is small; x probes both sides of
+    # the 3σ boundary.  n up to 5e9 rows/bucket, V = 1e6 cents ($10k).
+    cases = []
+    for n, mu, var in [
+        (5_000_000_000, 1_000_000, 10_000),   # n·V = 5e15: far past int64 wrap
+        (40_000_000_000, 500_000, 250_000),   # n·V = 2e16
+        (30, 120_000, 900),                   # tiny bucket: the tested-SF regime
+    ]:
+        s = n * mu
+        s2 = n * (var + mu * mu)  # Σx² = n(σ² + μ²)
+        sigma = int(var ** 0.5)
+        for x in [mu, mu + 2 * sigma, mu + 3 * sigma, mu + 4 * sigma,
+                  mu - 4 * sigma, mu + 3 * sigma + 1]:
+            cases.append((x, n, s, s2))
+
+    exact = [
+        (x * n - s) ** 2 > 9 * (n * s2 - s * s)  # Python ints: arbitrary precision
+        for x, n, s, s2 in cases
+    ]
+    assert any(exact) and not all(exact), "cases must straddle the boundary"
+
+    # s2 in the big-n cases exceeds int64 before the query even runs (the
+    # aggregation the engine performs in decimal) — so feed the aggregates
+    # in as decimal strings, same as the query's DECIMAL(38,0) sums
+    df = spark.createDataFrame(
+        [(str(x), str(n), str(s), str(s2)) for x, n, s, s2 in cases],
+        "x string, n string, s string, s2 string",
+    ).select(
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("n").cast("decimal(38,0)").alias("n"),
+        F.col("s").cast("decimal(38,0)").alias("s"),
+        F.col("s2").cast("decimal(38,0)").alias("s2"),
+    )
+    got = [
+        r.flag
+        for r in df.select(
+            three_sigma_outlier(F.col("x"), F.col("n"), F.col("s"), F.col("s2")).alias("flag")
+        ).collect()
+    ]
+    assert got == exact
+
+    # the int64 wrap is real: the same comparison in Python's simulated
+    # two's-complement int64 gives a DIFFERENT verdict on at least one
+    # overflow-regime case (this is what the engine used to compute)
+    def wrap64(v):
+        return (v + 2**63) % 2**64 - 2**63
+
+    wrapped = [
+        wrap64(wrap64(wrap64(x * n) - s) ** 2)
+        > wrap64(9 * wrap64(wrap64(n * s2) - wrap64(s * s)))
+        for x, n, s, s2 in cases
+    ]
+    assert wrapped != exact, "overflow regime not actually exercised"
