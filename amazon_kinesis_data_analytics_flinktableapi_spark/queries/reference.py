@@ -321,7 +321,7 @@ def q_kinesis_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard_id, currency,
            count(*) AS n_records,
-           sum(amount) AS sum_amount,
+           CAST(sum(amount) AS BIGINT) AS sum_amount,
            min(seq) AS min_seq,
            max(seq) AS max_seq
     FROM o GROUP BY shard_id, currency
