@@ -113,17 +113,25 @@ def main() -> None:
     )
 
     spark.dataSource.register(KinesisSimDataSource)
-    def ks_read(n, shards):
+    def ks_read(n, shards, **extra):
         return (
             spark.read.format("kinesis_sim")
             .option("stream", "orders").option("shards", shards)
-            .option("records_per_shard", n // shards).load().count()
+            .option("records_per_shard", n // shards)
+            .options(**extra).load().count()
         )
     ks_read(1000, 4)  # warm
     t = time.time()
     n_ks = ks_read(200_000, 16)
     ks_rps = round(n_ks / (time.time() - t), 1)
     print(f"# kinesis_sim_scan: {n_ks} records = {ks_rps} rec/s", file=sys.stderr)
+    # same scan through the boto3-shaped KinesisClient seam (client_mode=sdk):
+    # quantifies the per-record cost of the SDK response envelope the real
+    # AWS path will pay (dict records, bytes payloads, iterator pagination)
+    t = time.time()
+    n_sdk = ks_read(200_000, 16, client_mode="sdk")
+    sdk_rps = round(n_sdk / (time.time() - t), 1)
+    print(f"# kinesis_sim_sdk_scan: {n_sdk} records = {sdk_rps} rec/s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # the headline set GREW in round 5 (+dedup_clusters, +embedding_neardup);
@@ -144,6 +152,7 @@ def main() -> None:
         "startup_sec": round(startup, 3),
         "streaming_interval_join_recs_per_sec": streaming_rps,
         "kinesis_sim_scan_recs_per_sec": ks_rps,
+        "kinesis_sim_sdk_scan_recs_per_sec": sdk_rps,
         "query_samples": raw_samples,
     }
     if all(q in timings for q in r3_set):
