@@ -55,7 +55,8 @@ class KinesisClient(Protocol):
         """→ ``{"ShardIterator": <opaque token>}``.
 
         Types used by the connector: ``TRIM_HORIZON``, ``LATEST``,
-        ``AT_SEQUENCE_NUMBER`` (replay-by-range recovery).
+        ``AT_SEQUENCE_NUMBER`` (replay-by-range recovery), and
+        ``AT_TIMESTAMP`` (boto3 passes the instant as ``Timestamp=``).
         """
         ...
 
@@ -104,6 +105,7 @@ class FakeSdkKinesisClient:
         ShardId: str,  # noqa: N803
         ShardIteratorType: str,  # noqa: N803
         StartingSequenceNumber: str | None = None,  # noqa: N803
+        Timestamp=None,  # noqa: N803 — boto3's AT_TIMESTAMP argument
     ) -> dict:
         self.n_calls += 1
         shard = int(ShardId.rsplit("-", 1)[1])
@@ -117,6 +119,14 @@ class FakeSdkKinesisClient:
             if StartingSequenceNumber is None:
                 raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
             seq = int(StartingSequenceNumber)
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            from .kinesis_sim import _EPOCH, _parse_start_timestamp
+
+            if Timestamp is None:
+                raise ValueError("AT_TIMESTAMP requires Timestamp")
+            ts = _parse_start_timestamp(Timestamp)
+            delta_us = round((ts - _EPOCH).total_seconds() * 1_000_000) - shard * 1000
+            seq = 0 if delta_us <= 0 else -(-delta_us // (self.interval_ms * 1000))
         else:
             raise ValueError(f"unsupported ShardIteratorType {ShardIteratorType!r}")
         return {"ShardIterator": f"{shard}|{seq}"}
@@ -164,7 +174,18 @@ CLIENT_FACTORIES: dict[str, object] = {"fake_sdk": _fake_sdk_factory}
 
 def register_client_factory(name: str, factory) -> None:
     """Register a client backend (e.g. ``"aws"`` → boto3) for
-    ``client_mode=sdk, client=<name>`` reads."""
+    ``client_mode=sdk, client=<name>`` reads.
+
+    Executor visibility: Data Source readers run in Python WORKER
+    processes that re-import this module, so a factory registered at
+    driver runtime is not automatically visible there.  Register from
+    module import (as the built-in ``fake_sdk`` and conditional ``aws``
+    factories are) — e.g. put the ``register_client_factory`` call in a
+    module shipped to executors and imported by your job — the same
+    packaging rule Spark applies to UDF dependencies.  Factories must
+    also build their client from the pickled option bag alone (no driver
+    session state), since construction happens inside the read task.
+    """
     CLIENT_FACTORIES[name] = factory
 
 

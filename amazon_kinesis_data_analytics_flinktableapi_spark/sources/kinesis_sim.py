@@ -4,8 +4,9 @@ OSS Spark ships no Kinesis source (SURVEY.md §2 S1); the engine's source
 registry abstracts that away, and THIS module closes the remaining gap
 with an actual in-repo connector exposing Kinesis *semantics* — shards,
 per-shard monotonically increasing sequence numbers, TRIM_HORIZON /
-LATEST initial positions, and replayable get-records-between-sequence
-ranges — over a deterministic synthetic record generator shaped like the
+LATEST / AT_TIMESTAMP initial positions, and replayable
+get-records-between-sequence ranges — over a deterministic synthetic
+record generator shaped like the
 reference's Kinesis Data Generator templates (README.md:60-72: orders
 and exchange-rate JSON).  Swapping the generator for real AWS SDK calls
 is a registered client factory away: ``client_mode=sdk`` routes every
@@ -66,6 +67,21 @@ CURRENCIES = ["click", "view", "signup", "purchase", "error"]
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
+def _parse_start_timestamp(v) -> datetime:
+    """AT_TIMESTAMP option value → aware-UTC datetime.  Accepts ISO-8601
+    (naive treated as UTC) or epoch seconds — the two formats Flink's
+    STREAM_INITIAL_TIMESTAMP / boto3's ``Timestamp`` accept."""
+    if isinstance(v, datetime):
+        ts = v
+    else:
+        s = str(v).strip()
+        try:
+            ts = datetime.fromtimestamp(float(s), tz=timezone.utc)
+        except ValueError:
+            ts = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    return ts if ts.tzinfo is not None else ts.replace(tzinfo=timezone.utc)
+
+
 def _h(seed: int, shard: int, seq: int, salt: str) -> int:
     digest = hashlib.md5(f"{seed}:{shard}:{seq}:{salt}".encode()).hexdigest()
     return int(digest[:15], 16)
@@ -124,10 +140,18 @@ class _Opts:
             raise ValueError(f"records_per_shard must be >= 0, got {self.records_per_shard}")
         if self.template not in ("orders", "rates"):
             raise ValueError(f"template must be 'orders' or 'rates', got {self.template!r}")
-        if self.initial_position not in ("TRIM_HORIZON", "LATEST"):
+        #: AT_TIMESTAMP start (FlinkKinesisConsumer's third
+        #: STREAM_INITIAL_POSITION; the reference uses LATEST,
+        #: StreamingJob.java:28): ISO-8601 or epoch-seconds, inclusive —
+        #: the stream starts at the first record with arrival_ts >= this
+        self.start_timestamp = options.get("start_timestamp")
+        if self.initial_position not in ("TRIM_HORIZON", "LATEST", "AT_TIMESTAMP"):
             raise ValueError(
-                f"initial_position must be TRIM_HORIZON or LATEST, got {self.initial_position!r}"
+                "initial_position must be TRIM_HORIZON, LATEST or AT_TIMESTAMP, "
+                f"got {self.initial_position!r}"
             )
+        if self.initial_position == "AT_TIMESTAMP" and self.start_timestamp is None:
+            raise ValueError("initial_position=AT_TIMESTAMP requires start_timestamp")
         #: record-acquisition path: "generator" = direct in-process calls
         #: (the hot default); "sdk" = route every read through a
         #: KinesisClient (boto3 wire shape) — the contract-tested seam a
@@ -155,6 +179,24 @@ class _Opts:
 
         return CLIENT_FACTORIES[self.client](self)
 
+    def start_seq(self, shard: int) -> int:
+        """First sequence number the configured initial position yields for
+        ``shard``.  For AT_TIMESTAMP: record seq has arrival_ts =
+        epoch + seq·interval_ms + shard ms (see ``_record``), so the first
+        seq at-or-after t is ceil((t − epoch − shard ms) / interval_ms),
+        clamped to [0, ∞) — same inclusive contract as the AWS service."""
+        if self.initial_position == "LATEST":
+            return self.prepublished
+        if self.initial_position == "AT_TIMESTAMP":
+            ts = _parse_start_timestamp(self.start_timestamp)
+            # integer-microsecond arithmetic: float ms would mis-round
+            # sub-millisecond request timestamps at the boundary
+            delta_us = round((ts - _EPOCH).total_seconds() * 1_000_000) - shard * 1000
+            if delta_us <= 0:
+                return 0
+            return -(-delta_us // (self.interval_ms * 1000))  # ceil
+        return 0
+
 
 class _ShardPartition(InputPartition):
     def __init__(self, shard: int, start: int, end: int):
@@ -168,9 +210,15 @@ class KinesisSimBatchReader(DataSourceReader):
         self.opts = _Opts(options)
 
     def partitions(self):
-        # one partition per shard — the connector's parallelism contract
+        # one partition per shard — the connector's parallelism contract;
+        # the range start honors initial_position (TRIM_HORIZON = 0,
+        # LATEST = after the prepublished backlog, AT_TIMESTAMP = first
+        # record at-or-after start_timestamp), same as the stream reader
         o = self.opts
-        return [_ShardPartition(s, 0, o.records_per_shard) for s in range(o.shards)]
+        return [
+            _ShardPartition(s, min(o.start_seq(s), o.records_per_shard), o.records_per_shard)
+            for s in range(o.shards)
+        ]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         o = self.opts
@@ -198,8 +246,7 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         o = self.opts
-        start = o.prepublished if o.initial_position == "LATEST" else 0
-        return {f"shardId-{s:012d}": start for s in range(o.shards)}
+        return {f"shardId-{s:012d}": o.start_seq(s) for s in range(o.shards)}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         o = self.opts
@@ -411,7 +458,8 @@ class KinesisSimDataSource(DataSource):
 
     Options: shards, seed, template (orders|rates), interval_ms,
     records_per_shard, prepublished, initial_position
-    (TRIM_HORIZON|LATEST), batch_records; client_mode
+    (TRIM_HORIZON|LATEST|AT_TIMESTAMP with start_timestamp),
+    batch_records; client_mode
     (generator|sdk), client (registered KinesisClient factory name,
     default fake_sdk), stream_name — the real-AWS seam, see
     sources/kinesis_client.py.

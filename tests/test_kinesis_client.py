@@ -192,3 +192,34 @@ def test_unknown_client_rejected_and_factory_registry():
         ]
     finally:
         CLIENT_FACTORIES.pop("test_backend", None)
+
+
+def test_fake_client_at_timestamp_matches_connector_start():
+    """AT_TIMESTAMP through the SDK surface lands on exactly the sequence
+    the connector's own start_seq computes — the two paths share the
+    inclusive ceil((t − epoch − shard_ms)/interval) contract."""
+    from datetime import datetime, timezone
+
+    opts = _Opts(
+        {
+            "shards": 2,
+            "records_per_shard": 100,
+            "interval_ms": 40,
+            "initial_position": "AT_TIMESTAMP",
+            "start_timestamp": "2024-01-01T00:00:01.0015",
+        }
+    )
+    c = FakeSdkKinesisClient(shards=2, interval_ms=40, tip=100)
+    for shard in range(2):
+        it = c.get_shard_iterator(
+            StreamName="s",
+            ShardId=f"shardId-{shard:012d}",
+            ShardIteratorType="AT_TIMESTAMP",
+            Timestamp=datetime(2024, 1, 1, 0, 0, 1, 1500, tzinfo=timezone.utc),
+        )["ShardIterator"]
+        first = int(c.get_records(ShardIterator=it, Limit=1)["Records"][0]["SequenceNumber"])
+        assert first == opts.start_seq(shard) == 26
+    with pytest.raises(ValueError, match="Timestamp"):
+        c.get_shard_iterator(
+            StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="AT_TIMESTAMP"
+        )

@@ -413,3 +413,59 @@ def test_stream_restart_from_checkpoint_no_gaps_no_dupes(spark, tmp_path):
     assert set(rows) == {(f"shardId-{s:012d}", i) for s in range(2) for i in range(60)}, (
         f"gaps after restart: {len(set(rows))}/120"
     )
+
+
+def test_at_timestamp_initial_position(spark):
+    """AT_TIMESTAMP (FlinkKinesisConsumer's third STREAM_INITIAL_POSITION;
+    the reference uses LATEST): the stream starts at the first record whose
+    arrival_ts >= start_timestamp, inclusive, per shard (each shard's
+    records are offset by `shard` ms)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    base = {
+        "shards": 2, "records_per_shard": 100, "interval_ms": 40,
+        "template": "orders", "initial_position": "AT_TIMESTAMP",
+    }
+    # record seq s on shard k arrives at epoch + 40s + k ms.  Start at
+    # exactly seq 25 / shard 0's arrival: shard 0 starts AT 25 (inclusive),
+    # shard 1's seq-25 record arrived 1 ms later, so 25 is included there
+    # too; but one microsecond after shard 1's record excludes it.
+    t25 = datetime(2024, 1, 1, 0, 0, 1, 0, tzinfo=timezone.utc)  # 1000 ms = seq 25
+    df = (
+        spark.read.format("kinesis_sim")
+        .options(**{k: str(v) for k, v in base.items()}, start_timestamp=t25.isoformat())
+        .load()
+    )
+    per_shard = {
+        r.shard_id: r.mn
+        for r in df.groupBy("shard_id").agg(F.min("sequence_number").alias("mn")).collect()
+    }
+    assert per_shard == {"shardId-000000000000": 25, "shardId-000000000001": 25}
+    assert df.count() == 75 * 2
+
+    # boundary: 0.5 ms past shard 1's seq-25 arrival -> shard 1 starts at 26
+    df2 = (
+        spark.read.format("kinesis_sim")
+        .options(**{k: str(v) for k, v in base.items()})
+        .option("start_timestamp", "2024-01-01T00:00:01.0015")
+        .load()
+    )
+    per_shard2 = {
+        r.shard_id: r.mn
+        for r in df2.groupBy("shard_id").agg(F.min("sequence_number").alias("mn")).collect()
+    }
+    assert per_shard2 == {"shardId-000000000000": 26, "shardId-000000000001": 26}
+
+    # streaming offsets agree with the batch partitions, epoch-seconds form
+    r = KinesisSimStreamReader({**base, "start_timestamp": str(t25.timestamp())})
+    assert r.initialOffset() == {"shardId-000000000000": 25, "shardId-000000000001": 25}
+    # pre-epoch timestamp clamps to TRIM_HORIZON; missing timestamp rejected
+    r0 = KinesisSimStreamReader({**base, "start_timestamp": "2020-01-01T00:00:00"})
+    assert r0.initialOffset() == {"shardId-000000000000": 0, "shardId-000000000001": 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start_timestamp"):
+        KinesisSimStreamReader({"initial_position": "AT_TIMESTAMP"})
