@@ -1305,11 +1305,18 @@ def three_sigma_outlier(v_cents, n, s, s2):
     The multiply-through form of |x−μ| > 3σ (sample second-moment form)
     over integer-cent values — no float mean/variance ever materializes,
     so the test is exact and engine-portable.  DECIMAL(38,0) instead of
-    BIGINT because the products overflow int64 long before the advertised
-    corpus scale: with per-bucket count n and |v_cents| ≤ V the largest
-    term n·Σx² ≤ n²V² needs n·V < 1e19 in 38 digits (10¹³ rows/bucket at
-    V=10⁶), where int64 wraps silently from n·V ≈ 3e9 (ANSI off) —
-    regression-tested against exact Python ints in tests/test_extras.py.
+    BIGINT because the products overflow int64 long before any real
+    corpus scale: int64 wraps silently from n·V ≈ 3e9 (and DuckDB would
+    error), where n is the bucket count and V bounds |v_cents|.
+
+    Exactness bound: the largest intermediate is 9·(n·Σx² − Σ²) ≤ 9n²V²
+    (worst case: values split ±V), so 38 digits hold exactly while
+    **n·V ≤ 3e18** — at V = 10⁶ cents ($10k values) that is 3×10¹²
+    rows PER (event_type, hour) bucket, comfortably past 100 TB of
+    events.  Beyond the bound the engine fails LOUDLY
+    (ArithmeticException — ANSI mode, the Spark 4 default this engine
+    keeps), never silently: regression-tested against exact Python ints
+    up to the bound in tests/test_extras.py.
     """
     vd = v_cents.cast("decimal(38,0)")
     nd = n.cast("decimal(38,0)")
@@ -1354,7 +1361,7 @@ def q_seasonal_residual_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the event scan, so flagging costs one aggregation plus one
     map-side join at any corpus size; the σ test is
     :func:`three_sigma_outlier` — multiply-through DECIMAL(38,0) form
-    (HUGEINT in the oracle), exact to 10¹³ rows per bucket where int64
+    (HUGEINT in the oracle), exact to 3×10¹² rows per bucket where int64
     would wrap silently.  Buckets under 30 observations are excluded
     (σ estimate unstable), the same min-support discipline as the PMI
     screen."""

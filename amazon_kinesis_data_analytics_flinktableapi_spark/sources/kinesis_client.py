@@ -10,10 +10,18 @@ seam as an explicit, contract-tested interface:
 - :class:`KinesisClient` — a structural protocol that is *exactly* the
   subset of ``boto3.client("kinesis")`` the connector needs
   (``list_shards`` / ``get_shard_iterator`` / ``get_records``, with
-  boto3's argument names and response dict shapes).  A real boto3 client
-  therefore satisfies it AS-IS — the production swap is
-  ``register_client_factory("aws", lambda o: boto3.client("kinesis"))``
-  plus ``client_mode=sdk, client=aws`` options; zero connector changes.
+  boto3's argument names and response dict shapes), so a production
+  adapter is a thin wrapper around a boto3 client rather than a second
+  read implementation.  One real-service delta the wrapper must own:
+  the connector's offsets are DENSE ORDINALS (0, 1, 2, … per shard)
+  while real Kinesis sequence numbers are opaque service-assigned
+  strings and shard ids survive resharding — an ``aws`` factory
+  therefore maintains the ordinal↔sequence-number mapping (e.g. a
+  per-shard base sequence captured at stream attach, or a small offset
+  ledger) and translates in ``get_shard_iterator``/``get_records``
+  responses.  Everything else — pagination, the empty-page/
+  MillisBehindLatest protocol, half-open range semantics, strict replay
+  — lives once in :func:`sdk_read_range` and is contract-tested here.
 - :class:`FakeSdkKinesisClient` — the same deterministic record
   generator the direct path uses, re-served through the boto3 wire
   shape (base64-free bytes payloads, string sequence numbers, opaque
@@ -37,8 +45,9 @@ from typing import Protocol, runtime_checkable
 class KinesisClient(Protocol):
     """Structural subset of ``boto3.client("kinesis")`` the source needs.
 
-    Matching boto3's names/shapes exactly is the point: the protocol is
-    satisfied by a real boto3 client with no adapter layer.
+    Matching boto3's names/shapes exactly keeps a production adapter
+    thin: it wraps a boto3 client 1:1 and owns only the
+    ordinal↔sequence-number translation (module docstring).
     """
 
     def list_shards(self, StreamName: str) -> dict:  # noqa: N803 — boto3 names
@@ -120,13 +129,11 @@ class FakeSdkKinesisClient:
                 raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
             seq = int(StartingSequenceNumber)
         elif ShardIteratorType == "AT_TIMESTAMP":
-            from .kinesis_sim import _EPOCH, _parse_start_timestamp
+            from .kinesis_sim import seq_at_timestamp
 
             if Timestamp is None:
                 raise ValueError("AT_TIMESTAMP requires Timestamp")
-            ts = _parse_start_timestamp(Timestamp)
-            delta_us = round((ts - _EPOCH).total_seconds() * 1_000_000) - shard * 1000
-            seq = 0 if delta_us <= 0 else -(-delta_us // (self.interval_ms * 1000))
+            seq = seq_at_timestamp(Timestamp, shard, self.interval_ms)
         else:
             raise ValueError(f"unsupported ShardIteratorType {ShardIteratorType!r}")
         return {"ShardIterator": f"{shard}|{seq}"}
@@ -139,7 +146,7 @@ class FakeSdkKinesisClient:
         shard, seq = int(shard_s), int(seq_s)
         end = min(seq + Limit, self.tip)
         records = []
-        for s in range(seq, end):
+        for s in range(seq, max(seq, end)):
             _sid, _seq, pk, data, ts = _record(
                 self.template, self.seed, shard, s, self.interval_ms
             )
@@ -151,7 +158,14 @@ class FakeSdkKinesisClient:
                     "ApproximateArrivalTimestamp": ts,
                 }
             )
-        return {"Records": records, "NextShardIterator": f"{shard}|{end}"}
+        behind = max(0, self.tip - max(seq, end)) * self.interval_ms
+        return {
+            "Records": records,
+            "NextShardIterator": f"{shard}|{max(seq, end)}",
+            # like the service: 0 only when the iterator is caught up to
+            # the tip — the pagination-stop signal sdk_read_range keys on
+            "MillisBehindLatest": behind,
+        }
 
 
 def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
@@ -189,14 +203,12 @@ def register_client_factory(name: str, factory) -> None:
     CLIENT_FACTORIES[name] = factory
 
 
-try:  # pragma: no cover — boto3 is absent in this container by design
-    import boto3  # noqa: F401
-
-    register_client_factory(
-        "aws", lambda opts: boto3.client("kinesis")  # the protocol IS boto3's shape
-    )
-except ImportError:
-    pass
+# No "aws" factory ships pre-registered: a raw boto3 client speaks the
+# same wire shape but uses opaque service sequence numbers where the
+# connector uses dense ordinals (module docstring) — registering it
+# unadapted would fail on the first get_shard_iterator.  A deployment
+# registers its wrapper (holding the ordinal↔sequence mapping) from a
+# module imported on the executors; see register_client_factory.
 
 
 def sdk_read_range(
@@ -206,6 +218,7 @@ def sdk_read_range(
     start: int,
     end: int,
     page_limit: int = 10000,
+    require_complete: bool = False,
 ) -> list[tuple]:
     """Read [start, end) from one shard through the SDK surface, returning
     the connector's wire tuples (shard_id, seq, partition_key, data,
@@ -214,10 +227,20 @@ def sdk_read_range(
     This is the ONE function both the batch reader and the streaming
     replay path route through in ``client_mode=sdk`` — offset semantics
     (half-open ranges keyed by next-sequence-number) live here once, so
-    the generator-backed fake and a real boto3 client are interchangeable
-    by construction.  Pagination follows NextShardIterator; Kinesis can
-    return short pages, so the loop is bounded by the *cursor*, not the
-    call count.
+    the generator-backed fake and a service-backed client are
+    interchangeable by construction.  Pagination follows
+    NextShardIterator, bounded by the *cursor*, not the call count; an
+    EMPTY page does NOT mean end-of-data (real Kinesis routinely returns
+    empty pages with a live iterator while traversing aged or sparse
+    stream segments) — the loop stops only at a null iterator or an
+    empty page with ``MillisBehindLatest == 0`` (caught up to the tip).
+
+    ``require_complete=True`` is the checkpoint-REPLAY contract: a
+    committed range that cannot be fully served is an error (the task
+    fails loudly and Spark retries), never a silent truncation — an
+    exactly-once sink downstream would otherwise commit a batch missing
+    rows.  Plain reads leave it False: stopping at the tip is the normal
+    "that's all that exists yet" outcome.
     """
     shard_id = f"shardId-{shard:012d}"
     if end <= start:
@@ -233,8 +256,6 @@ def sdk_read_range(
     while cursor < end and it is not None:
         resp = client.get_records(ShardIterator=it, Limit=min(page_limit, end - cursor))
         records = resp.get("Records", [])
-        if not records:
-            break  # tip reached before `end` — caller sized the range
         for r in records:
             seq = int(r["SequenceNumber"])
             if seq >= end:
@@ -249,5 +270,13 @@ def sdk_read_range(
                 )
             )
             cursor = seq + 1
+        if not records and resp.get("MillisBehindLatest", 0) == 0:
+            break  # caught up to the shard tip before `end`
         it = resp.get("NextShardIterator")
+    if require_complete and cursor < end:
+        raise RuntimeError(
+            f"replay of committed range [{start}, {end}) on {shard_id} stopped at "
+            f"{cursor}: the backend no longer serves part of a committed range — "
+            "failing loudly rather than silently dropping committed records"
+        )
     return out

@@ -70,16 +70,36 @@ _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 def _parse_start_timestamp(v) -> datetime:
     """AT_TIMESTAMP option value → aware-UTC datetime.  Accepts ISO-8601
     (naive treated as UTC) or epoch seconds — the two formats Flink's
-    STREAM_INITIAL_TIMESTAMP / boto3's ``Timestamp`` accept."""
+    STREAM_INITIAL_TIMESTAMP / boto3's ``Timestamp`` accept.  ISO is
+    tried FIRST: compact forms like "20240101" are valid ISO-8601 basic
+    dates that float() would otherwise silently misread as epoch seconds
+    (→ 1970, clamping the read to TRIM_HORIZON with no error)."""
     if isinstance(v, datetime):
         ts = v
     else:
         s = str(v).strip()
         try:
-            ts = datetime.fromtimestamp(float(s), tz=timezone.utc)
-        except ValueError:
             ts = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        except ValueError:
+            ts = datetime.fromtimestamp(float(s), tz=timezone.utc)
     return ts if ts.tzinfo is not None else ts.replace(tzinfo=timezone.utc)
+
+
+def seq_at_timestamp(ts_like, shard: int, interval_ms: int) -> int:
+    """First sequence number at-or-after a timestamp for one shard — THE
+    AT_TIMESTAMP arithmetic, shared by the connector (``_Opts.start_seq``)
+    and the fake SDK client so the two paths cannot drift.
+
+    Record seq has arrival_ts = epoch + seq·interval_ms + shard ms (see
+    ``_record``), so the answer is ceil((t − epoch − shard ms)/interval),
+    clamped to ≥ 0 — inclusive, like the AWS service.  Computed in
+    integer microseconds: float ms would mis-round sub-millisecond
+    request timestamps at the boundary."""
+    ts = _parse_start_timestamp(ts_like)
+    delta_us = round((ts - _EPOCH).total_seconds() * 1_000_000) - shard * 1000
+    if delta_us <= 0:
+        return 0
+    return -(-delta_us // (interval_ms * 1000))  # ceil
 
 
 def _h(seed: int, shard: int, seq: int, salt: str) -> int:
@@ -188,13 +208,7 @@ class _Opts:
         if self.initial_position == "LATEST":
             return self.prepublished
         if self.initial_position == "AT_TIMESTAMP":
-            ts = _parse_start_timestamp(self.start_timestamp)
-            # integer-microsecond arithmetic: float ms would mis-round
-            # sub-millisecond request timestamps at the boundary
-            delta_us = round((ts - _EPOCH).total_seconds() * 1_000_000) - shard * 1000
-            if delta_us <= 0:
-                return 0
-            return -(-delta_us // (self.interval_ms * 1000))  # ceil
+            return seq_at_timestamp(self.start_timestamp, shard, self.interval_ms)
         return 0
 
 
@@ -261,10 +275,12 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # deterministic regeneration of any committed range — Kinesis'
-        # replay-by-sequence-range; required for recovery after a failure
-        return self._generate(start, end)
+        # replay-by-sequence-range; required for recovery after a failure.
+        # strict: a committed range the backend can't fully serve must
+        # fail the task loudly, never silently shrink (exactly-once)
+        return self._generate(start, end, strict=True)
 
-    def _generate(self, start: dict, end: dict) -> Iterator[tuple]:
+    def _generate(self, start: dict, end: dict, strict: bool = False) -> Iterator[tuple]:
         # a LIST ITERATOR, not a generator and not a bare list: Spark's
         # prefetch cache copy.copy()s the returned value when planning
         # partitions (generators are not copyable), while the checkpoint-
@@ -282,7 +298,12 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
                 shard = int(shard_name.rsplit("-", 1)[1])
                 out.extend(
                     sdk_read_range(
-                        client, o.stream_name, shard, int(cursor), int(end[shard_name])
+                        client,
+                        o.stream_name,
+                        shard,
+                        int(cursor),
+                        int(end[shard_name]),
+                        require_complete=strict,
                     )
                 )
             return iter(out)

@@ -127,7 +127,10 @@ def main() -> None:
     print(f"# kinesis_sim_scan: {n_ks} records = {ks_rps} rec/s", file=sys.stderr)
     # same scan through the boto3-shaped KinesisClient seam (client_mode=sdk):
     # quantifies the per-record cost of the SDK response envelope the real
-    # AWS path will pay (dict records, bytes payloads, iterator pagination)
+    # AWS path will pay (dict records, bytes payloads, iterator pagination).
+    # warmed like the generator path — otherwise the timed region pays the
+    # one-time kinesis_client import/first-touch and overstates the envelope
+    ks_read(1000, 4, client_mode="sdk")
     t = time.time()
     n_sdk = ks_read(200_000, 16, client_mode="sdk")
     sdk_rps = round(n_sdk / (time.time() - t), 1)

@@ -138,6 +138,11 @@ def test_three_sigma_outlier_exact_in_int64_overflow_regime(spark):
         for x in [mu, mu + 2 * sigma, mu + 3 * sigma, mu + 4 * sigma,
                   mu - 4 * sigma, mu + 3 * sigma + 1]:
             cases.append((x, n, s, s2))
+    # the documented cliff: n·V = 3e18 at MAX variance (values split ±V),
+    # where 9·(n·Σx² − Σ²) = 9n²V² ≈ 8.1e37 — the largest intermediate
+    # DECIMAL(38,0) must still hold exactly (docstring bound)
+    n, V = 3_000_000_000_000, 1_000_000
+    cases += [(x, n, 0, n * V * V) for x in (V, -V, 1, 0)]
 
     exact = [
         (x * n - s) ** 2 > 9 * (n * s2 - s * s)  # Python ints: arbitrary precision

@@ -223,3 +223,61 @@ def test_fake_client_at_timestamp_matches_connector_start():
         c.get_shard_iterator(
             StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="AT_TIMESTAMP"
         )
+
+
+class _SparseClient(FakeSdkKinesisClient):
+    """Real-Kinesis behavior the fake normally skips: empty pages with a
+    live NextShardIterator while the iterator traverses sparse segments."""
+
+    def __init__(self, empty_every=2, **kw):
+        super().__init__(**kw)
+        self._empty_every = empty_every
+        self._page_no = 0
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:
+        self._page_no += 1
+        if self._page_no % self._empty_every == 0:
+            shard, seq = ShardIterator.split("|")
+            behind = max(0, self.tip - int(seq)) * self.interval_ms
+            return {
+                "Records": [],
+                "NextShardIterator": ShardIterator,  # live iterator, no progress
+                "MillisBehindLatest": behind,
+            }
+        return super().get_records(ShardIterator=ShardIterator, Limit=Limit)
+
+
+def test_sdk_read_range_survives_empty_mid_stream_pages():
+    """An empty Records page with MillisBehindLatest > 0 means 'keep
+    paging', not end-of-data — real GetRecords returns these routinely.
+    The pre-fix loop broke on the first one and silently truncated."""
+    c = _SparseClient(empty_every=2, shards=1, seed=9, tip=40)
+    got = sdk_read_range(c, "s", 0, 0, 40, page_limit=5)
+    assert got == [_record("orders", 9, 0, seq, 10) for seq in range(40)]
+    # and a caught-up stream (empty page, MillisBehindLatest == 0) still
+    # terminates instead of spinning
+    assert sdk_read_range(c, "s", 0, 35, 500) == [
+        _record("orders", 9, 0, seq, 10) for seq in range(35, 40)
+    ]
+
+
+def test_sdk_replay_of_committed_range_fails_loudly_when_unservable():
+    """Exactly-once recovery: readBetweenOffsets in sdk mode must never
+    silently shrink a committed range.  A backend that stops serving part
+    of it (here: restart with a smaller records_per_shard, so the fake's
+    tip sits inside the committed range) fails the task instead."""
+    base = {"shards": 1, "records_per_shard": 100, "batch_records": 20}
+    r = KinesisSimStreamReader({**base, "client_mode": "sdk"})
+    start, end = {"shardId-000000000000": 40}, {"shardId-000000000000": 60}
+    # healthy backend: full committed range, identical to generator mode
+    gen = KinesisSimStreamReader(base)
+    assert list(r.readBetweenOffsets(start, end)) == list(gen.readBetweenOffsets(start, end))
+    shrunk = KinesisSimStreamReader(
+        {**base, "records_per_shard": 50, "client_mode": "sdk"}
+    )
+    with pytest.raises(RuntimeError, match="committed range"):
+        list(shrunk.readBetweenOffsets(start, end))
+    # the generator path regenerates (pure function of seq) — documented
+    # asymmetry: only a backend READ can be unservable
+    shrunk_gen = KinesisSimStreamReader({**base, "records_per_shard": 50})
+    assert len(list(shrunk_gen.readBetweenOffsets(start, end))) == 20
