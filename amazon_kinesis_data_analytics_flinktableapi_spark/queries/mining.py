@@ -1306,8 +1306,9 @@ def three_sigma_outlier(v_cents, n, s, s2):
     over integer-cent values — no float mean/variance ever materializes,
     so the test is exact and engine-portable.  DECIMAL(38,0) instead of
     BIGINT because the products overflow int64 long before any real
-    corpus scale: int64 wraps silently from n·V ≈ 3e9 (and DuckDB would
-    error), where n is the bucket count and V bounds |v_cents|.
+    corpus scale — from n·V ≈ 3e9 (n = bucket count, V bounds
+    |v_cents|), where BIGINT either wraps silently (ANSI off) or throws
+    (ANSI on); unusable at scale either way, and DuckDB errors too.
 
     Exactness bound: the largest intermediate is 9·(n·Σx² − Σ²) ≤ 9n²V²
     (worst case: values split ±V), so 38 digits hold exactly while

@@ -31,9 +31,10 @@ seam as an explicit, contract-tested interface:
   direct generator path produce byte-identical records for every
   iterator type the connector uses.
 
-No AWS endpoint is contacted anywhere in this repo; the ``aws`` factory
-is registered only if boto3 is importable (it is not in this container),
-and nothing here imports it unconditionally.
+No AWS endpoint is contacted anywhere in this repo, and no ``aws``
+factory ships pre-registered (a raw boto3 client needs the
+ordinal-translation wrapper above) — a deployment registers its adapter
+via :func:`register_client_factory`.
 """
 
 from __future__ import annotations
@@ -60,19 +61,29 @@ class KinesisClient(Protocol):
         ShardId: str,  # noqa: N803
         ShardIteratorType: str,  # noqa: N803
         StartingSequenceNumber: str | None = None,  # noqa: N803
+        Timestamp=None,  # noqa: N803 — boto3's AT_TIMESTAMP argument
     ) -> dict:
         """→ ``{"ShardIterator": <opaque token>}``.
 
-        Types used by the connector: ``TRIM_HORIZON``, ``LATEST``,
-        ``AT_SEQUENCE_NUMBER`` (replay-by-range recovery), and
-        ``AT_TIMESTAMP`` (boto3 passes the instant as ``Timestamp=``).
+        The connector's read loop issues only ``AT_SEQUENCE_NUMBER``
+        (every read is an offset range); ``TRIM_HORIZON`` / ``LATEST`` /
+        ``AT_TIMESTAMP`` (instant in ``Timestamp=``) are part of the
+        contract so adapters can be parity-tested on initial-position
+        resolution — see the fake client and ``_Opts.start_seq``.
         """
         ...
 
     def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
         """→ ``{"Records": [{"SequenceNumber": str, "PartitionKey": str,
         "Data": bytes, "ApproximateArrivalTimestamp": datetime}, ...],
-        "NextShardIterator": <token>}``."""
+        "NextShardIterator": <token>, "MillisBehindLatest": int}``.
+
+        ``MillisBehindLatest`` is REQUIRED (boto3 always returns it):
+        ``sdk_read_range`` uses ``0`` on an empty page as the only
+        end-of-available-data signal.  An adapter that omits it makes
+        empty mid-stream pages look like the tip — plain reads would
+        truncate silently there, and committed-range replays fail loudly
+        instead (``require_complete``)."""
         ...
 
 
@@ -253,6 +264,7 @@ def sdk_read_range(
     )["ShardIterator"]
     out: list[tuple] = []
     cursor = start
+    empty_streak = 0
     while cursor < end and it is not None:
         resp = client.get_records(ShardIterator=it, Limit=min(page_limit, end - cursor))
         records = resp.get("Records", [])
@@ -270,8 +282,26 @@ def sdk_read_range(
                 )
             )
             cursor = seq + 1
-        if not records and resp.get("MillisBehindLatest", 0) == 0:
-            break  # caught up to the shard tip before `end`
+        if records:
+            empty_streak = 0
+        else:
+            if resp.get("MillisBehindLatest", 0) == 0:
+                break  # caught up to the shard tip before `end`
+            # empty page behind the tip = keep paging (iterator traverses
+            # an aged/sparse segment) — but bound the streak so a
+            # misbehaving backend that returns empty pages without ever
+            # advancing fails the task instead of hanging it forever.
+            # Legit aged-gap traversal advances the iterator each call;
+            # 10k consecutive empties (~100M skipped positions at the
+            # default Limit) is pathological.  Rate limiting / backoff
+            # between pages is the adapter's concern (it owns the
+            # network), not this loop's.
+            empty_streak += 1
+            if empty_streak >= 10_000:
+                raise RuntimeError(
+                    f"{shard_id}: {empty_streak} consecutive empty pages behind the "
+                    f"tip without reaching sequence {end} — backend is not progressing"
+                )
         it = resp.get("NextShardIterator")
     if require_complete and cursor < end:
         raise RuntimeError(

@@ -158,6 +158,9 @@ class _Opts:
             raise ValueError(f"batch_records must be >= 1, got {self.batch_records}")
         if self.records_per_shard < 0:
             raise ValueError(f"records_per_shard must be >= 0, got {self.records_per_shard}")
+        if self.interval_ms < 1:
+            # AT_TIMESTAMP divides by it; 0 was a latent ZeroDivisionError
+            raise ValueError(f"interval_ms must be >= 1, got {self.interval_ms}")
         if self.template not in ("orders", "rates"):
             raise ValueError(f"template must be 'orders' or 'rates', got {self.template!r}")
         #: AT_TIMESTAMP start (FlinkKinesisConsumer's third
@@ -204,7 +207,15 @@ class _Opts:
         ``shard``.  For AT_TIMESTAMP: record seq has arrival_ts =
         epoch + seq·interval_ms + shard ms (see ``_record``), so the first
         seq at-or-after t is ceil((t − epoch − shard ms) / interval_ms),
-        clamped to [0, ∞) — same inclusive contract as the AWS service."""
+        clamped to [0, ∞) — same inclusive contract as the AWS service.
+
+        Resolution is LOCAL (the simulator's arrival model) in both
+        client modes; ``client_mode=sdk`` routes record *ranges* through
+        the client, not initial-position lookup.  A real-backend adapter
+        already owns the ordinal↔service-sequence ledger (see
+        ``kinesis_client``), and timestamp→ordinal is one more lookup in
+        that ledger — the fake client's AT_TIMESTAMP iterator exists so
+        an adapter's answer can be parity-tested against this formula."""
         if self.initial_position == "LATEST":
             return self.prepublished
         if self.initial_position == "AT_TIMESTAMP":

@@ -281,3 +281,24 @@ def test_sdk_replay_of_committed_range_fails_loudly_when_unservable():
     # asymmetry: only a backend READ can be unservable
     shrunk_gen = KinesisSimStreamReader({**base, "records_per_shard": 50})
     assert len(list(shrunk_gen.readBetweenOffsets(start, end))) == 20
+
+
+def test_sdk_read_range_bounds_no_progress_empty_pages():
+    """A backend that returns empty pages behind the tip without ever
+    advancing must fail the task loudly, not hang it forever."""
+
+    class _Stuck(FakeSdkKinesisClient):
+        def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:
+            return {
+                "Records": [],
+                "NextShardIterator": ShardIterator,
+                "MillisBehindLatest": 5000,  # claims data exists, never serves it
+            }
+
+    with pytest.raises(RuntimeError, match="not progressing"):
+        sdk_read_range(_Stuck(shards=1, tip=100), "s", 0, 0, 10)
+
+
+def test_interval_ms_validated():
+    with pytest.raises(ValueError, match="interval_ms"):
+        _Opts({"interval_ms": 0})
