@@ -60,6 +60,23 @@ def test_minhash_lsh_recall_against_exact(corpus):
     assert recall >= 0.9, f"recall {recall}: {exact - lsh} missed"
 
 
+def test_minhash_lsh_second_shape(corpus):
+    """Pin the banding algebra beyond the default 16x4 configuration (the
+    same one-shape risk embedding LSH had): 128 perms in 32 bands of 4.
+    A hardcoded band width or perm count would hash-diverge or change
+    recall here; exact verification keeps precision 1.0 at any shape."""
+    exact = {(r.id_a, r.id_b) for r in D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.5, num_perm=128, bands=32
+        ).collect()
+    }
+    assert lsh <= exact
+    # 32 bands of 4: 1-(1-j^4)^32 ≈ 0.9998 at j=0.75 — tighter than default
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.9
+
+
 def test_simhash_identical_and_distinct(spark):
     df = spark.createDataFrame(
         [(1, make_doc(3)), (2, make_doc(3)), (3, make_doc(9))], "doc_id long, text string"
