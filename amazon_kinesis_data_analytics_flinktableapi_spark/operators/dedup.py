@@ -372,7 +372,18 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     within Hamming ≤ 3 must agree exactly on ≥1 of the 4 chunks
     (pigeonhole), so the self-join is equi on (chunk_idx, chunk_value),
     never a cross join.
+
+    ``max_hamming`` must stay below ``SIMHASH_CHUNKS``: at ≥ 4 the
+    pigeonhole guarantee vanishes (4 differing bits can land one per
+    chunk) and blocking would silently miss true pairs — rejected loudly
+    rather than returning an incomplete answer.  A larger radius needs
+    more chunks (k+1 blocks for Hamming ≤ k), not a bigger filter.
     """
+    if not 0 <= max_hamming < SIMHASH_CHUNKS:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_CHUNKS - 1}]: chunk blocking is only "
+            f"complete for Hamming < SIMHASH_CHUNKS ({SIMHASH_CHUNKS}); got {max_hamming}"
+        )
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     fps = simhash(df, id_col, text_col)

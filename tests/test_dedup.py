@@ -225,3 +225,16 @@ def test_remove_duplicate_spans_invariants(spark, parts):
         # the spliced text is a subsequence of the original (only deletions)
         it = iter(texts[i])
         assert all(ch in it for ch in r.clean_text), f"doc {i} not a subsequence"
+
+
+def test_simhash_pairs_rejects_radius_beyond_blocking_guarantee(spark):
+    """max_hamming >= SIMHASH_CHUNKS voids the pigeonhole completeness of
+    chunk blocking (4 differing bits can land one per chunk) — the
+    operator must refuse loudly instead of silently missing true pairs."""
+    import pytest
+
+    df = spark.createDataFrame([(1, make_doc(1))], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_pairs(df, "doc_id", "text", max_hamming=4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_pairs(df, "doc_id", "text", max_hamming=-1)
