@@ -283,7 +283,16 @@ def neardup_lsh_planes(
     yields the identical dot product, and the sign bits (the sketch)
     match bit-for-bit.  A float-hyperplane sketch can flip sign bits
     between engines on near-zero dots; this one cannot.
+
+    ``n_planes`` is bounded to [1, 62]: sketches bit-pack one bit per
+    plane into an int64 (``quantized_sketches_all``), and 2⁶² buckets per
+    table is already absurd over-sharding — a 63+-bit shift would wrap
+    silently in numpy int64 and alias distinct buckets.
     """
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62] (int64 bit-pack), got {n_planes}")
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     out = []
     for t in range(n_tables):
         rng = np.random.RandomState(seed + 101 * t)

@@ -225,3 +225,17 @@ def test_semantic_dedup_invariants(spark):
     # deterministic: a second run returns the identical kept set
     again = semantic_dedup(emb, threshold=0.35, n_centroids=8)
     assert sorted(r.vec_id for r in k.collect()) == sorted(r.vec_id for r in again.collect())
+
+
+def test_lsh_plane_count_bounded():
+    """Sketches bit-pack one bit per plane into an int64 — 63+ planes
+    would wrap the shift silently and alias distinct buckets."""
+    import pytest
+
+    with pytest.raises(ValueError, match="n_planes"):
+        S.neardup_lsh_planes(n_planes=63)
+    with pytest.raises(ValueError, match="n_planes"):
+        S.neardup_lsh_planes(n_planes=0)
+    with pytest.raises(ValueError, match="n_tables"):
+        S.neardup_lsh_planes(n_tables=0)
+    assert len(S.neardup_lsh_planes(n_planes=62, n_tables=1)[0]) == 62
