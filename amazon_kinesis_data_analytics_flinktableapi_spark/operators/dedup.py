@@ -277,6 +277,13 @@ def minhash_lsh_pairs(
     the joined signature slice (portable across engines), not an engine
     hash of it — same equi-join, oracle-reproducible buckets.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # rows = num_perm // bands would silently DROP the remainder
+        # permutations (num_perm=100, bands=16 → 4 bands' worth unused),
+        # quietly weakening the collision probability the caller computed
+        raise ValueError(
+            f"bands must divide num_perm exactly; got num_perm={num_perm}, bands={bands}"
+        )
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
     banded = sigs.select(

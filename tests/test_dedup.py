@@ -238,3 +238,14 @@ def test_simhash_pairs_rejects_radius_beyond_blocking_guarantee(spark):
         D.simhash_pairs(df, "doc_id", "text", max_hamming=4)
     with pytest.raises(ValueError, match="max_hamming"):
         D.simhash_pairs(df, "doc_id", "text", max_hamming=-1)
+
+
+def test_minhash_lsh_rejects_nondivisible_banding(corpus):
+    """num_perm not divisible by bands would silently drop the remainder
+    permutations and weaken the collision probability the caller computed."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide num_perm"):
+        D.minhash_lsh_pairs(corpus, "doc_id", "text", num_perm=100, bands=16)
+    with _pytest.raises(ValueError, match="divide num_perm"):
+        D.minhash_lsh_pairs(corpus, "doc_id", "text", bands=0)
