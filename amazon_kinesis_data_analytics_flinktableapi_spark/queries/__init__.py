@@ -97,7 +97,7 @@ _PRIORITY: list[str] = [
     # TPC-H never-attested shapes LAST — they are plan-shape twins of
     # already-attested shapes, so they are the lowest-risk entries to slip
     # into the r8 window if new r7 queries displace the tail.
-    "embedding_neardup_wide",       # NEW r7: second LSH shape (8 tables × 16 planes)
+    "embedding_neardup_wide",       # NEW r7: second LSH shape (16 tables × 8 planes)
     "kinesis_fake_sdk_roundtrip",   # NEW r7: adapter seam driven by the fake SDK client
     "seasonal_residual_flags",      # changed r7: overflow-proof decimal 3σ test
     "event_transition_matrix",      # changed r7 (dead local removed)

@@ -265,12 +265,19 @@ def sdk_read_range(
     out: list[tuple] = []
     cursor = start
     empty_streak = 0
-    while cursor < end and it is not None:
+    saw_past_end = False
+    while cursor < end and it is not None and not saw_past_end:
         resp = client.get_records(ShardIterator=it, Limit=min(page_limit, end - cursor))
         records = resp.get("Records", [])
         for r in records:
             seq = int(r["SequenceNumber"])
             if seq >= end:
+                # Sequence numbers are monotonic within and across pages, so
+                # a record at/past `end` means nothing below `end` remains —
+                # stop the WHOLE read, not just this page.  Without this, a
+                # backend whose page skips past `end` (cursor still < end,
+                # non-empty pages resetting empty_streak) would page forever.
+                saw_past_end = True
                 break
             out.append(
                 (

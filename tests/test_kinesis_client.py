@@ -299,6 +299,66 @@ def test_sdk_read_range_bounds_no_progress_empty_pages():
         sdk_read_range(_Stuck(shards=1, tip=100), "s", 0, 0, 10)
 
 
+class _GapClient(FakeSdkKinesisClient):
+    """Contract-violating backend whose sequence space has a hole: it
+    serves dense ordinals below ``gap_start``, then jumps straight to
+    ``gap_end`` (as a real opaque-sequence service would look to a broken
+    adapter that skipped part of its ledger)."""
+
+    def __init__(self, gap_start: int, gap_end: int, **kw):
+        super().__init__(**kw)
+        self._gap = (gap_start, gap_end)
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:
+        shard_s, seq_s = ShardIterator.split("|")
+        shard, seq = int(shard_s), int(seq_s)
+        lo, hi = self._gap
+        seqs = []
+        cur = seq
+        while len(seqs) < Limit and cur < self.tip:
+            if lo <= cur < hi:
+                cur = hi  # the hole: served sequence space skips straight past it
+                continue
+            seqs.append(cur)
+            cur += 1
+        records = []
+        for s in seqs:
+            _sid, _seq, pk, data, ts = _record(
+                self.template, self.seed, shard, s, self.interval_ms
+            )
+            records.append(
+                {
+                    "SequenceNumber": str(_seq),
+                    "PartitionKey": pk,
+                    "Data": data.encode("utf-8"),
+                    "ApproximateArrivalTimestamp": ts,
+                }
+            )
+        nxt = cur if seqs else self.tip
+        return {
+            "Records": records,
+            "NextShardIterator": f"{shard}|{nxt}",
+            "MillisBehindLatest": max(0, self.tip - nxt) * self.interval_ms,
+        }
+
+
+def test_sdk_read_range_stops_when_page_skips_past_end():
+    """A page whose records jump past `end` (gap in the served sequence
+    space) must terminate the read immediately: sequence numbers are
+    monotonic, so nothing below `end` can still arrive.  The pre-fix loop
+    kept paging — cursor stayed < end, non-empty out-of-range pages reset
+    the empty streak — and spun through the whole remaining stream (an
+    unbounded read on a deep stream) instead of stopping."""
+    # deep stream: tip is huge; the old loop would walk all of it
+    c = _GapClient(gap_start=10, gap_end=10_000_000, shards=1, seed=9, tip=10_002_000)
+    got = sdk_read_range(c, "s", 0, 5, 20, page_limit=3)
+    assert got == [_record("orders", 9, 0, seq, 10) for seq in range(5, 10)]
+    assert c.n_calls < 20  # stopped at the gap, did not walk the stream
+    # and a committed-range replay over the hole fails loudly, never shrinks
+    with pytest.raises(RuntimeError, match="committed range"):
+        sdk_read_range(c, "s", 0, 5, 20, page_limit=3, require_complete=True)
+
+
 def test_interval_ms_validated():
     with pytest.raises(ValueError, match="interval_ms"):
         _Opts({"interval_ms": 0})
