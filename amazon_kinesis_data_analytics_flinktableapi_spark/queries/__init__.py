@@ -86,7 +86,67 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 7 window -----------------------------------------------------
+    # --- round 8 window -----------------------------------------------------
+    # 1-2: the ONLY two queries never to have held a driver slot (VERDICT r7
+    # #1; judge replica-green twice) — with these green, every registered
+    # query has ≥1 green driver row.  3-4: the surfaces changed this round —
+    # kinesis_translating_sdk_roundtrip is NEW (the ordinal↔opaque-sequence
+    # adapter stack, VERDICT r7 #4) and kinesis_fake_sdk_roundtrip rides the
+    # sdk_read_range gap-page fix.  5-50: staleness rotation, oldest green
+    # row first — the full r2-attested block (8, incl. the rows-only
+    # approx_sketches), the full r4-attested block (36), then two r5-stale
+    # bench headliners.  Next-stalest (r5 block) leads the r9 rotation.
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "kinesis_translating_sdk_roundtrip",
+    "kinesis_fake_sdk_roundtrip",
+    "json_extract_agg",
+    "pivot_status_by_priority",
+    "approx_sketches",
+    "set_ops",
+    "join_semi",
+    "join_anti",
+    "string_functions",
+    "math_functions",
+    "stat_aggregates",
+    "correlated_subquery",
+    "pandas_grouped_zscore",
+    "pandas_udaf_weighted_avg",
+    "python_udtf_bigrams",
+    "range_frame_window",
+    "robust_stats_mad",
+    "rank_family",
+    "window_value_family",
+    "window_running_distinct",
+    "cogroup_asof_pandas",
+    "table_profile",
+    "integrity_audit",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ann_cosine_topk",
+    "edit_distance_verify",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "pii_redaction",
+    "boilerplate_chunk_removal",
+    "sequence_packing",
+    "zorder_layout",
+    "tpch_q15_top_supplier",
+    "topp_cumulative_share",
+    "global_sort_index",
+    "merge_upsert_snapshot",
+    "map_functions",
+    "try_arithmetic",
+    "tpch_q13_custdist",
+    "tpch_q22_idle_customers",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q19_disjunctive_join",
+    "neardup_jaccard",
+    "dedup_clusters",
+    # --- round 7 window (attested r7; rotates behind) ------------------------
     # VERDICT r6 #1: 50 registered queries have never held a driver window
     # slot (judge replica-verified all oracle-bearing ones green, but
     # unattested code rots).  The r7 window is therefore the entire

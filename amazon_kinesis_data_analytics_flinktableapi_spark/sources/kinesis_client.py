@@ -31,10 +31,21 @@ seam as an explicit, contract-tested interface:
   direct generator path produce byte-identical records for every
   iterator type the connector uses.
 
+- :class:`OpaqueSeqKinesisClient` / :class:`TranslatingKinesisClient` —
+  the translation story made executable: the opaque fake serves the
+  generator's records with REAL-shaped (opaque, non-dense) sequence
+  strings, and the translating wrapper holds the per-shard ordinal
+  ledger a production ``aws`` factory needs.  ``client=fake_opaque``
+  drives the connector through the full adapter stack;
+  tests/test_kinesis_client.py contract-tests ``sdk_read_range``
+  through it and proves an UNADAPTED opaque client fails loudly on its
+  first ``get_shard_iterator``.
+
 No AWS endpoint is contacted anywhere in this repo, and no ``aws``
 factory ships pre-registered (a raw boto3 client needs the
-ordinal-translation wrapper above) — a deployment registers its adapter
-via :func:`register_client_factory`.
+ordinal-translation wrapper — :class:`TranslatingKinesisClient` is the
+tested example) — a deployment registers its adapter via
+:func:`register_client_factory`.
 """
 
 from __future__ import annotations
@@ -179,6 +190,295 @@ class FakeSdkKinesisClient:
         }
 
 
+#: Opaque sequence numbers start here — the magnitude real Kinesis uses
+#: (~56 decimal digits), so a dense ordinal handed to the opaque fake is
+#: unambiguously "not a sequence number this stream ever issued".
+_OPAQUE_BASE = 49590338271490256608559692538361571095921575989136588898
+
+
+class OpaqueSeqKinesisClient(FakeSdkKinesisClient):
+    """The deterministic generator served with REAL-shaped sequence numbers:
+    opaque ~56-digit strings, strictly increasing per shard but NON-DENSE
+    (consecutive records differ by a pseudorandom gap, as the service's
+    do).  This is what an unadapted ``boto3.client("kinesis")`` looks like
+    to the connector — and why one cannot be registered directly: the
+    connector's offsets are dense ordinals, so its very first
+    ``get_shard_iterator(AT_SEQUENCE_NUMBER, "40")`` names a sequence this
+    stream never issued and fails loudly here (the failure mode the module
+    docstring promises).  :class:`TranslatingKinesisClient` is the example
+    adapter that closes the gap.
+    """
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        #: per-shard cumulative opaque sequence ints, index = dense ordinal
+        self._cum: dict[int, list[int]] = {}
+
+    def _opaque(self, shard: int, ordinal: int) -> int:
+        """Opaque sequence of record ``ordinal`` on ``shard`` — a running
+        sum of pseudorandom positive gaps, so it is strictly increasing,
+        deterministic, and non-invertible without observing the stream."""
+        from .kinesis_sim import _h
+
+        cum = self._cum.setdefault(shard, [_OPAQUE_BASE + _h(self.seed, shard, 0, "gap") % 997])
+        while len(cum) <= ordinal:
+            i = len(cum)
+            cum.append(cum[-1] + 1 + _h(self.seed, shard, i, "gap") % 997)
+        return cum[ordinal]
+
+    def _ordinal_for(self, shard: int, seq_str: str) -> int:
+        """Inverse lookup AT_SEQUENCE_NUMBER needs; rejects anything this
+        stream never issued (dense ordinals land here)."""
+        try:
+            seq = int(seq_str)
+        except ValueError:
+            raise ValueError(f"malformed sequence number {seq_str!r}") from None
+        self._opaque(shard, max(self.tip - 1, 0))  # materialize up to tip
+        cum = self._cum[shard]
+        import bisect
+
+        i = bisect.bisect_left(cum, seq, 0, self.tip)
+        if i >= self.tip or cum[i] != seq:
+            raise ValueError(
+                f"sequence number {seq_str!r} was never issued by shard {shard} "
+                "of this stream (dense connector ordinals are NOT service "
+                "sequence numbers — adapt via TranslatingKinesisClient)"
+            )
+        return i
+
+    def get_shard_iterator(
+        self,
+        StreamName: str,  # noqa: N803
+        ShardId: str,  # noqa: N803
+        ShardIteratorType: str,  # noqa: N803
+        StartingSequenceNumber: str | None = None,  # noqa: N803
+        Timestamp=None,  # noqa: N803
+    ) -> dict:
+        if ShardIteratorType == "AT_SEQUENCE_NUMBER":
+            if StartingSequenceNumber is None:
+                raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
+            self.n_calls += 1
+            shard = int(ShardId.rsplit("-", 1)[1])
+            if not 0 <= shard < self.shards:
+                raise KeyError(f"unknown shard {ShardId!r}")
+            ordinal = self._ordinal_for(shard, StartingSequenceNumber)
+            return {"ShardIterator": f"{shard}|{ordinal}"}
+        return super().get_shard_iterator(
+            StreamName=StreamName,
+            ShardId=ShardId,
+            ShardIteratorType=ShardIteratorType,
+            StartingSequenceNumber=StartingSequenceNumber,
+            Timestamp=Timestamp,
+        )
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
+        resp = super().get_records(ShardIterator=ShardIterator, Limit=Limit)
+        shard = int(ShardIterator.split("|")[0])
+        for r in resp["Records"]:
+            r["SequenceNumber"] = str(self._opaque(shard, int(r["SequenceNumber"])))
+        return resp
+
+
+class TranslatingKinesisClient:
+    """Example production adapter: presents the connector's DENSE-ORDINAL
+    contract on top of a client that speaks opaque service sequence
+    numbers (``boto3.client("kinesis")``, or :class:`OpaqueSeqKinesisClient`
+    in tests).  This is the wrapper the module docstring says an ``aws``
+    factory must be — the ordinal↔sequence translation lives here and
+    NOWHERE in the connector's offset model.
+
+    How it translates:
+
+    - a per-shard LEDGER maps dense ordinals to the opaque sequence
+      numbers observed at those positions (sparse: page boundaries are
+      recorded as reads progress);
+    - ``get_shard_iterator(AT_SEQUENCE_NUMBER, "<ordinal>")`` seeds from
+      the greatest ledger entry ≤ the target and fast-forwards by paging
+      the inner client, counting records, until the target ordinal's
+      opaque sequence is known;
+    - ``get_records`` rewrites each record's ``SequenceNumber`` to its
+      dense ordinal (positions are counted from the iterator's known
+      ordinal) and records ledger entries as a side effect;
+    - ``TRIM_HORIZON`` is ordinal 0 by definition; ``LATEST`` /
+      ``AT_TIMESTAMP`` attach by scanning forward from the best ledger
+      position to learn the attach ordinal (the count is the price of
+      ordinal semantics on an opaque stream — real deployments checkpoint
+      the ledger alongside Spark's offsets instead of recounting; this
+      in-memory ledger lives for the executor task that built the client).
+
+    Resharding note: this example adapter assumes a static shard map (as
+    the simulator's streams are).  A production wrapper extends the ledger
+    key to (shard lineage), which is orthogonal to the translation logic
+    shown here.
+    """
+
+    def __init__(self, inner: KinesisClient):
+        self.inner = inner
+        #: shard_id -> ([ordinals asc], [opaque seq strings]) parallel lists
+        self._ledger: dict[str, tuple[list[int], list[str]]] = {}
+        #: wrapper iterator token -> (inner_iterator|None, shard_id, next_ordinal)
+        self._tokens: dict[str, tuple] = {}
+        self._n_tokens = 0
+
+    # -- ledger -------------------------------------------------------------
+    def _ledger_put(self, shard_id: str, ordinal: int, opaque: str) -> None:
+        import bisect
+
+        ords, opqs = self._ledger.setdefault(shard_id, ([], []))
+        i = bisect.bisect_left(ords, ordinal)
+        if i < len(ords) and ords[i] == ordinal:
+            return
+        ords.insert(i, ordinal)
+        opqs.insert(i, opaque)
+
+    def _best_known(self, shard_id: str, target: int) -> tuple[int, str | None]:
+        """Greatest ledger entry ≤ target; (0, None) = TRIM_HORIZON."""
+        import bisect
+
+        ords, opqs = self._ledger.get(shard_id, ([], []))
+        i = bisect.bisect_right(ords, target) - 1
+        if i < 0:
+            return 0, None
+        return ords[i], opqs[i]
+
+    def _mint(self, inner_it, shard_id: str, next_ordinal: int) -> str:
+        self._n_tokens += 1
+        tok = f"xlate-{self._n_tokens}"
+        self._tokens[tok] = (inner_it, shard_id, next_ordinal)
+        return tok
+
+    def _inner_at(self, stream: str, shard_id: str, opaque: str | None):
+        """Inner iterator at an opaque sequence (None = TRIM_HORIZON)."""
+        if opaque is None:
+            return self.inner.get_shard_iterator(
+                StreamName=stream, ShardId=shard_id, ShardIteratorType="TRIM_HORIZON"
+            )["ShardIterator"]
+        return self.inner.get_shard_iterator(
+            StreamName=stream,
+            ShardId=shard_id,
+            ShardIteratorType="AT_SEQUENCE_NUMBER",
+            StartingSequenceNumber=opaque,
+        )["ShardIterator"]
+
+    def _scan_forward(self, stream: str, shard_id: str, stop, seed_cap: int | None = None) -> str:
+        """Page the inner client until ``stop(ordinal, record) -> bool``
+        fires on a record (return a wrapper token positioned AT that
+        record) or the tip is reached (token positioned at the tip).
+        Seeds from the largest ledger entry whose ordinal is ≤
+        ``seed_cap`` — the seed must be a position where ``stop`` has NOT
+        yet fired, so AT_SEQUENCE_NUMBER passes its target ordinal (the
+        sparse ledger may hold entries past it) and AT_TIMESTAMP passes 0
+        (ordinals don't order by the caller's instant, so only the
+        horizon is safely before it); ``None`` = no cap (LATEST: any
+        known position is before the tip).  Same hang-proofing rules as
+        ``sdk_read_range``: empty page behind the tip = keep paging,
+        bounded; empty page at MillisBehindLatest 0 = tip."""
+        ord0, opq0 = self._best_known(shard_id, 2**62 if seed_cap is None else seed_cap)
+        it = self._inner_at(stream, shard_id, opq0)
+        cur = ord0
+        empty_streak = 0
+        while it is not None:
+            resp = self.inner.get_records(ShardIterator=it, Limit=10000)
+            records = resp.get("Records", [])
+            if records:
+                empty_streak = 0
+                self._ledger_put(shard_id, cur, records[0]["SequenceNumber"])
+                for k, r in enumerate(records):
+                    if stop(cur + k, r):
+                        opaque = r["SequenceNumber"]
+                        self._ledger_put(shard_id, cur + k, opaque)
+                        return self._mint(
+                            self._inner_at(stream, shard_id, opaque), shard_id, cur + k
+                        )
+                cur += len(records)
+                self._ledger_put(shard_id, cur - 1, records[-1]["SequenceNumber"])
+            else:
+                if resp.get("MillisBehindLatest", 0) == 0:
+                    break  # tip
+                empty_streak += 1
+                if empty_streak >= 10_000:
+                    raise RuntimeError(
+                        f"{shard_id}: inner client not progressing during "
+                        "ordinal fast-forward"
+                    )
+            it = resp.get("NextShardIterator")
+        return self._mint(it, shard_id, cur)
+
+    # -- KinesisClient protocol ----------------------------------------------
+    def list_shards(self, StreamName: str) -> dict:  # noqa: N803
+        return self.inner.list_shards(StreamName=StreamName)
+
+    def get_shard_iterator(
+        self,
+        StreamName: str,  # noqa: N803
+        ShardId: str,  # noqa: N803
+        ShardIteratorType: str,  # noqa: N803
+        StartingSequenceNumber: str | None = None,  # noqa: N803
+        Timestamp=None,  # noqa: N803
+    ) -> dict:
+        if ShardIteratorType == "TRIM_HORIZON":
+            it = self._inner_at(StreamName, ShardId, None)
+            return {"ShardIterator": self._mint(it, ShardId, 0)}
+        if ShardIteratorType == "AT_SEQUENCE_NUMBER":
+            if StartingSequenceNumber is None:
+                raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
+            target = int(StartingSequenceNumber)  # a dense connector ordinal
+            known, opq = self._best_known(ShardId, target)
+            if known == target and opq is not None:
+                return {
+                    "ShardIterator": self._mint(
+                        self._inner_at(StreamName, ShardId, opq), ShardId, target
+                    )
+                }
+            # fast-forward count from the best known position to the target
+            return {
+                "ShardIterator": self._scan_forward(
+                    StreamName, ShardId, lambda o, _r: o >= target, seed_cap=target
+                )
+            }
+        if ShardIteratorType == "LATEST":
+            # attach ordinal = current record count: scan to the tip once
+            return {"ShardIterator": self._scan_forward(StreamName, ShardId, lambda o, r: False)}
+        if ShardIteratorType == "AT_TIMESTAMP":
+            if Timestamp is None:
+                raise ValueError("AT_TIMESTAMP requires Timestamp")
+            return {
+                "ShardIterator": self._scan_forward(
+                    StreamName,
+                    ShardId,
+                    lambda _o, r: r["ApproximateArrivalTimestamp"] >= Timestamp,
+                    seed_cap=0,
+                )
+            }
+        raise ValueError(f"unsupported ShardIteratorType {ShardIteratorType!r}")
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
+        try:
+            inner_it, shard_id, next_ordinal = self._tokens.pop(ShardIterator)
+        except KeyError:
+            raise ValueError(f"unknown or already-consumed iterator {ShardIterator!r}") from None
+        if inner_it is None:
+            return {"Records": [], "NextShardIterator": None, "MillisBehindLatest": 0}
+        resp = self.inner.get_records(ShardIterator=inner_it, Limit=Limit)
+        records = resp.get("Records", [])
+        out = []
+        for k, r in enumerate(records):
+            out.append({**r, "SequenceNumber": str(next_ordinal + k)})
+        if records:
+            self._ledger_put(shard_id, next_ordinal, records[0]["SequenceNumber"])
+            self._ledger_put(
+                shard_id, next_ordinal + len(records) - 1, records[-1]["SequenceNumber"]
+            )
+        nxt = resp.get("NextShardIterator")
+        return {
+            "Records": out,
+            "NextShardIterator": (
+                None if nxt is None else self._mint(nxt, shard_id, next_ordinal + len(records))
+            ),
+            "MillisBehindLatest": resp.get("MillisBehindLatest", 0),
+        }
+
+
 def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
     """Build the fake client from a validated ``kinesis_sim`` option bag."""
     return FakeSdkKinesisClient(
@@ -191,10 +491,32 @@ def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
     )
 
 
+def _fake_opaque_factory(opts) -> TranslatingKinesisClient:
+    """The full adapter stack under test: an opaque-sequence backend (what
+    boto3 looks like) behind the translating wrapper.  Ledger state is
+    per-task (each executor read builds a fresh client from the pickled
+    option bag), so a cold task recounts from TRIM_HORIZON — acceptable
+    for the simulator's stream depths; a production factory would seed the
+    ledger from its own checkpoint (see TranslatingKinesisClient docs)."""
+    return TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(
+            shards=opts.shards,
+            seed=opts.seed,
+            template=opts.template,
+            interval_ms=opts.interval_ms,
+            tip=opts.records_per_shard,
+            prepublished=opts.prepublished,
+        )
+    )
+
+
 #: name → factory(validated _Opts) → KinesisClient.  Factories run on the
 #: EXECUTOR (inside DataSourceReader.read), so a factory must construct its
 #: client from the pickled option bag alone — no driver-side session state.
-CLIENT_FACTORIES: dict[str, object] = {"fake_sdk": _fake_sdk_factory}
+CLIENT_FACTORIES: dict[str, object] = {
+    "fake_sdk": _fake_sdk_factory,
+    "fake_opaque": _fake_opaque_factory,
+}
 
 
 def register_client_factory(name: str, factory) -> None:
@@ -217,9 +539,11 @@ def register_client_factory(name: str, factory) -> None:
 # No "aws" factory ships pre-registered: a raw boto3 client speaks the
 # same wire shape but uses opaque service sequence numbers where the
 # connector uses dense ordinals (module docstring) — registering it
-# unadapted would fail on the first get_shard_iterator.  A deployment
-# registers its wrapper (holding the ordinal↔sequence mapping) from a
-# module imported on the executors; see register_client_factory.
+# unadapted would fail on the first get_shard_iterator (proven against
+# OpaqueSeqKinesisClient in tests/test_kinesis_client.py).  A deployment
+# registers `lambda opts: TranslatingKinesisClient(boto3.client("kinesis"))`
+# (plus ledger checkpointing) from a module imported on the executors;
+# see register_client_factory and the fake_opaque factory below.
 
 
 def sdk_read_range(
