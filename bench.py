@@ -24,6 +24,16 @@ def main() -> None:
 
     spark = build_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
+    # startup_sec floor (~8.5-10 s), measured decomposition on this host:
+    # engine+queries imports 0.7 s; JVM spawn + SparkContext/session 5.3-5.5 s;
+    # then the warm job pays the one-time JVM class-loading tail — first SQL
+    # statement (Catalyst/analyzer init, zero tasks) 2.3 s, first scheduled
+    # job (task infra) 1.4 s, first whole-stage codegen (janino) 0.7 s,
+    # ~3.1 s overlapped.  All of it is class loading inside a cold JVM —
+    # row count is irrelevant (range(1k) costs the same 3.1 s as range(1M))
+    # — so the shaveable remainder is ~0.  Deliberately kept INSIDE
+    # startup_sec rather than pushed into the queries' discarded run-1
+    # samples, where it would vanish from the report without getting faster.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     startup = time.time() - t0
 
@@ -92,17 +102,18 @@ def main() -> None:
     # after the batch phase absorbs residual GC/JIT state, and host slow
     # windows (multi-second, random) can still tax a single replay —
     # three ~5s replays cost ~10s extra wall and pin the sustained number
-    stream_sec, stream_rows = None, 0
+    stream_samples, stream_rows = [], 0
     for _ in range(3):
         joined = prepare_streaming_interval_join(spark, sf_dir)
         t = time.time()
         stream_rows = run_to_memory(joined, spark, timeout_sec=240).count()
-        el = time.time() - t
-        stream_sec = el if stream_sec is None or el < stream_sec else stream_sec
+        stream_samples.append(round(time.time() - t, 3))
+    stream_sec = min(stream_samples)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     streaming_rps = round(n_events / stream_sec, 1)
     print(f"# streaming_interval_join: {stream_rows} rows, {n_events} events in "
-          f"{round(stream_sec, 2)}s = {streaming_rps} rec/s", file=sys.stderr)
+          f"{round(stream_sec, 2)}s = {streaming_rps} rec/s samples={stream_samples}",
+          file=sys.stderr)
 
     # kinesis_sim connector scan throughput: the Python Data Source API path
     # (record generation + serde in Python workers) measured on a 200k-record
@@ -120,21 +131,27 @@ def main() -> None:
             .option("records_per_shard", n // shards)
             .options(**extra).load().count()
         )
-    ks_read(1000, 4)  # warm
-    t = time.time()
-    n_ks = ks_read(200_000, 16)
-    ks_rps = round(n_ks / (time.time() - t), 1)
-    print(f"# kinesis_sim_scan: {n_ks} records = {ks_rps} rec/s", file=sys.stderr)
+    # min-of-3 like everything else (VERDICT r7 #3: these were the last
+    # single-sample numbers in BENCH and the only ones that ever "regressed"
+    # — a -12.5% streaming drift on a host with documented multi-second
+    # noise windows, while every min-of-3 metric improved)
+    def ks_bench(label, **extra):
+        ks_read(1000, 4, **extra)  # warm the Python workers / imports
+        samples = []
+        n = 0
+        for _ in range(3):
+            t = time.time()
+            n = ks_read(200_000, 16, **extra)
+            samples.append(round(time.time() - t, 3))
+        rps = round(n / min(samples), 1)
+        print(f"# {label}: {n} records = {rps} rec/s samples={samples}", file=sys.stderr)
+        return rps, samples
+
+    ks_rps, ks_samples = ks_bench("kinesis_sim_scan")
     # same scan through the boto3-shaped KinesisClient seam (client_mode=sdk):
     # quantifies the per-record cost of the SDK response envelope the real
-    # AWS path will pay (dict records, bytes payloads, iterator pagination).
-    # warmed like the generator path — otherwise the timed region pays the
-    # one-time kinesis_client import/first-touch and overstates the envelope
-    ks_read(1000, 4, client_mode="sdk")
-    t = time.time()
-    n_sdk = ks_read(200_000, 16, client_mode="sdk")
-    sdk_rps = round(n_sdk / (time.time() - t), 1)
-    print(f"# kinesis_sim_sdk_scan: {n_sdk} records = {sdk_rps} rec/s", file=sys.stderr)
+    # AWS path will pay (dict records, bytes payloads, iterator pagination)
+    sdk_rps, sdk_samples = ks_bench("kinesis_sim_sdk_scan", client_mode="sdk")
 
     total = round(sum(timings.values()), 3)
     # the headline set GREW in round 5 (+dedup_clusters, +embedding_neardup);
@@ -157,6 +174,11 @@ def main() -> None:
         "kinesis_sim_scan_recs_per_sec": ks_rps,
         "kinesis_sim_sdk_scan_recs_per_sec": sdk_rps,
         "query_samples": raw_samples,
+        "throughput_samples_sec": {
+            "streaming_interval_join": stream_samples,
+            "kinesis_sim_scan": ks_samples,
+            "kinesis_sim_sdk_scan": sdk_samples,
+        },
     }
     if all(q in timings for q in r3_set):
         out["r3_comparable_subset_total"] = round(sum(timings[q] for q in r3_set), 3)
