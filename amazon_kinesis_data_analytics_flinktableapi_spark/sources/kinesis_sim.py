@@ -352,6 +352,19 @@ class _KinesisSimWriterBase:
             raise ValueError(f"shards must be >= 1, got {self.shards}")
         self.partition_key = options.get("partition_key")  # fixed key (e.g. "0")
         self.partition_key_col = options.get("partition_key_col")
+        #: FAULT-INJECTION test seam (exactly-once-under-retry tests): when
+        #: "after_stage", every task's FIRST attempt raises after it has
+        #: fully staged its files — the worst-case retry point, because the
+        #: orphaned attempt-0 files exist on disk when the retry runs.  The
+        #: two-phase contract keeps them invisible: only files named by the
+        #: winning attempt's commit message are moved into the batch dir and
+        #: the manifest, and readers go through the manifest alone.
+        self.inject_task_failure = options.get("inject_task_failure", "")
+        if self.inject_task_failure not in ("", "after_stage"):
+            raise ValueError(
+                f"inject_task_failure must be '' or 'after_stage', "
+                f"got {self.inject_task_failure!r}"
+            )
 
     def _route(self, row) -> int:
         if self.partition_key is not None:
@@ -387,6 +400,15 @@ class _KinesisSimWriterBase:
             with open(tmp, "w") as f:
                 f.write("\n".join(lines))
             files.append((shard, tmp, len(lines), empties.get(shard, 0)))
+        if self.inject_task_failure == "after_stage":
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            if ctx is not None and ctx.attemptNumber() == 0:
+                raise RuntimeError(
+                    "fault injection: killing first write attempt after staging "
+                    f"{len(files)} file(s) — retry must re-stage and commit exactly once"
+                )
         return _PutsCommitMessage(files)
 
     def _finalize(self, messages, batch_id: int) -> None:

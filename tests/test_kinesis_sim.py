@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
@@ -161,6 +162,112 @@ def test_stream_sink_commits_batches_transactionally(spark, tmp_path):
     assert total == 40  # one availableNow increment: batch_records x shards
     assert len(shards) > 1  # 128 distinct keys hash across 3 shards
     assert glob.glob(os.path.join(out, ".uncommitted", "*")) == []
+
+
+def test_sink_exactly_once_under_task_retry(spark, tmp_path):
+    """VERDICT r7 #5: kill every write task's FIRST attempt after it has
+    fully staged its files (inject_task_failure=after_stage; the session
+    runs local[4, 2] so Spark retries) and assert the committed output is
+    byte-identical to a no-failure run.  The orphaned attempt-0 files are
+    the hazard: they sit in .uncommitted when the retry runs, and a sink
+    that globbed instead of trusting the commit-message→manifest chain
+    would double-count them."""
+    import glob
+    import json
+    import os
+
+    register(spark)
+    df = spark.range(200).select(F.col("id"), (F.col("id") * 3).alias("v")).repartition(4)
+
+    def run(path, **extra):
+        (
+            df.write.format("kinesis_sim")
+            .option("path", path)
+            .option("partition_key_col", "id")
+            .option("shards", "3")
+            .options(**extra)
+            .mode("append")
+            .save()
+        )
+        manifest = json.load(open(os.path.join(path, "batch=00000000", "_manifest.json")))
+        rows = []
+        for m in manifest:
+            rows += [json.loads(line) for line in open(m["file"]) if line]
+        return manifest, sorted((r["id"], r["v"]) for r in rows)
+
+    clean_manifest, clean_rows = run(str(tmp_path / "clean"))
+    out = str(tmp_path / "faulty")
+    fault_manifest, fault_rows = run(out, inject_task_failure="after_stage")
+    # exactly-once: committed rows identical to the no-failure run
+    assert fault_rows == clean_rows == [(i, 3 * i) for i in range(200)]
+    assert sum(m["n"] for m in fault_manifest) == sum(m["n"] for m in clean_manifest) == 200
+    # the poisoned first attempts really staged files before dying — they
+    # remain as orphans in .uncommitted (never committed, never read) and
+    # the manifest references none of them
+    orphans = set(glob.glob(os.path.join(out, ".uncommitted", "*")))
+    assert orphans, "attempt-0 staged files should exist (the injection fired)"
+    assert orphans.isdisjoint({m["file"] for m in fault_manifest})
+
+
+def test_stream_sink_exactly_once_under_task_retry(spark, tmp_path):
+    """Same poison through the STREAMING writer: every micro-batch's write
+    tasks lose their first attempt post-staging; per-batch manifests must
+    still hold each record exactly once."""
+    import glob
+    import json
+    import os
+
+    register(spark)
+
+    def run(out, ckpt, **extra):
+        src = (
+            spark.readStream.format("kinesis_sim")
+            .options(shards=2, records_per_shard=30, batch_records=10, template="orders")
+            .load()
+        )
+        q = (
+            src.writeStream.format("kinesis_sim")
+            .option("path", out)
+            .option("partition_key_col", "partition_key")
+            .option("shards", "3")
+            .options(**extra)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = []
+        for mpath in sorted(glob.glob(os.path.join(out, "batch=*", "_manifest.json"))):
+            for m in json.load(open(mpath)):
+                ids += [
+                    json.loads(json.loads(line)["data"])["id"]
+                    for line in open(m["file"])
+                    if line
+                ]
+        return sorted(ids)
+
+    clean_ids = run(str(tmp_path / "clean"), str(tmp_path / "ckpt_clean"))
+    out = str(tmp_path / "faulty")
+    fault_ids = run(
+        out, str(tmp_path / "ckpt_fault"), inject_task_failure="after_stage"
+    )
+    # every committed record exactly once, identical to the no-failure run
+    assert fault_ids == clean_ids
+    assert len(set(fault_ids)) == len(fault_ids) > 0
+    assert glob.glob(os.path.join(out, ".uncommitted", "*")), "injection fired"
+
+
+def test_inject_task_failure_option_validated(spark, tmp_path):
+    register(spark)
+    with pytest.raises(Exception, match="inject_task_failure"):
+        (
+            spark.range(5)
+            .write.format("kinesis_sim")
+            .option("path", str(tmp_path / "x"))
+            .option("inject_task_failure", "bogus")
+            .mode("append")
+            .save()
+        )
 
 
 def test_reference_topology_end_to_end(spark, tmp_path):
