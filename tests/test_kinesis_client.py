@@ -549,6 +549,36 @@ def test_batch_read_fake_opaque_bit_identical(spark):
     assert via_opaque == direct and len(direct) == 120
 
 
+def test_sdk_read_range_closed_shard_semantics():
+    """Real Kinesis CLOSES a shard on reshard: get_records eventually
+    returns NextShardIterator=None.  A plain read returns what the shard
+    served; a committed-range replay over a closed shard that no longer
+    covers the range fails loudly (resharding moves the remainder to
+    child shards — remapping is the adapter's ledger concern, and silent
+    truncation here would lose committed records)."""
+
+    class _ClosedShard(FakeSdkKinesisClient):
+        def __init__(self, closes_after: int, **kw):
+            super().__init__(**kw)
+            self._closes_after = closes_after
+
+        def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:
+            resp = super().get_records(ShardIterator=ShardIterator, Limit=Limit)
+            nxt = resp["NextShardIterator"]
+            if nxt is not None and int(nxt.split("|")[1]) >= self._closes_after:
+                resp["NextShardIterator"] = None  # shard closed by reshard
+            return resp
+
+    c = _ClosedShard(closes_after=30, shards=1, seed=9, tip=100)
+    got = sdk_read_range(c, "s", 0, 10, 80, page_limit=10)
+    assert got == [_record("orders", 9, 0, seq, 10) for seq in range(10, 30)]
+    with pytest.raises(RuntimeError, match="committed range"):
+        sdk_read_range(
+            _ClosedShard(closes_after=30, shards=1, seed=9, tip=100),
+            "s", 0, 10, 80, page_limit=10, require_complete=True,
+        )
+
+
 def test_interval_ms_validated():
     with pytest.raises(ValueError, match="interval_ms"):
         _Opts({"interval_ms": 0})
