@@ -158,7 +158,6 @@ _PRIORITY: list[str] = [
     # already-attested shapes, so they are the lowest-risk entries to slip
     # into the r8 window if new r7 queries displace the tail.
     "embedding_neardup_wide",       # NEW r7: second LSH shape (16 tables × 8 planes)
-    "kinesis_fake_sdk_roundtrip",   # NEW r7: adapter seam driven by the fake SDK client
     "seasonal_residual_flags",      # changed r7: overflow-proof decimal 3σ test
     "event_transition_matrix",      # changed r7 (dead local removed)
     "incremental_dedup",            # bench headliner, never windowed
@@ -207,8 +206,6 @@ _PRIORITY: list[str] = [
     "tpch_q11_important_stock",     # BNLJ-whitelisted shape — worth a driver row
     "tpch_q18_large_volume_customer",
     "tpch_q12_late_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
     # --- round 6 window (attested r6; rotate behind the backlog) ------------
     # 1-9: changed surfaces.  kinesis_interval_join /
     # streaming_kinesis_tumbling drive the reference topology end-to-end
@@ -292,6 +289,12 @@ def _reorder_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:
         raise ValueError(f"_PRIORITY names not registered: {missing}")
+    dupes = [n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1]
+    if dupes:
+        # duplicates would make raw list indices diverge from effective
+        # registry positions — the window accounting (VERDICT/COVERAGE
+        # cite "_PRIORITY position N") silently goes wrong
+        raise ValueError(f"_PRIORITY names duplicated: {sorted(dupes)}")
     rest = [n for n in REGISTRY if n not in set(_PRIORITY)]
     ordered = {n: REGISTRY[n] for n in [*_PRIORITY, *rest]}
     REGISTRY.clear()

@@ -323,12 +323,14 @@ def q_kinesis_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_records,
            CAST(sum(amount) AS BIGINT) AS sum_amount,
            min(seq) AS min_seq,
-           max(seq) AS max_seq
+           max(seq) AS max_seq,
+           0 AS n_mismatch
     FROM o GROUP BY shard_id, currency
     """,
-    doc="S1 seam attestation: generator path ∩ SDK-client path, hash-checked "
-    "against the DuckDB re-derivation — a divergence in either acquisition "
-    "mode drops rows and fails the gate",
+    doc="S1 seam attestation: generator path vs SDK-client path compared as "
+    "MULTISETS (symmetric exceptAll), hash-checked against the DuckDB "
+    "re-derivation — a dropped, duplicated, or fabricated record on either "
+    "acquisition path makes n_mismatch nonzero and fails the gate",
 )
 def q_kinesis_fake_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERDICT r6 #4 driver row: the real-AWS swap seam.  The same stream
@@ -336,11 +338,29 @@ def q_kinesis_fake_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct generator and once through ``client_mode=sdk``, where every
     record is acquired via the boto3-shaped :class:`KinesisClient` protocol
     (``get_shard_iterator``/``get_records`` with pagination,
-    sources/kinesis_client.py) — then INTERSECTed on the full wire tuple.
-    Identical paths ⇒ the intersection is the full grid and the per-shard
-    aggregate hash-matches the oracle's independent md5 re-derivation; any
-    divergence in bytes, sequence numbering, or pagination drops rows and
-    fails count+hash.  ``sf_dir`` is unused — the connector is the source."""
+    sources/kinesis_client.py) — and compared as MULTISETS on the full wire
+    tuple: ``n_mismatch`` counts rows on either side only (symmetric
+    ``exceptAll``), so missing, duplicated, AND fabricated records all fail
+    the oracle's ``0`` (a plain INTERSECT would ignore adapter-side
+    duplicates/extras).  The aggregates themselves hash-match the oracle's
+    independent md5 re-derivation.  ``sf_dir`` is unused — the connector is
+    the source."""
+    return _wire_parity_roundtrip(
+        spark, seed=13, records_per_shard=200, interval_ms=25, client_opts={}
+    )
+
+
+def _wire_parity_roundtrip(
+    spark: SparkSession,
+    seed: int,
+    records_per_shard: int,
+    interval_ms: int,
+    client_opts: dict,
+) -> DataFrame:
+    """Shared body of the two SDK-seam attestation queries: direct
+    generator vs ``client_mode=sdk`` (with ``client_opts`` picking the
+    backend), multiset-compared on the full wire tuple, aggregated per
+    (shard, currency) with the symmetric-difference count as a column."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
         register as register_kinesis,
@@ -348,23 +368,38 @@ def q_kinesis_fake_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_kinesis(spark)
     base = dict(
-        template="orders", shards="2", records_per_shard="200", interval_ms="25", seed="13"
+        template="orders",
+        shards="2",
+        records_per_shard=str(records_per_shard),
+        interval_ms=str(interval_ms),
+        seed=str(seed),
     )
     direct = spark.read.format("kinesis_sim").options(**base).load()
     via_sdk = (
-        spark.read.format("kinesis_sim").options(**base, client_mode="sdk").load()
+        spark.read.format("kinesis_sim")
+        .options(**base, client_mode="sdk", **client_opts)
+        .load()
     )
-    wire = direct.intersect(via_sdk)
-    parsed = wire.select(
+    mismatch = (
+        direct.exceptAll(via_sdk)
+        .unionAll(via_sdk.exceptAll(direct))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    parsed = via_sdk.select(
         "shard_id",
         F.col("sequence_number").alias("seq"),
         F.from_json(F.col("data"), ORDER_SCHEMA).alias("r"),
     )
-    return parsed.groupBy("shard_id", F.col("r.currency").alias("currency")).agg(
+    agg = parsed.groupBy("shard_id", F.col("r.currency").alias("currency")).agg(
         F.count(F.lit(1)).alias("n_records"),
         F.sum("r.amount").alias("sum_amount"),
         F.min("seq").alias("min_seq"),
         F.max("seq").alias("max_seq"),
+    )
+    # 1-row broadcastable guard column: any asymmetry anywhere in the wire
+    # multiset lands on every output row and fails the value hash
+    return agg.crossJoin(F.broadcast(mismatch)).withColumn(
+        "n_mismatch", F.col("n_mismatch").cast("int")
     )
 
 
@@ -383,13 +418,15 @@ def q_kinesis_fake_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_records,
            CAST(sum(amount) AS BIGINT) AS sum_amount,
            min(seq) AS min_seq,
-           max(seq) AS max_seq
+           max(seq) AS max_seq,
+           0 AS n_mismatch
     FROM o GROUP BY shard_id, currency
     """,
     doc="S1 adapter-stack attestation: the opaque-sequence backend behind "
-    "TranslatingKinesisClient vs the direct generator, INTERSECTed on the "
-    "wire tuple and hash-checked against the DuckDB re-derivation — a "
-    "mistranslated ordinal anywhere drops rows and fails the gate",
+    "TranslatingKinesisClient vs the direct generator, compared as "
+    "MULTISETS on the wire tuple and hash-checked against the DuckDB "
+    "re-derivation — a mistranslated, duplicated, or fabricated ordinal "
+    "anywhere makes n_mismatch nonzero and fails the gate",
 )
 def q_kinesis_translating_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERDICT r7 #4 driver row: the ordinal↔opaque-sequence translation a
@@ -399,36 +436,17 @@ def q_kinesis_translating_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
     every record is served with REAL-shaped opaque non-dense sequence
     strings (sources/kinesis_client.py OpaqueSeqKinesisClient) and mapped
     back to the connector's dense ordinals by TranslatingKinesisClient's
-    per-shard ledger.  The INTERSECT is on the full wire tuple (including
-    ``sequence_number``), so an off-by-one anywhere in the ledger
-    fast-forward or the per-page ordinal assignment drops rows and fails
-    count+hash.  ``sf_dir`` is unused — the connector is the source."""
-    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
-    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
-        register as register_kinesis,
-    )
-
-    register_kinesis(spark)
-    base = dict(
-        template="orders", shards="2", records_per_shard="120", interval_ms="30", seed="21"
-    )
-    direct = spark.read.format("kinesis_sim").options(**base).load()
-    via_adapter = (
-        spark.read.format("kinesis_sim")
-        .options(**base, client_mode="sdk", client="fake_opaque")
-        .load()
-    )
-    wire = direct.intersect(via_adapter)
-    parsed = wire.select(
-        "shard_id",
-        F.col("sequence_number").alias("seq"),
-        F.from_json(F.col("data"), ORDER_SCHEMA).alias("r"),
-    )
-    return parsed.groupBy("shard_id", F.col("r.currency").alias("currency")).agg(
-        F.count(F.lit(1)).alias("n_records"),
-        F.sum("r.amount").alias("sum_amount"),
-        F.min("seq").alias("min_seq"),
-        F.max("seq").alias("max_seq"),
+    per-shard ledger.  The comparison is a symmetric MULTISET diff on the
+    full wire tuple (including ``sequence_number``), surfaced as the
+    ``n_mismatch`` column the oracle pins to 0 — so an off-by-one in the
+    ledger fast-forward, a double-served page, or a fabricated record all
+    fail the hash.  ``sf_dir`` is unused — the connector is the source."""
+    return _wire_parity_roundtrip(
+        spark,
+        seed=21,
+        records_per_shard=120,
+        interval_ms=30,
+        client_opts={"client": "fake_opaque"},
     )
 
 

@@ -299,12 +299,16 @@ class TranslatingKinesisClient:
     - ``get_records`` rewrites each record's ``SequenceNumber`` to its
       dense ordinal (positions are counted from the iterator's known
       ordinal) and records ledger entries as a side effect;
-    - ``TRIM_HORIZON`` is ordinal 0 by definition; ``LATEST`` /
-      ``AT_TIMESTAMP`` attach by scanning forward from the best ledger
-      position to learn the attach ordinal (the count is the price of
+    - ``TRIM_HORIZON`` is ordinal 0 by definition; ``LATEST`` asks the
+      INNER client for the attach point (the service decides what
+      "latest" means, so ``prepublished``-style backlog semantics flow
+      through) and then counts up to that position's opaque sequence;
+      ``AT_TIMESTAMP`` normalizes the instant like the connector does and
+      scans from the horizon (ordinals don't order by timestamp, so no
+      ledger entry is safely "before" it).  The counting is the price of
       ordinal semantics on an opaque stream — real deployments checkpoint
       the ledger alongside Spark's offsets instead of recounting; this
-      in-memory ledger lives for the executor task that built the client).
+      in-memory ledger lives for the executor task that built the client.
 
     Resharding note: this example adapter assumes a static shard map (as
     the simulator's streams are).  A production wrapper extends the ledger
@@ -360,20 +364,33 @@ class TranslatingKinesisClient:
             StartingSequenceNumber=opaque,
         )["ShardIterator"]
 
-    def _scan_forward(self, stream: str, shard_id: str, stop, seed_cap: int | None = None) -> str:
-        """Page the inner client until ``stop(ordinal, record) -> bool``
-        fires on a record (return a wrapper token positioned AT that
-        record) or the tip is reached (token positioned at the tip).
-        Seeds from the largest ledger entry whose ordinal is ≤
-        ``seed_cap`` — the seed must be a position where ``stop`` has NOT
-        yet fired, so AT_SEQUENCE_NUMBER passes its target ordinal (the
-        sparse ledger may hold entries past it) and AT_TIMESTAMP passes 0
-        (ordinals don't order by the caller's instant, so only the
-        horizon is safely before it); ``None`` = no cap (LATEST: any
-        known position is before the tip).  Same hang-proofing rules as
-        ``sdk_read_range``: empty page behind the tip = keep paging,
-        bounded; empty page at MillisBehindLatest 0 = tip."""
-        ord0, opq0 = self._best_known(shard_id, 2**62 if seed_cap is None else seed_cap)
+    def _best_known_below_opaque(self, shard_id: str, opaque: int) -> tuple[int, str | None]:
+        """Greatest ledger entry whose OPAQUE sequence is < ``opaque``
+        (opaque sequences are monotone in the ordinal, so this is the
+        latest safely-before seed for an opaque-keyed stop condition)."""
+        ords, opqs = self._ledger.get(shard_id, ([], []))
+        best: tuple[int, str | None] = (0, None)
+        for o, q in zip(ords, opqs):
+            if int(q) < opaque:
+                best = (o, q)
+            else:
+                break
+        return best
+
+    def _scan_forward(self, stream: str, shard_id: str, stop, seed: tuple[int, str | None]) -> str:
+        """Page the inner client from ``seed`` (a (ordinal, opaque|None)
+        ledger position; None = TRIM_HORIZON) until ``stop(ordinal,
+        record) -> bool`` fires on a record (return a wrapper token
+        positioned AT that record) or the tip is reached (token positioned
+        at the tip).  The seed must be a position where ``stop`` has NOT
+        yet fired — callers pick it from the ledger by whatever ordering
+        their stop condition respects (ordinal cap for AT_SEQUENCE_NUMBER,
+        opaque cap for LATEST's attach-point lookup, the horizon for
+        AT_TIMESTAMP whose instant doesn't order the ledger).  Same
+        hang-proofing rules as ``sdk_read_range``: empty page behind the
+        tip = keep paging, bounded; empty page at MillisBehindLatest 0 =
+        tip."""
+        ord0, opq0 = seed
         it = self._inner_at(stream, shard_id, opq0)
         cur = ord0
         empty_streak = 0
@@ -433,21 +450,66 @@ class TranslatingKinesisClient:
             # fast-forward count from the best known position to the target
             return {
                 "ShardIterator": self._scan_forward(
-                    StreamName, ShardId, lambda o, _r: o >= target, seed_cap=target
+                    StreamName,
+                    ShardId,
+                    lambda o, _r: o >= target,
+                    seed=self._best_known(ShardId, target),
                 )
             }
         if ShardIteratorType == "LATEST":
-            # attach ordinal = current record count: scan to the tip once
-            return {"ShardIterator": self._scan_forward(StreamName, ShardId, lambda o, r: False)}
-        if ShardIteratorType == "AT_TIMESTAMP":
-            if Timestamp is None:
-                raise ValueError("AT_TIMESTAMP requires Timestamp")
+            # DELEGATE the attach point to the inner client (the service
+            # decides what "latest" is — resolving it locally by scanning
+            # to the tip would both race new arrivals and ignore the
+            # backend's own semantics), then learn that position's ordinal
+            # by peeking its first record and counting up to its opaque
+            # sequence from the best safely-before ledger entry.
+            inner_lt = self.inner.get_shard_iterator(
+                StreamName=StreamName, ShardId=ShardId, ShardIteratorType="LATEST"
+            )["ShardIterator"]
+            peek = self.inner.get_records(ShardIterator=inner_lt, Limit=1)
+            recs = peek.get("Records", [])
+            if not recs:
+                # nothing published at/after the attach point yet — the
+                # attach ordinal is the current record count (scan to tip)
+                return {
+                    "ShardIterator": self._scan_forward(
+                        StreamName,
+                        ShardId,
+                        lambda _o, _r: False,
+                        seed=self._best_known(ShardId, 2**62),
+                    )
+                }
+            attach = int(recs[0]["SequenceNumber"])
             return {
                 "ShardIterator": self._scan_forward(
                     StreamName,
                     ShardId,
-                    lambda _o, r: r["ApproximateArrivalTimestamp"] >= Timestamp,
-                    seed_cap=0,
+                    lambda _o, r: int(r["SequenceNumber"]) >= attach,
+                    seed=self._best_known_below_opaque(ShardId, attach),
+                )
+            }
+        if ShardIteratorType == "AT_TIMESTAMP":
+            if Timestamp is None:
+                raise ValueError("AT_TIMESTAMP requires Timestamp")
+            # normalize to aware-UTC exactly as the connector/_Opts does:
+            # boto3's Timestamp accepts ISO strings, epoch numbers, and
+            # (naive = UTC) datetimes — comparing the raw value against the
+            # records' aware datetimes would TypeError on all but one form
+            from .kinesis_sim import _parse_start_timestamp
+
+            target_ts = _parse_start_timestamp(Timestamp)
+
+            def _at_or_after(_o, r):
+                ts = r["ApproximateArrivalTimestamp"]
+                if ts.tzinfo is None:
+                    from datetime import timezone
+
+                    ts = ts.replace(tzinfo=timezone.utc)
+                return ts >= target_ts
+
+            return {
+                "ShardIterator": self._scan_forward(
+                    StreamName, ShardId, _at_or_after, seed=(0, None)
                 )
             }
         raise ValueError(f"unsupported ShardIteratorType {ShardIteratorType!r}")

@@ -12,12 +12,13 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from amazon_kinesis_data_analytics_flinktableapi_spark.engine import build_spark
 
-    # local[4, 2]: allow ONE task retry (maxFailures=2).  Plain local mode
-    # fails the job on the first task failure, which makes task-retry
-    # semantics untestable — the sink's exactly-once-under-retry test
-    # (test_kinesis_sim.py) poisons a first write attempt and needs Spark
-    # to actually re-run the task.
-    s = build_spark(app_name="tests", master="local[4, 2]", shuffle_partitions=4)
+    # Plain local mode (maxFailures=1) ON PURPOSE: a task failure fails the
+    # job immediately, so intermittent task-level bugs surface as failures
+    # instead of being masked by silent retries.  The sink's exactly-once-
+    # under-retry tests, which DO need Spark to re-run a poisoned task,
+    # run their own local[4, 2] session in a subprocess
+    # (tests/fault_retry_runner.py) rather than relaxing the whole suite.
+    s = build_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
     yield s
     s.stop()
 

@@ -481,38 +481,62 @@ def test_translating_seed_never_overshoots_target():
 
 
 def test_translating_initial_positions():
-    """TRIM_HORIZON is ordinal 0; LATEST attaches at the current record
-    count; AT_TIMESTAMP lands on the same ordinal the dense fake resolves
-    (the connector's inclusive-ceil contract)."""
+    """Initial-position PARITY with the dense fake — the protocol
+    docstring's promise.  TRIM_HORIZON is ordinal 0; LATEST delegates the
+    attach point to the inner client (so the backend's backlog semantics
+    — prepublished here — flow through instead of being silently
+    replaced by attach-at-tip); AT_TIMESTAMP lands on the same ordinal
+    the dense fake resolves, for every Timestamp form boto3 documents
+    (aware datetime, naive datetime = UTC, ISO string, epoch seconds)."""
     from datetime import datetime, timezone
 
-    c = TranslatingKinesisClient(
-        OpaqueSeqKinesisClient(shards=2, seed=5, interval_ms=40, tip=100)
+    mk = lambda: TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=2, seed=5, interval_ms=40, tip=100, prepublished=4)
     )
-    it = c.get_shard_iterator(
-        StreamName="s", ShardId="shardId-000000000001", ShardIteratorType="TRIM_HORIZON"
+    dense = FakeSdkKinesisClient(shards=2, seed=5, interval_ms=40, tip=100, prepublished=4)
+
+    def first_ordinal(client, shard_id, **kw):
+        it = client.get_shard_iterator(
+            StreamName="s", ShardId=shard_id, **kw
+        )["ShardIterator"]
+        recs = client.get_records(ShardIterator=it, Limit=1)["Records"]
+        return int(recs[0]["SequenceNumber"]) if recs else None
+
+    sid = "shardId-000000000001"
+    assert first_ordinal(mk(), sid, ShardIteratorType="TRIM_HORIZON") == 0
+    # LATEST: same attach ordinal as the dense fake (the prepublished
+    # backlog), NOT the stream tip
+    assert (
+        first_ordinal(mk(), sid, ShardIteratorType="LATEST")
+        == first_ordinal(dense, sid, ShardIteratorType="LATEST")
+        == 4
+    )
+    # LATEST with nothing published past the attach point: empty + caught up
+    c_tip = TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=1, seed=5, interval_ms=40, tip=10, prepublished=10)
+    )
+    it_lt = c_tip.get_shard_iterator(
+        StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="LATEST"
     )["ShardIterator"]
-    page = c.get_records(ShardIterator=it, Limit=3)
-    assert [int(r["SequenceNumber"]) for r in page["Records"]] == [0, 1, 2]
-    # LATEST: everything below the attach point already exists → next read
-    # at the tip is empty and caught-up
-    it_lt = c.get_shard_iterator(
-        StreamName="s", ShardId="shardId-000000000001", ShardIteratorType="LATEST"
-    )["ShardIterator"]
-    tip_page = c.get_records(ShardIterator=it_lt)
+    tip_page = c_tip.get_records(ShardIterator=it_lt)
     assert tip_page["Records"] == [] and tip_page["MillisBehindLatest"] == 0
     # AT_TIMESTAMP parity with the dense fake / connector start_seq (== 26
-    # for this instant at interval 40 ms, see the FakeSdk AT_TIMESTAMP test)
-    ts = datetime(2024, 1, 1, 0, 0, 1, 1500, tzinfo=timezone.utc)
-    for shard in range(2):
-        it_ts = c.get_shard_iterator(
-            StreamName="s",
-            ShardId=f"shardId-{shard:012d}",
-            ShardIteratorType="AT_TIMESTAMP",
-            Timestamp=ts,
-        )["ShardIterator"]
-        first = c.get_records(ShardIterator=it_ts, Limit=1)["Records"][0]
-        assert int(first["SequenceNumber"]) == 26
+    # for this instant at interval 40 ms) in every accepted Timestamp form
+    forms = [
+        datetime(2024, 1, 1, 0, 0, 1, 1500, tzinfo=timezone.utc),
+        datetime(2024, 1, 1, 0, 0, 1, 1500),  # naive = UTC
+        "2024-01-01T00:00:01.0015",
+        datetime(2024, 1, 1, 0, 0, 1, 1500, tzinfo=timezone.utc).timestamp(),
+    ]
+    for ts in forms:
+        for shard in range(2):
+            got = first_ordinal(
+                mk(),
+                f"shardId-{shard:012d}",
+                ShardIteratorType="AT_TIMESTAMP",
+                Timestamp=ts,
+            )
+            assert got == 26, f"form {ts!r} shard {shard}: {got}"
 
 
 def test_fake_opaque_factory_end_to_end():

@@ -164,97 +164,38 @@ def test_stream_sink_commits_batches_transactionally(spark, tmp_path):
     assert glob.glob(os.path.join(out, ".uncommitted", "*")) == []
 
 
-def test_sink_exactly_once_under_task_retry(spark, tmp_path):
+def test_sink_exactly_once_under_task_retry(tmp_path):
     """VERDICT r7 #5: kill every write task's FIRST attempt after it has
-    fully staged its files (inject_task_failure=after_stage; the session
-    runs local[4, 2] so Spark retries) and assert the committed output is
-    byte-identical to a no-failure run.  The orphaned attempt-0 files are
-    the hazard: they sit in .uncommitted when the retry runs, and a sink
-    that globbed instead of trusting the commit-message→manifest chain
-    would double-count them."""
-    import glob
+    fully staged its files (inject_task_failure=after_stage) and assert
+    the committed output — batch AND streaming writers — is identical to
+    a no-failure run.  The orphaned attempt-0 files are the hazard: they
+    sit in .uncommitted when the retry runs, and a sink that globbed
+    instead of trusting the commit-message→manifest chain would
+    double-count them.
+
+    Runs in a SUBPROCESS on local[4, 2] (tests/fault_retry_runner.py):
+    task retry needs maxFailures=2, and relaxing the whole suite's session
+    to that would let every other test silently absorb one task failure."""
     import json
-    import os
+    import subprocess
+    import sys
 
-    register(spark)
-    df = spark.range(200).select(F.col("id"), (F.col("id") * 3).alias("v")).repartition(4)
-
-    def run(path, **extra):
-        (
-            df.write.format("kinesis_sim")
-            .option("path", path)
-            .option("partition_key_col", "id")
-            .option("shards", "3")
-            .options(**extra)
-            .mode("append")
-            .save()
-        )
-        manifest = json.load(open(os.path.join(path, "batch=00000000", "_manifest.json")))
-        rows = []
-        for m in manifest:
-            rows += [json.loads(line) for line in open(m["file"]) if line]
-        return manifest, sorted((r["id"], r["v"]) for r in rows)
-
-    clean_manifest, clean_rows = run(str(tmp_path / "clean"))
-    out = str(tmp_path / "faulty")
-    fault_manifest, fault_rows = run(out, inject_task_failure="after_stage")
-    # exactly-once: committed rows identical to the no-failure run
-    assert fault_rows == clean_rows == [(i, 3 * i) for i in range(200)]
-    assert sum(m["n"] for m in fault_manifest) == sum(m["n"] for m in clean_manifest) == 200
-    # the poisoned first attempts really staged files before dying — they
-    # remain as orphans in .uncommitted (never committed, never read) and
-    # the manifest references none of them
-    orphans = set(glob.glob(os.path.join(out, ".uncommitted", "*")))
-    assert orphans, "attempt-0 staged files should exist (the injection fired)"
-    assert orphans.isdisjoint({m["file"] for m in fault_manifest})
-
-
-def test_stream_sink_exactly_once_under_task_retry(spark, tmp_path):
-    """Same poison through the STREAMING writer: every micro-batch's write
-    tasks lose their first attempt post-staging; per-batch manifests must
-    still hold each record exactly once."""
-    import glob
-    import json
-    import os
-
-    register(spark)
-
-    def run(out, ckpt, **extra):
-        src = (
-            spark.readStream.format("kinesis_sim")
-            .options(shards=2, records_per_shard=30, batch_records=10, template="orders")
-            .load()
-        )
-        q = (
-            src.writeStream.format("kinesis_sim")
-            .option("path", out)
-            .option("partition_key_col", "partition_key")
-            .option("shards", "3")
-            .options(**extra)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        ids = []
-        for mpath in sorted(glob.glob(os.path.join(out, "batch=*", "_manifest.json"))):
-            for m in json.load(open(mpath)):
-                ids += [
-                    json.loads(json.loads(line)["data"])["id"]
-                    for line in open(m["file"])
-                    if line
-                ]
-        return sorted(ids)
-
-    clean_ids = run(str(tmp_path / "clean"), str(tmp_path / "ckpt_clean"))
-    out = str(tmp_path / "faulty")
-    fault_ids = run(
-        out, str(tmp_path / "ckpt_fault"), inject_task_failure="after_stage"
+    proc = subprocess.run(
+        [sys.executable, "-m", "tests.fault_retry_runner", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
     )
-    # every committed record exactly once, identical to the no-failure run
-    assert fault_ids == clean_ids
-    assert len(set(fault_ids)) == len(fault_ids) > 0
-    assert glob.glob(os.path.join(out, ".uncommitted", "*")), "injection fired"
+    assert proc.returncode == 0, f"runner failed:\n{proc.stdout}\n{proc.stderr}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    b = result["batch"]
+    assert b["rows_equal"] and b["expected_rows"] and b["n_rows"] == 200, b
+    assert b["orphans_exist"], "attempt-0 staged files should exist (injection fired)"
+    assert not b["orphans_in_manifest"], b
+    s = result["stream"]
+    assert s["ids_equal"] and s["ids_unique"] and s["n_ids"] > 0, s
+    assert s["orphans_exist"], s
 
 
 def test_inject_task_failure_option_validated(spark, tmp_path):
