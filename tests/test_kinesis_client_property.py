@@ -1,0 +1,105 @@
+"""Property-based checks of the SDK read seam (sources/kinesis_client.py).
+
+Two invariants, each against the generator ground truth on arbitrary
+inputs:
+
+1. ``sdk_read_range`` is insensitive to HOW a conforming backend pages —
+   short pages, empty-but-progressing pages behind the tip, any
+   page_limit — for any (start, end) range, including ranges past the
+   tip.
+2. ``TranslatingKinesisClient`` returns correct dense-ordinal ranges for
+   ANY SEQUENCE of reads through one shared wrapper — the sparse ledger
+   accumulates in arbitrary orders, which is exactly where a seeding bug
+   (e.g. seeding past the target from a later entry) corrupts results
+   silently.
+
+Both run driver-side Python only (no Spark session), so hypothesis can
+afford real example counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+    FakeSdkKinesisClient,
+    OpaqueSeqKinesisClient,
+    TranslatingKinesisClient,
+    sdk_read_range,
+)
+from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import _record
+
+
+class _JitteryClient(FakeSdkKinesisClient):
+    """Conforming backend with adversarial-but-legal paging: each
+    get_records call may serve fewer records than asked, or an empty page
+    with a live iterator while behind the tip (as real Kinesis does over
+    aged/sparse segments).  Progress is forced at least every third call,
+    so the no-progress guard never legitimately fires."""
+
+    def __init__(self, jitter: list[int], **kw):
+        super().__init__(**kw)
+        self._jitter = jitter  # drawn by hypothesis; cycled
+        self._call_no = 0
+        self._empty_streak = 0
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:
+        j = self._jitter[self._call_no % len(self._jitter)]
+        self._call_no += 1
+        shard, seq = (int(x) for x in ShardIterator.split("|"))
+        behind_tip = seq < self.tip
+        if j == 0 and behind_tip and self._empty_streak < 2:
+            # legal empty page: live iterator, truthful MillisBehindLatest
+            self._empty_streak += 1
+            return {
+                "Records": [],
+                "NextShardIterator": ShardIterator,
+                "MillisBehindLatest": (self.tip - seq) * self.interval_ms,
+            }
+        self._empty_streak = 0
+        eff = max(1, min(Limit, j if j > 0 else Limit))
+        return super().get_records(ShardIterator=ShardIterator, Limit=eff)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    tip=st.integers(min_value=0, max_value=120),
+    start=st.integers(min_value=0, max_value=150),
+    length=st.integers(min_value=0, max_value=150),
+    page_limit=st.integers(min_value=1, max_value=50),
+    jitter=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=12),
+    seed=st.integers(min_value=0, max_value=5),
+)
+def test_sdk_read_range_paging_insensitive(tip, start, length, page_limit, jitter, seed):
+    c = _JitteryClient(jitter, shards=1, seed=seed, tip=tip)
+    end = start + length
+    got = sdk_read_range(c, "s", 0, start, end, page_limit=page_limit)
+    want = [_record("orders", seed, 0, q, 10) for q in range(start, min(end, tip))]
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tip=st.integers(min_value=1, max_value=150),
+    reads=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=160),
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    seed=st.integers(min_value=0, max_value=5),
+)
+def test_translating_ledger_correct_for_any_read_sequence(tip, reads, seed):
+    """One shared wrapper, arbitrary (start, length, page_limit) reads in
+    arbitrary order: every read must equal the ground truth regardless of
+    what the sparse ledger happens to contain from earlier reads."""
+    c = TranslatingKinesisClient(OpaqueSeqKinesisClient(shards=1, seed=seed, tip=tip))
+    for start, length, page_limit in reads:
+        end = start + length
+        got = sdk_read_range(c, "s", 0, start, end, page_limit=page_limit)
+        want = [_record("orders", seed, 0, q, 10) for q in range(start, min(end, tip))]
+        assert got == want, f"read [{start}, {end}) page_limit={page_limit}"
