@@ -64,9 +64,12 @@ def distinct_token_count(text: Column | str) -> Column:
 
 
 def mean_token_length(text: Column | str, scale: int = 4) -> Column:
+    """Mean token length; 0 for token-less text (like the sibling ratios —
+    a bare ``total / size`` would NULL the row in default mode and abort
+    the whole job under ANSI mode on the first empty document)."""
     toks = tokens(text)
     total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
-    return F.round(total / F.size(toks), scale)
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), scale)
 
 
 def punct_ratio(text: Column | str, scale: int = 6) -> Column:
@@ -77,8 +80,17 @@ def punct_ratio(text: Column | str, scale: int = 6) -> Column:
 
 
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None, scale: int = 6) -> Column:
-    """Fraction of tokens that are (English) stopwords."""
-    sw = stopwords or LANG_MARKERS["en"]
+    """Fraction of tokens that are stopwords (English list by default).
+
+    ``None`` means "use the default list"; an explicitly EMPTY list is
+    rejected rather than silently falling back to English — a caller
+    building per-language lists where one language has none would
+    otherwise get plausible nonzero English ratios."""
+    if stopwords is not None and not stopwords:
+        raise ValueError(
+            "stopwords must be non-empty (pass None for the default English list)"
+        )
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
     toks = tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), scale)
@@ -157,7 +169,19 @@ def rolling_hash(text: Column | str, base: int = 31) -> Column:
     Token hash = first 8 md5 hex digits, so any engine reproduces it
     (DuckDB oracle: same fold via list_reduce).  One codegen'd pass per
     row; 0 for token-less documents.
+
+    ``base`` must be in [2, 2³²): the "fits int64" guarantee is
+    ``(mod−1)·base + hash < 2⁶³`` with hash < 2³² and mod < 2³¹, so a
+    base at/above 2³² silently wraps in default (non-ANSI) mode —
+    plausible but wrong hashes; base 1 makes the fold order-INVARIANT
+    (a plain sum, so "rolling equality ⇒ same order" is false) and
+    base 0 reduces it to the last token's hash.
     """
+    if not 2 <= base < 2**32:
+        raise ValueError(
+            f"base must be in [2, 2**32): got {base} — >= 2**32 overflows the "
+            "int64 fold (silent wrap), <= 1 voids order sensitivity"
+        )
     tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     return F.aggregate(
         tokens(text),
@@ -177,6 +201,8 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     blowup measured); the zip_with form touches only lambda variables, and
     the shifted slices evaluate once per row.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(text)
     m = F.size(toks) - (n - 1)  # number of shingles
     parts = [F.slice(toks, i + 1, m) for i in range(n)]
@@ -193,8 +219,16 @@ def word_ngram_hashes(text: Column | str, n: int = 3) -> Column:
     hashing the joined shingle string (chained 64-bit collisions are
     ~2⁻⁶⁴) at ~half the per-shingle cost — no concat allocation and no
     separate hashing pass; higher-order functions run interpreted, so
-    passes-per-element is the near-dup pipeline's dominant constant."""
+    passes-per-element is the near-dup pipeline's dominant constant.
+
+    Supports n=1 (per-token hashes) like :func:`word_ngrams` does — the
+    hashed fast path must not have a narrower domain than the string path
+    it substitutes for."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(text)
+    if n == 1:
+        return F.transform(toks, lambda t: F.xxhash64(t))
     m = F.size(toks) - (n - 1)
     parts = [F.slice(toks, i + 1, m) for i in range(n)]
     combined = F.zip_with(parts[0], parts[1], lambda a, b: F.xxhash64(a, b))

@@ -109,6 +109,12 @@ def connected_components(
     diameter exceeds ``max_iterations``, which near-dup clique unions
     never approach.
     """
+    if check_every < 1:
+        # 0 would run zero lazy steps and then die far away on the missing
+        # __changed column (and never advance `done`)
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
 
     def pin(df: DataFrame) -> DataFrame:
         # reliable checkpoint() replicates to the configured checkpoint dir

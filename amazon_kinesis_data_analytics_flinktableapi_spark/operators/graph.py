@@ -15,15 +15,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_participation(edges: DataFrame, src: str = "ua", dst: str = "ub") -> DataFrame:
-    """(user_id, degree, n_triangles) for every vertex of an id-ordered
-    undirected edge list (``src < dst`` per row, no duplicates).
+def triangle_participation(
+    edges: DataFrame, src: str = "ua", dst: str = "ub", assume_normalized: bool = False
+) -> DataFrame:
+    """(user_id, degree, n_triangles) for every vertex of an undirected
+    edge list.
 
     One three-way self-equi-join enumerates each triangle once; vertices
     then count their memberships.  Shuffles carry ids only.  Vertices with
     edges but no triangles report 0.
+
+    The join algebra requires id-ordered unique edges (``src < dst`` per
+    row, no duplicates, no self-loops) — a mirrored pair silently inflates
+    both endpoints' degrees AND double-counts triangles, and a self-loop
+    fabricates a phantom triangle per neighbor, all with plausible-looking
+    integers.  Edges are therefore NORMALIZED here by default (orient by
+    least/greatest, drop self-loops, dropDuplicates — one extra shuffle).
+    Pass ``assume_normalized=True`` to skip that shuffle when the upstream
+    generator already guarantees the invariant (e.g. a ``u < v``
+    theta-join like queries/mining._interaction_edges).
     """
     e = edges.select(F.col(src).alias("ua"), F.col(dst).alias("ub"))
+    if not assume_normalized:
+        e = (
+            e.filter(F.col("ua") != F.col("ub"))
+            .select(
+                F.least("ua", "ub").alias("ua"), F.greatest("ua", "ub").alias("ub")
+            )
+            .dropDuplicates(["ua", "ub"])
+        )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))

@@ -48,6 +48,7 @@ def interval_join(
     Column references in the result are disambiguated via DataFrame aliases
     ``l`` and ``r`` — select with ``F.col("l.x")`` / ``F.col("r.y")``.
     """
+    _require_positive_interval(left.sparkSession, interval)
     keys = [on] if isinstance(on, str) else list(on)
     l, r = left.alias("l"), right.alias("r")
     cond = None
@@ -59,6 +60,26 @@ def interval_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     return l.join(r, cond, how)
+
+
+def _require_positive_interval(spark, interval: str) -> None:
+    """Fail loudly at plan-build time on a non-positive interval: the
+    window predicate is then unsatisfiable, and a left-outer join silently
+    emits every left row with NULLs — plausible output, zero signal.
+    Evaluated through Catalyst itself (one 1-row driver job per plan
+    build) so calendar intervals ("1 month") are validated too, which
+    ``_interval_micros`` deliberately rejects."""
+    t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    row = (
+        spark.range(1)
+        .select((t0 + F.expr(f"INTERVAL {interval}") > t0).alias("pos"))
+        .collect()[0]
+    )
+    if not row.pos:
+        raise ValueError(
+            f"interval must be strictly positive, got {interval!r} — "
+            "a non-positive window matches nothing"
+        )
 
 
 def _range_cond(lt: Column, rt: Column, interval: str, direction: str) -> Column:
@@ -82,7 +103,18 @@ def _interval_micros(spark, interval: str) -> int:
     row = spark.range(1).select(
         (F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {interval}"))).alias("us")
     ).collect()[0]
-    return int(row.us)
+    us = int(row.us)
+    if us <= 0:
+        # a non-positive window matches NOTHING: backward needs rt > lt - iv
+        # AND rt <= lt, which is unsatisfiable for iv <= 0 — a left-outer
+        # join then silently emits every left row with NULLs (plausible
+        # output, zero signal that the interval was the bug).  The bucketed
+        # plan would additionally divide by the width.
+        raise ValueError(
+            f"interval must be strictly positive, got {interval!r} ({us} us) — "
+            "a non-positive window matches nothing"
+        )
+    return us
 
 
 def interval_join_bucketed(

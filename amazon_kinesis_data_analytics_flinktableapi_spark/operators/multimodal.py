@@ -150,20 +150,28 @@ def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "k
     Scale: Arrow batches flow per partition; only the projected columns
     (id, kind, payload) are read — column pruning keeps sibling metadata
     scans payload-free.  Repartition upstream if payload skew creates
-    straggler partitions.
+    straggler partitions.  ``batch_size_hint`` bounds how many payloads
+    are decoded per emitted output frame: incoming Arrow batches (sized by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k) are
+    re-chunked to at most this many rows so peak per-task memory is
+    ~hint × payload size even when the session batch size is large.
     """
+    if batch_size_hint < 1:
+        raise ValueError(f"batch_size_hint must be >= 1, got {batch_size_hint}")
     decoder = _DECODER
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for mid, kind, payload in zip(pdf[id_col], pdf[kind_col], pdf[payload_col]):
-                b = bytes(payload) if payload is not None else b""
-                w, h, nf = decoder(b, kind)
-                out.append((mid, kind, len(b), w, h, nf))
-            yield pd.DataFrame(
-                out, columns=["media_id", "kind", "n_bytes", "width", "height", "n_frames"]
-            ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+            for lo in range(0, len(pdf), batch_size_hint):
+                chunk = pdf.iloc[lo : lo + batch_size_hint]
+                out = []
+                for mid, kind, payload in zip(chunk[id_col], chunk[kind_col], chunk[payload_col]):
+                    b = bytes(payload) if payload is not None else b""
+                    w, h, nf = decoder(b, kind)
+                    out.append((mid, kind, len(b), w, h, nf))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "kind", "n_bytes", "width", "height", "n_frames"]
+                ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
 
     return df.select(id_col, kind_col, payload_col).mapInPandas(decode_batches, DECODED_META_SCHEMA)
 
@@ -184,6 +192,9 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224,
     deterministic fake scales byte length by the area ratio against the
     fake-decoded dims.  Plumbing (Arrow batches, schema, pruned projection)
     is the real, tested part."""
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
@@ -213,6 +224,11 @@ def frame_sample(df: DataFrame, every_nth: int = 4, payload_col: str = "payload"
     """Frame sampling (stubbed): emits one row per sampled frame — the
     1→N exploding UDTF shape for video.  Fake frames are byte offsets at
     fixed stride; a real impl seeks keyframes."""
+    if every_nth < 1:
+        # a negative stride silently emits ZERO frames for every row
+        # (plausible empty result); 0 dies mid-task inside range()
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
@@ -234,6 +250,10 @@ def extract_features(df: DataFrame, dim: int = 16, payload_col: str = "payload",
     """Feature extraction (stubbed): payload → dense float vector, the
     embedding column similarity ops consume.  Fake features hash byte
     windows; a real impl runs a vision/audio encoder over the batch."""
+    if dim < 1:
+        # dim=0 streams plausible empty embeddings for NULL payloads then
+        # ZeroDivisionErrors mid-task on the first non-empty one
+        raise ValueError(f"dim must be >= 1, got {dim}")
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -403,7 +403,8 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(tk) AS n_tokens,
            len(list_distinct(tk)) AS n_distinct_tokens,
-           round(list_aggregate(list_transform(tk, x -> length(x)), 'sum') * 1.0 / len(tk), 4)
+           round(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0)
+                 * 1.0 / greatest(len(tk), 1), 4)
              AS mean_token_len
     FROM t
     """,

@@ -164,7 +164,9 @@ def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_participation,
     )
 
-    return triangle_participation(_interaction_edges(spark, sf_dir))
+    # _interaction_edges guarantees ua < ub unique pairs (u < v theta-join
+    # over distinct buckets), so skip the defensive normalization shuffle
+    return triangle_participation(_interaction_edges(spark, sf_dir), assume_normalized=True)
 
 
 @query(

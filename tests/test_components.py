@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import (
     connected_components,
     dedup_clusters,
@@ -75,3 +77,15 @@ def test_unionfind_handles_self_loop_only_nodes(spark):
     )
     got = {(r.node, r.comp) for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)}
+
+
+def test_knob_guards(spark):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(edges, check_every=0)
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(edges, max_iterations=0)

@@ -43,3 +43,21 @@ def test_triangle_participation_matches_bruteforce(spark, raw):
     df = spark.createDataFrame(sorted(edges), "ua int, ub int")
     got = {r["user_id"]: (r["degree"], r["n_triangles"]) for r in triangle_participation(df).collect()}
     assert got == brute(edges)
+
+
+def test_triangle_participation_normalizes_dirty_edges(spark):
+    """Mirrored pairs, duplicates, and self-loops must not inflate degrees
+    or fabricate triangles: the default path normalizes (orient + dedupe +
+    drop loops); assume_normalized=True is the zero-shuffle fast path for
+    generators that guarantee the invariant."""
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "ua int, ub int"
+    )
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (1, 3), (3, 1), (3, 4), (2, 2)],
+        "ua int, ub int",
+    )
+    want = sorted(tuple(r) for r in triangle_participation(clean, assume_normalized=True).collect())
+    got = sorted(tuple(r) for r in triangle_participation(dirty).collect())
+    assert got == want
+    assert want == [(1, 2, 1), (2, 2, 1), (3, 3, 1), (4, 1, 0)]

@@ -80,3 +80,28 @@ def test_bucketed_rejects_right_preserving_joins(spark):
     for how in ("right_outer", "full_outer", "full", "outer"):
         with _pytest.raises(ValueError, match="right-preserving"):
             interval_join_bucketed(df, df, on="currency", left_time="t", right_time="t", how=how)
+
+
+def test_non_positive_interval_rejected(spark):
+    """r8 guard sweep: a zero/negative interval makes the window predicate
+    unsatisfiable — a left-outer join would silently emit every left row
+    with NULLs.  Both plan forms must refuse at build time, including
+    calendar intervals on the naive path."""
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
+        interval_join,
+        interval_join_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "EUR")], "id int, currency string"
+    ).withColumn("t", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    for bad in ("0 seconds", "-5 seconds", "0 months"):
+        with pytest.raises(ValueError, match="strictly positive"):
+            interval_join(df, df, on="currency", left_time="t", right_time="t", interval=bad)
+    for bad in ("0 seconds", "-5 seconds"):
+        with pytest.raises(ValueError, match="strictly positive"):
+            interval_join_bucketed(
+                df, df, on="currency", left_time="t", right_time="t", interval=bad
+            )

@@ -197,3 +197,83 @@ def test_real_decode_capability_probe():
     buf = io.BytesIO()
     Image.new("RGB", (12, 7)).save(buf, format="PNG")
     assert M.real_decode(buf.getvalue(), "image") == (12, 7, 1)
+
+
+# --- knob guards: silent-wrongness outside the attested configuration ------
+# (r8 sweep, same class as r7's LSH/minhash/simhash guards)
+
+
+def test_rolling_hash_base_guard():
+    with pytest.raises(ValueError, match="base"):
+        T.rolling_hash("text", base=2**32)  # int64 fold would wrap silently
+    with pytest.raises(ValueError, match="base"):
+        T.rolling_hash("text", base=1)  # order sensitivity voided
+    with pytest.raises(ValueError, match="base"):
+        T.rolling_hash("text", base=0)
+    T.rolling_hash("text", base=2**32 - 1)  # largest safe base still allowed
+
+
+def test_stopword_ratio_empty_list_rejected(spark):
+    with pytest.raises(ValueError, match="stopwords"):
+        T.stopword_ratio("text", stopwords=[])
+    # None means "default English list", and a custom list is honored
+    df = spark.createDataFrame([("the cat sat",)], "text string")
+    got = df.select(
+        T.stopword_ratio("text").alias("en"),
+        T.stopword_ratio("text", stopwords=["cat", "sat"]).alias("custom"),
+    ).first()
+    assert got["en"] > 0
+    assert abs(got["custom"] - 2 / 3) < 1e-6
+
+
+def test_mean_token_length_empty_text_is_zero(spark):
+    """Empty text must yield 0 like the sibling ratios — a bare division
+    NULLs the row (default mode) or aborts the job (ANSI mode)."""
+    df = spark.createDataFrame([("",), ("   ",), ("ab abcd",)], "text string")
+    got = [r[0] for r in df.select(T.mean_token_length("text")).collect()]
+    assert got == [0.0, 0.0, 3.0]
+
+
+def test_word_ngram_hashes_supports_unigrams(spark):
+    """The hashed fast path must cover the same n domain as the string
+    path it substitutes for (n=1 used to IndexError)."""
+    df = spark.createDataFrame([("a b c",), ("",)], "text string")
+    rows = df.select(
+        T.word_ngram_hashes("text", n=1).alias("h"),
+        T.word_ngrams("text", n=1).alias("s"),
+    ).collect()
+    assert len(rows[0]["h"]) == len(rows[0]["s"]) == 3
+    assert len(set(rows[0]["h"])) == 3  # distinct tokens -> distinct hashes
+    assert rows[1]["h"] == [] and rows[1]["s"] == []
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n must be"):
+            T.word_ngrams("text", n=bad)
+        with pytest.raises(ValueError, match="n must be"):
+            T.word_ngram_hashes("text", n=bad)
+
+
+def test_multimodal_knob_guards(spark):
+    media = M.media_from_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(4)
+    )
+    with pytest.raises(ValueError, match="every_nth"):
+        M.frame_sample(media, every_nth=0)
+    with pytest.raises(ValueError, match="every_nth"):
+        M.frame_sample(media, every_nth=-1)  # silently emitted ZERO frames
+    with pytest.raises(ValueError, match="dim"):
+        M.extract_features(media, dim=0)
+    with pytest.raises(ValueError, match="target dims"):
+        M.resize_media(media, target_w=0)
+    with pytest.raises(ValueError, match="batch_size_hint"):
+        M.decode_media(media, batch_size_hint=0)
+
+
+def test_decode_media_batch_size_hint_rechunks(spark):
+    """The memory-bounding knob must actually take effect: results are
+    identical at any hint (re-chunking is invisible to the output)."""
+    media = M.media_from_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    ).coalesce(1)
+    base = sorted(tuple(r) for r in M.decode_media(media).collect())
+    tiny = sorted(tuple(r) for r in M.decode_media(media, batch_size_hint=3).collect())
+    assert tiny == base and len(base) == 10
