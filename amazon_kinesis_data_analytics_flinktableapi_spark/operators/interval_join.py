@@ -25,8 +25,47 @@ Catalyst plan it.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: fixed-width interval units → microseconds (calendar units deliberately
+#: absent: a month/year has no fixed width, so those go to the Catalyst probe)
+_TIME_UNIT_US = {
+    "week": 7 * 86_400 * 10**6,
+    "day": 86_400 * 10**6,
+    "hour": 3_600 * 10**6,
+    "minute": 60 * 10**6,
+    "second": 10**6,
+    "millisecond": 1_000,
+    "microsecond": 1,
+}
+
+_UNIT_TERM = re.compile(r"(-?\d+)\s+(week|day|hour|minute|second|millisecond|microsecond)s?\b")
+
+#: interval strings already proven positive this process — plan builders
+#: that construct many joins with the same window pay validation once
+_VALIDATED_POSITIVE: set[str] = set()
+
+
+def _try_parse_time_interval_us(interval: str) -> int | None:
+    """Local (no Spark job) resolution of a fixed-width interval body like
+    ``"5 seconds"`` or ``"1 hour 30 minutes"`` to microseconds.  Returns
+    None for anything not fully covered by integer time-unit terms —
+    calendar units ("1 month"), fractional values, quoted/ISO forms —
+    which callers validate through Catalyst instead (the authority on
+    INTERVAL syntax; this parser only fast-paths the unambiguous subset)."""
+    s = interval.strip().lower()
+    total, end, found = 0, 0, False
+    for m in _UNIT_TERM.finditer(s):
+        if s[end : m.start()].strip():
+            return None  # unrecognized text between terms
+        total += int(m.group(1)) * _TIME_UNIT_US[m.group(2)]
+        end, found = m.end(), True
+    if not found or s[end:].strip():
+        return None
+    return total
 
 
 def interval_join(
@@ -66,20 +105,32 @@ def _require_positive_interval(spark, interval: str) -> None:
     """Fail loudly at plan-build time on a non-positive interval: the
     window predicate is then unsatisfiable, and a left-outer join silently
     emits every left row with NULLs — plausible output, zero signal.
-    Evaluated through Catalyst itself (one 1-row driver job per plan
-    build) so calendar intervals ("1 month") are validated too, which
-    ``_interval_micros`` deliberately rejects."""
-    t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
-    row = (
-        spark.range(1)
-        .select((t0 + F.expr(f"INTERVAL {interval}") > t0).alias("pos"))
-        .collect()[0]
-    )
-    if not row.pos:
+
+    Fixed-width forms ("5 seconds", "1 hour 30 minutes") are parsed
+    LOCALLY — no Spark job, no live session needed — so callers building
+    many joins pay nothing per call.  Only calendar/exotic forms
+    ("1 month", fractional, quoted) fall back to a one-row Catalyst probe,
+    and positive results are cached per process so even those validate
+    once."""
+    if interval in _VALIDATED_POSITIVE:
+        return
+    us = _try_parse_time_interval_us(interval)
+    if us is None:
+        t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        row = (
+            spark.range(1)
+            .select((t0 + F.expr(f"INTERVAL {interval}") > t0).alias("pos"))
+            .collect()[0]
+        )
+        positive = bool(row.pos)
+    else:
+        positive = us > 0
+    if not positive:
         raise ValueError(
             f"interval must be strictly positive, got {interval!r} — "
             "a non-positive window matches nothing"
         )
+    _VALIDATED_POSITIVE.add(interval)
 
 
 def _range_cond(lt: Column, rt: Column, interval: str, direction: str) -> Column:
@@ -100,10 +151,14 @@ def _interval_micros(spark, interval: str) -> int:
             f"interval_join_bucketed requires a fixed-width interval, got {interval!r}; "
             "use interval_join for calendar intervals"
         )
-    row = spark.range(1).select(
-        (F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {interval}"))).alias("us")
-    ).collect()[0]
-    us = int(row.us)
+    local = _try_parse_time_interval_us(interval)
+    if local is not None:
+        us = local  # fast path: no Spark job for the common integer forms
+    else:
+        row = spark.range(1).select(
+            (F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {interval}"))).alias("us")
+        ).collect()[0]
+        us = int(row.us)
     if us <= 0:
         # a non-positive window matches NOTHING: backward needs rt > lt - iv
         # AND rt <= lt, which is unsatisfiable for iv <= 0 — a left-outer

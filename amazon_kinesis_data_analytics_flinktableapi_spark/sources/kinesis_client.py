@@ -306,23 +306,104 @@ class TranslatingKinesisClient:
       ``AT_TIMESTAMP`` normalizes the instant like the connector does and
       scans from the horizon (ordinals don't order by timestamp, so no
       ledger entry is safely "before" it).  The counting is the price of
-      ordinal semantics on an opaque stream — real deployments checkpoint
-      the ledger alongside Spark's offsets instead of recounting; this
-      in-memory ledger lives for the executor task that built the client.
+      ordinal semantics on an opaque stream — real deployments PERSIST the
+      ledger alongside Spark's offsets instead of recounting:
+      :meth:`ledger_snapshot` / :meth:`restore_ledger` (or the
+      ``ledger_path=`` load/save convenience) round-trip it as JSON, and a
+      restored ledger serves ``AT_SEQUENCE_NUMBER`` without re-paging the
+      stream head (proven by inner-call count in
+      tests/test_kinesis_client.py).
 
-    Resharding note: this example adapter assumes a static shard map (as
-    the simulator's streams are).  A production wrapper extends the ledger
-    key to (shard lineage), which is orthogonal to the translation logic
-    shown here.
+    RETENTION / TRIM CAVEAT — why the ledger must be persisted, never
+    recounted: TRIM_HORIZON is ordinal 0 *by definition*, but on a real
+    stream records EXPIRE past the trim horizon — the horizon moves, so a
+    horizon-anchored recount assigns the same ordinal to DIFFERENT
+    records as the stream ages, and ``require_complete`` cannot detect
+    the drift because the count still fills the range.  A checkpointed
+    ordinal is therefore durable only together with its ledger entry (the
+    OPAQUE sequence number observed at that position).  Production rule:
+    for any stream with record expiry, restore a persisted ledger that
+    covers the checkpointed offsets — ``strict_anchor=True`` enforces it
+    by refusing horizon recounts for nonzero ordinals instead of silently
+    drifting.  The simulator's streams never trim, so the fakes may
+    recount (``strict_anchor`` defaults False).
+
+    Resharding note: the ledger is keyed per shard-id, and child shards
+    opened by a reshard each get their own dense ordinal space starting
+    at 0 (TRIM_HORIZON of a child = its first record) — shard lineage
+    extends the ledger by ADDING keys, not by changing the translation
+    logic.  ``kinesis_sim``'s ``reshard_at`` model exercises exactly
+    this: parents close, children carry ``ParentShardId``, and the
+    adapter translates each shard independently.
     """
 
-    def __init__(self, inner: KinesisClient):
+    #: wrapper tokens retained for reuse (boto3 allows re-calling
+    #: get_records with a token inside its validity window, e.g. on a
+    #: transient-network retry); oldest-minted evict past this bound —
+    #: analogous to the service's ~5-minute iterator expiry
+    MAX_LIVE_TOKENS = 4096
+
+    def __init__(
+        self,
+        inner: KinesisClient,
+        ledger_path: str | None = None,
+        strict_anchor: bool = False,
+    ):
         self.inner = inner
         #: shard_id -> ([ordinals asc], [opaque seq strings]) parallel lists
         self._ledger: dict[str, tuple[list[int], list[str]]] = {}
-        #: wrapper iterator token -> (inner_iterator|None, shard_id, next_ordinal)
+        #: wrapper iterator token -> (inner_iterator|None, shard_id, next_ordinal);
+        #: insertion-ordered so eviction drops the oldest tokens first
         self._tokens: dict[str, tuple] = {}
         self._n_tokens = 0
+        self.strict_anchor = strict_anchor
+        self.ledger_path = ledger_path
+        if ledger_path is not None:
+            import os
+
+            if os.path.exists(ledger_path):
+                import json as _json
+
+                with open(ledger_path) as f:
+                    self.restore_ledger(_json.load(f))
+
+    # -- ledger persistence (the checkpoint story) ---------------------------
+    def ledger_snapshot(self) -> dict:
+        """JSON-serializable snapshot of the ordinal↔opaque-sequence
+        ledger — persist it alongside Spark's checkpointed offsets (same
+        commit cadence), then :meth:`restore_ledger` on task restart so
+        ``AT_SEQUENCE_NUMBER`` reads seed from checkpointed positions
+        instead of recounting from a (possibly trimmed) horizon."""
+        return {
+            sid: {"ordinals": list(ords), "sequences": list(opqs)}
+            for sid, (ords, opqs) in self._ledger.items()
+        }
+
+    def restore_ledger(self, snapshot: dict) -> None:
+        """Merge a :meth:`ledger_snapshot` back in (idempotent; existing
+        entries win on ordinal collision, which is safe because both map
+        the same position on an untrimmed prefix)."""
+        for sid, entry in snapshot.items():
+            for o, q in zip(entry["ordinals"], entry["sequences"]):
+                self._ledger_put(sid, int(o), str(q))
+
+    def save_ledger(self, path: str | None = None) -> str:
+        """Atomically write :meth:`ledger_snapshot` to ``path`` (default:
+        the ``ledger_path`` given at construction).  Call it from the
+        deployment's commit hook — e.g. a StreamingQueryListener's
+        onQueryProgress, the same place Spark durably owns the offsets
+        the ledger anchors."""
+        import json as _json
+        import os
+
+        target = path or self.ledger_path
+        if target is None:
+            raise ValueError("no ledger path: pass path= or construct with ledger_path=")
+        tmp = f"{target}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(self.ledger_snapshot(), f)
+        os.replace(tmp, target)
+        return target
 
     # -- ledger -------------------------------------------------------------
     def _ledger_put(self, shard_id: str, ordinal: int, opaque: str) -> None:
@@ -349,6 +430,8 @@ class TranslatingKinesisClient:
         self._n_tokens += 1
         tok = f"xlate-{self._n_tokens}"
         self._tokens[tok] = (inner_it, shard_id, next_ordinal)
+        while len(self._tokens) > self.MAX_LIVE_TOKENS:
+            self._tokens.pop(next(iter(self._tokens)))  # evict oldest-minted
         return tok
 
     def _inner_at(self, stream: str, shard_id: str, opaque: str | None):
@@ -411,7 +494,11 @@ class TranslatingKinesisClient:
                 self._ledger_put(shard_id, cur - 1, records[-1]["SequenceNumber"])
             else:
                 if resp.get("MillisBehindLatest", 0) == 0:
-                    break  # tip
+                    # tip: mint around the page's NextShardIterator, not the
+                    # iterator just consumed — a real backend may treat the
+                    # already-used token as expired on the next get_records
+                    it = resp.get("NextShardIterator")
+                    break
                 empty_streak += 1
                 if empty_streak >= 10_000:
                     raise RuntimeError(
@@ -448,12 +535,23 @@ class TranslatingKinesisClient:
                     )
                 }
             # fast-forward count from the best known position to the target
+            seed = self._best_known(ShardId, target)
+            if self.strict_anchor and seed[1] is None and target > 0:
+                # retention/trim caveat (class docstring): counting a
+                # nonzero ordinal up from TRIM_HORIZON silently drifts on
+                # a stream whose horizon moves — fail instead
+                raise ValueError(
+                    f"strict_anchor: ordinal {target} on {ShardId} has no "
+                    "ledger anchor ≤ it — refusing a TRIM_HORIZON recount "
+                    "(records may have expired; restore a persisted ledger "
+                    "covering the checkpointed offsets)"
+                )
             return {
                 "ShardIterator": self._scan_forward(
                     StreamName,
                     ShardId,
                     lambda o, _r: o >= target,
-                    seed=self._best_known(ShardId, target),
+                    seed=seed,
                 )
             }
         if ShardIteratorType == "LATEST":
@@ -516,9 +614,14 @@ class TranslatingKinesisClient:
 
     def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
         try:
-            inner_it, shard_id, next_ordinal = self._tokens.pop(ShardIterator)
+            # looked up WITHOUT popping — boto3 semantics let a caller
+            # retry get_records with the same token inside its validity
+            # window (a popped token would turn a transient-network retry
+            # into a hard "unknown iterator" failure); growth is bounded
+            # by MAX_LIVE_TOKENS oldest-first eviction in _mint
+            inner_it, shard_id, next_ordinal = self._tokens[ShardIterator]
         except KeyError:
-            raise ValueError(f"unknown or already-consumed iterator {ShardIterator!r}") from None
+            raise ValueError(f"unknown or expired iterator {ShardIterator!r}") from None
         if inner_it is None:
             return {"Records": [], "NextShardIterator": None, "MillisBehindLatest": 0}
         resp = self.inner.get_records(ShardIterator=inner_it, Limit=Limit)
@@ -594,6 +697,22 @@ def register_client_factory(name: str, factory) -> None:
     packaging rule Spark applies to UDF dependencies.  Factories must
     also build their client from the pickled option bag alone (no driver
     session state), since construction happens inside the read task.
+
+    The checkpointed production shape (see docs/MIGRATION.md "Real AWS")::
+
+        def _aws(opts):
+            return TranslatingKinesisClient(
+                boto3.client("kinesis", region_name="us-west-2"),
+                ledger_path=f"/mnt/checkpoints/{opts.stream_name}.ledger.json",
+                strict_anchor=True,  # refuse horizon recounts — streams trim
+            )
+        register_client_factory("aws", _aws)
+
+    ``ledger_path`` restores the persisted ordinal↔sequence ledger at
+    construction and ``save_ledger()`` (called from the deployment's
+    commit hook) persists it; ``strict_anchor=True`` makes an unanchored
+    ordinal a loud error instead of a silent retention-drift
+    (TranslatingKinesisClient docstring, RETENTION / TRIM CAVEAT).
     """
     CLIENT_FACTORIES[name] = factory
 

@@ -105,3 +105,33 @@ def test_non_positive_interval_rejected(spark):
             interval_join_bucketed(
                 df, df, on="currency", left_time="t", right_time="t", interval=bad
             )
+
+
+def test_interval_validation_is_local_for_fixed_width_forms():
+    """ADVICE r8: _require_positive_interval launched a driver-side Spark
+    job per plan build.  Fixed-width forms must now validate with NO live
+    session at all (spark=None proves no job can run); only calendar
+    forms fall back to the Catalyst probe."""
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
+        _require_positive_interval,
+        _try_parse_time_interval_us,
+    )
+
+    # local parser: the unambiguous integer time-unit subset
+    assert _try_parse_time_interval_us("5 seconds") == 5_000_000
+    assert _try_parse_time_interval_us("1 hour 30 minutes") == 5_400 * 10**6
+    assert _try_parse_time_interval_us("2 WEEKS") == 2 * 7 * 86_400 * 10**6
+    assert _try_parse_time_interval_us("250 milliseconds") == 250_000
+    assert _try_parse_time_interval_us("-5 seconds") == -5_000_000
+    # not locally parseable -> None (Catalyst remains the authority)
+    for exotic in ("1 month", "0 months", "'5' second", "0.5 seconds", "5 parsecs"):
+        assert _try_parse_time_interval_us(exotic) is None
+    # validation of fixed-width forms needs no session ...
+    _require_positive_interval(None, "45 seconds")
+    with pytest.raises(ValueError, match="strictly positive"):
+        _require_positive_interval(None, "0 seconds")
+    # ... and the positive-cache makes repeat validations free even for
+    # forms that would otherwise probe (seeded by the first call)
+    _require_positive_interval(None, "45 seconds")

@@ -606,3 +606,144 @@ def test_sdk_read_range_closed_shard_semantics():
 def test_interval_ms_validated():
     with pytest.raises(ValueError, match="interval_ms"):
         _Opts({"interval_ms": 0})
+
+
+# --- r9: ADVICE fixes + checkpointable ledger -----------------------------
+
+
+class _SingleUseInner(OpaqueSeqKinesisClient):
+    """A backend that treats an already-consumed iterator as EXPIRED on the
+    next get_records — the real-service behavior the ADVICE r8 low items
+    warn about (the fakes' stateless "shard|seq" tokens hid it)."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self._used: set[str] = set()
+        self._n_minted = 0
+
+    def _wrap(self, resp_key, resp):
+        if resp.get(resp_key) is not None:
+            self._n_minted += 1
+            tok = f"su-{self._n_minted}|{resp[resp_key]}"
+            resp[resp_key] = tok
+        return resp
+
+    def get_shard_iterator(self, **kw):
+        return self._wrap("ShardIterator", super().get_shard_iterator(**kw))
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:
+        if ShardIterator in self._used:
+            raise ValueError(f"iterator expired (already consumed): {ShardIterator!r}")
+        self._used.add(ShardIterator)
+        inner_tok = ShardIterator.split("|", 1)[1]
+        return self._wrap(
+            "NextShardIterator", super().get_records(ShardIterator=inner_tok, Limit=Limit)
+        )
+
+
+def test_scan_forward_mints_fresh_iterator_at_tip():
+    """ADVICE r8: on reaching the tip via an empty page, _scan_forward must
+    wrap the page's NextShardIterator, not the just-consumed iterator — a
+    single-use backend rejects the stale one."""
+    c = TranslatingKinesisClient(
+        _SingleUseInner(shards=1, seed=5, tip=10, prepublished=10)
+    )
+    # LATEST with nothing published past the attach point -> the empty-at-tip
+    # path inside _scan_forward; the minted token must then be consumable
+    it = c.get_shard_iterator(
+        StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="LATEST"
+    )["ShardIterator"]
+    page = c.get_records(ShardIterator=it)
+    assert page["Records"] == [] and page["MillisBehindLatest"] == 0
+
+
+def test_wrapper_tokens_are_reusable_within_bound():
+    """ADVICE r8: boto3 iterator tokens may be re-used within their validity
+    window (e.g. a get_records retry after a transient network error) —
+    the wrapper must serve the same page again, not raise."""
+    c = TranslatingKinesisClient(OpaqueSeqKinesisClient(shards=1, seed=9, tip=40))
+    it = c.get_shard_iterator(
+        StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="TRIM_HORIZON"
+    )["ShardIterator"]
+    first = c.get_records(ShardIterator=it, Limit=10)
+    retry = c.get_records(ShardIterator=it, Limit=10)  # simulated network retry
+    assert [r["SequenceNumber"] for r in first["Records"]] == [
+        r["SequenceNumber"] for r in retry["Records"]
+    ] == [str(i) for i in range(10)]
+    # growth stays bounded: old tokens are evicted oldest-first
+    c.MAX_LIVE_TOKENS = 8
+    for _ in range(30):
+        it2 = c.get_shard_iterator(
+            StreamName="s",
+            ShardId="shardId-000000000000",
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+    assert len(c._tokens) <= 8
+    c.get_records(ShardIterator=it2)  # newest still valid
+    with pytest.raises(ValueError, match="unknown or expired"):
+        c.get_records(ShardIterator=it)  # evicted long ago
+
+
+def test_ledger_snapshot_restore_avoids_recount():
+    """VERDICT r8 #4: a restored ledger must serve AT_SEQUENCE_NUMBER
+    without recounting from TRIM_HORIZON — the inner-client call count on
+    a deep stream proves the seed came from the snapshot."""
+    warm_inner = OpaqueSeqKinesisClient(shards=1, seed=9, tip=10_000)
+    warm = TranslatingKinesisClient(warm_inner)
+    assert len(sdk_read_range(warm, "s", 0, 9_000, 9_100, page_limit=50)) == 100
+    snap = warm.ledger_snapshot()
+    # a COLD task restores the snapshot: the read seeds from the persisted
+    # entries (~9k) instead of paging the whole head again
+    cold_inner = OpaqueSeqKinesisClient(shards=1, seed=9, tip=10_000)
+    cold = TranslatingKinesisClient(cold_inner)
+    cold.restore_ledger(snap)
+    got = sdk_read_range(cold, "s", 0, 9_100, 9_150, page_limit=50)
+    assert got == [_record("orders", 9, 0, seq, 10) for seq in range(9_100, 9_150)]
+    assert cold_inner.n_calls <= 6, (
+        f"{cold_inner.n_calls} inner calls — a horizon recount would need "
+        "hundreds of pages on this 10k-deep stream"
+    )
+    # and the snapshot is plain JSON (the persistence contract)
+    import json
+
+    assert json.loads(json.dumps(snap)) == snap
+
+
+def test_ledger_path_roundtrip(tmp_path):
+    """ledger_path= convenience: save_ledger() persists atomically and a
+    new client constructed with the same path starts warm."""
+    p = str(tmp_path / "stream.ledger.json")
+    a = TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=2, seed=7, tip=500), ledger_path=p
+    )
+    assert len(sdk_read_range(a, "s", 1, 400, 450, page_limit=25)) == 50
+    assert a.save_ledger() == p
+    b_inner = OpaqueSeqKinesisClient(shards=2, seed=7, tip=500)
+    b = TranslatingKinesisClient(b_inner, ledger_path=p)
+    assert sdk_read_range(b, "s", 1, 450, 460) == [
+        _record("orders", 7, 1, seq, 10) for seq in range(450, 460)
+    ]
+    assert b_inner.n_calls <= 5
+    with pytest.raises(ValueError, match="no ledger path"):
+        TranslatingKinesisClient(OpaqueSeqKinesisClient(tip=1)).save_ledger()
+
+
+def test_strict_anchor_refuses_horizon_recount():
+    """The retention/trim caveat, made executable: with strict_anchor=True
+    an ordinal with no ledger anchor at-or-below it must FAIL (on a
+    trimming stream a horizon recount silently drifts), while anchored
+    reads — and ordinal 0 — proceed."""
+    mk_inner = lambda: OpaqueSeqKinesisClient(shards=1, seed=9, tip=200)
+    strict = TranslatingKinesisClient(mk_inner(), strict_anchor=True)
+    with pytest.raises(ValueError, match="strict_anchor"):
+        sdk_read_range(strict, "s", 0, 50, 60)
+    # ordinal 0 IS the horizon by definition — allowed, and the read
+    # populates the ledger so subsequent ranges are anchored
+    assert len(sdk_read_range(strict, "s", 0, 0, 40, page_limit=20)) == 40
+    assert sdk_read_range(strict, "s", 0, 40, 45) == [
+        _record("orders", 9, 0, seq, 10) for seq in range(40, 45)
+    ]
+    # a restored persisted ledger anchors a cold strict client
+    cold = TranslatingKinesisClient(mk_inner(), strict_anchor=True)
+    cold.restore_ledger(strict.ledger_snapshot())
+    assert len(sdk_read_range(cold, "s", 0, 50, 60)) == 10
