@@ -356,11 +356,19 @@ def _wire_parity_roundtrip(
     records_per_shard: int,
     interval_ms: int,
     client_opts: dict,
+    base_opts: dict | None = None,
 ) -> DataFrame:
-    """Shared body of the two SDK-seam attestation queries: direct
-    generator vs ``client_mode=sdk`` (with ``client_opts`` picking the
-    backend), multiset-compared on the full wire tuple, aggregated per
-    (shard, currency) with the symmetric-difference count as a column."""
+    """Shared body of the SDK-seam attestation queries: direct generator
+    vs ``client_mode=sdk`` (with ``client_opts`` picking the backend;
+    ``base_opts`` extends BOTH reads, e.g. ``reshard_at``), multiset-
+    compared on the full wire tuple, aggregated per (shard, currency)
+    with the symmetric-difference count as a column.
+
+    Note: the mismatch guard reads both paths twice (exceptAll both ways
+    + the aggregate re-scans ``via_sdk``) — fine at the attestation
+    stream depths (≤ 2×360 records); ``.cache()`` both sides first if
+    these streams ever grow.
+    """
     from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
         register as register_kinesis,
@@ -373,6 +381,7 @@ def _wire_parity_roundtrip(
         records_per_shard=str(records_per_shard),
         interval_ms=str(interval_ms),
         seed=str(seed),
+        **(base_opts or {}),
     )
     direct = spark.read.format("kinesis_sim").options(**base).load()
     via_sdk = (
@@ -447,6 +456,66 @@ def q_kinesis_translating_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
         records_per_shard=120,
         interval_ms=30,
         client_opts={"client": "fake_opaque"},
+    )
+
+
+#: _DUCK_KSIM_H over a pre-built (shard, seq) position table aliased ``p``
+_DUCK_KSIM_H_P = _DUCK_KSIM_H.replace("s.shard", "p.shard").replace("q.seq", "p.seq")
+
+
+@query(
+    "kinesis_reshard_roundtrip",
+    oracle=f"""
+    WITH pos AS (
+      SELECT s.shard AS shard, q.seq AS seq
+      FROM range(2) s(shard), range(60) q(seq)
+      UNION ALL
+      SELECT 2 + c.child AS shard, q.seq AS seq
+      FROM range(4) c(child), range(60) q(seq)
+    ),
+    o AS (
+      SELECT printf('shardId-%012d', p.shard) AS shard_id,
+             p.seq AS seq,
+             CAST({_DUCK_KSIM_H_P.format(seed=31, salt='a')} % 10000 + 1 AS INTEGER) AS amount,
+             ['click','view','signup','purchase','error']
+               [{_DUCK_KSIM_H_P.format(seed=31, salt='c')} % 5 + 1] AS currency
+      FROM pos p
+    )
+    SELECT shard_id, currency,
+           count(*) AS n_records,
+           CAST(sum(amount) AS BIGINT) AS sum_amount,
+           min(seq) AS min_seq,
+           max(seq) AS max_seq,
+           0 AS n_mismatch
+    FROM o GROUP BY shard_id, currency
+    """,
+    doc="S1 reshard attestation: a parent→child shard split read through "
+    "the FULL opaque-sequence adapter stack vs the direct generator, "
+    "multiset-compared on the wire tuple and hash-checked against the "
+    "DuckDB re-derivation of parents' closed ranges plus children's own "
+    "sequence spaces — a record lost, duplicated, or mis-translated at "
+    "the split boundary makes n_mismatch nonzero and fails the gate",
+)
+def q_kinesis_reshard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r8 #5 driver row: the adapter's shard-lineage story driven
+    end-to-end.  The stream (orders, 2 shards × 120 @ 30 ms, seed 31)
+    RESHARDS at sequence 60: both parents close and split into two
+    children each (``shard_topology``), so the topology is 2 closed
+    parents × 60 records + 4 open children × 60 records.  It is read
+    through the direct generator and through ``client_mode=sdk,
+    client=fake_opaque`` — opaque non-dense sequence numbers on every
+    shard, translated back to dense per-shard ordinals by
+    TranslatingKinesisClient with an independent ledger key per lineage
+    shard — and compared as a symmetric MULTISET diff on the full wire
+    tuple (``n_mismatch``, oracle-pinned to 0).  ``sf_dir`` is unused —
+    the connector is the source."""
+    return _wire_parity_roundtrip(
+        spark,
+        seed=31,
+        records_per_shard=120,
+        interval_ms=30,
+        client_opts={"client": "fake_opaque"},
+        base_opts={"reshard_at": "60"},
     )
 
 

@@ -116,7 +116,10 @@ class FakeSdkKinesisClient:
         interval_ms: int = 10,
         tip: int = 1000,
         prepublished: int = 0,
+        reshard_at: int | None = None,
     ):
+        from .kinesis_sim import shard_topology
+
         self.shards = shards
         self.seed = seed
         self.template = template
@@ -124,11 +127,30 @@ class FakeSdkKinesisClient:
         self.tip = tip  # records currently published per shard
         self.prepublished = prepublished  # where LATEST starts
         self.n_calls = 0  # observability for the contract tests
+        #: shard index -> ShardInfo, incl. reshard children and closed flags
+        self._topo = {t.index: t for t in shard_topology(shards, tip, reshard_at)}
+
+    def _shard_info(self, shard: int):
+        try:
+            return self._topo[shard]
+        except KeyError:
+            raise KeyError(f"unknown shard shardId-{shard:012d}") from None
+
+    def _tip_of(self, shard: int) -> int:
+        """Published records on ``shard`` (a closed parent's closing seq)."""
+        return self._shard_info(shard).n_records
 
     # -- protocol ----------------------------------------------------------
     def list_shards(self, StreamName: str) -> dict:  # noqa: N803
         self.n_calls += 1
-        return {"Shards": [{"ShardId": f"shardId-{s:012d}"} for s in range(self.shards)]}
+        shards = []
+        for t in self._topo.values():
+            entry = {"ShardId": t.shard_id}
+            if t.parent is not None:
+                # boto3 lineage field: consumers order parent-before-child
+                entry["ParentShardId"] = f"shardId-{t.parent:012d}"
+            shards.append(entry)
+        return {"Shards": shards}
 
     def get_shard_iterator(
         self,
@@ -140,8 +162,7 @@ class FakeSdkKinesisClient:
     ) -> dict:
         self.n_calls += 1
         shard = int(ShardId.rsplit("-", 1)[1])
-        if not 0 <= shard < self.shards:
-            raise KeyError(f"unknown shard {ShardId!r}")
+        self._shard_info(shard)  # raises KeyError on an unknown shard
         if ShardIteratorType == "TRIM_HORIZON":
             seq = 0
         elif ShardIteratorType == "LATEST":
@@ -166,7 +187,9 @@ class FakeSdkKinesisClient:
         self.n_calls += 1
         shard_s, seq_s = ShardIterator.split("|")
         shard, seq = int(shard_s), int(seq_s)
-        end = min(seq + Limit, self.tip)
+        info = self._shard_info(shard)
+        tip = info.n_records
+        end = min(seq + Limit, tip)
         records = []
         for s in range(seq, max(seq, end)):
             _sid, _seq, pk, data, ts = _record(
@@ -180,10 +203,15 @@ class FakeSdkKinesisClient:
                     "ApproximateArrivalTimestamp": ts,
                 }
             )
-        behind = max(0, self.tip - max(seq, end)) * self.interval_ms
+        cursor = max(seq, end)
+        behind = max(0, tip - cursor) * self.interval_ms
+        # a CLOSED shard (reshard parent) consumed to its closing sequence
+        # ends with a null iterator — the service's shard-end signal; the
+        # remainder of the stream lives on the lineage children
+        closed_out = info.closed and cursor >= tip
         return {
             "Records": records,
-            "NextShardIterator": f"{shard}|{max(seq, end)}",
+            "NextShardIterator": None if closed_out else f"{shard}|{cursor}",
             # like the service: 0 only when the iterator is caught up to
             # the tip — the pagination-stop signal sdk_read_range keys on
             "MillisBehindLatest": behind,
@@ -233,12 +261,13 @@ class OpaqueSeqKinesisClient(FakeSdkKinesisClient):
             seq = int(seq_str)
         except ValueError:
             raise ValueError(f"malformed sequence number {seq_str!r}") from None
-        self._opaque(shard, max(self.tip - 1, 0))  # materialize up to tip
+        tip = self._tip_of(shard)
+        self._opaque(shard, max(tip - 1, 0))  # materialize up to this shard's tip
         cum = self._cum[shard]
         import bisect
 
-        i = bisect.bisect_left(cum, seq, 0, self.tip)
-        if i >= self.tip or cum[i] != seq:
+        i = bisect.bisect_left(cum, seq, 0, tip)
+        if i >= tip or cum[i] != seq:
             raise ValueError(
                 f"sequence number {seq_str!r} was never issued by shard {shard} "
                 "of this stream (dense connector ordinals are NOT service "
@@ -259,8 +288,7 @@ class OpaqueSeqKinesisClient(FakeSdkKinesisClient):
                 raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
             self.n_calls += 1
             shard = int(ShardId.rsplit("-", 1)[1])
-            if not 0 <= shard < self.shards:
-                raise KeyError(f"unknown shard {ShardId!r}")
+            self._shard_info(shard)  # raises KeyError on an unknown shard
             ordinal = self._ordinal_for(shard, StartingSequenceNumber)
             return {"ShardIterator": f"{shard}|{ordinal}"}
         return super().get_shard_iterator(
@@ -653,6 +681,7 @@ def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
         interval_ms=opts.interval_ms,
         tip=opts.records_per_shard,
         prepublished=opts.prepublished,
+        reshard_at=opts.reshard_at,
     )
 
 
@@ -671,6 +700,7 @@ def _fake_opaque_factory(opts) -> TranslatingKinesisClient:
             interval_ms=opts.interval_ms,
             tip=opts.records_per_shard,
             prepublished=opts.prepublished,
+            reshard_at=opts.reshard_at,
         )
     )
 

@@ -67,6 +67,51 @@ CURRENCIES = ["click", "view", "signup", "purchase", "error"]
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
+class ShardInfo:
+    """One shard of the (possibly resharded) stream topology."""
+
+    __slots__ = ("index", "parent", "n_records", "closed")
+
+    def __init__(self, index: int, parent: int | None, n_records: int, closed: bool):
+        self.index = index
+        self.parent = parent  # parent shard index; None for an original shard
+        self.n_records = n_records
+        self.closed = closed
+
+    @property
+    def shard_id(self) -> str:
+        return f"shardId-{self.index:012d}"
+
+
+def shard_topology(
+    shards: int, records_per_shard: int, reshard_at: int | None
+) -> list[ShardInfo]:
+    """The stream's shard map, including the one reshard event the
+    simulator models (StreamingJob.java:26-41 is the consumer surface this
+    feeds; real Kinesis consumers must survive splits mid-stream).
+
+    ``reshard_at=None``: the static map — ``shards`` open shards carrying
+    ``records_per_shard`` records each.  ``reshard_at=k``: every original
+    shard ``s`` CLOSES after its first ``k`` records (the service ends the
+    parent's sequence range) and splits into two child shards — indices
+    ``shards + 2s`` and ``shards + 2s + 1``, each carrying
+    ``ParentShardId`` lineage and ``records_per_shard − k`` fresh records
+    of its own.  Children carry NEW post-split data, never a replay of the
+    parent's (exactly the service's model), and each child's sequence
+    space is its own dense [0, n) — which is why a translation-adapter
+    ledger extends across a reshard by ADDING per-child keys, not by
+    rewriting parent entries (see TranslatingKinesisClient's resharding
+    note)."""
+    if reshard_at is None:
+        return [ShardInfo(s, None, records_per_shard, False) for s in range(shards)]
+    child_n = records_per_shard - reshard_at
+    topo = [ShardInfo(s, None, reshard_at, True) for s in range(shards)]
+    for s in range(shards):
+        topo.append(ShardInfo(shards + 2 * s, s, child_n, False))
+        topo.append(ShardInfo(shards + 2 * s + 1, s, child_n, False))
+    return topo
+
+
 def _parse_start_timestamp(v) -> datetime:
     """AT_TIMESTAMP option value → aware-UTC datetime.  Accepts ISO-8601
     (naive treated as UTC) or epoch seconds — the two formats Flink's
@@ -175,6 +220,24 @@ class _Opts:
             )
         if self.initial_position == "AT_TIMESTAMP" and self.start_timestamp is None:
             raise ValueError("initial_position=AT_TIMESTAMP requires start_timestamp")
+        #: reshard model: each original shard closes after this many records
+        #: and splits into two children (see ``shard_topology``)
+        ra = options.get("reshard_at")
+        self.reshard_at = int(ra) if ra is not None else None
+        if self.reshard_at is not None:
+            if not 0 < self.reshard_at < self.records_per_shard:
+                raise ValueError(
+                    f"reshard_at must be in (0, records_per_shard), got "
+                    f"{self.reshard_at} of {self.records_per_shard}"
+                )
+            if self.initial_position != "TRIM_HORIZON":
+                # a LATEST/AT_TIMESTAMP attach point is ambiguous across a
+                # parent→child boundary (children's clocks overlap the
+                # parent's); the reshard model pins the unambiguous start
+                raise ValueError(
+                    "reshard_at requires initial_position=TRIM_HORIZON "
+                    f"(got {self.initial_position})"
+                )
         #: record-acquisition path: "generator" = direct in-process calls
         #: (the hot default); "sdk" = route every read through a
         #: KinesisClient (boto3 wire shape) — the contract-tested seam a
@@ -201,6 +264,10 @@ class _Opts:
         from .kinesis_client import CLIENT_FACTORIES
 
         return CLIENT_FACTORIES[self.client](self)
+
+    def topology(self) -> list[ShardInfo]:
+        """This stream's shard map (parents + reshard children, if any)."""
+        return shard_topology(self.shards, self.records_per_shard, self.reshard_at)
 
     def start_seq(self, shard: int) -> int:
         """First sequence number the configured initial position yields for
@@ -238,11 +305,15 @@ class KinesisSimBatchReader(DataSourceReader):
         # one partition per shard — the connector's parallelism contract;
         # the range start honors initial_position (TRIM_HORIZON = 0,
         # LATEST = after the prepublished backlog, AT_TIMESTAMP = first
-        # record at-or-after start_timestamp), same as the stream reader
+        # record at-or-after start_timestamp), same as the stream reader.
+        # A resharded stream plans a partition per TOPOLOGY shard — closed
+        # parents (their full closed range) AND their children — so the
+        # read crosses the split boundary exactly as a service consumer
+        # must (parallelism = live shard count, Flink's model)
         o = self.opts
         return [
-            _ShardPartition(s, min(o.start_seq(s), o.records_per_shard), o.records_per_shard)
-            for s in range(o.shards)
+            _ShardPartition(t.index, min(o.start_seq(t.index), t.n_records), t.n_records)
+            for t in o.topology()
         ]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
@@ -271,13 +342,18 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         o = self.opts
-        return {f"shardId-{s:012d}": o.start_seq(s) for s in range(o.shards)}
+        return {t.shard_id: o.start_seq(t.index) for t in o.topology()}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         o = self.opts
+        # per-shard tips: a closed parent's tip is its closing sequence,
+        # a reshard child's is its own record count (offsets for shards
+        # absent from the topology — e.g. a restart with changed options —
+        # saturate at the cursor rather than regressing)
+        tips = {t.shard_id: t.n_records for t in o.topology()}
         end = {}
         for shard_name, cursor in start.items():
-            tip = o.records_per_shard
+            tip = tips.get(shard_name, int(cursor))
             # clamp at the cursor, never below it: a checkpointed restart
             # with a SMALLER records_per_shard must not hand Spark a
             # regressing offset (the WAL assumes monotonic offsets)
@@ -513,7 +589,9 @@ class KinesisSimDataSource(DataSource):
     Options: shards, seed, template (orders|rates), interval_ms,
     records_per_shard, prepublished, initial_position
     (TRIM_HORIZON|LATEST|AT_TIMESTAMP with start_timestamp),
-    batch_records; client_mode
+    batch_records; reshard_at (every original shard closes after this
+    many records and splits into two lineage-carrying children — see
+    ``shard_topology``); client_mode
     (generator|sdk), client (registered KinesisClient factory name,
     default fake_sdk), stream_name — the real-AWS seam, see
     sources/kinesis_client.py.

@@ -747,3 +747,95 @@ def test_strict_anchor_refuses_horizon_recount():
     cold = TranslatingKinesisClient(mk_inner(), strict_anchor=True)
     cold.restore_ledger(strict.ledger_snapshot())
     assert len(sdk_read_range(cold, "s", 0, 50, 60)) == 10
+
+
+# --- r9: reshard lineage (parent→child shard split) -----------------------
+
+
+def test_shard_topology_shape():
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import shard_topology
+
+    static = shard_topology(3, 100, None)
+    assert [(t.index, t.parent, t.n_records, t.closed) for t in static] == [
+        (0, None, 100, False), (1, None, 100, False), (2, None, 100, False)
+    ]
+    split = shard_topology(2, 100, 30)
+    assert [(t.index, t.parent, t.n_records, t.closed) for t in split] == [
+        (0, None, 30, True), (1, None, 30, True),
+        (2, 0, 70, False), (3, 0, 70, False),
+        (4, 1, 70, False), (5, 1, 70, False),
+    ]
+    assert split[2].shard_id == "shardId-000000000002"
+
+
+def test_fake_client_reshard_closed_parent_and_lineage():
+    """The service's split contract on the dense fake: list_shards carries
+    ParentShardId lineage, a parent consumed to its closing sequence ends
+    with a NULL iterator, and the remainder of the stream is served by the
+    children — reads cross the boundary without inventing or losing
+    records."""
+    c = FakeSdkKinesisClient(shards=2, seed=9, tip=100, reshard_at=30)
+    shards = c.list_shards(StreamName="s")["Shards"]
+    assert [s["ShardId"][-4:] for s in shards] == ["0000", "0001", "0002", "0003", "0004", "0005"]
+    assert [s.get("ParentShardId", "")[-4:] for s in shards] == [
+        "", "", "0000", "0000", "0001", "0001"
+    ]
+    # a plain read ASKING past the parent's close gets exactly the closed
+    # range (the stream continues on the children, not here)
+    got = sdk_read_range(c, "s", 0, 10, 100, page_limit=7)
+    assert got == [_record("orders", 9, 0, seq, 10) for seq in range(10, 30)]
+    # committed-range replay past the close fails loudly
+    with pytest.raises(RuntimeError, match="committed range"):
+        sdk_read_range(c, "s", 0, 10, 40, require_complete=True)
+    # the closed range itself replays complete
+    assert len(sdk_read_range(c, "s", 0, 0, 30, require_complete=True, page_limit=8)) == 30
+    # children serve their own dense [0, 70) spaces
+    for child in (2, 3, 4, 5):
+        assert sdk_read_range(c, "s", child, 60, 70) == [
+            _record("orders", 9, child, seq, 10) for seq in range(60, 70)
+        ]
+    # consumed-to-close parent signals shard end with a null iterator
+    it = c.get_shard_iterator(
+        StreamName="s", ShardId="shardId-000000000000",
+        ShardIteratorType="AT_SEQUENCE_NUMBER", StartingSequenceNumber="28",
+    )["ShardIterator"]
+    page = c.get_records(ShardIterator=it)
+    assert [int(r["SequenceNumber"]) for r in page["Records"]] == [28, 29]
+    assert page["NextShardIterator"] is None and page["MillisBehindLatest"] == 0
+
+
+def test_translating_adapter_across_reshard():
+    """VERDICT r8 #5: the adapter's last untested assumption.  The ledger
+    extends across a split by ADDING per-child keys — each shard (closed
+    parent and each child) translates its own dense ordinal space
+    independently through the opaque-sequence backend."""
+    inner = OpaqueSeqKinesisClient(shards=1, seed=11, tip=80, reshard_at=50)
+    c = TranslatingKinesisClient(inner)
+    # lineage flows through the wrapper untouched
+    shards = c.list_shards(StreamName="s")["Shards"]
+    assert [s.get("ParentShardId") for s in shards] == [None, "shardId-000000000000", "shardId-000000000000"]
+    # closed parent: full closed range through the translation stack
+    assert sdk_read_range(c, "s", 0, 0, 50, page_limit=13) == [
+        _record("orders", 11, 0, seq, 10) for seq in range(50)
+    ]
+    # plain read over the boundary stops at the close; strict replay fails
+    assert sdk_read_range(c, "s", 0, 45, 60) == [
+        _record("orders", 11, 0, seq, 10) for seq in range(45, 50)
+    ]
+    with pytest.raises(RuntimeError, match="committed range"):
+        sdk_read_range(c, "s", 0, 45, 60, require_complete=True)
+    # children: own ordinal spaces from 0, translated via their own ledger keys
+    for child in (1, 2):
+        assert sdk_read_range(c, "s", child, 10, 30, page_limit=9) == [
+            _record("orders", 11, child, seq, 10) for seq in range(10, 30)
+        ]
+    assert set(c.ledger_snapshot()) == {
+        "shardId-000000000000", "shardId-000000000001", "shardId-000000000002"
+    }
+    # and a persisted ledger spanning the split restores shard-by-shard
+    cold = TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=1, seed=11, tip=80, reshard_at=50),
+        strict_anchor=True,
+    )
+    cold.restore_ledger(c.ledger_snapshot())
+    assert len(sdk_read_range(cold, "s", 2, 20, 25)) == 5

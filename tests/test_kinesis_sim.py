@@ -517,3 +517,63 @@ def test_at_timestamp_initial_position(spark):
 
     with _pytest.raises(ValueError, match="start_timestamp"):
         KinesisSimStreamReader({"initial_position": "AT_TIMESTAMP"})
+
+
+def test_reshard_batch_read_crosses_split(spark):
+    """r9: a resharded stream plans one partition per TOPOLOGY shard —
+    closed parents and lineage children — and every acquisition mode
+    (generator, sdk, full opaque-adapter stack) yields the identical
+    record multiset across the split boundary."""
+    register(spark)
+    opts = {"shards": 2, "records_per_shard": 100, "reshard_at": 30, "seed": 17}
+    df = spark.read.format("kinesis_sim").options(**opts).load()
+    # 2 parents x 30 + 4 children x 70
+    assert df.count() == 2 * 30 + 4 * 70
+    assert df.rdd.getNumPartitions() == 6
+    per_shard = {
+        r.shard_id[-4:]: r.n
+        for r in df.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_shard == {
+        "0000": 30, "0001": 30, "0002": 70, "0003": 70, "0004": 70, "0005": 70
+    }
+    direct = sorted(tuple(r) for r in df.collect())
+    for client in ("fake_sdk", "fake_opaque"):
+        via = spark.read.format("kinesis_sim").options(
+            **opts, client_mode="sdk", client=client
+        ).load()
+        assert sorted(tuple(r) for r in via.collect()) == direct, client
+
+
+def test_reshard_stream_offsets_saturate_at_close():
+    """Streaming offset model across a split: parents advance to their
+    closing sequence and saturate; children advance to their own tips;
+    committed ranges replay bit-for-bit through both acquisition modes."""
+    base = {"shards": 1, "records_per_shard": 20, "reshard_at": 8, "batch_records": 5}
+    r = KinesisSimStreamReader(base)
+    start = r.initialOffset()
+    assert start == {
+        "shardId-000000000000": 0, "shardId-000000000001": 0, "shardId-000000000002": 0
+    }
+    cur = start
+    for _ in range(5):
+        _rows, cur = r.read(cur)
+    assert cur == {
+        "shardId-000000000000": 8,   # parent saturated at its close
+        "shardId-000000000001": 12, "shardId-000000000002": 12,
+    }
+    sdk = KinesisSimStreamReader({**base, "client_mode": "sdk", "client": "fake_opaque"})
+    assert list(r.readBetweenOffsets(start, cur)) == list(sdk.readBetweenOffsets(start, cur))
+
+
+def test_reshard_option_validation():
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import _Opts
+
+    for bad in (0, -1, 50, 99):
+        with pytest.raises(ValueError, match="reshard_at"):
+            _Opts({"records_per_shard": 50 if bad != 99 else 40, "reshard_at": bad})
+    with pytest.raises(ValueError, match="TRIM_HORIZON"):
+        _Opts({"records_per_shard": 50, "reshard_at": 10, "initial_position": "LATEST"})
+    assert _Opts({"records_per_shard": 50, "reshard_at": 10}).reshard_at == 10
