@@ -474,9 +474,13 @@ def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_sketches",
-    oracle=None,  # sketch estimates are implementation-specific; accuracy
-    # pinned against exact values in tests/test_extras.py
-    doc="approximate sketches: HLL distinct users + quantile sketch per event type",
+    oracle=None,  # the raw estimates are implementation-specific (HLL
+    # register layout), so THIS row is rows-only — but the estimates are
+    # NOT oracle-free: approx_sketches_bounds (below) hash-pins the same
+    # sketches inside their proven error bounds against DuckDB exact
+    # values, and tests/test_quality_gates.py pins the measured error
+    doc="approximate sketches: HLL distinct users + quantile sketch per event "
+    "type (error-bound oracle: see approx_sketches_bounds)",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scalar quantile columns (not one array column): the driver's row
@@ -495,6 +499,77 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__q", 2).alias("q95"),
         F.element_at("__q", 3).alias("q99"),
         "n",
+    )
+
+
+@query(
+    "approx_sketches_bounds",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_in_bounds,
+           TRUE AS q50_in_bounds,
+           TRUE AS q95_in_bounds,
+           TRUE AS q99_in_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="VERDICT r8 #2 — the correctness bar for approx_sketches: each "
+    "sketch estimate is asserted INSIDE its proven error bound against "
+    "exactly-computed values, and the verdict is hash-checked (an "
+    "estimate leaving its bound flips a boolean and fails the driver "
+    "row, not just the row count)",
+)
+def q_approx_sketches_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-gate for the implementation-specific sketches.
+
+    - ``approx_count_distinct(rsd=0.02)`` is HLL++ with standard error
+      2%: the gate allows 5σ relative error plus a +5 absolute floor for
+      small groups — |est − exact| ≤ 0.10·exact + 5.  Far looser than
+      observed (~1%), tight enough that a broken sketch (off by a bucket
+      width, double-counted merge) fails.
+    - ``percentile_approx(…, 10000)`` guarantees RANK error ≤ n/10000:
+      the gate asserts each approximate quantile lies between the exact
+      interpolated percentiles at p ± 0.005 (50× the guaranteed rank
+      slack, so data regeneration can't flake it; a sketch returning a
+      wrong-bucket value still lands far outside).
+
+    The oracle recomputes n and exact_users in DuckDB (pinning the exact
+    side of every comparison) and expects TRUE for all four verdict
+    columns — so the hash compare IS the bounds check.  Scale shape: one
+    shuffle on event_type; countDistinct expands to a two-phase
+    distinct-aggregate, exact percentile gathers per-group value lists —
+    acceptable for a 5-group accuracy gate, not a pattern for
+    high-cardinality groups (kmv_distinct_sketch is the mergeable path).
+    """
+    (ev,) = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("__q"),
+        F.expr(
+            "percentile(value, array(0.495, 0.505, 0.945, 0.955, 0.985, 0.995))"
+        ).alias("__e"),
+    )
+
+    def q_within(qi: int, lo: int, hi: int):
+        return (F.element_at("__q", qi) >= F.element_at("__e", lo)) & (
+            F.element_at("__q", qi) <= F.element_at("__e", hi)
+        )
+
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("__hll") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.10 + F.lit(5)
+        ).alias("hll_in_bounds"),
+        q_within(1, 1, 2).alias("q50_in_bounds"),
+        q_within(2, 3, 4).alias("q95_in_bounds"),
+        q_within(3, 5, 6).alias("q99_in_bounds"),
     )
 
 

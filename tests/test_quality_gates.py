@@ -133,3 +133,49 @@ def test_embedding_neardup_recall_gate_both_attested_shapes(spark):
             f"LSH near-dup recall at {n_planes} planes x {n_tables} tables "
             f"degraded: {recall:.3f} < {floor}"
         )
+
+
+def test_approx_sketches_error_gate(spark):
+    """VERDICT r8 #2 companion: beyond the driver row's boolean verdicts
+    (approx_sketches_bounds — TRUE/FALSE inside 5σ-with-floor bounds),
+    pin the MEASURED sketch error well inside those bounds so gradual
+    degradation fails here before it ever flips a driver boolean."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import all_specs
+
+    specs = all_specs()
+    verdicts = specs["approx_sketches_bounds"].fn(spark, SF_ORACLE).collect()
+    assert len(verdicts) == 5
+    for r in verdicts:
+        assert r["hll_in_bounds"] and r["q50_in_bounds"] and r["q95_in_bounds"] and r["q99_in_bounds"], (
+            f"sketch estimate outside its proven bound: {r}"
+        )
+    # measured HLL error: rsd=0.02 → expect ~2%; gate at 6% (3σ), far
+    # inside the driver row's 10%+5 bound
+    est = {r["event_type"]: r["approx_users"] for r in specs["approx_sketches"].fn(spark, SF_ORACLE).collect()}
+    exact = {r["event_type"]: r["exact_users"] for r in verdicts}
+    rel_errs = {t: abs(est[t] - exact[t]) / exact[t] for t in exact}
+    assert max(rel_errs.values()) <= 0.06, f"HLL relative error degraded: {rel_errs}"
+
+
+def test_embedding_neardup_wide_shape_clustered_gate(spark):
+    """VERDICT r8 #8: the 0.20 floor on the borderline sf0.001 fixture
+    only catches catastrophic 8×16 regressions.  On the clustered
+    close-pair fixture intra-cluster angles are tiny, so the wide shape's
+    recall is near-perfect — gate it at 0.90 so MID-SIZE degradations
+    (a sketch off by one plane, a table under-probed) also fail a named
+    quality test."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
+    from tests.test_similarity import DIM, make_clustered_vectors
+
+    vectors = make_clustered_vectors(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in S.neardup_pairs(vectors, threshold=0.9).collect()}
+    assert exact, "clustered fixture should contain close pairs at t=0.9"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.neardup_pairs_lsh(
+            vectors, threshold=0.9, dim=DIM, n_planes=8, n_tables=16
+        ).collect()
+    }
+    assert got <= exact, f"precision breach on clustered fixture: {got - exact}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.90, f"8x16 close-pair recall degraded: {recall:.3f}"

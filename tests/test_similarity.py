@@ -15,17 +15,23 @@ DIM = 16
 SCHEMA = StructType([StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))])
 
 
-@pytest.fixture(scope="module")
-def vectors(spark):
+def make_clustered_vectors(spark):
+    """10 well-separated cluster centers, 20 points each: near-neighbours
+    are *within* a cluster — the regime LSH is built for.  Shared with
+    tests/test_quality_gates.py (the 8×16 recall gate runs on BOTH this
+    close-pair fixture and the borderline sf0.001 corpus)."""
     rng = np.random.RandomState(42)
-    # 10 well-separated cluster centers, 20 points each: near-neighbours are
-    # *within* a cluster — the regime LSH is built for.
     centers = rng.randn(10, DIM) * 4
     rows = []
     for i in range(200):
         c = centers[i % 10]
         rows.append((i, [float(x) for x in c + rng.randn(DIM) * 0.3]))
     return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return make_clustered_vectors(spark)
 
 
 def brute_py(rows: list[tuple[int, list[float]]], qid: int, k: int) -> list[int]:
