@@ -86,20 +86,171 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 8 window -----------------------------------------------------
-    # 1-2: the ONLY two queries never to have held a driver slot (VERDICT r7
-    # #1; judge replica-green twice) — with these green, every registered
-    # query has ≥1 green driver row.  3-4: the surfaces changed this round —
-    # kinesis_translating_sdk_roundtrip is NEW (the ordinal↔opaque-sequence
-    # adapter stack, VERDICT r7 #4) and kinesis_fake_sdk_roundtrip rides the
-    # sdk_read_range gap-page fix.  5-50: staleness rotation, oldest green
-    # row first — the full r2-attested block (8, incl. the rows-only
-    # approx_sketches), the full r4-attested block (36), then two r5-stale
-    # bench headliners.  Next-stalest (r5 block) leads the r9 rotation.
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
+    # --- round 9 window -----------------------------------------------------
+    # Policy (VERDICT r8 #3): with the attestation backlog empty, the window
+    # is now a standing OLDEST-FIRST ROTATION — new queries enter on their
+    # first round, surfaces changed this round ride along, and the remaining
+    # slots go to the queries whose newest green driver row is oldest.  The
+    # whole list below is in staleness order, so future rounds rotate by
+    # moving the next 50 stale names (plus new/changed) to the top.
+    # 1-2: NEW r9 — the reshard-lineage adapter attestation and the
+    # error-bound oracle for the sketches (VERDICT r8 #5/#2).  3-4: attested
+    # r8 but their code changed r9 (token reuse, tip-wrap fix, per-shard
+    # topology in the fake clients).  5-46: the entire r5-stale block — every
+    # query whose last green row is round 5 (interval_join/currency_conversion
+    # lead; their validation path also changed r9).  47-50: the head of the
+    # r6-stale block.
+    "kinesis_reshard_roundtrip",
+    "approx_sketches_bounds",
     "kinesis_translating_sdk_roundtrip",
     "kinesis_fake_sdk_roundtrip",
+    "interval_join",
+    "currency_conversion",
+    "projection_filter",
+    "asof_join_latest_rate",
+    "asof_forward_join",
+    "streaming_session_window",
+    "streaming_chained_windows",
+    "streaming_running_aggregate",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "streaming_static_enrich",
+    "streaming_sliding_window",
+    "streaming_topk_complete",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_resize",
+    "tpch_q4_priority_check",
+    "tpch_q6_revenue_delta",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share",
+    "kmv_distinct_sketch",
+    "array_agg_sorted",
+    "set_intersect",
+    "self_range_join",
+    "null_scalars",
+    "array_hof_pipeline",
+    "timeseries_interpolate",
+    "lag_lead_gaps",
+    "explode_token_frequencies",
+    "event_sequence_detect",
+    "funnel_steps",
+    "timeseries_gap_fill",
+    "session_gaps_islands",
+    "cascaded_rollup",
+    "token_stats",
+    "bpe_token_estimate",
+    "quality_score",
+    "lang_id",
+    "corpus_clean_pipeline",
+    "contamination_ngram_overlap",
+    "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
+    "interval_join_forward",
+    "embedding_neardup",
+    # --- staleness tail (rotates into future windows oldest-first) ----------
+    # r6-attested remainder:
+    "streaming_interval_join",
+    "streaming_tumbling_window",
+    "streaming_late_data",
+    "streaming_dedup",
+    "streaming_asof_enrich",
+    "streaming_kinesis_roundtrip",
+    "duplicate_span_detect",
+    "duplicate_span_removal",
+    "dsir_importance_select",
+    "containment_neardup",
+    "streaming_dedup_restamped",
+    "dataset_split_assign",
+    "semantic_dedup",
+    "domain_mixture_sample",
+    "unigram_surprisal_score",
+    "tpch_q9_product_profit",
+    "doc_chunks",
+    "normalize_text",
+    "rolling_fingerprint",
+    "stratified_sample",
+    "reservoir_per_group",
+    "deterministic_sample",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders",
+    "window_rank",
+    "window_moving_avg",
+    "rollup_customer_geo",
+    "large_order_customers",
+    "nation_pair_revenue",
+    "cube_status_priority",
+    "unpivot_lineitem_metrics",
+    "value_histogram",
+    "grouped_having",
+    "distinct_pairs",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "conditional_agg",
+    "shipping_priority",
+    "date_functions",
+    "grouping_sets_revenue",
+    "tpch_q8_market_share",
+    "salted_join_revenue",
+    "regex_extract_tokens",
+    "tpch_q21_late_supplier",
+    "repetition_signals",
+    # r7-attested:
+    "embedding_neardup_wide",
+    "seasonal_residual_flags",
+    "event_transition_matrix",
+    "incremental_dedup",
+    "embedding_gram_matrix",
+    "interval_join_full",
+    "streaming_incremental_dedup",
+    "streaming_cms_sketch",
+    "streaming_sequence_detect",
+    "streaming_gram_matrix",
+    "cms_frequency_sketch",
+    "kmv_set_ops",
+    "binned_quantile_estimate",
+    "minhash_accuracy_report",
+    "ann_recall_report",
+    "bloom_contamination_screen",
+    "dedup_pipeline_report",
+    "canonical_doc_select",
+    "template_doc_detect",
+    "split_leakage_audit",
+    "token_budget_select",
+    "snapshot_cdc_diff",
+    "incremental_agg_merge",
+    "feature_hash_vector",
+    "weighted_sample_topk",
+    "char_entropy_score",
+    "bpe_merge_step",
+    "bigram_surprisal_score",
+    "pmi_collocations",
+    "pca_power_iteration",
+    "pca_outlier_scores",
+    "embedding_dim_variance",
+    "triangle_count_graph",
+    "pagerank_dup_graph",
+    "link_prediction_common_neighbors",
+    "attribution_last_touch",
+    "cohort_retention",
+    "recursive_ewma_rates",
+    "theilsen_trend",
+    "cusum_changepoint",
+    "rolling_anomaly_flags",
+    "winsorize_outliers",
+    "chisq_priority_status",
+    "join_key_skew_report",
+    "variant_semistructured",
+    "xml_roundtrip_extract",
+    "tpch_q11_important_stock",
+    "tpch_q18_large_volume_customer",
+    "tpch_q12_late_priority",
+    # r8-attested:
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
     "json_extract_agg",
     "pivot_status_by_priority",
     "approx_sketches",
@@ -146,142 +297,6 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_join",
     "neardup_jaccard",
     "dedup_clusters",
-    # --- round 7 window (attested r7; rotates behind) ------------------------
-    # VERDICT r6 #1: 50 registered queries have never held a driver window
-    # slot (judge replica-verified all oracle-bearing ones green, but
-    # unattested code rots).  The r7 window is therefore the entire
-    # never-attested backlog, ordered: (a) surfaces CHANGED this round
-    # first (seasonal_residual_flags' 3σ test moved to DECIMAL(38)/HUGEINT,
-    # event_transition_matrix touched), plus new r7 queries as they land;
-    # (b) the mining/sketch/stats tier and interval_join_full; (c) the five
-    # TPC-H never-attested shapes LAST — they are plan-shape twins of
-    # already-attested shapes, so they are the lowest-risk entries to slip
-    # into the r8 window if new r7 queries displace the tail.
-    "embedding_neardup_wide",       # NEW r7: second LSH shape (16 tables × 8 planes)
-    "seasonal_residual_flags",      # changed r7: overflow-proof decimal 3σ test
-    "event_transition_matrix",      # changed r7 (dead local removed)
-    "incremental_dedup",            # bench headliner, never windowed
-    "embedding_gram_matrix",        # bench headliner, never windowed
-    "interval_join_full",           # reference-adjacent: full-outer interval join
-    "streaming_incremental_dedup",
-    "streaming_cms_sketch",
-    "streaming_sequence_detect",
-    "streaming_gram_matrix",
-    "cms_frequency_sketch",
-    "kmv_set_ops",
-    "binned_quantile_estimate",
-    "minhash_accuracy_report",
-    "ann_recall_report",
-    "bloom_contamination_screen",
-    "dedup_pipeline_report",
-    "canonical_doc_select",
-    "template_doc_detect",
-    "split_leakage_audit",
-    "token_budget_select",
-    "snapshot_cdc_diff",
-    "incremental_agg_merge",
-    "feature_hash_vector",
-    "weighted_sample_topk",
-    "char_entropy_score",
-    "bpe_merge_step",
-    "bigram_surprisal_score",
-    "pmi_collocations",
-    "pca_power_iteration",
-    "pca_outlier_scores",
-    "embedding_dim_variance",
-    "triangle_count_graph",
-    "pagerank_dup_graph",
-    "link_prediction_common_neighbors",
-    "attribution_last_touch",
-    "cohort_retention",
-    "recursive_ewma_rates",
-    "theilsen_trend",
-    "cusum_changepoint",
-    "rolling_anomaly_flags",
-    "winsorize_outliers",
-    "chisq_priority_status",
-    "join_key_skew_report",
-    "variant_semistructured",
-    "xml_roundtrip_extract",
-    "tpch_q11_important_stock",     # BNLJ-whitelisted shape — worth a driver row
-    "tpch_q18_large_volume_customer",
-    "tpch_q12_late_priority",
-    # --- round 6 window (attested r6; rotate behind the backlog) ------------
-    # 1-9: changed surfaces.  kinesis_interval_join /
-    # streaming_kinesis_tumbling drive the reference topology end-to-end
-    # through the in-repo format("kinesis_sim") connector, batch and
-    # streaming read paths respectively (first driver attestations);
-    # interval_join_forward attests the forward branch of the bucket
-    # algebra; embedding_neardup was rewritten twice (Arrow matmul
-    # sketches, then the flat-column exact verify); 5 streaming queries
-    # represent the replay fixture writer that became distributed this
-    # round (one code path shared by all 11 riders — the other 6, all
-    # green r5 with unchanged operator code, yield their slots to
-    # never-attested queries and lead the r7 rotation).
-    "kinesis_interval_join",
-    "streaming_kinesis_tumbling",
-    "interval_join_forward",
-    "embedding_neardup",
-    "streaming_interval_join",
-    "streaming_tumbling_window",
-    "streaming_late_data",
-    "streaming_dedup",
-    "streaming_asof_enrich",
-    # 10-20: new this round, never driver-attested — window policy rule 3
-    # (new queries enter on their first round): the sink-side kinesis
-    # attestation, the substring-dedup tier (detect + remove), DSIR
-    # selection, containment pairs, within-watermark streaming dedup,
-    # split assignment, three pipeline ops, and one representative of the
-    # six new TPC-H shapes (plan-shape twins of attested shapes; r7
-    # rotates the rest).
-    "streaming_kinesis_roundtrip",
-    "duplicate_span_detect",
-    "duplicate_span_removal",
-    "dsir_importance_select",
-    "containment_neardup",
-    "streaming_dedup_restamped",
-    "dataset_split_assign",
-    "semantic_dedup",
-    "domain_mixture_sample",
-    "unigram_surprisal_score",
-    "tpch_q9_product_profit",
-    # 21-50: staleness rotation (VERDICT r5 #1): queries whose newest
-    # green driver row was ≤ r2, oldest first — r1 block first, then the
-    # r2 tail.  30 of the 37 fit (≥30 asked); the slots the never-attested
-    # round-6 additions above took came from the lowest-rot-risk stale
-    # surfaces (string/math functions, set_ops, semi/anti join,
-    # json_extract_agg, pivot_status_by_priority — pure relational ops
-    # with no timestamp/env coupling), which lead the r7 rotation.
-    "doc_chunks",
-    "normalize_text",
-    "rolling_fingerprint",
-    "stratified_sample",
-    "reservoir_per_group",
-    "deterministic_sample",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "topk_orders",
-    "window_rank",
-    "window_moving_avg",
-    "rollup_customer_geo",
-    "large_order_customers",
-    "nation_pair_revenue",
-    "cube_status_priority",
-    "unpivot_lineitem_metrics",
-    "value_histogram",
-    "grouped_having",
-    "distinct_pairs",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "conditional_agg",
-    "shipping_priority",
-    "date_functions",
-    "grouping_sets_revenue",
-    "tpch_q8_market_share",
-    "salted_join_revenue",
-    "regex_extract_tokens",
-    "tpch_q21_late_supplier",
-    "repetition_signals",
 ]
 
 

@@ -464,3 +464,56 @@ def test_registry_sweep_no_cartesian_no_stray_nested_loop(spark):
     # registry) is stale and must be removed, not silently carried
     stale = BNLJ_SCALAR_CROSS - bnlj_seen
     assert not stale, f"whitelist entries that no longer plan a BNLJ: {stale}"
+
+
+def test_count_plan_ops_dedups_cached_and_initial():
+    """VERDICT r8 #6: PLANS.md counts must be absolute — a cached subtree
+    re-printed under two InMemoryRelation references and a pre-AQE
+    Initial Plan section must not inflate the shuffle count."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from scale_audit import count_plan_ops
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (10)
++- HashAggregate (9)
+   +- Exchange (8)
+      +- BroadcastHashJoin Inner BuildRight (7)
+         :- InMemoryTableScan (1)
+         :     +- InMemoryRelation (2)
+         :           +- AdaptiveSparkPlan (6)
+                        +- == Final Plan ==
+                           Exchange (5)
+                           +- Scan parquet  (4)
+                        +- == Initial Plan ==
+                           Exchange (99)
+                           +- Scan parquet  (4)
+         +- BroadcastExchange (3)
+            +- InMemoryTableScan (1)
+                  +- InMemoryRelation (2)
+                        +- AdaptiveSparkPlan (6)
+                           +- == Final Plan ==
+                              Exchange (5)
+                              +- Scan parquet  (4)
+                           +- == Initial Plan ==
+                              Exchange (99)
+                              +- Scan parquet  (4)
+
+
+(8) Exchange
+Arguments: hashpartitioning(x, 32), ENSURE_REQUIREMENTS, [plan_id=1]
+
+(5) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+
+(99) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+"""
+    c = count_plan_ops(plan)
+    # Exchange (5) appears twice in the text (cached subtree re-print) ->
+    # once; Exchange (99) lives only in Initial Plan sections -> zero;
+    # BroadcastExchange is not a shuffle; SinglePartition only counts for
+    # ids that execute (5, not 99)
+    assert c == {"exchange": 2, "single": 1, "bhj": 1, "smj": 0}
