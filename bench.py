@@ -14,10 +14,31 @@ import sys
 import time
 
 
+def _canary_samples() -> list[float]:
+    """Host-noise canary (VERDICT r8 #7): a FIXED CPU-bound workload —
+    pinned-seed 3000x3000 float64 matmul, ~54 GFLOP — timed min-of-3.
+    The work is identical every round, so the number moves only with host
+    speed: r8's +9.8% headline drift was attributable to a uniformly slow
+    host window only by cross-referencing which files the diff touched;
+    with canary_sec in the artifact, a slow window is visible in-band and
+    the verdict can normalize round-over-round comparisons."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(3000, 3000)
+    (a @ a).sum()  # warm BLAS dispatch/threads once, untimed
+    samples = []
+    for _ in range(3):
+        t = time.time()
+        (a @ a).sum()
+        samples.append(round(time.time() - t, 4))
+    return samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    canary_start = _canary_samples()
     t0 = time.time()
     from amazon_kinesis_data_analytics_flinktableapi_spark.engine import build_spark
     from amazon_kinesis_data_analytics_flinktableapi_spark.queries import all_specs
@@ -153,6 +174,11 @@ def main() -> None:
     # AWS path will pay (dict records, bytes payloads, iterator pagination)
     sdk_rps, sdk_samples = ks_bench("kinesis_sim_sdk_scan", client_mode="sdk")
 
+    # second canary reading at the end: a slow window that opened mid-run
+    # shows as end >> start; both traces land in the JSON
+    canary_end = _canary_samples()
+    print(f"# canary: start={canary_start} end={canary_end}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # the headline set GREW in round 5 (+dedup_clusters, +embedding_neardup);
     # report the round-1..3 10-query subset total alongside so round-over-
@@ -173,6 +199,8 @@ def main() -> None:
         "streaming_interval_join_recs_per_sec": streaming_rps,
         "kinesis_sim_scan_recs_per_sec": ks_rps,
         "kinesis_sim_sdk_scan_recs_per_sec": sdk_rps,
+        "canary_sec": min(min(canary_start), min(canary_end)),
+        "canary_samples_sec": {"start": canary_start, "end": canary_end},
         "query_samples": raw_samples,
         "throughput_samples_sec": {
             "streaming_interval_join": stream_samples,
