@@ -103,3 +103,36 @@ def test_translating_ledger_correct_for_any_read_sequence(tip, reads, seed):
         got = sdk_read_range(c, "s", 0, start, end, page_limit=page_limit)
         want = [_record("orders", seed, 0, q, 10) for q in range(start, min(end, tip))]
         assert got == want, f"read [{start}, {end}) page_limit={page_limit}"
+
+
+@given(
+    shards=st.integers(1, 3),
+    tip=st.integers(2, 60),
+    reshard_frac=st.floats(0.05, 0.95),
+    seed=st.integers(0, 2**16),
+    page_limit=st.integers(1, 64),
+)
+@settings(max_examples=40, deadline=None)
+def test_reshard_reads_match_generator_for_any_split(
+    shards, tip, reshard_frac, seed, page_limit
+):
+    """r9 reshard model: for ANY (shards, records_per_shard, reshard_at)
+    the full per-shard reads through the complete adapter stack equal the
+    generator ground truth — parents truncate exactly at their closing
+    sequence, children serve their own dense spaces, and no record is
+    lost, duplicated, or attributed to the wrong lineage shard."""
+    reshard_at = max(1, min(tip - 1, int(tip * reshard_frac)))
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        shard_topology,
+    )
+
+    c = TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=shards, seed=seed, tip=tip, reshard_at=reshard_at)
+    )
+    for t in shard_topology(shards, tip, reshard_at):
+        # ask for MORE than the shard holds: closed parents and children
+        # alike must truncate at their own tip, never fabricate
+        got = sdk_read_range(c, "s", t.index, 0, tip + 7, page_limit=page_limit)
+        assert got == [
+            _record("orders", seed, t.index, q, 10) for q in range(t.n_records)
+        ], f"shard {t.index} (parent={t.parent} closed={t.closed})"
