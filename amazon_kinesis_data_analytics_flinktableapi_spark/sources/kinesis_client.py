@@ -352,7 +352,10 @@ class TranslatingKinesisClient:
     OPAQUE sequence number observed at that position).  Production rule:
     for any stream with record expiry, restore a persisted ledger that
     covers the checkpointed offsets — ``strict_anchor=True`` enforces it
-    by refusing horizon recounts for nonzero ordinals instead of silently
+    on EVERY path that would otherwise count up from the horizon
+    (nonzero ``AT_SEQUENCE_NUMBER`` ordinals, unanchored ``LATEST``
+    attach-point resolution, and ``AT_TIMESTAMP``, whose instant→ordinal
+    mapping is horizon-anchored by construction) instead of silently
     drifting.  The simulator's streams never trim, so the fakes may
     recount (``strict_anchor`` defaults False).
 
@@ -453,6 +456,20 @@ class TranslatingKinesisClient:
         if i < 0:
             return 0, None
         return ords[i], opqs[i]
+
+    def _require_anchor(self, shard_id: str, seed: tuple, what: str) -> None:
+        """strict_anchor gate for EVERY path that would count ordinals up
+        from TRIM_HORIZON (retention/trim caveat, class docstring): an
+        unanchored scan on a trimming stream assigns drifted ordinals with
+        no error, so strict mode refuses it up front."""
+        if self.strict_anchor and seed[1] is None:
+            raise ValueError(
+                f"strict_anchor: resolving {what} on {shard_id} would recount "
+                "ordinals from TRIM_HORIZON (no ledger anchor) — on a stream "
+                "with record expiry the horizon moves and horizon-counted "
+                "ordinals silently drift; restore a persisted ledger covering "
+                "this position first (ledger_snapshot/restore_ledger)"
+            )
 
     def _mint(self, inner_it, shard_id: str, next_ordinal: int) -> str:
         self._n_tokens += 1
@@ -564,16 +581,9 @@ class TranslatingKinesisClient:
                 }
             # fast-forward count from the best known position to the target
             seed = self._best_known(ShardId, target)
-            if self.strict_anchor and seed[1] is None and target > 0:
-                # retention/trim caveat (class docstring): counting a
-                # nonzero ordinal up from TRIM_HORIZON silently drifts on
-                # a stream whose horizon moves — fail instead
-                raise ValueError(
-                    f"strict_anchor: ordinal {target} on {ShardId} has no "
-                    "ledger anchor ≤ it — refusing a TRIM_HORIZON recount "
-                    "(records may have expired; restore a persisted ledger "
-                    "covering the checkpointed offsets)"
-                )
+            if target > 0:
+                # (ordinal 0 IS the horizon by definition -- always allowed)
+                self._require_anchor(ShardId, seed, f"ordinal {target}")
             return {
                 "ShardIterator": self._scan_forward(
                     StreamName,
@@ -597,21 +607,25 @@ class TranslatingKinesisClient:
             if not recs:
                 # nothing published at/after the attach point yet — the
                 # attach ordinal is the current record count (scan to tip)
+                seed = self._best_known(ShardId, 2**62)
+                self._require_anchor(ShardId, seed, "LATEST (attach at tip)")
                 return {
                     "ShardIterator": self._scan_forward(
                         StreamName,
                         ShardId,
                         lambda _o, _r: False,
-                        seed=self._best_known(ShardId, 2**62),
+                        seed=seed,
                     )
                 }
             attach = int(recs[0]["SequenceNumber"])
+            seed = self._best_known_below_opaque(ShardId, attach)
+            self._require_anchor(ShardId, seed, "LATEST (attach-point ordinal)")
             return {
                 "ShardIterator": self._scan_forward(
                     StreamName,
                     ShardId,
                     lambda _o, r: int(r["SequenceNumber"]) >= attach,
-                    seed=self._best_known_below_opaque(ShardId, attach),
+                    seed=seed,
                 )
             }
         if ShardIteratorType == "AT_TIMESTAMP":
@@ -633,6 +647,7 @@ class TranslatingKinesisClient:
                     ts = ts.replace(tzinfo=timezone.utc)
                 return ts >= target_ts
 
+            self._require_anchor(ShardId, (0, None), f"AT_TIMESTAMP {Timestamp!r}")
             return {
                 "ShardIterator": self._scan_forward(
                     StreamName, ShardId, _at_or_after, seed=(0, None)

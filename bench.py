@@ -28,9 +28,9 @@ def _canary_samples() -> list[float]:
     (a @ a).sum()  # warm BLAS dispatch/threads once, untimed
     samples = []
     for _ in range(3):
-        t = time.time()
+        t = time.perf_counter()  # monotonic: NTP steps must not corrupt the reference
         (a @ a).sum()
-        samples.append(round(time.time() - t, 4))
+        samples.append(round(time.perf_counter() - t, 4))
     return samples
 
 

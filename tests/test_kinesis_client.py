@@ -747,6 +747,35 @@ def test_strict_anchor_refuses_horizon_recount():
     cold = TranslatingKinesisClient(mk_inner(), strict_anchor=True)
     cold.restore_ledger(strict.ledger_snapshot())
     assert len(sdk_read_range(cold, "s", 0, 50, 60)) == 10
+    # EVERY horizon-recount path refuses, not just AT_SEQUENCE_NUMBER
+    # (review finding r9): unanchored LATEST and AT_TIMESTAMP count from
+    # the horizon by construction
+    fresh = lambda **kw: TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=1, seed=9, tip=200, **kw), strict_anchor=True
+    )
+    with pytest.raises(ValueError, match="strict_anchor"):
+        fresh().get_shard_iterator(
+            StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="LATEST"
+        )
+    with pytest.raises(ValueError, match="strict_anchor"):
+        fresh(prepublished=200).get_shard_iterator(  # empty-peek fallback path
+            StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="LATEST"
+        )
+    with pytest.raises(ValueError, match="strict_anchor"):
+        fresh().get_shard_iterator(
+            StreamName="s",
+            ShardId="shardId-000000000000",
+            ShardIteratorType="AT_TIMESTAMP",
+            Timestamp="2024-01-01T00:00:01",
+        )
+    # an ANCHORED LATEST proceeds: ledger covers a position before attach
+    anchored = fresh(prepublished=100)
+    anchored.restore_ledger(strict.ledger_snapshot())  # entries up to ~44
+    it = anchored.get_shard_iterator(
+        StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="LATEST"
+    )["ShardIterator"]
+    recs = anchored.get_records(ShardIterator=it, Limit=1)["Records"]
+    assert int(recs[0]["SequenceNumber"]) == 100
 
 
 # --- r9: reshard lineage (parent→child shard split) -----------------------

@@ -503,12 +503,15 @@ AdaptiveSparkPlan (10)
 
 
 (8) Exchange
+Input [1]: [x#1L]
 Arguments: hashpartitioning(x, 32), ENSURE_REQUIREMENTS, [plan_id=1]
 
 (5) Exchange
+Input [1]: [sum#5L]
 Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
 
 (99) Exchange
+Input [1]: [sum#5L]
 Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
 """
     c = count_plan_ops(plan)
@@ -517,3 +520,21 @@ Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
     # BroadcastExchange is not a shuffle; SinglePartition only counts for
     # ids that execute (5, not 99)
     assert c == {"exchange": 2, "single": 1, "bhj": 1, "smj": 0}
+
+
+def test_count_plan_ops_single_partition_on_real_plan(spark):
+    """The SinglePartition detector must work on REAL formatted output
+    (which interposes an "Input [n]:" line between the node header and
+    its Arguments) — a global no-group aggregate plans exactly one
+    SinglePartition exchange."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from scale_audit import count_plan_ops
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.plans import explain_str
+
+    plan = explain_str(spark.range(1000).agg({"id": "sum"}), "formatted")
+    c = count_plan_ops(plan)
+    assert c["exchange"] == 1 and c["single"] == 1, (c, plan)

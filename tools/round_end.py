@@ -12,9 +12,11 @@ and re-run it any time driver droppings have appeared:
 What it does, in order:
 
 1. **PLANS.md staleness check** — if any plan-affecting source (the
-   engine package, ``bench.py``, ``tools/scale_audit.py``) has a commit
-   newer than PLANS.md's last commit, or has uncommitted working-tree
-   changes, regenerate PLANS.md via ``tools/scale_audit.py`` (~3 min).
+   engine package, which defines every headline query's plan, or
+   ``tools/scale_audit.py``, which defines how plans are counted) has a
+   commit newer than PLANS.md's last commit, or has uncommitted
+   working-tree changes, regenerate PLANS.md via ``tools/scale_audit.py``
+   (~3 min).
 2. **Stage the droppings** — every untracked/modified driver-owned
    artifact (``BENCH_r*.json``, ``CORRECTNESS_r*.json``, ``VERDICT.md``,
    ``ADVICE.md``, ``COVERAGE.md``, ``COPYCHECK.json``, ``LEAKCHECK.json``,
@@ -128,17 +130,21 @@ def main() -> int:
         print(f"staging {len(to_stage)} artifact(s): {to_stage}")
         if not args.dry_run:
             _git("add", "--", *to_stage)
-            # 3. commit
-            staged = _git("diff", "--cached", "--name-only")
-            if staged:
-                _git(
-                    "commit",
-                    "-m",
-                    "Track round artifacts\n\nSwept by tools/round_end.py: "
-                    + ", ".join(to_stage)
-                    + "\n\nNo-Verification-Needed: artifact tracking only, no code change",
-                )
-                print(f"committed: {_git('log', '--oneline', '-1')}")
+            # 3. commit WITH PATHSPECS: a plain `git commit` would sweep
+            # anything the user had staged beforehand into this commit
+            # under an artifact-tracking message — limiting the commit to
+            # the artifact paths leaves unrelated staged work in the
+            # index, where the dirty-tree gate below reports it loudly
+            _git(
+                "commit",
+                "-m",
+                "Track round artifacts\n\nSwept by tools/round_end.py: "
+                + ", ".join(to_stage)
+                + "\n\nNo-Verification-Needed: artifact tracking only, no code change",
+                "--",
+                *to_stage,
+            )
+            print(f"committed: {_git('log', '--oneline', '-1')}")
     else:
         print("no artifact droppings to stage")
 
