@@ -346,6 +346,17 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         o = self.opts
+        # SHARD DISCOVERY: a checkpointed offset dict can predate a
+        # reshard (the stream split after the checkpoint was taken), so
+        # topology shards missing from `start` are admitted at their own
+        # horizon — the offset dict GROWS across the split, exactly how a
+        # service consumer discovers child shards mid-stream.  Spark
+        # treats the offset as opaque JSON, so new keys flow through the
+        # WAL like any other offset change.
+        start = dict(start)
+        for t in o.topology():
+            if t.shard_id not in start:
+                start[t.shard_id] = min(o.start_seq(t.index), t.n_records)
         # per-shard tips: a closed parent's tip is its closing sequence,
         # a reshard child's is its own record count (offsets for shards
         # absent from the topology — e.g. a restart with changed options —

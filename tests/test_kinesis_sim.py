@@ -577,3 +577,40 @@ def test_reshard_option_validation():
     with pytest.raises(ValueError, match="TRIM_HORIZON"):
         _Opts({"records_per_shard": 50, "reshard_at": 10, "initial_position": "LATEST"})
     assert _Opts({"records_per_shard": 50, "reshard_at": 10}).reshard_at == 10
+
+
+def test_reshard_discovery_from_presplit_checkpoint():
+    """A checkpointed offset dict taken BEFORE a split (parents only) must
+    keep working after the stream reshards: read() admits the child
+    shards at their own horizon and the offset dict grows — the service
+    consumer's mid-stream shard-discovery story.  No parent record is
+    re-served and no child record is missed."""
+    # the pre-split world: 2 shards, no reshard
+    pre = KinesisSimStreamReader({"shards": 2, "records_per_shard": 10, "batch_records": 4})
+    cur = pre.initialOffset()
+    rows, cur = pre.read(cur)
+    assert len(list(rows)) == 8 and cur == {
+        "shardId-000000000000": 4, "shardId-000000000001": 4
+    }
+    # the stream resharded at 10: restart from the same checkpoint with
+    # the post-split options — parents finish their closed ranges, and
+    # the four children enter the offset dict at horizon 0
+    post = KinesisSimStreamReader(
+        {"shards": 2, "records_per_shard": 25, "reshard_at": 10, "batch_records": 7}
+    )
+    seen = []
+    for _ in range(4):
+        rows, cur = post.read(cur)
+        seen.extend(rows)
+    assert set(cur) == {f"shardId-{s:012d}" for s in range(6)}
+    assert cur["shardId-000000000000"] == cur["shardId-000000000001"] == 10  # saturated at close
+    # children tips: 25 - 10 = 15 each, reached within the 4 batches of 7
+    assert all(cur[f"shardId-{s:012d}"] == 15 for s in range(2, 6))
+    # content audit: parents resumed exactly at the checkpoint (seq 4..9),
+    # children served their full [0, 15) spaces — nothing dropped or doubled
+    got = sorted((t[0], t[1]) for t in seen)
+    want = sorted(
+        [(f"shardId-{s:012d}", q) for s in range(2) for q in range(4, 10)]
+        + [(f"shardId-{s:012d}", q) for s in range(2, 6) for q in range(15)]
+    )
+    assert got == want
