@@ -13,10 +13,10 @@ What it does, in order:
 
 1. **PLANS.md staleness check** — if any plan-affecting source (the
    engine package, which defines every headline query's plan, or
-   ``tools/scale_audit.py``, which defines how plans are counted) has a
-   commit newer than PLANS.md's last commit, or has uncommitted
-   working-tree changes, regenerate PLANS.md via ``tools/scale_audit.py``
-   (~3 min).
+   ``tools/scale_audit.py``, which defines how plans are counted) has
+   uncommitted working-tree changes, or has commits since the
+   ``generated-at-commit`` marker PLANS.md embeds, regenerate PLANS.md
+   via ``tools/scale_audit.py`` (~3 min).
 2. **Stage the droppings** — every untracked/modified driver-owned
    artifact (``BENCH_r*.json``, ``CORRECTNESS_r*.json``, ``VERDICT.md``,
    ``ADVICE.md``, ``COVERAGE.md``, ``COPYCHECK.json``, ``LEAKCHECK.json``,
@@ -82,9 +82,31 @@ def _dirty_paths(*paths: str) -> list[str]:
 
 def plans_stale() -> str | None:
     """Reason PLANS.md needs regenerating, or None if fresh."""
+    import re
+
     dirty = _dirty_paths(*PLAN_SOURCES)
     if dirty:
         return f"uncommitted plan-affecting changes: {dirty[:5]}"
+    # preferred check: PLANS.md embeds the commit it was generated at —
+    # stale only if plan-affecting sources changed SINCE that commit.
+    # (A timestamp compare re-flags forever when regeneration produces
+    # identical content, re-running the ~3 min audit every round-end.)
+    try:
+        with open(os.path.join(ROOT, "PLANS.md")) as f:
+            m = re.search(r"generated-at-commit: ([0-9a-f]{7,40})", f.read(2000))
+    except FileNotFoundError:
+        return "PLANS.md missing"
+    if m:
+        try:
+            changed = _git(
+                "log", "--name-only", "--format=", f"{m.group(1)}..HEAD", "--", *PLAN_SOURCES
+            )
+        except subprocess.CalledProcessError:
+            changed = "unresolvable generated-at commit"
+        if changed.strip():
+            return f"plan-affecting changes since generated-at commit {m.group(1)[:9]}"
+        return None
+    # legacy PLANS.md without the marker: fall back to commit timestamps
     plans_ts = _last_commit_ts("PLANS.md")
     src_ts = _last_commit_ts(*PLAN_SOURCES)
     if src_ts > plans_ts:

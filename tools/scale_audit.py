@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import re
+import subprocess
 import sys
 
 # the script lives in tools/; the package lives at the repo root one level up
@@ -110,7 +111,18 @@ def main() -> None:
         )
         plans.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
 
-    header = """# PLANS — physical-plan audit of the headline queries
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
+
+    header = f"""# PLANS — physical-plan audit of the headline queries
+
+<!-- generated-at-commit: {head} -->
 
 Generated by `tools/scale_audit.py` (sf0.001 plans; plan SHAPE is
 SF-independent for these queries, modulo AQE's runtime join demotions at
