@@ -614,3 +614,57 @@ def test_reshard_discovery_from_presplit_checkpoint():
         + [(f"shardId-{s:012d}", q) for s in range(2, 6) for q in range(15)]
     )
     assert got == want
+
+
+def test_reshard_streaming_end_to_end_with_checkpoint_restart(spark, tmp_path):
+    """The discovery contract at the REAL Structured Streaming level, not
+    just the reader unit surface: a streaming query checkpointed on a
+    PRE-SPLIT stream is restarted against the post-split topology — the
+    offset dict grows through Spark's WAL (new child-shard keys), parents
+    finish their closed ranges exactly once, and the union of both phases
+    equals the batch read of the resharded stream.  (File sink: the
+    memory sink does not support checkpoint recovery.)"""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = dict(shards=1, seed=23, template="orders")
+
+    def run(opts, at_least):
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .options(**base, **opts)
+            .load()
+            .selectExpr("shard_id", "sequence_number")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and _read_out().count() < at_least:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return _read_out()
+
+    def _read_out():
+        return spark.read.schema("shard_id string, sequence_number long").json(out)
+
+    # phase 1: pre-split stream, drain all 12 published records
+    got1 = run(dict(records_per_shard=12, batch_records=5), 12)
+    assert got1.count() == 12
+    # phase 2: the stream resharded at 20 (the parent closes with 8 more
+    # records to serve, two children carry 15 each); restart from the
+    # SAME checkpoint with the post-split options
+    got2 = run(dict(records_per_shard=35, reshard_at=20, batch_records=9), 12 + 8 + 2 * 15)
+    rows = [(r.shard_id, r.sequence_number) for r in got2.collect()]
+    # the union of both phases equals the batch read of the resharded
+    # stream: parent [0, 20) exactly once + children [0, 15) each
+    batch = spark.read.format("kinesis_sim").options(
+        **base, records_per_shard=35, reshard_at=20
+    ).load()
+    assert sorted(rows) == sorted(
+        (r.shard_id, r.sequence_number) for r in batch.collect()
+    )
