@@ -86,72 +86,24 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 9 window -----------------------------------------------------
-    # Policy (VERDICT r8 #3): with the attestation backlog empty, the window
-    # is now a standing OLDEST-FIRST ROTATION — new queries enter on their
-    # first round, surfaces changed this round ride along, and the remaining
-    # slots go to the queries whose newest green driver row is oldest.  The
-    # whole list below is in staleness order, so future rounds rotate by
-    # moving the next 50 stale names (plus new/changed) to the top.
-    # 1-2: NEW r9 — the reshard-lineage adapter attestation and the
-    # error-bound oracle for the sketches (VERDICT r8 #5/#2).  3-4: attested
-    # r8 but their code changed r9 (token reuse, tip-wrap fix, per-shard
-    # topology in the fake clients).  5-46: the entire r5-stale block — every
-    # query whose last green row is round 5 (interval_join/currency_conversion
-    # lead; their validation path also changed r9).  47-50: the head of the
-    # r6-stale block.
+    # --- round 10 window -----------------------------------------------------
+    # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
+    # their first round, changed surfaces ride along, remaining slots go to
+    # the oldest-attested names.  r10 window: 1-2 NEW — the shard-MERGE and
+    # multi-generation reshard-chain attestations (VERDICT r9 #2/#3).
+    # 3: kinesis_reshard_roundtrip re-attests the GENERALIZED topology path
+    # (shard_topology now routes reshard_at through apply_reshard_plan).
+    # 4: interval_join_full (VERDICT r9 #6 explicit).  5-50: the entire
+    # r6-stale block — every query whose newest green row is round 6.
+    # The other changed-surface kinesis queries (fake_sdk/translating
+    # roundtrips: .cache() in the shared helper; kinesis_interval_join,
+    # streaming_kinesis_tumbling/roundtrip: connector option parsing) were
+    # re-verified this round via tools/driver_replica.py instead of window
+    # slots; streaming_kinesis_roundtrip is in the r6 block anyway.
+    "kinesis_merge_roundtrip",
+    "kinesis_reshard_chain_roundtrip",
     "kinesis_reshard_roundtrip",
-    "approx_sketches_bounds",
-    "kinesis_translating_sdk_roundtrip",
-    "kinesis_fake_sdk_roundtrip",
-    "interval_join",
-    "currency_conversion",
-    "projection_filter",
-    "asof_join_latest_rate",
-    "asof_forward_join",
-    "streaming_session_window",
-    "streaming_chained_windows",
-    "streaming_running_aggregate",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "streaming_static_enrich",
-    "streaming_sliding_window",
-    "streaming_topk_complete",
-    "media_decode_meta",
-    "media_frame_sample",
-    "media_resize",
-    "tpch_q4_priority_check",
-    "tpch_q6_revenue_delta",
-    "tpch_q10_returned_revenue",
-    "tpch_q14_promo_share",
-    "kmv_distinct_sketch",
-    "array_agg_sorted",
-    "set_intersect",
-    "self_range_join",
-    "null_scalars",
-    "array_hof_pipeline",
-    "timeseries_interpolate",
-    "lag_lead_gaps",
-    "explode_token_frequencies",
-    "event_sequence_detect",
-    "funnel_steps",
-    "timeseries_gap_fill",
-    "session_gaps_islands",
-    "cascaded_rollup",
-    "token_stats",
-    "bpe_token_estimate",
-    "quality_score",
-    "lang_id",
-    "corpus_clean_pipeline",
-    "contamination_ngram_overlap",
-    "kinesis_interval_join",
-    "streaming_kinesis_tumbling",
-    "interval_join_forward",
-    "embedding_neardup",
-    # --- staleness tail (rotates into future windows oldest-first) ----------
-    # r6-attested remainder:
+    "interval_join_full",
     "streaming_interval_join",
     "streaming_tumbling_window",
     "streaming_late_data",
@@ -198,13 +150,13 @@ _PRIORITY: list[str] = [
     "regex_extract_tokens",
     "tpch_q21_late_supplier",
     "repetition_signals",
-    # r7-attested:
+    # --- staleness tail (rotates into future windows oldest-first) ----------
+    # r7-attested remainder:
     "embedding_neardup_wide",
     "seasonal_residual_flags",
     "event_transition_matrix",
     "incremental_dedup",
     "embedding_gram_matrix",
-    "interval_join_full",
     "streaming_incremental_dedup",
     "streaming_cms_sketch",
     "streaming_sequence_detect",
@@ -297,6 +249,56 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_join",
     "neardup_jaccard",
     "dedup_clusters",
+    # r9-attested (the freshest; re-enter the window last):
+    "approx_sketches_bounds",
+    "kinesis_translating_sdk_roundtrip",
+    "kinesis_fake_sdk_roundtrip",
+    "interval_join",
+    "currency_conversion",
+    "projection_filter",
+    "asof_join_latest_rate",
+    "asof_forward_join",
+    "streaming_session_window",
+    "streaming_chained_windows",
+    "streaming_running_aggregate",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "streaming_static_enrich",
+    "streaming_sliding_window",
+    "streaming_topk_complete",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_resize",
+    "tpch_q4_priority_check",
+    "tpch_q6_revenue_delta",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share",
+    "kmv_distinct_sketch",
+    "array_agg_sorted",
+    "set_intersect",
+    "self_range_join",
+    "null_scalars",
+    "array_hof_pipeline",
+    "timeseries_interpolate",
+    "lag_lead_gaps",
+    "explode_token_frequencies",
+    "event_sequence_detect",
+    "funnel_steps",
+    "timeseries_gap_fill",
+    "session_gaps_islands",
+    "cascaded_rollup",
+    "token_stats",
+    "bpe_token_estimate",
+    "quality_score",
+    "lang_id",
+    "corpus_clean_pipeline",
+    "contamination_ngram_overlap",
+    "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
+    "interval_join_forward",
+    "embedding_neardup",
 ]
 
 

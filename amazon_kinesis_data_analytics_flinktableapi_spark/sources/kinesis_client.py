@@ -117,6 +117,7 @@ class FakeSdkKinesisClient:
         tip: int = 1000,
         prepublished: int = 0,
         reshard_at: int | None = None,
+        reshard_plan: list[dict] | None = None,
     ):
         from .kinesis_sim import shard_topology
 
@@ -128,7 +129,9 @@ class FakeSdkKinesisClient:
         self.prepublished = prepublished  # where LATEST starts
         self.n_calls = 0  # observability for the contract tests
         #: shard index -> ShardInfo, incl. reshard children and closed flags
-        self._topo = {t.index: t for t in shard_topology(shards, tip, reshard_at)}
+        self._topo = {
+            t.index: t for t in shard_topology(shards, tip, reshard_at, reshard_plan)
+        }
 
     def _shard_info(self, shard: int):
         try:
@@ -149,6 +152,10 @@ class FakeSdkKinesisClient:
             if t.parent is not None:
                 # boto3 lineage field: consumers order parent-before-child
                 entry["ParentShardId"] = f"shardId-{t.parent:012d}"
+            if t.adjacent_parent is not None:
+                # boto3's second lineage field: present only on a MERGE
+                # child, naming the other closed parent
+                entry["AdjacentParentShardId"] = f"shardId-{t.adjacent_parent:012d}"
             shards.append(entry)
         return {"Shards": shards}
 
@@ -307,6 +314,38 @@ class OpaqueSeqKinesisClient(FakeSdkKinesisClient):
         return resp
 
 
+def merge_ledger_snapshots(base: dict, extra: dict) -> dict:
+    """Union of two :meth:`TranslatingKinesisClient.ledger_snapshot`
+    dicts.  Entries present on one side pass through; an ordinal present
+    on both sides with the SAME opaque sequence dedups; with DIFFERENT
+    sequences it raises — two observations disagreeing about the same
+    position is the retention-drift signal the TRIM caveat describes
+    (one of them was counted from a moved horizon), never a tie to break
+    silently.  Used by ``save_ledger``'s read-merge-write so concurrent
+    per-task saves sharing one ``ledger_path`` union their shards'
+    entries instead of last-writer-wins dropping each other's."""
+    out: dict = {}
+    for sid in sorted(set(base) | set(extra)):
+        merged: dict[int, str] = {}
+        for snap, label in ((base, "base"), (extra, "extra")):
+            entry = snap.get(sid)
+            if not entry:
+                continue
+            for o, q in zip(entry["ordinals"], entry["sequences"]):
+                o, q = int(o), str(q)
+                if o in merged and merged[o] != q:
+                    raise ValueError(
+                        f"ledger drift on {sid}: ordinal {o} maps to "
+                        f"{merged[o]!r} on one side but {q!r} on the other — "
+                        "refusing to merge disagreeing snapshots (RETENTION / "
+                        "TRIM CAVEAT: one side counted from a moved horizon)"
+                    )
+                merged[o] = q
+        ords = sorted(merged)
+        out[sid] = {"ordinals": ords, "sequences": [merged[o] for o in ords]}
+    return out
+
+
 class TranslatingKinesisClient:
     """Example production adapter: presents the connector's DENSE-ORDINAL
     contract on top of a client that speaks opaque service sequence
@@ -370,7 +409,9 @@ class TranslatingKinesisClient:
 
     #: wrapper tokens retained for reuse (boto3 allows re-calling
     #: get_records with a token inside its validity window, e.g. on a
-    #: transient-network retry); oldest-minted evict past this bound —
+    #: transient-network retry); least-recently-USED evict past this
+    #: bound (every successful get_records lookup refreshes its token's
+    #: recency, so an actively paginating chain is never the victim) —
     #: analogous to the service's ~5-minute iterator expiry
     MAX_LIVE_TOKENS = 4096
 
@@ -384,7 +425,8 @@ class TranslatingKinesisClient:
         #: shard_id -> ([ordinals asc], [opaque seq strings]) parallel lists
         self._ledger: dict[str, tuple[list[int], list[str]]] = {}
         #: wrapper iterator token -> (inner_iterator|None, shard_id, next_ordinal);
-        #: insertion-ordered so eviction drops the oldest tokens first
+        #: recency-ordered (mint appends; get_records lookups re-append)
+        #: so eviction drops the least-recently-used tokens first
         self._tokens: dict[str, tuple] = {}
         self._n_tokens = 0
         self.strict_anchor = strict_anchor
@@ -411,38 +453,72 @@ class TranslatingKinesisClient:
         }
 
     def restore_ledger(self, snapshot: dict) -> None:
-        """Merge a :meth:`ledger_snapshot` back in (idempotent; existing
-        entries win on ordinal collision, which is safe because both map
-        the same position on an untrimmed prefix)."""
+        """Merge a :meth:`ledger_snapshot` back in (idempotent).  An
+        ordinal collision where both sides agree is a no-op; a collision
+        where the persisted snapshot DISAGREES with an in-memory entry
+        raises — the same position mapping to two different opaque
+        sequences is exactly the retention-drift signal the TRIM caveat
+        describes (an in-memory entry recounted from a moved horizon vs
+        the persisted-correct anchor), never a tie to break silently."""
         for sid, entry in snapshot.items():
             for o, q in zip(entry["ordinals"], entry["sequences"]):
-                self._ledger_put(sid, int(o), str(q))
+                self._ledger_put(sid, int(o), str(q), strict=True)
 
     def save_ledger(self, path: str | None = None) -> str:
         """Atomically write :meth:`ledger_snapshot` to ``path`` (default:
         the ``ledger_path`` given at construction).  Call it from the
         deployment's commit hook — e.g. a StreamingQueryListener's
         onQueryProgress, the same place Spark durably owns the offsets
-        the ledger anchors."""
+        the ledger anchors.
+
+        READ-MERGE-WRITE: an existing snapshot at ``path`` is merged into
+        this client's entries under the same atomic rename.  The
+        documented production shape builds one client per executor read
+        task sharing a single ``ledger_path`` — a whole-file replace from
+        any one of them would be last-writer-wins, silently dropping the
+        other shards' entries (and tripping ``strict_anchor`` loudly on
+        the next restart).  Disagreement on a shared position raises (see
+        :func:`merge_ledger_snapshots`).  The merge-under-rename protects
+        against stale-entry LOSS; two saves racing in the same instant can
+        still each miss the other's newest entries (POSIX rename offers no
+        cross-process transaction) — entries are re-observed and re-saved
+        on the next commit cadence, so the race is self-healing, but a
+        deployment wanting zero-race saves should serialize them in its
+        commit hook (the listener shape above already does)."""
         import json as _json
         import os
 
         target = path or self.ledger_path
         if target is None:
             raise ValueError("no ledger path: pass path= or construct with ledger_path=")
+        snapshot = self.ledger_snapshot()
+        if os.path.exists(target):
+            with open(target) as f:
+                snapshot = merge_ledger_snapshots(snapshot, _json.load(f))
         tmp = f"{target}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            _json.dump(self.ledger_snapshot(), f)
+            _json.dump(snapshot, f)
         os.replace(tmp, target)
         return target
 
     # -- ledger -------------------------------------------------------------
-    def _ledger_put(self, shard_id: str, ordinal: int, opaque: str) -> None:
+    def _ledger_put(
+        self, shard_id: str, ordinal: int, opaque: str, strict: bool = False
+    ) -> None:
         import bisect
 
         ords, opqs = self._ledger.setdefault(shard_id, ([], []))
         i = bisect.bisect_left(ords, ordinal)
         if i < len(ords) and ords[i] == ordinal:
+            if strict and opqs[i] != opaque:
+                raise ValueError(
+                    f"ledger drift on {shard_id}: ordinal {ordinal} maps to "
+                    f"{opqs[i]!r} in memory but {opaque!r} in the restored "
+                    "snapshot — an in-memory entry counted from a moved trim "
+                    "horizon disagrees with the persisted anchor (RETENTION / "
+                    "TRIM CAVEAT); discard the drifted client state and "
+                    "rebuild from the persisted ledger"
+                )
             return
         ords.insert(i, ordinal)
         opqs.insert(i, opaque)
@@ -476,7 +552,9 @@ class TranslatingKinesisClient:
         tok = f"xlate-{self._n_tokens}"
         self._tokens[tok] = (inner_it, shard_id, next_ordinal)
         while len(self._tokens) > self.MAX_LIVE_TOKENS:
-            self._tokens.pop(next(iter(self._tokens)))  # evict oldest-minted
+            # evict the LRU head — get_records' pop/reinsert touch keeps
+            # in-flight chains at the tail, so only idle tokens age out
+            self._tokens.pop(next(iter(self._tokens)))
         return tok
 
     def _inner_at(self, stream: str, shard_id: str, opaque: str | None):
@@ -657,12 +735,17 @@ class TranslatingKinesisClient:
 
     def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
         try:
-            # looked up WITHOUT popping — boto3 semantics let a caller
+            # looked up WITHOUT dropping — boto3 semantics let a caller
             # retry get_records with the same token inside its validity
-            # window (a popped token would turn a transient-network retry
+            # window (a dropped token would turn a transient-network retry
             # into a hard "unknown iterator" failure); growth is bounded
-            # by MAX_LIVE_TOKENS oldest-first eviction in _mint
-            inner_it, shard_id, next_ordinal = self._tokens[ShardIterator]
+            # by MAX_LIVE_TOKENS least-recently-USED eviction: the
+            # pop/reinsert moves this token to the dict's end, so a
+            # long-lived client interleaving reads across many shards
+            # never evicts a still-in-flight pagination chain (only
+            # tokens nobody has touched for MAX_LIVE_TOKENS mints go)
+            entry = self._tokens[ShardIterator] = self._tokens.pop(ShardIterator)
+            inner_it, shard_id, next_ordinal = entry
         except KeyError:
             raise ValueError(f"unknown or expired iterator {ShardIterator!r}") from None
         if inner_it is None:
@@ -697,6 +780,7 @@ def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
         tip=opts.records_per_shard,
         prepublished=opts.prepublished,
         reshard_at=opts.reshard_at,
+        reshard_plan=opts.reshard_plan,
     )
 
 
@@ -716,6 +800,7 @@ def _fake_opaque_factory(opts) -> TranslatingKinesisClient:
             tip=opts.records_per_shard,
             prepublished=opts.prepublished,
             reshard_at=opts.reshard_at,
+            reshard_plan=opts.reshard_plan,
         )
     )
 

@@ -68,13 +68,27 @@ _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
 class ShardInfo:
-    """One shard of the (possibly resharded) stream topology."""
+    """One shard of the (possibly resharded) stream topology.
 
-    __slots__ = ("index", "parent", "n_records", "closed")
+    ``parent`` / ``adjacent_parent`` mirror the service's lineage fields
+    (``ParentShardId`` / ``AdjacentParentShardId``, list_shards response):
+    a SPLIT child carries one parent; a MERGE child carries both closed
+    parents — ``parent`` is the first, ``adjacent_parent`` the second,
+    exactly how boto3 reports a merge."""
 
-    def __init__(self, index: int, parent: int | None, n_records: int, closed: bool):
+    __slots__ = ("index", "parent", "adjacent_parent", "n_records", "closed")
+
+    def __init__(
+        self,
+        index: int,
+        parent: int | None,
+        n_records: int,
+        closed: bool,
+        adjacent_parent: int | None = None,
+    ):
         self.index = index
         self.parent = parent  # parent shard index; None for an original shard
+        self.adjacent_parent = adjacent_parent  # second parent (merge child)
         self.n_records = n_records
         self.closed = closed
 
@@ -83,33 +97,134 @@ class ShardInfo:
         return f"shardId-{self.index:012d}"
 
 
-def shard_topology(
-    shards: int, records_per_shard: int, reshard_at: int | None
+def apply_reshard_plan(
+    shards: int, records_per_shard: int, plan: list[dict]
 ) -> list[ShardInfo]:
-    """The stream's shard map, including the one reshard event the
-    simulator models (StreamingJob.java:26-41 is the consumer surface this
-    feeds; real Kinesis consumers must survive splits mid-stream).
+    """Evolve the initial ``shards``-wide topology through an ordered list
+    of reshard EVENTS — the general model real Kinesis streams follow
+    (StreamingJob.java:26-41 is the consumer surface; a production stream
+    is scaled up by splits AND scaled down by merges, repeatedly).
 
-    ``reshard_at=None``: the static map — ``shards`` open shards carrying
-    ``records_per_shard`` records each.  ``reshard_at=k``: every original
-    shard ``s`` CLOSES after its first ``k`` records (the service ends the
-    parent's sequence range) and splits into two child shards — indices
-    ``shards + 2s`` and ``shards + 2s + 1``, each carrying
-    ``ParentShardId`` lineage and ``records_per_shard − k`` fresh records
-    of its own.  Children carry NEW post-split data, never a replay of the
-    parent's (exactly the service's model), and each child's sequence
-    space is its own dense [0, n) — which is why a translation-adapter
-    ledger extends across a reshard by ADDING per-child keys, not by
-    rewriting parent entries (see TranslatingKinesisClient's resharding
-    note)."""
-    if reshard_at is None:
+    Each event is a dict:
+
+    - ``{"op": "split", "parent": i, "at": k}`` — open shard ``i`` CLOSES
+      after its first ``k`` records (0 < k < its current record budget)
+      and two children open at fresh consecutive indices, each carrying
+      ``ParentShardId`` lineage and the parent's remaining budget
+      (``n − k``) of NEW records in its own dense [0, n−k) space.
+    - ``{"op": "merge", "parents": [i, j], "at": k}`` — BOTH open shards
+      close after ``k`` records each (0 < k < both budgets) and ONE child
+      opens at the next fresh index carrying ``ParentShardId = i`` AND
+      ``AdjacentParentShardId = j`` (boto3's merge lineage) with budget
+      ``max(nᵢ, nⱼ) − k``.
+
+    Events apply in order, and children are themselves eligible parents —
+    so lineage forms a DAG across arbitrarily many generations (a split
+    child splitting again, two split children merging, …).  Child indices
+    are assigned deterministically: each event's children take
+    ``max(existing index) + 1`` onward, in event order.
+
+    ORDERING RELAXATION (intentional, and the only delta from the
+    service): children are planned and readable from the very first batch
+    alongside their still-open parents — the simulator models MULTISET
+    COMPLETENESS across a reshard boundary (no record lost, duplicated,
+    or fabricated), NOT the service's parent-before-child delivery order,
+    in which a consumer sees a child's records only after draining the
+    closed parent.  A consumer whose correctness depends on cross-shard
+    parent-before-child ordering is NOT validated by reading green
+    against this simulator; per-shard order (dense ascending sequence
+    within each shard) IS faithful.
+    """
+    topo: dict[int, ShardInfo] = {
+        s: ShardInfo(s, None, records_per_shard, False) for s in range(shards)
+    }
+    for n, ev in enumerate(plan):
+        if not isinstance(ev, dict):
+            raise ValueError(f"reshard_plan[{n}] must be a dict, got {type(ev).__name__}")
+        op = ev.get("op")
+        try:
+            at = int(ev["at"])
+        except (KeyError, TypeError, ValueError):
+            raise ValueError(f"reshard_plan[{n}] needs an integer 'at'") from None
+
+        def _open_parent(idx, n=n):
+            info = topo.get(idx)
+            if info is None:
+                raise ValueError(f"reshard_plan[{n}]: shard {idx} does not exist")
+            if info.closed:
+                raise ValueError(f"reshard_plan[{n}]: shard {idx} is already closed")
+            return info
+
+        next_idx = max(topo) + 1
+        if op == "split":
+            p = _open_parent(ev.get("parent"))
+            if not 0 < at < p.n_records:
+                raise ValueError(
+                    f"reshard_plan[{n}]: split at must be in (0, {p.n_records}), got {at}"
+                )
+            child_n = p.n_records - at
+            p.n_records, p.closed = at, True
+            topo[next_idx] = ShardInfo(next_idx, p.index, child_n, False)
+            topo[next_idx + 1] = ShardInfo(next_idx + 1, p.index, child_n, False)
+        elif op == "merge":
+            parents = ev.get("parents")
+            if not isinstance(parents, (list, tuple)) or len(parents) != 2:
+                raise ValueError(f"reshard_plan[{n}]: merge needs 'parents': [i, j]")
+            i, j = parents
+            if i == j:
+                raise ValueError(f"reshard_plan[{n}]: merge parents must be distinct")
+            a, b = _open_parent(i), _open_parent(j)
+            if not (0 < at < a.n_records and 0 < at < b.n_records):
+                raise ValueError(
+                    f"reshard_plan[{n}]: merge at must be in (0, "
+                    f"min({a.n_records}, {b.n_records})), got {at}"
+                )
+            child_n = max(a.n_records, b.n_records) - at
+            a.n_records, a.closed = at, True
+            b.n_records, b.closed = at, True
+            topo[next_idx] = ShardInfo(
+                next_idx, a.index, child_n, False, adjacent_parent=b.index
+            )
+        else:
+            raise ValueError(f"reshard_plan[{n}]: op must be 'split' or 'merge', got {op!r}")
+    return [topo[k] for k in sorted(topo)]
+
+
+def shard_topology(
+    shards: int,
+    records_per_shard: int,
+    reshard_at: int | None,
+    reshard_plan: list[dict] | None = None,
+) -> list[ShardInfo]:
+    """The stream's shard map, including any reshard events the simulator
+    models (StreamingJob.java:26-41 is the consumer surface this feeds;
+    real Kinesis consumers must survive splits AND merges mid-stream).
+
+    ``reshard_at=None, reshard_plan=None``: the static map — ``shards``
+    open shards carrying ``records_per_shard`` records each.
+    ``reshard_at=k``: shorthand for the one-generation plan where every
+    original shard splits at ``k`` — each closes after its first ``k``
+    records and two children (indices ``shards + 2s`` / ``shards + 2s +
+    1``) open with ``records_per_shard − k`` fresh records each.
+    ``reshard_plan=[events…]``: the general multi-generation DAG model —
+    see :func:`apply_reshard_plan` for event shapes (split AND merge,
+    with ``AdjacentParentShardId`` lineage), child-index assignment, and
+    the documented parent-before-child ORDERING RELAXATION (the simulator
+    proves multiset completeness across reshard boundaries, not the
+    service's cross-shard delivery order).
+
+    Children carry NEW post-reshard data, never a replay of a parent's
+    (exactly the service's model), and each child's sequence space is its
+    own dense [0, n) — which is why a translation-adapter ledger extends
+    across a reshard by ADDING per-child keys, not by rewriting parent
+    entries (see TranslatingKinesisClient's resharding note)."""
+    if reshard_at is not None and reshard_plan:
+        raise ValueError("reshard_at and reshard_plan are mutually exclusive")
+    if reshard_at is not None:
+        reshard_plan = [{"op": "split", "parent": s, "at": reshard_at} for s in range(shards)]
+    if not reshard_plan:
         return [ShardInfo(s, None, records_per_shard, False) for s in range(shards)]
-    child_n = records_per_shard - reshard_at
-    topo = [ShardInfo(s, None, reshard_at, True) for s in range(shards)]
-    for s in range(shards):
-        topo.append(ShardInfo(shards + 2 * s, s, child_n, False))
-        topo.append(ShardInfo(shards + 2 * s + 1, s, child_n, False))
-    return topo
+    return apply_reshard_plan(shards, records_per_shard, reshard_plan)
 
 
 def _parse_start_timestamp(v) -> datetime:
@@ -224,20 +339,37 @@ class _Opts:
         #: and splits into two children (see ``shard_topology``)
         ra = options.get("reshard_at")
         self.reshard_at = int(ra) if ra is not None else None
+        #: general multi-generation reshard plan: a JSON list of split/merge
+        #: events (see ``apply_reshard_plan``); mutually exclusive with
+        #: ``reshard_at`` (which is the one-generation all-split shorthand)
+        rp = options.get("reshard_plan")
+        self.reshard_plan = json.loads(rp) if rp is not None else None
+        if self.reshard_plan is not None and not isinstance(self.reshard_plan, list):
+            raise ValueError(
+                f"reshard_plan must be a JSON list of events, got {rp!r}"
+            )
+        if self.reshard_at is not None and self.reshard_plan:
+            raise ValueError("reshard_at and reshard_plan are mutually exclusive")
         if self.reshard_at is not None:
             if not 0 < self.reshard_at < self.records_per_shard:
                 raise ValueError(
                     f"reshard_at must be in (0, records_per_shard), got "
                     f"{self.reshard_at} of {self.records_per_shard}"
                 )
+        if self.reshard_at is not None or self.reshard_plan:
             if self.initial_position != "TRIM_HORIZON":
                 # a LATEST/AT_TIMESTAMP attach point is ambiguous across a
                 # parent→child boundary (children's clocks overlap the
                 # parent's); the reshard model pins the unambiguous start
                 raise ValueError(
-                    "reshard_at requires initial_position=TRIM_HORIZON "
+                    "resharding requires initial_position=TRIM_HORIZON "
                     f"(got {self.initial_position})"
                 )
+            # validate the plan eagerly — a malformed event must fail at
+            # option-parse time on the driver, not inside an executor task
+            shard_topology(
+                self.shards, self.records_per_shard, self.reshard_at, self.reshard_plan
+            )
         #: record-acquisition path: "generator" = direct in-process calls
         #: (the hot default); "sdk" = route every read through a
         #: KinesisClient (boto3 wire shape) — the contract-tested seam a
@@ -267,7 +399,9 @@ class _Opts:
 
     def topology(self) -> list[ShardInfo]:
         """This stream's shard map (parents + reshard children, if any)."""
-        return shard_topology(self.shards, self.records_per_shard, self.reshard_at)
+        return shard_topology(
+            self.shards, self.records_per_shard, self.reshard_at, self.reshard_plan
+        )
 
     def start_seq(self, shard: int) -> int:
         """First sequence number the configured initial position yields for
@@ -335,7 +469,16 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
     """Offset = {shard_id: next sequence number} — the Kinesis checkpoint
     model.  ``read`` advances each shard by ≤ batch_records toward the
     shard tip (records_per_shard simulates the currently-published tip;
-    an unbounded stream is records_per_shard=2**62)."""
+    an unbounded stream is records_per_shard=2**62).
+
+    ORDERING RELAXATION on resharded streams: reshard children are
+    admitted (and advanced) from the first batch alongside their
+    still-open parents, so records interleave across a reshard boundary —
+    the real service delivers a child's records only after the consumer
+    drains the closed parent (parent-before-child).  The simulator
+    validates MULTISET COMPLETENESS across the boundary, not cross-shard
+    delivery order; see ``apply_reshard_plan`` for the full statement.
+    Per-shard order stays faithful (dense ascending sequence)."""
 
     def __init__(self, options: dict):
         self.opts = _Opts(options)
@@ -602,7 +745,10 @@ class KinesisSimDataSource(DataSource):
     (TRIM_HORIZON|LATEST|AT_TIMESTAMP with start_timestamp),
     batch_records; reshard_at (every original shard closes after this
     many records and splits into two lineage-carrying children — see
-    ``shard_topology``); client_mode
+    ``shard_topology``); reshard_plan (JSON list of split/merge events —
+    the multi-generation DAG model with ``AdjacentParentShardId`` merge
+    lineage, see ``apply_reshard_plan``; note its documented
+    parent-before-child ordering relaxation); client_mode
     (generator|sdk), client (registered KinesisClient factory name,
     default fake_sdk), stream_name — the real-AWS seam, see
     sources/kinesis_client.py.

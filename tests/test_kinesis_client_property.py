@@ -136,3 +136,77 @@ def test_reshard_reads_match_generator_for_any_split(
         assert got == [
             _record("orders", seed, t.index, q, 10) for q in range(t.n_records)
         ], f"shard {t.index} (parent={t.parent} closed={t.closed})"
+
+
+@given(data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_reshard_plan_reads_match_generator_for_any_two_events(data):
+    """r10 multi-generation model: for ANY valid 2-event reshard plan
+    (split/split, split/merge, merge/merge, merge/split — including
+    events whose parents are children of the first event, i.e. real
+    two-generation chains) every lineage shard read through the complete
+    opaque→dense adapter stack equals the generator ground truth, with
+    require_complete proving the checkpoint-replay contract on closed
+    ranges."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        apply_reshard_plan,
+    )
+
+    shards = data.draw(st.integers(2, 3), label="shards")
+    tip = data.draw(st.integers(4, 48), label="tip")
+    seed = data.draw(st.integers(0, 2**16), label="seed")
+    page_limit = data.draw(st.integers(1, 64), label="page_limit")
+
+    # grow a valid plan event-by-event against the evolving topology
+    plan: list[dict] = []
+    for _ in range(2):
+        topo = apply_reshard_plan(shards, tip, plan)
+        open_shards = [t for t in topo if not t.closed and t.n_records >= 2]
+        if len(open_shards) < 1:
+            break
+        want_merge = len(open_shards) >= 2 and data.draw(st.booleans(), label="merge?")
+        if want_merge:
+            a, b = data.draw(
+                st.lists(
+                    st.sampled_from([t.index for t in open_shards]),
+                    min_size=2, max_size=2, unique=True,
+                ),
+                label="merge parents",
+            )
+            budgets = {t.index: t.n_records for t in open_shards}
+            hi = min(budgets[a], budgets[b]) - 1
+            at = data.draw(st.integers(1, hi), label="merge at")
+            plan.append({"op": "merge", "parents": [a, b], "at": at})
+        else:
+            p = data.draw(
+                st.sampled_from([t.index for t in open_shards]), label="split parent"
+            )
+            budget = next(t.n_records for t in open_shards if t.index == p)
+            at = data.draw(st.integers(1, budget - 1), label="split at")
+            plan.append({"op": "split", "parent": p, "at": at})
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        OpaqueSeqKinesisClient,
+        TranslatingKinesisClient,
+        sdk_read_range as _read,
+    )
+
+    c = TranslatingKinesisClient(
+        OpaqueSeqKinesisClient(shards=shards, seed=seed, tip=tip, reshard_plan=plan)
+    )
+    for t in apply_reshard_plan(shards, tip, plan):
+        # over-ask: every shard truncates at its own tip, never fabricates
+        got = _read(c, "s", t.index, 0, t.n_records + 5, page_limit=page_limit)
+        assert got == [
+            _record("orders", seed, t.index, q, 10) for q in range(t.n_records)
+        ], f"plan={plan} shard={t.index}"
+        # the full range itself replays complete (checkpoint contract)
+        assert (
+            len(
+                _read(
+                    c, "s", t.index, 0, t.n_records,
+                    page_limit=page_limit, require_complete=True,
+                )
+            )
+            == t.n_records
+        )
