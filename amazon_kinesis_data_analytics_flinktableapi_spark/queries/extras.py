@@ -1199,6 +1199,11 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = h.select("event_type", "h", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= K)
     ka = sk.filter(F.col("event_type") == "view").select("h")
     kb = sk.filter(F.col("event_type") == "click").select("h")
+    # global row_number over the sketch UNION — measured-small, bounded by
+    # sketch size: the input is at most 2k = 512 rows by construction (two
+    # k-smallest sketches), at ANY stream scale, so the single-partition
+    # window is a constant-cost driver-class step, not a data funnel
+    # (whitelisted by name in tests/test_plans.py GLOBAL_WINDOW_BOUNDED)
     uni = (
         ka.union(kb).distinct()
         .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))

@@ -124,16 +124,19 @@ def apply_reshard_plan(
     are assigned deterministically: each event's children take
     ``max(existing index) + 1`` onward, in event order.
 
-    ORDERING RELAXATION (intentional, and the only delta from the
-    service): children are planned and readable from the very first batch
-    alongside their still-open parents — the simulator models MULTISET
-    COMPLETENESS across a reshard boundary (no record lost, duplicated,
-    or fabricated), NOT the service's parent-before-child delivery order,
-    in which a consumer sees a child's records only after draining the
-    closed parent.  A consumer whose correctness depends on cross-shard
-    parent-before-child ordering is NOT validated by reading green
-    against this simulator; per-shard order (dense ascending sequence
-    within each shard) IS faithful.
+    ORDERING RELAXATION (intentional, and the default's only delta from
+    the service): children are planned and readable from the very first
+    batch alongside their still-open parents — the simulator models
+    MULTISET COMPLETENESS across a reshard boundary (no record lost,
+    duplicated, or fabricated), NOT the service's parent-before-child
+    delivery order, in which a consumer sees a child's records only after
+    draining the closed parent.  A consumer whose correctness depends on
+    cross-shard parent-before-child ordering is NOT validated by reading
+    green against the default; the STREAMING reader's
+    ``lineage_order=strict`` option enforces the service contract (a
+    child's offset holds until all its parents drain, transitively across
+    generations) for exactly that validation.  Per-shard order (dense
+    ascending sequence within each shard) is faithful in every mode.
     """
     topo: dict[int, ShardInfo] = {
         s: ShardInfo(s, None, records_per_shard, False) for s in range(shards)
@@ -370,6 +373,19 @@ class _Opts:
             shard_topology(
                 self.shards, self.records_per_shard, self.reshard_at, self.reshard_plan
             )
+        #: parent-before-child delivery (streaming reader only): "relaxed"
+        #: (default) admits reshard children from the first batch alongside
+        #: their still-open parents — multiset completeness, not the
+        #: service's cross-shard order; "strict" holds every child's offset
+        #: at its cursor until ALL its parents (both, for a merge child)
+        #: have drained to their closing sequences — KCL's parent-first
+        #: processing contract, transitive across generations.  Batch reads
+        #: ignore it: partitions execute in parallel by design.
+        self.lineage_order = options.get("lineage_order", "relaxed")
+        if self.lineage_order not in ("relaxed", "strict"):
+            raise ValueError(
+                f"lineage_order must be 'relaxed' or 'strict', got {self.lineage_order!r}"
+            )
         #: record-acquisition path: "generator" = direct in-process calls
         #: (the hot default); "sdk" = route every read through a
         #: KinesisClient (boto3 wire shape) — the contract-tested seam a
@@ -471,14 +487,20 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
     shard tip (records_per_shard simulates the currently-published tip;
     an unbounded stream is records_per_shard=2**62).
 
-    ORDERING RELAXATION on resharded streams: reshard children are
-    admitted (and advanced) from the first batch alongside their
-    still-open parents, so records interleave across a reshard boundary —
-    the real service delivers a child's records only after the consumer
-    drains the closed parent (parent-before-child).  The simulator
-    validates MULTISET COMPLETENESS across the boundary, not cross-shard
-    delivery order; see ``apply_reshard_plan`` for the full statement.
-    Per-shard order stays faithful (dense ascending sequence)."""
+    ORDERING on resharded streams: by default (``lineage_order=relaxed``)
+    reshard children are admitted (and advanced) from the first batch
+    alongside their still-open parents, so records interleave across a
+    reshard boundary — the real service delivers a child's records only
+    after the consumer drains the closed parent (parent-before-child).
+    The relaxed mode validates MULTISET COMPLETENESS across the boundary,
+    not cross-shard delivery order; see ``apply_reshard_plan`` for the
+    full statement.  ``lineage_order=strict`` opts into the service
+    consumer's contract: every child's offset holds at its cursor until
+    ALL its parents have drained to their closing sequences (transitive
+    across generations; a merge child waits for both parents) — use it to
+    validate consumers whose correctness depends on parent-before-child
+    order.  Per-shard order is faithful in both modes (dense ascending
+    sequence)."""
 
     def __init__(self, options: dict):
         self.opts = _Opts(options)
@@ -504,7 +526,8 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         # a reshard child's is its own record count (offsets for shards
         # absent from the topology — e.g. a restart with changed options —
         # saturate at the cursor rather than regressing)
-        tips = {t.shard_id: t.n_records for t in o.topology()}
+        topo = {t.shard_id: t for t in o.topology()}
+        tips = {sid: t.n_records for sid, t in topo.items()}
         end = {}
         for shard_name, cursor in start.items():
             tip = tips.get(shard_name, int(cursor))
@@ -512,6 +535,24 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
             # with a SMALLER records_per_shard must not hand Spark a
             # regressing offset (the WAL assumes monotonic offsets)
             end[shard_name] = max(int(cursor), min(int(cursor) + o.batch_records, tip))
+        if o.lineage_order == "strict":
+            # KCL's parent-first contract: hold a child at its cursor until
+            # every parent has drained to its closing sequence.  A held
+            # grandchild's parent is itself held until ITS parents drain,
+            # so the order is transitive across reshard generations; a
+            # merge child waits for BOTH closed parents.  (Gate on `end`,
+            # not `start`: a parent finishing within THIS batch releases
+            # its children next batch, never concurrently.)
+            for shard_name in end:
+                t = topo.get(shard_name)
+                if t is None:
+                    continue
+                parents = [p for p in (t.parent, t.adjacent_parent) if p is not None]
+                if any(
+                    int(start.get(f"shardId-{p:012d}", 0)) < tips[f"shardId-{p:012d}"]
+                    for p in parents
+                ):
+                    end[shard_name] = int(start[shard_name])
         return self._generate(start, end), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -748,7 +789,9 @@ class KinesisSimDataSource(DataSource):
     ``shard_topology``); reshard_plan (JSON list of split/merge events —
     the multi-generation DAG model with ``AdjacentParentShardId`` merge
     lineage, see ``apply_reshard_plan``; note its documented
-    parent-before-child ordering relaxation); client_mode
+    parent-before-child ordering relaxation); lineage_order
+    (relaxed|strict — strict holds streaming children until their parents
+    drain, KCL's parent-first contract); client_mode
     (generator|sdk), client (registered KinesisClient factory name,
     default fake_sdk), stream_name — the real-AWS seam, see
     sources/kinesis_client.py.

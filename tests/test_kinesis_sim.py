@@ -668,3 +668,147 @@ def test_reshard_streaming_end_to_end_with_checkpoint_restart(spark, tmp_path):
     assert sorted(rows) == sorted(
         (r.shard_id, r.sequence_number) for r in batch.collect()
     )
+
+
+def test_reshard_plan_batch_and_stream_cross_merge_and_generations(spark):
+    """r10: the general reshard PLAN (a merge plus a two-generation chain)
+    at the connector surface — the batch read plans one partition per
+    lineage shard and every acquisition mode yields the identical record
+    multiset; the streaming offset model saturates closed shards of BOTH
+    generations at their closing sequences and replays committed ranges
+    bit-for-bit through the full adapter stack."""
+    import json as _json
+
+    register(spark)
+    plan = [
+        {"op": "split", "parent": 0, "at": 6},
+        {"op": "split", "parent": 2, "at": 6},
+        {"op": "merge", "parents": [1, 3], "at": 6},
+    ]
+    opts = {
+        "shards": 2, "records_per_shard": 18,
+        "reshard_plan": _json.dumps(plan), "seed": 29,
+    }
+    df = spark.read.format("kinesis_sim").options(**opts).load()
+    # topology: shards 0-3 closed x6; grandchildren 4, 5 open x6; merge
+    # child 6 (ParentShardId=1, AdjacentParentShardId=3) open x12
+    assert df.count() == 6 * 6 + 12
+    assert df.rdd.getNumPartitions() == 7
+    per_shard = {
+        r.shard_id[-4:]: r.n
+        for r in df.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_shard == {
+        "0000": 6, "0001": 6, "0002": 6, "0003": 6, "0004": 6, "0005": 6, "0006": 12
+    }
+    direct = sorted(tuple(r) for r in df.collect())
+    for client in ("fake_sdk", "fake_opaque"):
+        via = spark.read.format("kinesis_sim").options(
+            **opts, client_mode="sdk", client=client
+        ).load()
+        assert sorted(tuple(r) for r in via.collect()) == direct, client
+    # streaming: offsets advance per lineage shard and saturate at closes
+    base = {**opts, "batch_records": 4}
+    r = KinesisSimStreamReader(base)
+    start = r.initialOffset()
+    assert set(start) == {f"shardId-{s:012d}" for s in range(7)}
+    cur = dict(start)
+    for _ in range(4):
+        _rows, cur = r.read(cur)
+    assert all(cur[f"shardId-{s:012d}"] == 6 for s in range(6))
+    assert cur["shardId-000000000006"] == 12
+    sdk = KinesisSimStreamReader({**base, "client_mode": "sdk", "client": "fake_opaque"})
+    assert list(r.readBetweenOffsets(start, cur)) == list(sdk.readBetweenOffsets(start, cur))
+
+
+def test_reshard_plan_option_validation():
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import _Opts
+
+    ok = '[{"op": "split", "parent": 0, "at": 5}]'
+    assert _Opts({"records_per_shard": 20, "reshard_plan": ok}).reshard_plan == [
+        {"op": "split", "parent": 0, "at": 5}
+    ]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _Opts({"records_per_shard": 20, "reshard_plan": ok, "reshard_at": 5})
+    with pytest.raises(ValueError, match="JSON list"):
+        _Opts({"records_per_shard": 20, "reshard_plan": '{"op": "split"}'})
+    with pytest.raises(ValueError, match="TRIM_HORIZON"):
+        _Opts({"records_per_shard": 20, "reshard_plan": ok, "initial_position": "LATEST"})
+    # plan validation is EAGER — a bad event fails at option-parse time on
+    # the driver, not inside an executor task
+    with pytest.raises(ValueError, match="does not exist"):
+        _Opts({"records_per_shard": 20, "reshard_plan": '[{"op": "split", "parent": 7, "at": 5}]'})
+
+
+def test_lineage_order_strict_holds_children_until_parents_drain():
+    """r10 ``lineage_order=strict``: the streaming reader reproduces the
+    service consumer's parent-before-child contract — children's offsets
+    hold at their cursor while any parent is still open, release only
+    after ALL parents drain (both, for a merge child), and the hold is
+    transitive across generations.  The final multiset is identical to
+    relaxed mode (completeness is mode-independent)."""
+    import json as _json
+
+    plan = [
+        {"op": "split", "parent": 0, "at": 6},      # children 2, 3 (x12)
+        {"op": "split", "parent": 2, "at": 6},      # grandchildren 4, 5 (x6)
+        {"op": "merge", "parents": [1, 3], "at": 6},  # merge child 6 (x12)
+    ]
+    base = {
+        "shards": 2, "records_per_shard": 18,
+        "reshard_plan": _json.dumps(plan), "batch_records": 3, "seed": 31,
+    }
+    r = KinesisSimStreamReader({**base, "lineage_order": "strict"})
+    cur = r.initialOffset()
+    start = dict(cur)
+    history = []
+    for _ in range(12):
+        _rows, cur = r.read(cur)
+        history.append(dict(cur))
+    sid = lambda s: f"shardId-{s:012d}"  # noqa: E731
+    # batch 1: only the original open shard (1) and... shard 0 closed at 6,
+    # but closed-parent draining is still "parent work": 0 and 1 advance,
+    # every descendant (2-6) holds at 0
+    assert history[0][sid(0)] == 3 and history[0][sid(1)] == 3
+    assert all(history[0][sid(s)] == 0 for s in range(2, 7))
+    # batch 2: parents 0 and 1 drain to their closes (6).  Children 2, 3
+    # still held (their parents finish IN this batch, release is next)
+    assert history[1][sid(0)] == history[1][sid(1)] == 6
+    assert all(history[1][sid(s)] == 0 for s in range(2, 7))
+    # batch 3: child 3 (parent 0 drained) advances; merge child 6 needs
+    # BOTH parents 1 and 3 — parent 3 is open again, so 6 stays held;
+    # grandchildren 4, 5 wait on parent 2
+    assert history[2][sid(2)] == history[2][sid(3)] == 3
+    assert history[2][sid(6)] == 0
+    assert history[2][sid(4)] == history[2][sid(5)] == 0
+    # children 2, 3 close at 6 (batch 4); descendants release from batch 5
+    assert history[3][sid(2)] == history[3][sid(3)] == 6
+    assert history[4][sid(4)] == history[4][sid(5)] == history[4][sid(6)] == 3
+    # everything drains to its tip: shards 0-5 x6, merge child 6 x12
+    final = history[-1]
+    assert all(final[sid(s)] == 6 for s in range(6)) and final[sid(6)] == 12
+    # completeness is mode-independent: strict's committed union equals
+    # relaxed's, which equals the generator ground truth
+    relaxed = KinesisSimStreamReader(base)
+    assert sorted(r.readBetweenOffsets(start, final)) == sorted(
+        relaxed.readBetweenOffsets(start, final)
+    )
+
+
+def test_lineage_order_validation_and_batch_ignores_it(spark):
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import _Opts
+
+    with pytest.raises(ValueError, match="lineage_order"):
+        _Opts({"lineage_order": "topological"})
+    # batch reads ignore the option by design (parallel partitions): the
+    # read still plans every lineage shard and yields the full multiset
+    register(spark)
+    df = spark.read.format("kinesis_sim").options(
+        shards=1, records_per_shard=10, reshard_at=4,
+        lineage_order="strict", seed=3,
+    ).load()
+    assert df.count() == 4 + 2 * 6

@@ -436,13 +436,40 @@ BNLJ_SCALAR_CROSS = {
 }
 
 
+#: queries whose plan legitimately contains an UNPARTITIONED window (every
+#: row of its input funnels through one partition — VERDICT r9 #7 asked
+#: these sites be documented by name with their bound).  Two safe shapes:
+#: "topk" — the rank filter prunes the window's input to ≤ k rows before
+#: any single-partition step: Catalyst plans the rank-≤-k filter as a
+#: TakeOrderedAndProject feeding the window (or a WindowGroupLimit partial
+#: per-partition limit), so the funnel carries k rows, not the data
+#: (asserted below);
+#: "bounded" — the window's input is measured-small by construction and
+#: stays small at ANY data scale.
+GLOBAL_WINDOW_BOUNDED = {
+    "bpe_merge_step": "topk",        # merge_rank ≤ 20 over 2-char pair counts
+    "pmi_collocations": "topk",      # colloc_rank ≤ 20 over scored pairs
+    "pca_outlier_scores": "topk",    # out_rank ≤ 20 over projection scores
+    "link_prediction_common_neighbors": "topk",  # pred_rank ≤ 20
+    "dsir_importance_select": "bounded",  # .limit(100) precedes the window
+    "join_key_skew_report": "bounded",    # .limit(10) precedes the window
+    "chisq_priority_status": "bounded",   # |priority|×|status| grid (≤ ~15 rows)
+    "kmv_set_ops": "bounded",  # union of two ≤k sketches: ≤ 2k = 512 rows
+}
+
+
 def test_registry_sweep_no_cartesian_no_stray_nested_loop(spark):
     """Global scalability invariant over EVERY batch query in the registry:
-    no CartesianProduct anywhere, and BroadcastNestedLoopJoin only for the
-    documented scalar-cross whitelist.  New queries get this guard for
-    free; a whitelist addition is a reviewed decision, not an accident."""
+    no CartesianProduct anywhere, BroadcastNestedLoopJoin only for the
+    documented scalar-cross whitelist, and unpartitioned (global) windows
+    only for the documented bounded/top-k whitelist.  New queries get
+    these guards for free; a whitelist addition is a reviewed decision,
+    not an accident."""
+    import re
+
     flagged, errors = {}, {}
     bnlj_seen: set[str] = set()
+    gwin_seen: set[str] = set()
     for name, spec in REGISTRY.items():
         if name.startswith(("streaming_", "kinesis")):
             continue  # streaming plans are covered by test_streaming.py
@@ -457,13 +484,33 @@ def test_registry_sweep_no_cartesian_no_stray_nested_loop(spark):
             bnlj_seen.add(name)
             if name not in BNLJ_SCALAR_CROSS:
                 flagged[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+        # an unpartitioned windowspecdefinition's FIRST argument is a sort
+        # column (".. ASC/DESC ..") or the frame itself — a partitioned
+        # one leads with the partition column instead
+        if any(
+            " ASC" in arg or " DESC" in arg or "specifiedwindowframe" in arg
+            for arg in re.findall(r"windowspecdefinition\(([^,)]+)[,)]", plan)
+        ):
+            gwin_seen.add(name)
+            kind = GLOBAL_WINDOW_BOUNDED.get(name)
+            if kind is None:
+                flagged[name] = "unpartitioned window (not whitelisted)"
+            elif kind == "topk" and not (
+                "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+            ):
+                # the whole reason a top-k global window is scale-safe: if
+                # the rank-filter pruning ever stops planning, the funnel
+                # becomes real and this trips
+                flagged[name] = "topk global window lost its limit pruning"
     assert not errors, f"queries failed to build a plan: {errors}"
     assert not flagged, f"scalability regressions: {flagged}"
-    # the whitelist must not rot: it must be EXACTLY the set of queries the
-    # sweep just saw BNLJ in — an entry that no longer BNLJs (or left the
-    # registry) is stale and must be removed, not silently carried
+    # the whitelists must not rot: each must be EXACTLY the set of queries
+    # the sweep just saw that shape in — an entry that no longer plans it
+    # (or left the registry) is stale and must be removed, not carried
     stale = BNLJ_SCALAR_CROSS - bnlj_seen
     assert not stale, f"whitelist entries that no longer plan a BNLJ: {stale}"
+    stale_w = set(GLOBAL_WINDOW_BOUNDED) - gwin_seen
+    assert not stale_w, f"whitelist entries that no longer plan a global window: {stale_w}"
 
 
 def test_count_plan_ops_dedups_cached_and_initial():
