@@ -812,3 +812,74 @@ def test_lineage_order_validation_and_batch_ignores_it(spark):
         lineage_order="strict", seed=3,
     ).load()
     assert df.count() == 4 + 2 * 6
+
+
+def test_reshard_chain_streaming_checkpoint_restart_two_generations(spark, tmp_path):
+    """r10: the discovery contract across TWO reshard generations at the
+    real Structured Streaming level.  One checkpoint lives through three
+    worlds of the SAME stream's history: (1) pre-reshard, (2) after a
+    split (children enter the WAL's offset dict at horizon), (3) after
+    the split children MERGE (the merge child — ParentShardId +
+    AdjacentParentShardId lineage — enters the same way, and the now-
+    closed children saturate exactly at their closing sequence, which is
+    precisely where phase 2 drained them).  Every phase resumes where the
+    WAL left off; the union of all three phases equals the batch read of
+    the final two-generation topology — nothing dropped or doubled across
+    either boundary."""
+    import json as _json
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = dict(shards=1, seed=43, template="orders")
+    gen1 = [{"op": "split", "parent": 0, "at": 20}]
+    gen2 = gen1 + [{"op": "merge", "parents": [1, 2], "at": 10}]
+
+    def _read_out():
+        return spark.read.schema("shard_id string, sequence_number long").json(out)
+
+    def run(opts, at_least):
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .options(**base, **opts)
+            .load()
+            .selectExpr("shard_id", "sequence_number")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and _read_out().count() < at_least:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return _read_out()
+
+    # phase 1: pre-reshard, drain the 12 published records
+    assert run(dict(records_per_shard=12, batch_records=5), 12).count() == 12
+    # phase 2: generation 1 landed — parent closes at 20, split children
+    # open with 10 published so far (records_per_shard=30 models the
+    # stream's state BEFORE the merge: 30 - 20 = 10 per child).  Drain
+    # the parent's remaining 8 and both children's 10
+    assert run(
+        dict(records_per_shard=30, reshard_plan=_json.dumps(gen1), batch_records=9),
+        12 + 8 + 2 * 10,
+    ).count() == 40
+    # phase 3: generation 2 landed — the children closed at exactly 10
+    # (where phase 2 drained them) and merged into child 3, which carries
+    # 5 fresh records (records_per_shard=35: children budget 15, closed
+    # at 10, merge child = 15 - 10).  Restart discovers child 3 mid-WAL
+    got = run(
+        dict(records_per_shard=35, reshard_plan=_json.dumps(gen2), batch_records=9),
+        40 + 5,
+    )
+    rows = sorted((r.shard_id, r.sequence_number) for r in got.collect())
+    batch = spark.read.format("kinesis_sim").options(
+        **base, records_per_shard=35, reshard_plan=_json.dumps(gen2)
+    ).load()
+    assert rows == sorted((r.shard_id, r.sequence_number) for r in batch.collect())
+    # and the merge child really is the two-generation lineage shard
+    assert {s for s, _ in rows} == {f"shardId-{i:012d}" for i in range(4)}
