@@ -21,6 +21,10 @@ persistence across a restart, and a parent→child reshard:
    recount from the horizon (inner-call count printed).
 4. **Reshard**: re-read the stream with ``reshard_at`` — parents close,
    lineage children carry the rest — through the same adapter stack.
+5. **Two-generation reshard**: a split followed by a merge of the split
+   children (``reshard_plan``) — the merge child carries boto3's
+   two-parent lineage (``ParentShardId`` + ``AdjacentParentShardId``),
+   still read through the same adapter stack.
 
 Run:  python examples/kinesis_migration_demo.py
 """
@@ -124,6 +128,32 @@ def main() -> None:
     per_shard = resharded.groupBy("shard_id").count().orderBy("shard_id")
     print("[4] resharded stream (parent closes at 200; children carry 300 each):")
     per_shard.show(truncate=False)
+
+    # -- 5. a TWO-GENERATION reshard: the parent splits, then its children
+    #       merge back (scale-up then scale-down — the lifecycle a real
+    #       stream goes through).  The merge child carries boto3's
+    #       two-parent lineage (ParentShardId + AdjacentParentShardId);
+    #       everything still reads through the opaque-sequence adapter.
+    import json as _json
+
+    plan = [
+        {"op": "split", "parent": 0, "at": 200},
+        {"op": "merge", "parents": [1, 2], "at": 150},
+    ]
+    chained = read_stream(
+        "orders", 50,
+        reshard_plan=_json.dumps(plan), client_mode="sdk", client="fake_opaque",
+    )
+    print("[5] two-generation reshard (split at 200, children merge at 150):")
+    chained.groupBy("shard_id").count().orderBy("shard_id").show(truncate=False)
+    lineage = OpaqueSeqKinesisClient(
+        shards=1, tip=500, reshard_plan=plan
+    ).list_shards(StreamName="orders")["Shards"]
+    for s in lineage:
+        parents = ", ".join(
+            f"{k}={v}" for k, v in s.items() if k != "ShardId"
+        ) or "original"
+        print(f"    {s['ShardId']}: {parents}")
 
     spark.stop()
 

@@ -61,9 +61,23 @@ def test_kinesis_migration_demo_invariants():
     assert int(m.group(2)) <= 6, "a horizon recount would need hundreds of inner calls"
     # [4] the reshard read crossed the split: parent closed at 200, two
     # children carry 300 each
-    assert re.search(r"shardId-000000000000\|200", out.replace(" ", "")), out
-    assert re.search(r"shardId-000000000001\|300", out.replace(" ", "")), out
-    assert re.search(r"shardId-000000000002\|300", out.replace(" ", "")), out
+    compact = out.replace(" ", "")
+    sec4 = compact.split("[5]")[0]
+    assert "shardId-000000000000|200" in sec4, out
+    assert "shardId-000000000001|300" in sec4, out
+    assert "shardId-000000000002|300" in sec4, out
+    # [5] the two-generation chain: split children closed at 150 by the
+    # merge, the merge child carries 150 and BOTH lineage fields
+    sec5 = compact.split("[5]")[1]
+    assert "shardId-000000000000|200" in sec5, out
+    assert "shardId-000000000001|150" in sec5, out
+    assert "shardId-000000000002|150" in sec5, out
+    assert "shardId-000000000003|150" in sec5, out
+    assert re.search(
+        r"shardId-000000000003:ParentShardId=shardId-000000000001,"
+        r"AdjacentParentShardId=shardId-000000000002",
+        compact,
+    ), out
 
 
 def test_pipeline_demo_invariants():
