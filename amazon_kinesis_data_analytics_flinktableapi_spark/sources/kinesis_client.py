@@ -786,11 +786,16 @@ def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
 
 def _fake_opaque_factory(opts) -> TranslatingKinesisClient:
     """The full adapter stack under test: an opaque-sequence backend (what
-    boto3 looks like) behind the translating wrapper.  Ledger state is
-    per-task (each executor read builds a fresh client from the pickled
-    option bag), so a cold task recounts from TRIM_HORIZON — acceptable
-    for the simulator's stream depths; a production factory would seed the
-    ledger from its own checkpoint (see TranslatingKinesisClient docs)."""
+    boto3 looks like) behind the translating wrapper.  Without a
+    ``ledger_path`` option, ledger state is per-task (each executor read
+    builds a fresh client from the pickled option bag), so a cold task
+    recounts from TRIM_HORIZON — acceptable for the simulator's stream
+    depths.  With ``ledger_path`` (and optionally ``strict_anchor=true``)
+    the factory builds the PRODUCTION shape: the persisted ledger loads at
+    construction, the connector's readers save it back (read-merge-write)
+    after each completed range, and strict mode refuses horizon recounts —
+    the same wiring a boto3-backed ``aws`` factory uses
+    (docs/MIGRATION.md)."""
     return TranslatingKinesisClient(
         OpaqueSeqKinesisClient(
             shards=opts.shards,
@@ -801,7 +806,9 @@ def _fake_opaque_factory(opts) -> TranslatingKinesisClient:
             prepublished=opts.prepublished,
             reshard_at=opts.reshard_at,
             reshard_plan=opts.reshard_plan,
-        )
+        ),
+        ledger_path=opts.ledger_path,
+        strict_anchor=opts.strict_anchor,
     )
 
 
@@ -833,16 +840,23 @@ def register_client_factory(name: str, factory) -> None:
         def _aws(opts):
             return TranslatingKinesisClient(
                 boto3.client("kinesis", region_name="us-west-2"),
-                ledger_path=f"/mnt/checkpoints/{opts.stream_name}.ledger.json",
+                # honor the read options; default next to the checkpoints
+                ledger_path=opts.ledger_path
+                or f"/mnt/checkpoints/{opts.stream_name}.ledger.json",
                 strict_anchor=True,  # refuse horizon recounts — streams trim
             )
         register_client_factory("aws", _aws)
 
     ``ledger_path`` restores the persisted ordinal↔sequence ledger at
-    construction and ``save_ledger()`` (called from the deployment's
-    commit hook) persists it; ``strict_anchor=True`` makes an unanchored
-    ordinal a loud error instead of a silent retention-drift
-    (TranslatingKinesisClient docstring, RETENTION / TRIM CAVEAT).
+    construction; the connector's readers call ``save_ledger()``
+    (read-merge-write) after each completed range / micro-batch, so the
+    ledger persists at the same cadence Spark durably owns the offsets —
+    pass ``ledger_path`` (and ``strict_anchor=true``) as READ OPTIONS and
+    the validated option bag carries them to the factory, exactly as the
+    in-repo ``fake_opaque`` factory demonstrates.  ``strict_anchor=True``
+    makes an unanchored ordinal a loud error instead of a silent
+    retention-drift (TranslatingKinesisClient docstring, RETENTION / TRIM
+    CAVEAT).
     """
     CLIENT_FACTORIES[name] = factory
 

@@ -394,6 +394,17 @@ class _Opts:
         #: which registered client factory "sdk" mode builds on the executor
         self.client = options.get("client", "fake_sdk")
         self.stream_name = options.get("stream_name", "kinesis-sim")
+        #: adapter-ledger persistence (factories that build a
+        #: TranslatingKinesisClient honor these): ledger_path loads the
+        #: persisted ordinal↔sequence ledger at client construction and the
+        #: readers save it back (read-merge-write) after completing a
+        #: range; strict_anchor=true refuses horizon recounts (the
+        #: retention/trim production posture — see kinesis_client docs)
+        self.ledger_path = options.get("ledger_path")
+        sa = str(options.get("strict_anchor", "false")).lower()
+        if sa not in ("true", "false"):
+            raise ValueError(f"strict_anchor must be true or false, got {sa!r}")
+        self.strict_anchor = sa == "true"
         if self.client_mode not in ("generator", "sdk"):
             raise ValueError(
                 f"client_mode must be 'generator' or 'sdk', got {self.client_mode!r}"
@@ -473,9 +484,16 @@ class KinesisSimBatchReader(DataSourceReader):
             # the boto3-shaped client instead of direct generator calls
             from .kinesis_client import sdk_read_range
 
+            client = o.make_client()
             yield from sdk_read_range(
-                o.make_client(), o.stream_name, partition.shard, partition.start, partition.end
+                client, o.stream_name, partition.shard, partition.start, partition.end
             )
+            if getattr(client, "ledger_path", None):
+                # persist the ordinal↔sequence entries this range observed
+                # (read-merge-write: concurrent tasks union their shards).
+                # Safe under task retry — ledger entries are immutable
+                # facts about stream positions, so re-saving is idempotent
+                client.save_ledger()
             return
         for seq in range(partition.start, partition.end):
             yield _record(o.template, o.seed, partition.shard, seq, o.interval_ms)
@@ -588,6 +606,11 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
                         require_complete=strict,
                     )
                 )
+            if getattr(client, "ledger_path", None):
+                # one client serves every shard of this micro-batch;
+                # persist its accumulated entries at the batch boundary —
+                # the same cadence Spark durably owns the offsets
+                client.save_ledger()
             return iter(out)
         for shard_name, cursor in start.items():
             shard = int(shard_name.rsplit("-", 1)[1])
@@ -793,8 +816,10 @@ class KinesisSimDataSource(DataSource):
     (relaxed|strict — strict holds streaming children until their parents
     drain, KCL's parent-first contract); client_mode
     (generator|sdk), client (registered KinesisClient factory name,
-    default fake_sdk), stream_name — the real-AWS seam, see
-    sources/kinesis_client.py.
+    default fake_sdk), stream_name, ledger_path + strict_anchor
+    (adapter-ledger persistence: load at client construction, save back
+    read-merge-write after each completed range; strict refuses horizon
+    recounts) — the real-AWS seam, see sources/kinesis_client.py.
     """
 
     @classmethod

@@ -883,3 +883,52 @@ def test_reshard_chain_streaming_checkpoint_restart_two_generations(spark, tmp_p
     assert rows == sorted((r.shard_id, r.sequence_number) for r in batch.collect())
     # and the merge child really is the two-generation lineage shard
     assert {s for s, _ in rows} == {f"shardId-{i:012d}" for i in range(4)}
+
+
+def test_connector_ledger_path_persists_and_warm_starts(spark, tmp_path):
+    """r10: the production ledger wiring at the CONNECTOR surface —
+    ``ledger_path`` flows through the option bag to the fake_opaque
+    factory, executors save the observed ordinal↔sequence entries after
+    each completed range (read-merge-write, so concurrent per-task saves
+    union their shards), and the persisted file warm-starts a cold
+    strict-anchored client without a horizon recount."""
+    import json as _json
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        OpaqueSeqKinesisClient,
+        TranslatingKinesisClient,
+        sdk_read_range,
+    )
+
+    register(spark)
+    p = str(tmp_path / "orders.ledger.json")
+    opts = dict(
+        shards=2, records_per_shard=5000, seed=5,
+        client_mode="sdk", client="fake_opaque", ledger_path=p,
+    )
+    # batch read: one executor task per shard, each saving its entries
+    df = spark.read.format("kinesis_sim").options(**opts).load()
+    assert df.count() == 10_000
+    led = _json.load(open(p))
+    # read-merge-write keeps every saved shard's entries; at least one
+    # task's save must land even under the documented same-instant race,
+    # and a second read converges the union (entries are immutable facts)
+    if set(led) != {"shardId-000000000000", "shardId-000000000001"}:
+        assert spark.read.format("kinesis_sim").options(**opts).load().count() == 10_000
+        led = _json.load(open(p))
+    assert set(led) == {"shardId-000000000000", "shardId-000000000001"}
+    # the persisted artifact anchors a COLD strict client driver-side:
+    # a deep read seeds from the restored entries instead of recounting
+    # (strict_anchor would raise on any horizon recount)
+    cold_inner = OpaqueSeqKinesisClient(shards=2, seed=5, tip=5000)
+    cold = TranslatingKinesisClient(cold_inner, ledger_path=p, strict_anchor=True)
+    got = sdk_read_range(cold, "s", 1, 4990, 5000)
+    assert len(got) == 10 and cold_inner.n_calls <= 6
+    # streaming path: one client per micro-batch serves all shards and
+    # saves at the batch boundary
+    p2 = str(tmp_path / "stream.ledger.json")
+    r = KinesisSimStreamReader({**opts, "records_per_shard": 40, "ledger_path": p2, "batch_records": 15})
+    cur = r.initialOffset()
+    _rows, cur = r.read(cur)
+    led2 = _json.load(open(p2))
+    assert set(led2) == {"shardId-000000000000", "shardId-000000000001"}
