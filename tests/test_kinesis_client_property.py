@@ -210,3 +210,93 @@ def test_reshard_plan_reads_match_generator_for_any_two_events(data):
             )
             == t.n_records
         )
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_lineage_order_strict_parent_before_child_for_any_plan(data):
+    """r10 ``lineage_order=strict`` as an OUTPUT property, not an
+    implementation echo: for ANY valid 2-event reshard plan, drive the
+    streaming reader to exhaustion and record which batch each record
+    arrived in — every shard with lineage must see its first record in a
+    LATER batch than the last record of every one of its parents (the
+    service consumer's parent-before-child contract, transitive across
+    generations), and the total multiset must equal the topology."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        KinesisSimStreamReader,
+        apply_reshard_plan,
+    )
+
+    shards = data.draw(st.integers(1, 3), label="shards")
+    tip = data.draw(st.integers(4, 24), label="tip")
+    batch_records = data.draw(st.integers(1, 7), label="batch_records")
+
+    plan: list[dict] = []
+    for _ in range(2):
+        topo = apply_reshard_plan(shards, tip, plan)
+        open_shards = [t for t in topo if not t.closed and t.n_records >= 2]
+        if not open_shards:
+            break
+        want_merge = len(open_shards) >= 2 and data.draw(st.booleans(), label="merge?")
+        if want_merge:
+            a, b = data.draw(
+                st.lists(
+                    st.sampled_from([t.index for t in open_shards]),
+                    min_size=2, max_size=2, unique=True,
+                ),
+                label="parents",
+            )
+            budgets = {t.index: t.n_records for t in open_shards}
+            at = data.draw(st.integers(1, min(budgets[a], budgets[b]) - 1), label="at")
+            plan.append({"op": "merge", "parents": [a, b], "at": at})
+        else:
+            p = data.draw(st.sampled_from([t.index for t in open_shards]), label="parent")
+            budget = next(t.n_records for t in open_shards if t.index == p)
+            plan.append(
+                {"op": "split", "parent": p, "at": data.draw(st.integers(1, budget - 1), label="at")}
+            )
+
+    import json as _json
+
+    r = KinesisSimStreamReader(
+        {
+            "shards": shards, "records_per_shard": tip, "seed": 7,
+            "batch_records": batch_records, "lineage_order": "strict",
+            **({"reshard_plan": _json.dumps(plan)} if plan else {}),
+        }
+    )
+    topo = apply_reshard_plan(shards, tip, plan)
+    first_batch: dict[str, int] = {}
+    last_batch: dict[str, int] = {}
+    seen: list[tuple] = []
+    cur = r.initialOffset()
+    for batch in range(200):
+        rows, nxt = r.read(cur)
+        rows = list(rows)
+        for t in rows:
+            first_batch.setdefault(t[0], batch)
+            last_batch[t[0]] = batch
+        seen.extend((t[0], t[1]) for t in rows)
+        if nxt == cur:
+            break
+        cur = nxt
+    else:
+        raise AssertionError(f"stream never drained: plan={plan}")
+    # completeness: the drained multiset is exactly the topology
+    want = sorted(
+        (t.shard_id, q) for t in topo for q in range(t.n_records)
+    )
+    assert sorted(seen) == want, f"plan={plan}"
+    # the ordering contract, on OUTPUT: child's first batch strictly after
+    # every parent's last batch
+    by_index = {t.index: t for t in topo}
+    for t in topo:
+        for p in (t.parent, t.adjacent_parent):
+            if p is None:
+                continue
+            child_first = first_batch[t.shard_id]
+            parent_last = last_batch[by_index[p].shard_id]
+            assert child_first > parent_last, (
+                f"plan={plan}: {t.shard_id} first batch {child_first} !> "
+                f"parent {by_index[p].shard_id} last batch {parent_last}"
+            )
