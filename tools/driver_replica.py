@@ -48,6 +48,11 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        # a bare builder defaults to a 1g driver heap, which survives the
+        # gate's sf0.01 but OOM-kills the JVM (py4j ConnectionRefused) when
+        # replicating at sf0.1; size it like the engine's build_spark does.
+        # Only applied at JVM launch — run the replica in a fresh process.
+        .config("spark.driver.memory", os.environ.get("REPLICA_DRIVER_MEM", "12g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
