@@ -138,31 +138,23 @@ def test_reshard_reads_match_generator_for_any_split(
         ], f"shard {t.index} (parent={t.parent} closed={t.closed})"
 
 
-@given(data=st.data())
-@settings(max_examples=40, deadline=None)
-def test_reshard_plan_reads_match_generator_for_any_two_events(data):
-    """r10 multi-generation model: for ANY valid 2-event reshard plan
-    (split/split, split/merge, merge/merge, merge/split — including
-    events whose parents are children of the first event, i.e. real
-    two-generation chains) every lineage shard read through the complete
-    opaque→dense adapter stack equals the generator ground truth, with
-    require_complete proving the checkpoint-replay contract on closed
-    ranges."""
+def _draw_plan(data, shards: int, tip: int, max_events: int) -> list[dict]:
+    """Grow a valid reshard plan event-by-event against the evolving
+    topology — each drawn event picks its parents from the shards that
+    are open AT THAT POINT in the plan, so children of earlier events are
+    eligible parents and the drawn plans form genuine multi-generation
+    DAGs (split of a split child, merge of two split children, merge
+    child splitting again, …)."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
         apply_reshard_plan,
     )
 
-    shards = data.draw(st.integers(2, 3), label="shards")
-    tip = data.draw(st.integers(4, 48), label="tip")
-    seed = data.draw(st.integers(0, 2**16), label="seed")
-    page_limit = data.draw(st.integers(1, 64), label="page_limit")
-
-    # grow a valid plan event-by-event against the evolving topology
+    n_events = data.draw(st.integers(0, max_events), label="n_events")
     plan: list[dict] = []
-    for _ in range(2):
+    for _ in range(n_events):
         topo = apply_reshard_plan(shards, tip, plan)
         open_shards = [t for t in topo if not t.closed and t.n_records >= 2]
-        if len(open_shards) < 1:
+        if not open_shards:
             break
         want_merge = len(open_shards) >= 2 and data.draw(st.booleans(), label="merge?")
         if want_merge:
@@ -174,8 +166,9 @@ def test_reshard_plan_reads_match_generator_for_any_two_events(data):
                 label="merge parents",
             )
             budgets = {t.index: t.n_records for t in open_shards}
-            hi = min(budgets[a], budgets[b]) - 1
-            at = data.draw(st.integers(1, hi), label="merge at")
+            at = data.draw(
+                st.integers(1, min(budgets[a], budgets[b]) - 1), label="merge at"
+            )
             plan.append({"op": "merge", "parents": [a, b], "at": at})
         else:
             p = data.draw(
@@ -184,6 +177,27 @@ def test_reshard_plan_reads_match_generator_for_any_two_events(data):
             budget = next(t.n_records for t in open_shards if t.index == p)
             at = data.draw(st.integers(1, budget - 1), label="split at")
             plan.append({"op": "split", "parent": p, "at": at})
+    return plan
+
+
+@given(data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_reshard_plan_reads_match_generator_for_any_plan(data):
+    """r10 multi-generation model: for ANY valid reshard plan of up to 4
+    events (any split/merge mix — including events whose parents are
+    children of earlier events, i.e. chains 3+ generations deep) every
+    lineage shard read through the complete opaque→dense adapter stack
+    equals the generator ground truth, with require_complete proving the
+    checkpoint-replay contract on closed ranges."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        apply_reshard_plan,
+    )
+
+    shards = data.draw(st.integers(2, 3), label="shards")
+    tip = data.draw(st.integers(4, 48), label="tip")
+    seed = data.draw(st.integers(0, 2**16), label="seed")
+    page_limit = data.draw(st.integers(1, 64), label="page_limit")
+    plan = _draw_plan(data, shards, tip, max_events=4)
 
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
         OpaqueSeqKinesisClient,
@@ -216,12 +230,13 @@ def test_reshard_plan_reads_match_generator_for_any_two_events(data):
 @settings(max_examples=25, deadline=None)
 def test_lineage_order_strict_parent_before_child_for_any_plan(data):
     """r10 ``lineage_order=strict`` as an OUTPUT property, not an
-    implementation echo: for ANY valid 2-event reshard plan, drive the
-    streaming reader to exhaustion and record which batch each record
-    arrived in — every shard with lineage must see its first record in a
-    LATER batch than the last record of every one of its parents (the
-    service consumer's parent-before-child contract, transitive across
-    generations), and the total multiset must equal the topology."""
+    implementation echo: for ANY valid reshard plan of up to 4 events,
+    drive the streaming reader to exhaustion and record which batch each
+    record arrived in — every shard with lineage must see its first
+    record in a LATER batch than the last record of every one of its
+    parents (the service consumer's parent-before-child contract,
+    transitive across generations), and the total multiset must equal
+    the topology."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
         KinesisSimStreamReader,
         apply_reshard_plan,
@@ -230,31 +245,7 @@ def test_lineage_order_strict_parent_before_child_for_any_plan(data):
     shards = data.draw(st.integers(1, 3), label="shards")
     tip = data.draw(st.integers(4, 24), label="tip")
     batch_records = data.draw(st.integers(1, 7), label="batch_records")
-
-    plan: list[dict] = []
-    for _ in range(2):
-        topo = apply_reshard_plan(shards, tip, plan)
-        open_shards = [t for t in topo if not t.closed and t.n_records >= 2]
-        if not open_shards:
-            break
-        want_merge = len(open_shards) >= 2 and data.draw(st.booleans(), label="merge?")
-        if want_merge:
-            a, b = data.draw(
-                st.lists(
-                    st.sampled_from([t.index for t in open_shards]),
-                    min_size=2, max_size=2, unique=True,
-                ),
-                label="parents",
-            )
-            budgets = {t.index: t.n_records for t in open_shards}
-            at = data.draw(st.integers(1, min(budgets[a], budgets[b]) - 1), label="at")
-            plan.append({"op": "merge", "parents": [a, b], "at": at})
-        else:
-            p = data.draw(st.sampled_from([t.index for t in open_shards]), label="parent")
-            budget = next(t.n_records for t in open_shards if t.index == p)
-            plan.append(
-                {"op": "split", "parent": p, "at": data.draw(st.integers(1, budget - 1), label="at")}
-            )
+    plan = _draw_plan(data, shards, tip, max_events=4)
 
     import json as _json
 
