@@ -932,3 +932,82 @@ def test_connector_ledger_path_persists_and_warm_starts(spark, tmp_path):
     _rows, cur = r.read(cur)
     led2 = _json.load(open(p2))
     assert set(led2) == {"shardId-000000000000", "shardId-000000000001"}
+
+
+def test_strict_lineage_streaming_checkpoint_restart_mid_hold(spark, tmp_path):
+    """r10 ``lineage_order=strict`` at the real Structured Streaming
+    level, ACROSS a restart: the hold state lives entirely in the WAL's
+    offset dict (children pinned at their cursor), so stopping the query
+    while children are still held and resuming from the checkpoint must
+    (a) keep honoring parent-before-child — no child record in any batch
+    at or before a parent's last batch, phase boundary included — and
+    (b) drain to the exact topology multiset with per-batch exactly-once
+    regeneration (a batch replayed after the restart carries identical
+    rows).  foreachBatch records (batch_id → rows) so the ordering
+    contract is asserted on OUTPUT batches, not reader internals."""
+    import json as _json
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    plan = [{"op": "split", "parent": 0, "at": 6}]  # children 1, 2 carry 12 each
+    opts = dict(
+        shards=1, records_per_shard=18, reshard_plan=_json.dumps(plan),
+        batch_records=2, seed=17, lineage_order="strict", template="orders",
+    )
+
+    def run(store: dict, until_records: int):
+        def sink(df, bid):
+            store[bid] = sorted((r.shard_id, r.sequence_number) for r in df.collect())
+
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .options(**opts)
+            .load()
+            .selectExpr("shard_id", "sequence_number")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while (
+                time.time() < deadline
+                and sum(len(v) for v in store.values()) < until_records
+            ):
+                time.sleep(0.2)
+        finally:
+            q.stop()
+
+    # phase 1: stop somewhere inside the parent drain (6 records at 2 per
+    # batch) — the children are certainly still held at cursor 0
+    p1: dict[int, list] = {}
+    run(p1, 4)
+    assert {s for rows in p1.values() for s, _ in rows} == {"shardId-000000000000"}
+    # phase 2: resume the SAME checkpoint and drain everything
+    p2: dict[int, list] = {}
+    run(p2, 6 + 2 * 12 - sum(len(v) for v in p1.values()))
+    # exactly-once regeneration: a batch id seen in both phases (the one
+    # in flight at the stop) must carry identical rows after the restart
+    for bid in set(p1) & set(p2):
+        assert p1[bid] == p2[bid], f"batch {bid} replayed differently"
+    batches = {**p1, **p2}
+    # completeness: the union over unique batch ids is the exact topology
+    sid = lambda s: f"shardId-{s:012d}"  # noqa: E731
+    want = sorted(
+        [(sid(0), q) for q in range(6)]
+        + [(sid(c), q) for c in (1, 2) for q in range(12)]
+    )
+    assert sorted(t for rows in batches.values() for t in rows) == want
+    # ordering: each child's FIRST batch is strictly after the parent's
+    # LAST batch — across the restart boundary (batch ids are WAL-global)
+    first = {}
+    last = {}
+    for bid in sorted(batches):
+        for s, _ in batches[bid]:
+            first.setdefault(s, bid)
+            last[s] = bid
+    for child in (1, 2):
+        assert first[sid(child)] > last[sid(0)], (
+            f"child {child} first batch {first[sid(child)]} !> "
+            f"parent last batch {last[sid(0)]}"
+        )
