@@ -291,3 +291,77 @@ def test_lineage_order_strict_parent_before_child_for_any_plan(data):
                 f"plan={plan}: {t.shard_id} first batch {child_first} !> "
                 f"parent {by_index[p].shard_id} last batch {parent_last}"
             )
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data())
+def test_merge_ledger_snapshots_is_a_lawful_union(data):
+    """``merge_ledger_snapshots`` on snapshots drawn from one ground
+    truth (any two observers of the same stream agree wherever they
+    overlap) must behave as a set union: commutative, associative,
+    idempotent, sorted-ordinal output, and covering every input entry.
+    With a single disagreeing (shard, ordinal) injected — the retention-
+    drift signal — it must raise instead of picking a winner."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        merge_ledger_snapshots,
+    )
+
+    # ground truth: up to 3 shards, each with a consistent ordinal→seq map
+    truth = {
+        f"shardId-{s:012d}": {
+            o: f"seq-{s}-{o * 7 + 3}"
+            for o in data.draw(
+                st.sets(st.integers(0, 40), max_size=12), label=f"ords{s}"
+            )
+        }
+        for s in range(data.draw(st.integers(1, 3), label="shards"))
+    }
+
+    def snap(label):
+        out = {}
+        for sid, m in truth.items():
+            picked = data.draw(
+                st.sets(st.sampled_from(sorted(m)), max_size=len(m))
+                if m else st.just(set()),
+                label=f"{label}:{sid}",
+            )
+            if picked:
+                ords = sorted(picked)
+                out[sid] = {
+                    "ordinals": ords, "sequences": [m[o] for o in ords]
+                }
+        return out
+
+    a, b, c = snap("a"), snap("b"), snap("c")
+    ab = merge_ledger_snapshots(a, b)
+    # commutative + associative + idempotent
+    assert ab == merge_ledger_snapshots(b, a)
+    assert merge_ledger_snapshots(ab, c) == merge_ledger_snapshots(
+        a, merge_ledger_snapshots(b, c)
+    )
+    assert merge_ledger_snapshots(ab, ab) == ab
+    # union: every input entry present, ordinals sorted, values from truth
+    for side in (a, b):
+        for sid, entry in side.items():
+            got = dict(zip(ab[sid]["ordinals"], ab[sid]["sequences"]))
+            for o, q in zip(entry["ordinals"], entry["sequences"]):
+                assert got[o] == q
+    for sid, entry in ab.items():
+        assert entry["ordinals"] == sorted(entry["ordinals"])
+    # drift: flip one sequence on a side that carries at least one entry
+    sided = [(s, sid) for s in (a, b) for sid, e in s.items() if e["ordinals"]]
+    if sided and ab:
+        side, sid = data.draw(st.sampled_from(sided), label="drift site")
+        import copy
+
+        bad = copy.deepcopy(side)
+        bad[sid]["sequences"][0] = "seq-DRIFTED"
+        other = b if side is a else a
+        # only raises if the drifted ordinal is actually contested
+        o0 = bad[sid]["ordinals"][0]
+        contested = sid in other and o0 in other[sid]["ordinals"]
+        if contested:
+            import pytest
+
+            with pytest.raises(ValueError, match="ledger drift"):
+                merge_ledger_snapshots(bad, other)
