@@ -34,6 +34,25 @@ def _canary_samples() -> list[float]:
     return samples
 
 
+def _parallel_canary_samples(spark) -> list[float]:
+    """All-cores companion to the BLAS canary: a FIXED CPU-bound Spark
+    job (sum of id % 1000 over 6e9 rows, one partition per core,
+    whole-stage codegen — no IO, no shuffle) timed min-of-3.  The
+    single-threaded canary corrects uniform host slowdowns but is BLIND
+    to multi-core contention (measured: throughput metrics dipped ~30%
+    in windows where the BLAS canary was flat); this one runs through
+    the same 32-way task scheduling the queries use, so a contended
+    window moves it the same way it moves them."""
+    df = spark.range(0, 6_000_000_000, 1, spark.sparkContext.defaultParallelism)
+    df.selectExpr("sum(id % 1000)").collect()  # warm codegen, untimed
+    samples = []
+    for _ in range(3):
+        t = time.perf_counter()
+        df.selectExpr("sum(id % 1000)").collect()
+        samples.append(round(time.perf_counter() - t, 4))
+    return samples
+
+
 def _prev_bench() -> tuple[str, dict] | None:
     """Newest BENCH_r{N}.json next to this script that carries a canary
     reading (r9+).  Bench artifacts are driver-written per round, so the
@@ -96,6 +115,7 @@ def main() -> None:
     # samples, where it would vanish from the report without getting faster.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     startup = time.time() - t0
+    pcanary_start = _parallel_canary_samples(spark)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     timings: dict[str, float] = {}
@@ -216,7 +236,12 @@ def main() -> None:
     # second canary reading at the end: a slow window that opened mid-run
     # shows as end >> start; both traces land in the JSON
     canary_end = _canary_samples()
+    pcanary_end = _parallel_canary_samples(spark)
     print(f"# canary: start={canary_start} end={canary_end}", file=sys.stderr)
+    print(
+        f"# parallel_canary: start={pcanary_start} end={pcanary_end}",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     # the headline set GREW in round 5 (+dedup_clusters, +embedding_neardup);
@@ -240,6 +265,8 @@ def main() -> None:
         "kinesis_sim_sdk_scan_recs_per_sec": sdk_rps,
         "canary_sec": min(min(canary_start), min(canary_end)),
         "canary_samples_sec": {"start": canary_start, "end": canary_end},
+        "canary_parallel_sec": min(min(pcanary_start), min(pcanary_end)),
+        "canary_parallel_samples_sec": {"start": pcanary_start, "end": pcanary_end},
         "query_samples": raw_samples,
         "throughput_samples_sec": {
             "streaming_interval_join": stream_samples,
@@ -265,6 +292,12 @@ def main() -> None:
         ratio = round(out["canary_sec"] / prev_out["canary_sec"], 4)
         out["canary_ratio_vs_prev"] = ratio
         out["prev_bench_file"] = prev_name
+        if prev_out.get("canary_parallel_sec"):
+            # first present r10; captures multi-core contention the
+            # single-threaded ratio above cannot (see _parallel_canary_samples)
+            out["canary_parallel_ratio_vs_prev"] = round(
+                out["canary_parallel_sec"] / prev_out["canary_parallel_sec"], 4
+            )
         out["normalized_delta_vs_prev"] = {
             q: round((timings[q] / ratio) / pt - 1, 4)
             for q, pt in prev_out["queries"].items()
