@@ -340,12 +340,14 @@ def test_merge_ledger_snapshots_is_a_lawful_union(data):
         a, merge_ledger_snapshots(b, c)
     )
     assert merge_ledger_snapshots(ab, ab) == ab
-    # union: every input entry present, ordinals sorted, values from truth
-    for side in (a, b):
-        for sid, entry in side.items():
-            got = dict(zip(ab[sid]["ordinals"], ab[sid]["sequences"]))
-            for o, q in zip(entry["ordinals"], entry["sequences"]):
-                assert got[o] == q
+    # union BOTH directions: every input entry present in the output, and
+    # every output entry present in an input (no fabricated entries)
+    as_set = lambda snap: {  # noqa: E731
+        (sid, o, q)
+        for sid, e in snap.items()
+        for o, q in zip(e["ordinals"], e["sequences"])
+    }
+    assert as_set(ab) == as_set(a) | as_set(b)
     for sid, entry in ab.items():
         assert entry["ordinals"] == sorted(entry["ordinals"])
     # drift: flip one sequence on a side that carries at least one entry

@@ -955,7 +955,7 @@ def test_strict_lineage_streaming_checkpoint_restart_mid_hold(spark, tmp_path):
         batch_records=2, seed=17, lineage_order="strict", template="orders",
     )
 
-    def run(store: dict, until_records: int):
+    def run(store: dict, done):
         def sink(df, bid):
             store[bid] = sorted((r.shard_id, r.sequence_number) for r in df.collect())
 
@@ -970,22 +970,36 @@ def test_strict_lineage_streaming_checkpoint_restart_mid_hold(spark, tmp_path):
         )
         try:
             deadline = time.time() + 120
-            while (
-                time.time() < deadline
-                and sum(len(v) for v in store.values()) < until_records
-            ):
+            while time.time() < deadline and not done():
                 time.sleep(0.2)
         finally:
             q.stop()
 
+    total = 6 + 2 * 12
+
+    def unique_rows(*stores):
+        # dedup by batch id, NOT by concatenation: the batch in flight at
+        # a stop is legitimately re-delivered after the restart with the
+        # same id and identical rows
+        merged = {}
+        for s in stores:
+            merged.update(s)
+        return [t for rows in merged.values() for t in rows]
+
     # phase 1: stop somewhere inside the parent drain (6 records at 2 per
-    # batch) — the children are certainly still held at cursor 0
+    # batch).  Timing tolerance: extra batches may complete between the
+    # poll observing >=4 rows and q.stop() landing, so don't assert
+    # "parent rows only" over ALL of p1 — assert the stop left the stream
+    # genuinely mid-flight, and that p1's FIRST batch is parent-only
+    # (guaranteed by the hold regardless of timing).
     p1: dict[int, list] = {}
-    run(p1, 4)
-    assert {s for rows in p1.values() for s, _ in rows} == {"shardId-000000000000"}
+    run(p1, lambda: sum(len(v) for v in p1.values()) >= 4)
+    assert p1, "phase 1 observed no batches"
+    assert {s for s, _ in p1[min(p1)]} == {"shardId-000000000000"}
+    assert len(unique_rows(p1)) < total, "phase 1 drained everything; no restart left"
     # phase 2: resume the SAME checkpoint and drain everything
     p2: dict[int, list] = {}
-    run(p2, 6 + 2 * 12 - sum(len(v) for v in p1.values()))
+    run(p2, lambda: len(unique_rows(p1, p2)) >= total)
     # exactly-once regeneration: a batch id seen in both phases (the one
     # in flight at the stop) must carry identical rows after the restart
     for bid in set(p1) & set(p2):
@@ -997,7 +1011,7 @@ def test_strict_lineage_streaming_checkpoint_restart_mid_hold(spark, tmp_path):
         [(sid(0), q) for q in range(6)]
         + [(sid(c), q) for c in (1, 2) for q in range(12)]
     )
-    assert sorted(t for rows in batches.values() for t in rows) == want
+    assert sorted(unique_rows(batches)) == want
     # ordering: each child's FIRST batch is strictly after the parent's
     # LAST batch — across the restart boundary (batch ids are WAL-global)
     first = {}

@@ -50,8 +50,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         # a bare builder defaults to a 1g driver heap, which survives the
         # gate's sf0.01 but OOM-kills the JVM (py4j ConnectionRefused) when
-        # replicating at sf0.1; size it like the engine's build_spark does.
-        # Only applied at JVM launch — run the replica in a fresh process.
+        # replicating at sf0.1; default 12g — deliberately under the
+        # engine's build_spark 16g so a replica can run NEXT TO an engine
+        # session on this 128 GiB host (raise via REPLICA_DRIVER_MEM for
+        # sf>0.1).  Only applied at JVM launch — run in a fresh process.
         .config("spark.driver.memory", os.environ.get("REPLICA_DRIVER_MEM", "12g"))
         .getOrCreate()
     )

@@ -18,12 +18,14 @@ ready to paste into SCALING.md's "Measured scaling" section.
 
 Usage::
 
-    python tools/scaling_probe.py [--sfs 0.001,0.01,0.1] [--runs 3]
+    python tools/scaling_probe.py [--sfs 0.001,0.01,0.1] [--runs 3] \
+        [--data-root /root/testdata]
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -32,10 +34,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sfs", default="0.001,0.01,0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--data-root",
+        default=os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata"),
+        help="directory holding the sf{N}/ parquet dirs (bench.py's "
+        "SPARK_GRAFT_SF_DIR points at ONE of these; the probe needs the root)",
+    )
     args = ap.parse_args()
     sfs = [s.strip() for s in args.sfs.split(",") if s.strip()]
 
-    sys.path.insert(0, "/root/repo")
+    # the package lives at the repo root one level up, like driver_replica
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from amazon_kinesis_data_analytics_flinktableapi_spark.engine import build_spark
     from amazon_kinesis_data_analytics_flinktableapi_spark.queries import all_specs
 
@@ -48,7 +57,7 @@ def main() -> int:
     for name, spec in headline.items():
         results[name] = {}
         for sf in sfs:
-            sf_dir = f"/root/testdata/sf{sf}"
+            sf_dir = os.path.join(args.data_root, f"sf{sf}")
             samples = []
             for _ in range(args.runs):
                 spark.catalog.clearCache()
@@ -59,19 +68,19 @@ def main() -> int:
             print(f"# {name} sf{sf}: {min(samples):.3f}s samples="
                   f"{[round(s, 3) for s in samples]}", file=sys.stderr)
 
-    hdr = " | ".join(f"sf{sf}" for sf in sfs)
-    ratios_hdr = " | ".join(
+    # build each row as a cell list so header/separator/body column counts
+    # can never diverge (a single --sfs value has zero ratio columns)
+    header = ["query"] + [f"sf{sf}" for sf in sfs] + [
         f"×(sf{a}→sf{b})" for a, b in zip(sfs, sfs[1:])
-    )
-    print(f"| query | {hdr} | {ratios_hdr} |")
-    print("|---|" + "---|" * (len(sfs) + len(sfs) - 1))
+    ]
+    print("| " + " | ".join(header) + " |")
+    print("|" + "---|" * len(header))
     for name in sorted(results, key=lambda n: -results[n][sfs[-1]]):
         r = results[name]
-        times = " | ".join(f"{r[sf]:.2f} s" for sf in sfs)
-        ratios = " | ".join(
+        cells = [f"`{name}`"] + [f"{r[sf]:.2f} s" for sf in sfs] + [
             f"{r[b] / r[a]:.1f}×" for a, b in zip(sfs, sfs[1:])
-        )
-        print(f"| `{name}` | {times} | {ratios} |")
+        ]
+        print("| " + " | ".join(cells) + " |")
     return 0
 
 
