@@ -102,6 +102,10 @@ _PRIORITY: list[str] = [
     # slots; streaming_kinesis_roundtrip is in the r6 block anyway.
     "kinesis_merge_roundtrip",
     "kinesis_reshard_chain_roundtrip",
+    # NEW mid-r10: merge lineage composed through the flagship interval
+    # join (new queries enter the window on their first round; displaces
+    # the 50th name, repetition_signals, which leads the r11 stale block)
+    "kinesis_merge_interval_join",
     "kinesis_reshard_roundtrip",
     "interval_join_full",
     "streaming_interval_join",

@@ -309,6 +309,89 @@ def q_kinesis_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kinesis_merge_interval_join",
+    oracle=f"""
+    WITH topo(shard, n) AS (VALUES (0, 100), (1, 100), (2, 50)),
+    o AS (
+      SELECT s.shard * 1000000000 + q.seq AS id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (q.seq * 40 + s.shard) * INTERVAL 1 MILLISECOND AS order_time,
+             CAST({_DUCK_KSIM_H.format(seed=7, salt='a')} % 10000 + 1 AS INTEGER) AS amount,
+             ['click','view','signup','purchase','error']
+               [{_DUCK_KSIM_H.format(seed=7, salt='c')} % 5 + 1] AS currency
+      FROM topo s, range(150) q(seq)
+      WHERE q.seq < s.n
+    ), r AS ({_DUCK_KSIM_RATES})
+    SELECT o.id, o.order_time, o.amount AS original_amount, r.rate,
+           CAST(o.amount * r.rate AS INTEGER) AS converted_amount
+    FROM o LEFT JOIN r
+      ON o.currency = r.currency
+     AND o.order_time >= r.rate_time
+     AND r.rate_time > o.order_time - INTERVAL 5 SECOND
+    """,
+    doc="S1 merge lineage + S2 + Q4: the reference join fed by a post-merge "
+        "reshard stream",
+)
+def q_kinesis_merge_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference topology's interval join (StreamingJob.java:96-100)
+    driven from a DOWNSCALED stream: the orders side reads a kinesis_sim
+    stream whose two shards merged mid-stream (``{"op": "merge",
+    "parents": [0, 1], "at": 100}`` — both parents close at 100 records,
+    merge child 2 carries ``ParentShardId`` + ``AdjacentParentShardId``
+    and 50 fresh records), so the consumer surface the reference's
+    FlinkKinesisConsumer handles on a real downscale
+    (StreamingJob.java:26-41) flows through the same parse→join path the
+    plain-topology ``kinesis_interval_join`` attests.  The DuckDB oracle
+    regenerates the identical post-merge record multiset from a literal
+    (shard, n_records) topology table — the driver hash-checks lineage
+    completeness (parents truncated at the merge point, child's own
+    dense space) THROUGH the join, not just at the wire."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import (
+        EXCHANGE_RATE_SCHEMA,
+        ORDER_SCHEMA,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        register as register_kinesis,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
+
+    register_kinesis(spark)
+    o_raw = (
+        spark.read.format("kinesis_sim")
+        .options(
+            template="orders", shards="2", records_per_shard="150",
+            interval_ms="40", seed="7",
+            reshard_plan='[{"op": "merge", "parents": [0, 1], "at": 100}]',
+        )
+        .load()
+    )
+    r_raw = (
+        spark.read.format("kinesis_sim")
+        .options(
+            template="rates", shards="1", records_per_shard="30",
+            interval_ms="400", seed="8",
+        )
+        .load()
+    )
+    o = parse_json_stream(o_raw, ORDER_SCHEMA, value_col="data").withColumnRenamed(
+        "orderTime", "order_time"
+    )
+    r = parse_json_stream(r_raw, EXCHANGE_RATE_SCHEMA, value_col="data").withColumnRenamed(
+        "exchangeRateTime", "rate_time"
+    )
+    j = interval_join_bucketed(
+        o, r, on="currency", left_time="order_time", right_time="rate_time", interval="5 seconds"
+    )
+    return j.select(
+        F.col("l.id").alias("id"),
+        F.col("l.order_time").alias("order_time"),
+        F.col("l.amount").alias("original_amount"),
+        F.col("r.rate").alias("rate"),
+        (F.col("l.amount") * F.col("r.rate")).cast("int").alias("converted_amount"),
+    )
+
+
+@query(
     "kinesis_fake_sdk_roundtrip",
     oracle=f"""
     WITH o AS (
