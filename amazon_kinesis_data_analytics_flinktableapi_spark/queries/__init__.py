@@ -103,10 +103,15 @@ _PRIORITY: list[str] = [
     "kinesis_merge_roundtrip",
     "kinesis_reshard_chain_roundtrip",
     # NEW mid-r10: merge lineage composed through the flagship interval
-    # join (new queries enter the window on their first round; displaces
-    # the 50th name, repetition_signals, which leads the r11 stale block)
+    # join (new queries enter the window on their first round).  Its slot
+    # comes from kinesis_reshard_roundtrip, which leaves the window: it is
+    # r9-green (the youngest name the window held) and its r10-changed
+    # path — reshard_at routing through apply_reshard_plan — is attested
+    # in-window by both new plan-model queries and was replica-verified at
+    # sf0.01 AND sf0.1 this round; dropping it instead of an r6-stale name
+    # keeps the rotation criterion (stalest attestation advances past r6)
+    # intact.
     "kinesis_merge_interval_join",
-    "kinesis_reshard_roundtrip",
     "interval_join_full",
     "streaming_interval_join",
     "streaming_tumbling_window",
