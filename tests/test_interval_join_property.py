@@ -48,13 +48,13 @@ rates_st = st.lists(
 )
 
 
-def brute_force(orders, rates):
+def brute_force(orders, rates, window_s=WINDOW_S):
     out = set()
     for oid, oms, amount, ccy in orders:
         matches = [
             rate
             for rms, rccy, rate in rates
-            if rccy == ccy and oms >= rms and rms > oms - WINDOW_S * 1000
+            if rccy == ccy and oms >= rms and rms > oms - window_s * 1000
         ]
         if matches:
             for rate in matches:
@@ -65,8 +65,12 @@ def brute_force(orders, rates):
 
 
 @settings(max_examples=25, deadline=None)
-@given(orders=orders_st, rates=rates_st)
-def test_both_plans_match_brute_force(orders, rates):
+# window width swept too: the bucketed plan's algebra (bucket = interval
+# width, right side exploded into 2 adjacent buckets) must hold for ANY
+# width, not just the reference's 5 s — 1 s makes nearly every row its own
+# bucket, 30 s collapses the fixture into one or two buckets per key
+@given(orders=orders_st, rates=rates_st, window_s=st.sampled_from([1, 5, 30]))
+def test_both_plans_match_brute_force(orders, rates, window_s):
     spark = get_spark()
     odf = spark.createDataFrame(
         [(oid, T0 + timedelta(milliseconds=ms), amt, c) for oid, ms, amt, c in orders],
@@ -76,21 +80,21 @@ def test_both_plans_match_brute_force(orders, rates):
         [(T0 + timedelta(milliseconds=ms), c, r) for ms, c, r in rates],
         EXCHANGE_RATE_SCHEMA,
     )
-    expected = brute_force(orders, rates)
+    expected = brute_force(orders, rates, window_s)
     for impl in (interval_join, interval_join_bucketed):
         j = impl(odf, rdf, on="currency", left_time="orderTime",
-                 right_time="exchangeRateTime", interval=f"{WINDOW_S} seconds")
+                 right_time="exchangeRateTime", interval=f"{window_s} seconds")
         got = {(r["id"], r["rate"]) for r in j.select("l.id", "r.rate").collect()}
         assert got == expected, f"{impl.__name__}: {got ^ expected}"
 
 
-def brute_force_forward(orders, rates):
+def brute_force_forward(orders, rates, window_s=WINDOW_S):
     out = set()
     for oid, oms, amount, ccy in orders:
         matches = [
             rate
             for rms, rccy, rate in rates
-            if rccy == ccy and rms >= oms and rms < oms + WINDOW_S * 1000
+            if rccy == ccy and rms >= oms and rms < oms + window_s * 1000
         ]
         if matches:
             for rate in matches:
@@ -101,8 +105,8 @@ def brute_force_forward(orders, rates):
 
 
 @settings(max_examples=25, deadline=None)
-@given(orders=orders_st, rates=rates_st)
-def test_forward_direction_both_plans_match_brute_force(orders, rates):
+@given(orders=orders_st, rates=rates_st, window_s=st.sampled_from([1, 5, 30]))
+def test_forward_direction_both_plans_match_brute_force(orders, rates, window_s):
     spark = get_spark()
     odf = spark.createDataFrame(
         [(oid, T0 + timedelta(milliseconds=ms), amt, c) for oid, ms, amt, c in orders],
@@ -112,10 +116,10 @@ def test_forward_direction_both_plans_match_brute_force(orders, rates):
         [(T0 + timedelta(milliseconds=ms), c, r) for ms, c, r in rates],
         EXCHANGE_RATE_SCHEMA,
     )
-    expected = brute_force_forward(orders, rates)
+    expected = brute_force_forward(orders, rates, window_s)
     for impl in (interval_join, interval_join_bucketed):
         j = impl(odf, rdf, on="currency", left_time="orderTime",
-                 right_time="exchangeRateTime", interval=f"{WINDOW_S} seconds",
+                 right_time="exchangeRateTime", interval=f"{window_s} seconds",
                  direction="forward")
         got = {(r["id"], r["rate"]) for r in j.select("l.id", "r.rate").collect()}
         assert got == expected, f"{impl.__name__}: {got ^ expected}"
