@@ -43,6 +43,7 @@ class EngineQueryListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.collector = MetricsCollector()
+        self._index: dict[tuple, int] = {}  # (runId, batchId) → batches idx
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -51,15 +52,24 @@ class EngineQueryListener(StreamingQueryListener):
         p = event.progress
         state_rows = sum(op.numRowsTotal for op in p.stateOperators) if p.stateOperators else 0
         watermark = p.eventTime.get("watermark") if p.eventTime else None
-        self.collector.batches.append(
-            BatchMetrics(
-                batch_id=p.batchId,
-                input_rows=p.numInputRows,
-                rows_per_second=p.processedRowsPerSecond or 0.0,
-                state_rows=state_rows,
-                watermark=watermark,
-            )
+        m = BatchMetrics(
+            batch_id=p.batchId,
+            input_rows=p.numInputRows,
+            rows_per_second=p.processedRowsPerSecond or 0.0,
+            state_rows=state_rows,
+            watermark=watermark,
         )
+        # an idle query RE-REPORTS its last batch every
+        # noDataProgressEventInterval; appending each re-report would count
+        # phantom batches in every per-batch series, so the same (runId,
+        # batchId) updates its row in place (keeping the freshest
+        # watermark) instead of appending
+        key = (str(p.runId), p.batchId)
+        if key in self._index:
+            self.collector.batches[self._index[key]] = m
+        else:
+            self._index[key] = len(self.collector.batches)
+            self.collector.batches.append(m)
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

@@ -54,6 +54,8 @@ def build_reference_query(
     streaming inputs — the dynamic-table equivalence both Flink Table API
     and Structured Streaming are built on.
     """
+    import uuid
+
     register_timestamp_to_string(spark)
     o = orders.withColumnRenamed("orderTime", "eventtime")
     r = rates.withColumnRenamed("exchangeRateTime", "eventtime")
@@ -61,7 +63,17 @@ def build_reference_query(
         o = o.withWatermark("eventtime", watermark_delay)
     if r.isStreaming:
         r = r.withWatermark("eventtime", watermark_delay)
-    o.createOrReplaceTempView("Orders")
-    r.createOrReplaceTempView("ExchangeRates")
-    sql = REFERENCE_SQL.replace("INTERVAL 5 SECONDS", f"INTERVAL {interval}")
+    # per-invocation view names: fixed "Orders"/"ExchangeRates" are shared
+    # session state, so building a second query (e.g. the batch twin next
+    # to the streaming one) would silently rebind the first query's inputs.
+    # spark.sql resolves the views HERE, so the suffix never outlives this
+    # call and the user-facing REFERENCE_SQL stays verbatim.
+    suffix = uuid.uuid4().hex[:8]
+    o.createOrReplaceTempView(f"Orders_{suffix}")
+    r.createOrReplaceTempView(f"ExchangeRates_{suffix}")
+    sql = (
+        REFERENCE_SQL.replace("INTERVAL 5 SECONDS", f"INTERVAL {interval}")
+        .replace("FROM Orders o", f"FROM Orders_{suffix} o")
+        .replace("JOIN ExchangeRates r", f"JOIN ExchangeRates_{suffix} r")
+    )
     return spark.sql(sql)

@@ -94,7 +94,18 @@ def dump_json_parts(dfs: list[DataFrame], out_dir: str) -> str:
     batch (``dump_json_chunks`` only splits a single table in time order)."""
     i = 0
     for df in dfs:
-        i = _publish_chunks(_staged_json_lines(df, 1, None), out_dir, first_index=i)
+        j = _publish_chunks(_staged_json_lines(df, 1, None), out_dir, first_index=i)
+        if j == i:
+            # an EMPTY DataFrame still owns its batch position: without a
+            # placeholder file every later part would shift one batch
+            # earlier, silently changing the watermark timing the caller
+            # scripted (a 0-byte file replays as a 0-row micro-batch)
+            dest = os.path.join(out_dir, f"chunk-{i:05d}.json")
+            open(dest, "w").close()
+            t = 1_700_000_000 + i
+            os.utime(dest, (t, t))
+            j = i + 1
+        i = j
     return out_dir
 
 
@@ -116,7 +127,15 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # awaitTermination(timeout) RETURNS False on timeout rather than
+    # raising — swallowing that would hand back a silently-truncated
+    # memory table while the query keeps appending behind the caller
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} still running after {timeout_sec}s "
+            "(availableNow did not finish; partial results discarded)"
+        )
     return spark.table(name)
 
 
@@ -139,9 +158,18 @@ def run_to_memory_drain(
     A ``processingTime`` trigger keeps executing micro-batches: the first
     empty batch after the tip carries the advanced watermark and flushes
     every closed window; the query is stopped once ``idle_batches``
-    consecutive empty batches confirm there is nothing left to emit."""
+    consecutive empty progress reports confirm there is nothing left to
+    emit.  (Mechanics on Spark 4.x: after the one real no-data batch the
+    engine idles and only RE-REPORTS that batch's progress every
+    ``noDataProgressEventInterval`` — the default 10 s made each drain
+    pay ~25 s of pure idle-confirmation wait, so the interval is dropped
+    to 1 s for the drain's session; a lull long enough to emit
+    ``idle_batches`` zero reports on a TRULY unfinished source cannot
+    happen here because drained-finite is the only lull these bounded
+    replay sources exhibit.)"""
     import time
 
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1s")
     name = name or f"drain_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -153,6 +181,12 @@ def run_to_memory_drain(
     try:
         deadline = time.time() + timeout_sec
         while time.time() < deadline:
+            # fail fast: a query that died in batch 0 never accumulates
+            # idle reports — without this check every failure costs the
+            # full timeout before the exception surfaces
+            exc = q.exception()
+            if exc is not None:
+                raise exc
             progress = q.recentProgress
             tail = [p["numInputRows"] for p in progress[-idle_batches:]]
             if len(progress) >= idle_batches + 1 and tail == [0] * idle_batches:

@@ -16,29 +16,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _windowed_agg(
+    df: DataFrame, win: Column, ts_col: str, keys: list[str], aggs: list[Column],
+    watermark: str, prefix: str,
+) -> DataFrame:
+    """Shared body of the three window shapes: watermark guard, groupBy
+    on the window expression + keys, flatten window bounds to
+    ``{prefix}_start``/``{prefix}_end``.  NOTE the agg columns are picked
+    by exclusion (``not in {"w", *keys}``) — an agg aliased identically
+    to a key would be silently dropped, in every shape alike."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    out = src.groupBy(win.alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias(f"{prefix}_start"), F.col("w.end").alias(f"{prefix}_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
+    )
+
+
 def tumbling_agg(
     df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: list[Column],
     watermark: str = "0 seconds",
 ) -> DataFrame:
-    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
-    out = src.groupBy(F.window(ts_col, duration).alias("w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
-        *[F.col(k) for k in keys],
-        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
-    )
+    return _windowed_agg(df, F.window(ts_col, duration), ts_col, keys, aggs, watermark, "window")
 
 
 def sliding_agg(
     df: DataFrame, ts_col: str, duration: str, slide: str, keys: list[str], aggs: list[Column],
     watermark: str = "0 seconds",
 ) -> DataFrame:
-    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
-    out = src.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
-        *[F.col(k) for k in keys],
-        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
+    return _windowed_agg(
+        df, F.window(ts_col, duration, slide), ts_col, keys, aggs, watermark, "window"
     )
 
 
@@ -48,12 +56,8 @@ def session_agg(
 ) -> DataFrame:
     """Session windows: rows within ``gap`` of each other merge into one
     session per key (Flink session windows ≡ Spark session_window)."""
-    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
-    out = src.groupBy(F.session_window(ts_col, gap).alias("w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"),
-        *[F.col(k) for k in keys],
-        *[F.col(c) for c in out.columns if c not in {"w", *keys}],
+    return _windowed_agg(
+        df, F.session_window(ts_col, gap), ts_col, keys, aggs, watermark, "session"
     )
 
 
@@ -72,10 +76,18 @@ def stream_dedup(
     duplicates of the same key collapse even when their event times DIFFER
     (producer retries that re-stamp), with state evicted once the watermark
     passes the first sighting + delay — the realistic dedup for retried
-    ingestion, and state stays bounded either way."""
-    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    ingestion, and state stays bounded either way.
+
+    The batch fallback mirrors the REQUESTED form so stream==batch
+    comparisons through this helper compare like with like: default form
+    dedups on (keys, ts) in both modes; ``within_watermark=True`` falls
+    back to keys-only (the batch analogue collapses re-stamped
+    duplicates globally — equivalent whenever the fixture's duplicates
+    fall within one watermark horizon, which the equivalence tests
+    guarantee)."""
     if not df.isStreaming:
-        return src.dropDuplicates(keys)
+        return df.dropDuplicates(keys if within_watermark else [*keys, ts_col])
+    src = df.withWatermark(ts_col, watermark)
     if within_watermark:
         return src.dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates([*keys, ts_col])
@@ -101,10 +113,18 @@ def running_aggregate(
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         n, total, ema = state.get if state.exists else (0, 0.0, None)
-        for pdf in pdfs:
+        # gather the key's WHOLE micro-batch before sorting: Arrow hands a
+        # >maxRecordsPerBatch group over as multiple chunks in shuffle
+        # arrival order, and a per-chunk sort would make the order-
+        # sensitive EMA fold nondeterministic across runs.  Memory bound =
+        # one key's rows for one micro-batch (the same bound a chunk-wise
+        # fold needs for state anyway at this operator's scale contract).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             # (ts, value) secondary sort: a total order even under ts ties,
             # so the fp fold is reproducible across runs/engines
-            ordered = pdf.sort_values([ts_col, value_col])
+            ordered = rows.sort_values([ts_col, value_col])
             for v in ordered[value_col]:
                 n += 1
                 total += float(v)
