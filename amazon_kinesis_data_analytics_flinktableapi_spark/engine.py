@@ -95,13 +95,11 @@ class TableEngine:
                 for f in os.listdir(sf_dir)
                 if f.endswith(".parquet")
             )
-        from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet
+        from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
 
         for name in names:
-            path = os.path.join(sf_dir, f"{name}.parquet")
-            if not os.path.exists(path):
-                path = os.path.join(sf_dir, name)  # directory-style table
-            self.register_table(name, read_parquet(self.spark, path))
+            # read_table owns the file-vs-directory-style resolution
+            self.register_table(name, read_table(self.spark, sf_dir, name))
 
     # -- SQL entry (ref: tableEnv.sqlQuery, StreamingJob.java:91-101) -------
 

@@ -2,8 +2,14 @@
 
 The reference serializes each Result POJO with Jackson and, on serialize
 error, emits an **empty byte[]** rather than failing the job
-(StreamingJob.java:110-125 — swallow, don't fail).  ``serialize_json``
-reproduces that policy: ``to_json(struct(*))`` with a NULL→'' coalesce.
+(StreamingJob.java:110-125 — swallow, don't fail).  On the engine side
+``to_json`` over declared Catalyst types CANNOT fail per-row the way
+Jackson can (there is no reflection step), so the byte-level K1 swallow
+lives where bytes are actually produced: the ``kinesis_sim`` sink writer
+wraps its payload encode in try/except and emits the empty record
+(sources/kinesis_sim.py, ``_KinesisSimWriterBase.write``).
+``serialize_json`` contributes the schema-level half of the policy:
+NULL *fields* serialize as absent/null members, never a failed task.
 
 The reference writes every record with **fixed partition key "0"** to a
 single shard, making output totally ordered (StreamingJob.java:127).  On
@@ -20,9 +26,24 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def serialize_json(df: DataFrame, value_alias: str = "value") -> DataFrame:
-    """Rows → single JSON-string column, K1 policy (errors → empty string,
-    never a failed task)."""
-    return df.select(F.coalesce(F.to_json(F.struct(*df.columns)), F.lit("")).alias(value_alias))
+    """Rows → single JSON-string column in the CANONICAL wire format.
+
+    Timestamps are normalized (NTZ → session-zone TIMESTAMP) and written
+    with full microsecond precision + offset (``JSON_TS_FORMAT``) — the
+    default ``to_json`` truncates to millis and emits offset-less NTZ
+    strings, which the replay reader would parse to NULL; the test
+    harness (streaming/replay.py) applies the identical normalization
+    for exactly that reason, and the production serializer must match it
+    or a dump→replay round trip silently loses sub-millisecond event
+    time.  K1's byte-level error swallow lives in the kinesis_sim sink
+    writer (module docstring)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
+
+    df = normalize_timestamps(df)
+    return df.select(
+        F.to_json(F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT}).alias(value_alias)
+    )
 
 
 def write_stream_json(
@@ -36,12 +57,19 @@ def write_stream_json(
 
     Spark validates append-only-ness here exactly where the reference's
     ``toAppendStream`` did — a non-append query raises AnalysisException
-    at start().
+    at start().  Timestamps land in the canonical wire format (micros +
+    offset) so the documented dump→``file_replay`` round trip is
+    precision-lossless (the file sink's default format truncates to
+    millis).
     """
-    out = df.coalesce(1) if single_partition else df
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import normalize_timestamps
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import JSON_TS_FORMAT
+
+    out = normalize_timestamps(df)
+    out = out.coalesce(1) if single_partition else out
     writer = out.writeStream.format("json").option("path", path).option(
         "checkpointLocation", checkpoint
-    ).outputMode("append")
+    ).option("timestampFormat", JSON_TS_FORMAT).outputMode("append")
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -19,13 +19,26 @@ from pyspark.sql import functions as F
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Best-effort probe for parquet ``timestamp[ns]`` columns via ONE
+    driver-local footer read.  Descends into subdirectories (hive-style
+    ``col=val`` partitioned datasets keep their part files below the
+    top level) and returns [] for paths this process cannot stat (remote
+    URIs like s3://): the probe must never fail a read Spark itself
+    could serve — worst case an exotic remote ns column surfaces as a
+    long, the pre-probe behavior for every table."""
     import pyarrow.parquet as pq
 
+    if not os.path.exists(path):
+        return []
     if os.path.isdir(path):
-        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if not inner:
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            inner = sorted(f for f in files if f.endswith(".parquet"))
+            if inner:
+                path = os.path.join(root, inner[0])
+                break
+        else:
             return []
-        path = os.path.join(path, inner[0])
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
@@ -48,7 +61,13 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     equal.  Normalizing once at the source boundary keeps every
     downstream call site free of per-type branches (the reference binds
     java.sql.Timestamp by reflection and never sees zone flavors either,
-    Order.java:4-9)."""
+    Order.java:4-9).
+
+    Scope: TOP-LEVEL columns only, matching the engine's flat-record data
+    model (SURVEY.md §1: no nested structs beyond the top level; TESTDATA
+    is flat).  An NTZ nested inside a struct/array would survive — extend
+    with a recursive schema-rewrite cast if nested event times ever enter
+    the model."""
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
@@ -56,8 +75,14 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one TESTDATA table (``{sf_dir}/{name}.parquet``)."""
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one TESTDATA table: ``{sf_dir}/{name}.parquet``, falling back
+    to the directory-style layout ``{sf_dir}/{name}`` — the same
+    resolution ``TableEngine.register_parquet_dir`` applies, kept here so
+    the two paths cannot diverge."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(sf_dir, name)  # directory-style table
+    return read_parquet(spark, path)
 
 
 def read_json(spark: SparkSession, path: str, schema) -> DataFrame:

@@ -39,11 +39,15 @@ JSON_TS_READ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
 def parse_json_stream(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
     """bytes/str JSON records → typed columns (S2+S3).
 
-    Accepts epoch-millis or ISO-8601 for TimestampType fields via Spark's
-    JSON reader defaults; unparseable records yield NULL columns (Jackson
-    in the reference throws — the engine's permissive mode is deliberate:
-    at 100 TB a poison record must not kill the job; route NULL-id rows to
-    a dead-letter sink instead).
+    TimestampType fields accept ISO-8601 strings (Spark's lenient default
+    parse) or bare integers, which Spark's JSON reader interprets as
+    epoch SECONDS — a producer emitting epoch-MILLIS integers gets
+    timestamps ~1000× in the future with no error, so millis producers
+    must send ISO strings or a LongType field converted downstream with
+    ``timestamp_millis``.  Unparseable records yield NULL columns
+    (Jackson in the reference throws — the engine's permissive mode is
+    deliberate: at 100 TB a poison record must not kill the job; route
+    NULL-id rows to a dead-letter sink instead).
     """
     return raw.select(
         F.from_json(F.col(value_col).cast("string"), schema).alias("r")
@@ -60,6 +64,18 @@ def file_replay(
 
     ``max_files_per_trigger=1`` replays file-by-file so watermarks advance
     between micro-batches like a live stream.
+
+    STRICTNESS TRADE-OFF: setting a custom ``timestampFormat`` disables
+    Spark's lenient string-to-timestamp fallback, so timestamps outside
+    the ``JSON_TS_READ_FORMAT`` family (space-separated datetimes,
+    non-colon offsets like ``+0000``, 7-9 fraction digits) parse to NULL
+    and get dropped by the watermark.  This is deliberate for REPLAY:
+    the paired writers (``serialize_json``, ``write_stream_json``,
+    ``streaming/replay.py``) all emit the canonical family, and a silent
+    format drift between writer and replayer should surface as missing
+    rows in the stream==batch equivalence checks, not be papered over.
+    For foreign data with loose formats use ``kafka_json``/
+    ``parse_json_stream`` (default lenient parse) instead.
     """
     reader = spark.readStream.schema(schema).option("timestampFormat", JSON_TS_READ_FORMAT)
     if max_files_per_trigger is not None:
@@ -113,6 +129,11 @@ def kinesis_sim_json(spark: SparkSession, schema: StructType, **options) -> Data
     return parse_json_stream(raw, schema, value_col="data")
 
 
+#: Source DISCOVERY map (the "source registry" SURVEY.md §2 S1 refers
+#: to): enumerates the stream sources this engine ships so callers and
+#: docs have one authoritative list.  NOT a uniform dispatch table — the
+#: four builders take source-specific arguments (brokers/topic vs
+#: path/schema vs connector options), so call the functions directly.
 SOURCES = {
     "file_replay": file_replay,
     "kafka": kafka_json,
