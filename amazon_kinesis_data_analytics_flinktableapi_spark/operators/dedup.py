@@ -186,8 +186,12 @@ def contamination_counts(
     """Benchmark-contamination screen: for each corpus document, how many of
     its distinct word-n-grams also occur anywhere in the *benchmark* corpus.
 
-    Returns (id, n_shingles, n_shared) — n_shared = 0 rows are kept so the
-    screen doubles as an attestation that a document is clean.
+    Returns (id, n_shingles, n_shared) for EVERY corpus document —
+    n_shared = 0 rows are kept so the screen doubles as an attestation
+    that a document is clean, and documents too short to hold a single
+    n-gram appear with n_shingles = 0 (trivially clean) rather than
+    silently vanishing, so output absence never masquerades as
+    cleanliness.
 
     Scale shape: the benchmark shingle set is distinct-ed and broadcast —
     eval suites are MBs against a corpus of TBs, so the membership test
@@ -210,8 +214,18 @@ def contamination_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # anchor on ALL corpus ids: shingle_sets drops docs shorter than n
+    # tokens (no n-gram to index), but the attestation contract needs
+    # those docs present with n_shingles = 0 — the extra scan reads the
+    # id column only (pruned)
     return (
-        sets.select(F.col(id_col), F.size("shingles").cast("long").alias("n_shingles"))
+        corpus.select(F.col(id_col))
+        .join(
+            sets.select(F.col(id_col), F.size("shingles").cast("long").alias("n_shingles")),
+            id_col,
+            "left",
+        )
+        .withColumn("n_shingles", F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")))
         .join(hits, id_col, "left")
         .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0).cast("long")))
     )
@@ -316,8 +330,11 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    sets = shingle_sets(df, id_col, text_col, n)
+    # exact verification on candidates only.  Cache: BOTH sides of the
+    # candidate join read these sets — uncached, the tokenize→shingle
+    # chain (and its shuffle) would run once per side (the same 2× cost
+    # jaccard_pairs' cache comment documents)
+    sets = shingle_sets(df, id_col, text_col, n).cache()
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

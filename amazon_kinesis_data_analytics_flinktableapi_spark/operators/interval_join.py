@@ -217,6 +217,16 @@ def interval_join_bucketed(
     w_us = _interval_micros(spark, interval)
     keys = [on] if isinstance(on, str) else list(on)
 
+    # the internal bucket columns would silently overwrite (withColumn)
+    # and then drop same-named caller columns — refuse instead
+    for side, df, reserved in (("left", left, "__bucket"), ("right", right, "__bucket"), ("right", right, "__b0")):
+        if reserved in df.columns:
+            raise ValueError(
+                f"interval_join_bucketed reserves column name {reserved!r} "
+                f"internally, but the {side} input already has it — rename "
+                "the column before joining (it would be clobbered and dropped)"
+            )
+
     l = left.withColumn("__bucket", F.floor(F.unix_micros(F.col(left_time)) / F.lit(w_us))).alias("l")
     r_b = right.withColumn("__b0", F.floor(F.unix_micros(F.col(right_time)) / F.lit(w_us)))
     # backward: s ∈ (t−W, t] ⇒ b(t) ∈ {b(s), b(s)+1}; forward: s ∈ [t, t+W)

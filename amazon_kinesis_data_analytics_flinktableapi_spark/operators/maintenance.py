@@ -30,6 +30,16 @@ def compact_parquet(
     swap atomically at the catalog/manifest level — in-place rewrites race
     concurrent readers.
     """
+    if not os.path.isdir(src_dir):
+        # os.walk on a remote URI (s3://, hdfs://) yields nothing, which
+        # would size the rewrite at total=0 → repartition(1) → one giant
+        # file from a multi-TB input with no error; refuse loudly instead
+        raise ValueError(
+            f"compact_parquet sizes input via a driver-local listing; "
+            f"{src_dir!r} is not a local directory — for remote storage, "
+            "compute the byte size with the store's own listing API and "
+            "repartition explicitly"
+        )
     total = 0
     for root, _dirs, files in os.walk(src_dir):
         for f in files:

@@ -143,6 +143,22 @@ def set_decoder(fn: Callable[[bytes, str], tuple[int, int, int]]) -> None:
     _DECODER = fn
 
 
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """Every output schema here types the id as LongType under the FIXED
+    name ``media_id`` (``id_col`` selects the INPUT column; it is renamed
+    on output).  A non-integral id would die mid-task as an opaque
+    ArrowTypeError — validate at call time instead."""
+    t = {f.name: f.dataType.typeName() for f in df.schema.fields}.get(id_col)
+    if t is None:
+        raise ValueError(f"id column {id_col!r} not found in {df.columns}")
+    if t not in ("long", "integer", "short", "byte"):
+        raise ValueError(
+            f"id column {id_col!r} must be integral (the output schemas "
+            f"type it as LongType 'media_id'), got {t} — map string/uuid "
+            "ids to a surrogate long (e.g. xxhash64) before the media ops"
+        )
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "kind",
                  id_col: str = "media_id", batch_size_hint: int = 256) -> DataFrame:
     """Decode payload bytes → typed metadata via mapInPandas.
@@ -158,6 +174,7 @@ def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "k
     """
     if batch_size_hint < 1:
         raise ValueError(f"batch_size_hint must be >= 1, got {batch_size_hint}")
+    _require_integral_id(df, id_col)
     decoder = _DECODER
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,6 +211,7 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224,
     is the real, tested part."""
     if target_w < 1 or target_h < 1:
         raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+    _require_integral_id(df, id_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -228,6 +246,7 @@ def frame_sample(df: DataFrame, every_nth: int = 4, payload_col: str = "payload"
         # a negative stride silently emits ZERO frames for every row
         # (plausible empty result); 0 dies mid-task inside range()
         raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    _require_integral_id(df, id_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -254,6 +273,7 @@ def extract_features(df: DataFrame, dim: int = 16, payload_col: str = "payload",
         # dim=0 streams plausible empty embeddings for NULL payloads then
         # ZeroDivisionErrors mid-task on the first non-empty one
         raise ValueError(f"dim must be >= 1, got {dim}")
+    _require_integral_id(df, id_col)
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -17,6 +17,15 @@
 
 Dot products are built-in zip_with/aggregate expressions (functions.vector)
 — JVM-side, no Python per row.
+
+CACHE LIFETIME: several operators here (and in operators/dedup.py)
+``.cache()`` an intermediate both sides of a self-join read — required,
+or the quantize/shingle chain runs once per reference.  The returned
+DataFrames are lazy, so the operator cannot know when to unpersist;
+caches live until evicted (LRU) or the session clears them.  Long-lived
+sessions interleaving many operator calls should
+``spark.catalog.clearCache()`` between logical jobs, exactly as bench.py
+does between phases.
 """
 
 from __future__ import annotations
@@ -125,20 +134,42 @@ def lsh_topk(
         for t, planes in tables:
             sk = sketch_expr(vec_col, planes)
             if probe:
-                # the exact bucket + every 1-bit-flip neighbour bucket
-                sk_col = F.explode(
-                    F.array(sk, *[sk.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(len(planes))])
-                )
-            else:
-                sk_col = sk
-            parts.append(
-                df.select(
+                # materialize the sketch ONCE, then build the probe set by
+                # flipping bits of the materialized column: inlining `sk`
+                # into all 1+n_planes array slots would evaluate the
+                # interpreted n_planes-dot expression O(n_planes²) times
+                # per row (Catalyst's CollapseProject keeps the two-step
+                # projection because the alias is non-cheap and multiply-
+                # referenced)
+                base = df.select(
                     F.col(id_col).alias(f"{prefix}_id"),
                     F.col(vec_col).alias(f"{prefix}_vec"),
                     F.lit(t).alias("t"),
-                    sk_col.alias("sk"),
+                    sk.alias("__sk0"),
                 )
-            )
+                sk0 = F.col("__sk0")
+                parts.append(
+                    base.select(
+                        f"{prefix}_id",
+                        f"{prefix}_vec",
+                        "t",
+                        F.explode(
+                            F.array(
+                                sk0,
+                                *[sk0.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(len(planes))],
+                            )
+                        ).alias("sk"),
+                    )
+                )
+            else:
+                parts.append(
+                    df.select(
+                        F.col(id_col).alias(f"{prefix}_id"),
+                        F.col(vec_col).alias(f"{prefix}_vec"),
+                        F.lit(t).alias("t"),
+                        sk.alias("sk"),
+                    )
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
@@ -219,6 +250,10 @@ def ivf_topk(
         [r[0] for r in corpus.select(as_double(vec_col)).limit(train_limit).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        # an empty training sample would surface as an opaque numpy
+        # AxisError inside _kmeans_centroids; name the actual problem
+        raise ValueError("ivf_topk: corpus has no embeddings to train the index on")
     cents = _kmeans_centroids(sample, n_centroids, seed)
 
     # corpus side: argmax centroid = max (sim, j) struct
@@ -360,10 +395,21 @@ def quantized_sketches_all(qv_col: str, tables: list[list[list[int]]]) -> "F.Col
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sketches(qv: pd.Series) -> pd.Series:
-        q = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
-        bits = (q @ planes.T) >= 0  # (rows, n_tables*n_planes)
-        sk = bits.reshape(len(q), len(tables), n_planes) @ weights
-        return pd.Series(list(sk))
+        # NULL embeddings must yield NULL sketches (the HOF form's
+        # semantics) — np.stack over a batch containing None would kill
+        # the whole task instead of skipping the row
+        vals = qv.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        out = np.empty(len(vals), dtype=object)
+        if mask.any():
+            q = np.stack(vals[mask]).astype(np.int64, copy=False)
+            bits = (q @ planes.T) >= 0  # (rows, n_tables*n_planes)
+            sk = bits.reshape(len(q), len(tables), n_planes) @ weights
+            # element-wise: boolean-mask assignment of a 2-D source into
+            # an object array trips numpy's dimension check
+            for j, row in zip(np.flatnonzero(mask), sk):
+                out[j] = row
+        return pd.Series(out)
 
     return _sketches(F.col(qv_col))
 

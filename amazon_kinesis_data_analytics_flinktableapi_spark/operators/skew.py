@@ -60,8 +60,16 @@ def salted_join(
     ``n_salts``× — use only when |small| × n_salts ≪ |big|'s hot-key mass.
     Row multiplicity is exactly the plain join's (each big row joins its
     single replica of each matching small row).  ``how`` supports inner /
-    left joins (the salted key is never null).
+    left joins ONLY: a right/full outer would preserve every unmatched
+    small-side replica — n_salts copies of each unmatched row — so those
+    modes are rejected loudly rather than returning duplicated output.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: an outer-"
+            "preserved small side would emit n_salts copies of every "
+            "unmatched row (each replica survives the join independently)"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )

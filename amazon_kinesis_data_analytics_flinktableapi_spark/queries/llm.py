@@ -917,7 +917,11 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     (docs,) = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    out = D.contamination_counts(corpus, bench, "doc_id", "text", n=5)
+    # the operator now reports <5-token docs with n_shingles=0; the ratio
+    # below needs n_shingles > 0, matching the oracle's nz filter
+    out = D.contamination_counts(corpus, bench, "doc_id", "text", n=5).filter(
+        F.col("n_shingles") > 0
+    )
     return out.select(
         "doc_id",
         "n_shingles",

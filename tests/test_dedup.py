@@ -249,3 +249,19 @@ def test_minhash_lsh_rejects_nondivisible_banding(corpus):
         D.minhash_lsh_pairs(corpus, "doc_id", "text", num_perm=100, bands=16)
     with _pytest.raises(ValueError, match="divide num_perm"):
         D.minhash_lsh_pairs(corpus, "doc_id", "text", bands=0)
+
+
+def test_contamination_counts_keeps_docs_too_short_to_shingle(spark):
+    """Review fix: a document shorter than n tokens cannot hold an
+    n-gram; it must still appear in the screen output with
+    n_shingles = 0 (trivially clean) — absence must never masquerade as
+    cleanliness."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    out = {r.doc_id: r for r in D.contamination_counts(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_shingles == 0 and out[2].n_shared == 0
+    assert out[1].n_shingles > 0 and out[1].n_shared > 0

@@ -135,3 +135,22 @@ def test_interval_validation_is_local_for_fixed_width_forms():
     # ... and the positive-cache makes repeat validations free even for
     # forms that would otherwise probe (seeded by the first call)
     _require_positive_interval(None, "45 seconds")
+
+
+def test_bucketed_rejects_reserved_internal_columns(spark):
+    """Review fix: an input already carrying __bucket/__b0 would be
+    silently clobbered and dropped — rejected loudly instead."""
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join import (
+        interval_join_bucketed,
+    )
+
+    o = spark.sql("SELECT 1 AS k, timestamp'2024-01-01' AS lt, 0 AS __bucket")
+    r = spark.sql("SELECT 1 AS k, timestamp'2024-01-01' AS rt")
+    with pytest.raises(ValueError, match="__bucket"):
+        interval_join_bucketed(o, r, on="k", left_time="lt", right_time="rt")
+    o2 = spark.sql("SELECT 1 AS k, timestamp'2024-01-01' AS lt")
+    r2 = spark.sql("SELECT 1 AS k, timestamp'2024-01-01' AS rt, 0 AS __b0")
+    with pytest.raises(ValueError, match="__b0"):
+        interval_join_bucketed(o2, r2, on="k", left_time="lt", right_time="rt")

@@ -245,3 +245,20 @@ def test_lsh_plane_count_bounded():
     with pytest.raises(ValueError, match="n_tables"):
         S.neardup_lsh_planes(n_tables=0)
     assert len(S.neardup_lsh_planes(n_planes=62, n_tables=1)[0]) == 62
+
+
+def test_lsh_neardup_tolerates_null_embeddings(spark):
+    """Review fix: a NULL embedding must yield a NULL sketch (the HOF
+    form's semantics) instead of np.stack killing the whole task."""
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    with_null = base.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 17 == 0, F.lit(None)).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.similarity import neardup_pairs_lsh
+
+    # must complete; NULL-embedding rows simply generate no candidates
+    assert neardup_pairs_lsh(with_null, threshold=0.3).count() >= 0

@@ -167,3 +167,17 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     )
     assert salted_left == plain_left
+
+
+def test_salted_join_rejects_outer_preserving_small_side(spark):
+    """Review fix: right/full outer through the salted join would emit
+    n_salts copies of every unmatched small row — rejected loudly."""
+    import pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how=how)

@@ -277,3 +277,28 @@ def test_decode_media_batch_size_hint_rechunks(spark):
     base = sorted(tuple(r) for r in M.decode_media(media).collect())
     tiny = sorted(tuple(r) for r in M.decode_media(media, batch_size_hint=3).collect())
     assert tiny == base and len(base) == 10
+
+
+def test_media_ops_reject_non_integral_id(spark):
+    """Review fix: the media ops emit the id as LongType 'media_id'; a
+    string id would die mid-task as an opaque ArrowTypeError — validated
+    at call time instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [("a", "image", b"xx")], "media_id string, kind string, payload binary"
+    )
+    for fn in (
+        lambda: M.decode_media(df),
+        lambda: M.resize_media(df),
+        lambda: M.frame_sample(df),
+        lambda: M.extract_features(df),
+    ):
+        with pytest.raises(ValueError, match="integral"):
+            fn()
+    # a surrogate long id flows through
+    ok = M.decode_media(df.withColumn("media_id", F.xxhash64("media_id")))
+    assert ok.count() == 1
