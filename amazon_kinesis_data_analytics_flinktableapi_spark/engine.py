@@ -73,27 +73,36 @@ class TableEngine:
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or build_spark()
-        self._tables: dict[str, DataFrame] = {}
 
     # -- catalog (ref: tableEnv.registerTable, StreamingJob.java:84-85) -----
 
     def register_table(self, name: str, df: DataFrame) -> DataFrame:
-        """Register a (batch or streaming) DataFrame for SQL by name."""
+        """Register a (batch or streaming) DataFrame for SQL by name.
+
+        The session catalog is the single source of truth — no shadow
+        dict (one existed; it was never read, pinned every registered
+        plan for the engine's lifetime, and drifted silently when a view
+        was replaced through ``spark`` directly)."""
         df.createOrReplaceTempView(name)
-        self._tables[name] = df
         return df
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
     def register_parquet_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
-        """Register every parquet table in a TESTDATA-style directory."""
+        """Register every parquet table in a TESTDATA-style directory —
+        both suffix-style ``name.parquet`` entries and directory-style
+        ``name/`` datasets (the layouts ``read_table`` resolves)."""
         names = tables
         if names is None:
             names = sorted(
-                f[: -len(".parquet")]
+                f[: -len(".parquet")] if f.endswith(".parquet") else f
                 for f in os.listdir(sf_dir)
                 if f.endswith(".parquet")
+                or (
+                    os.path.isdir(os.path.join(sf_dir, f))
+                    and not f.startswith((".", "_"))
+                )
             )
         from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
 

@@ -51,8 +51,18 @@ def timestamp_to_string_py(ts) -> str | None:
 
 
 def timestamp_to_string_pandas(s: pd.Series) -> pd.Series:
-    """Arrow-vectorized variant — the pandas_udf template for custom scalars."""
-    return s.map(timestamp_to_string_py)
+    """Arrow-vectorized variant — the pandas_udf template for custom scalars.
+
+    SQL NULLs arrive as ``NaT`` in the datetime64 Series, which the row
+    function's ``is None`` guard does not catch (``NaT.strftime``
+    raises) — and NULL event times are a live input here: PERMISSIVE
+    JSON parsing nulls out malformed rows.  NaT inputs become None in an
+    object-dtype result (an all-NaT map would otherwise keep the
+    datetime64 dtype, which Arrow cannot convert to string), so SQL sees
+    NULL, matching the row-at-a-time path."""
+    out = s.map(timestamp_to_string_py, na_action="ignore").astype(object)
+    out[s.isna()] = None
+    return out
 
 
 def register_timestamp_to_string(spark: SparkSession, vectorized: bool = True) -> None:

@@ -92,7 +92,9 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None, scale
         )
     sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
     toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    # lower() so sentence-initial capitals count ("The", "Der" — German
+    # capitalizes systematically); the marker lists are lowercase
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), scale)
 
 
@@ -120,17 +122,28 @@ def quality_score(text: Column | str, n_chars: Column | str | None = None, scale
 
 def lang_marker_hits(text: Column | str, lang: str) -> Column:
     toks = tokens(text)
-    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+    # case-insensitive: sentence-initial capitals ("The", "Le") and
+    # German's systematic capitalization must count as marker hits
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*LANG_MARKERS[lang])))
 
 
 def lang_id(text: Column | str) -> Column:
     """N-gram-heuristic language ID: CJK script short-circuits to zh, else
     argmax of per-language marker-token hits (deterministic tie order
-    en > de > fr > es)."""
+    en > de > fr > es); NULL text → NULL.
+
+    Cost note: as a single Column expression this embeds one tokenize
+    tree per language (4×) — interpreted HOFs are not reliably CSE'd.
+    Fine per-document; on a truly hot path, pre-tokenize once into a
+    column and count hits against that."""
     c = F.col(text) if isinstance(text, str) else text
     en, de, fr, es = (lang_marker_hits(c, lg) for lg in ("en", "de", "fr", "es"))
     return (
-        F.when(c.rlike(CJK_PATTERN), F.lit("zh"))
+        # NULL text → NULL, not the argmax fallback: size(NULL) is NULL,
+        # every when() condition would be NULL and evaluation would fall
+        # through to otherwise("es"), silently labeling empty rows Spanish
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c.rlike(CJK_PATTERN), F.lit("zh"))
         .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
         .when((de >= fr) & (de >= es), F.lit("de"))
         .when(fr >= es, F.lit("fr"))
@@ -141,8 +154,16 @@ def lang_id(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set.  Invariant to token order and repetition — the cheap exact-dedup
-    key for shuffled/reformatted copies of the same content."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+    key for shuffled/reformatted copies of the same content.
+
+    NULL text yields a NULL fingerprint: concat_ws SKIPS null arguments
+    (it never returns NULL), so the unguarded form silently fingerprinted
+    every NULL document as md5("") — colliding all NULL rows with all
+    genuinely empty documents in exact dedup."""
+    toks = tokens(text)
+    return F.when(
+        toks.isNotNull(), F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    )
 
 
 def md5_hash60(c: Column) -> Column:
@@ -228,7 +249,12 @@ def word_ngram_hashes(text: Column | str, n: int = 3) -> Column:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(text)
     if n == 1:
-        return F.transform(toks, lambda t: F.xxhash64(t))
+        # coalesce: transform(NULL) is NULL, but the n>=2 branch (and the
+        # string path) return [] for NULL text — same domain everywhere
+        return F.coalesce(
+            F.transform(toks, lambda t: F.xxhash64(t)),
+            F.array().cast("array<bigint>"),
+        )
     m = F.size(toks) - (n - 1)
     parts = [F.slice(toks, i + 1, m) for i in range(n)]
     combined = F.zip_with(parts[0], parts[1], lambda a, b: F.xxhash64(a, b))

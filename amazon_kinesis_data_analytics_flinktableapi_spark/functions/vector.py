@@ -19,17 +19,33 @@ def as_double(vec: Column | str) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # promote BEFORE multiplying (module contract): on array<float> inputs
+    # the product would otherwise be computed in float and only the sum
+    # widened, drifting low bits vs the oracle's double arithmetic
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity = dot(a,b) / (|a|·|b|), computed in double."""
+    """Cosine similarity = dot(a,b) / (|a|·|b|), computed in double.
+
+    Zero-norm vectors yield NULL (cosine direction is undefined), which
+    threshold filters and top-k ranks exclude.  The guard is mandatory:
+    the engine session runs ANSI mode (Spark 4 default), where a bare
+    division by zero ABORTS the whole job — one all-zero embedding in a
+    100 TB corpus would otherwise kill every similarity query."""
     ad, bd = as_double(a), as_double(b)
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    denom = norm(ad) * norm(bd)
+    return F.when(denom != 0.0, dot(ad, bd) / denom)
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

@@ -448,7 +448,7 @@ def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_SW = "len(list_filter({toks}, t -> t IN ('the','a','of','and','to','in','is')))"
+_DUCK_SW = "len(list_filter({toks}, t -> lower(t) IN ('the','a','of','and','to','in','is')))"
 _DUCK_PUNCT = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
 
 
@@ -485,16 +485,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, text, {_DUCK_TOKS} AS tk FROM documents),
     hits AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
              regexp_matches(text, '[一-鿿]') AS has_cjk,
              {_DUCK_SW.format(toks="tk")} AS en,
-             len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht','mit'))) AS de,
-             len(list_filter(tk, t -> t IN ('le','la','les','et','est','dans','pour'))) AS fr,
-             len(list_filter(tk, t -> t IN ('el','los','las','y','es','en','por'))) AS es
+             len(list_filter(tk, t -> lower(t) IN ('der','die','das','und','ist','nicht','mit'))) AS de,
+             len(list_filter(tk, t -> lower(t) IN ('le','la','les','et','est','dans','pour'))) AS fr,
+             len(list_filter(tk, t -> lower(t) IN ('el','los','las','y','es','en','por'))) AS es
       FROM t
     )
     SELECT doc_id, lang,
-           CASE WHEN has_cjk THEN 'zh'
+           CASE WHEN text IS NULL THEN NULL
+                WHEN has_cjk THEN 'zh'
                 WHEN en >= de AND en >= fr AND en >= es THEN 'en'
                 WHEN de >= fr AND de >= es THEN 'de'
                 WHEN fr >= es THEN 'fr'

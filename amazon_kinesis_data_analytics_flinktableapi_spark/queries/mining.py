@@ -1579,7 +1579,7 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              floor((0.5 * least(length(text) / 500.0, 1.0)
                    + 0.4 * least(round(len(list_filter(
                        list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
-                       t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
+                       t -> lower(t) IN ('the','a','of','and','to','in','is'))) * 1.0
                      / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                                 t -> t <> '')), 1), 6) * 5, 1.0)
                    + 0.1 * (1 - least(round((length(text)

@@ -302,3 +302,59 @@ def test_media_ops_reject_non_integral_id(spark):
     # a surrogate long id flows through
     ok = M.decode_media(df.withColumn("media_id", F.xxhash64("media_id")))
     assert ok.count() == 1
+
+
+def test_text_functions_null_and_case_semantics(spark):
+    """Review fixes: NULL text → NULL lang_id/fingerprint (not 'es' /
+    md5("")); marker matching is case-insensitive; word_ngram_hashes n=1
+    returns [] for NULL like every sibling path; vectorized
+    TimestampToString returns NULL for NULL (NaT) instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions import text as T
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
+        register_timestamp_to_string,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The Cat And The Hat"), (2, None), (3, "")],
+        "id long, txt string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            T.lang_id("txt").alias("lang"),
+            T.fingerprint("txt").alias("fp"),
+            T.stopword_ratio("txt").alias("sw"),
+            F.size(T.word_ngram_hashes("txt", 1)).alias("n1"),
+        ).collect()
+    }
+    assert rows[2].lang is None and rows[2].fp is None
+    assert rows[1].lang == "en"          # capitalized The/And count as markers
+    assert rows[1].sw and rows[1].sw > 0
+    assert rows[2].n1 == 0               # [] for NULL, same as the n>=2 path
+    assert rows[3].fp is not None        # genuinely-empty doc keeps its own key
+    register_timestamp_to_string(spark)
+    got = spark.sql("SELECT TimestampToString(CAST(NULL AS timestamp)) AS x").collect()
+    assert got[0].x is None
+
+
+def test_cosine_zero_norm_is_null_not_job_abort(spark):
+    """Review fix: the engine session runs ANSI mode, where an unguarded
+    division by zero ABORTS the job — one all-zero embedding must yield
+    NULL similarity (ranked last), not kill the query."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.vector import cosine
+
+    d = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id int, v array<double>"
+    )
+    got = {
+        r.id: r.sim
+        for r in d.select(
+            "id", cosine(F.array(F.lit(1.0), F.lit(0.0)), "v").alias("sim")
+        ).collect()
+    }
+    assert got[1] is None and got[2] == 1.0
