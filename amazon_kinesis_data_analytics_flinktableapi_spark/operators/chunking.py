@@ -29,6 +29,13 @@ def chunk_documents(
     inside the scan stage — no shuffle at all until a downstream op needs
     one.
     """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if overlap < 0:
+        # a negative overlap makes stride > chunk_tokens, silently leaving
+        # tokens between windows in NO chunk — the documented every-token-
+        # covered invariant breaks with plausible-looking output
+        raise ValueError(f"overlap must be >= 0, got {overlap}")
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap

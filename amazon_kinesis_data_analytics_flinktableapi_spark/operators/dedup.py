@@ -12,8 +12,11 @@ Four tiers, cheapest first — at 100 TB you run them in this order:
                           Jaccard verification on the candidates.  The
                           scale path: work ∝ documents × signature size,
                           collisions ∝ true near-dups.
-4. ``simhash``          — 64-bit SimHash fingerprint; near-dups = small
-                          Hamming distance (bucket by rotated prefixes).
+4. ``simhash``          — 60-bit SimHash fingerprint (md5-derived, so a
+                          SQL oracle reproduces it; SIMHASH_BITS=60 in
+                          4 × 15-bit chunks); near-dups = small Hamming
+                          distance, candidates blocked by exact-matching
+                          chunks (pigeonhole).
 
 Everything is built-in-expression Spark (xxhash64, transform/aggregate,
 explode + equi-join) — no Python in the per-token path.
@@ -176,7 +179,10 @@ def jaccard_pairs(
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return shared.filter(jac >= threshold).select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        # half-up floor, not round(): small-integer ratios can land on a
+        # 5th-decimal tie where Spark's BigDecimal HALF_UP and the SQL
+        # oracle's numeric round split (same rationale as minhash_lsh_pairs)
+        "id_a", "id_b", half_up_round(jac, 4).alias("jaccard")
     )
 
 
@@ -318,7 +324,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bh")
+    ).select(id_col, "bk.band", "bk.bh").cache()
+    # ^ cache: BOTH sides of the candidate self-join read the banded rows,
+    # and the signature chain behind them (tokenize → shingle → md5 → 64
+    # modular permutations per shingle) is the op's dominant cost — the
+    # same once-per-side 2× the sibling ops' cache comments prevent
     l, r = banded.alias("l"), banded.alias("r")
     candidates = (
         l.join(
@@ -385,7 +395,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toked.select(F.col(id_col), fp.alias("simhash"))
 
 
-def hamming64(a: Column, b: Column) -> Column:
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer fingerprints (works for the
+    60-bit simhash values here — bit_count is width-agnostic)."""
     return F.bit_count(a.bitwiseXOR(b))
 
 
@@ -425,7 +437,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.ci", "c.cv")
+    ).select(id_col, "simhash", "c.ci", "c.cv").cache()
+    # ^ cache: the chunk self-join reads this twice, and the fingerprint
+    # behind it (per-token md5_hash60 + 60-iteration bit vote) is the
+    # op's dominant cost — uncached it runs once per join side
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
@@ -437,7 +452,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+            hamming(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -488,7 +503,8 @@ def duplicate_spans(
             id_col,
             F.md5(F.expr(f"substring({text_col}, pos + 1, {span_len})")).alias("h"),
         )
-    )
+    ).cache()  # read twice (counts + re-join): uncached, the scan→explode→
+    # substring→md5 span chain runs once per reference
     counts = spans.groupBy("h").agg(F.count("*").alias("cnt"))
     return (
         spans.join(counts, "h")

@@ -44,6 +44,10 @@ def triangle_participation(
             )
             .dropDuplicates(["ua", "ub"])
         )
+    # cache: the normalized edge list is read four times (three triangle
+    # join branches + the degree union) — uncached, the orient/dedup
+    # shuffle re-runs per reference when exchange reuse doesn't kick in
+    e = e.cache()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))

@@ -103,7 +103,9 @@ def global_running_sum(
     offsets, acc = {}, 0
     for r in totals:
         offsets[r["__pid"]] = acc
-        acc += r["__s"]
+        # a partition whose values are all NULL sums to NULL (SQL sum
+        # ignores NULLs) — it contributes 0, not a driver TypeError
+        acc += r["__s"] or 0
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(p, o) for p, o in offsets.items()], "__pid int, __offset long"

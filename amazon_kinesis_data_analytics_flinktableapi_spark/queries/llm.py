@@ -211,7 +211,7 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
     SELECT id_a, id_b,
-           round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+           floor(shared * 1.0 / (sa.n + sb.n - shared) * 10000 + 0.5) / 10000 AS jaccard
     FROM pairs
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
