@@ -40,9 +40,28 @@ def as_of_join(
     key).  Result: all left columns + right columns prefixed ``r_`` (NULL
     when no right row in ``(t - horizon, t]`` / ``[t, t + horizon)``).
     ``tie_breakers`` (right column names) order equal right_time matches
-    deterministically.
+    deterministically — they must totalize the order among rows equal on
+    (key, right_time), or which right row's OTHER columns win is
+    partitioning-dependent.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # loud guards (same policy as interval_join_bucketed's reserved
+    # columns): a left column named r_<right col> would collide with the
+    # prefixed right columns — duplicate output names, or an ambiguous-
+    # reference error at the rank step (notably: the output of one
+    # as_of_join can't silently feed another against the same right
+    # table); a caller's __rn would be clobbered and dropped
+    collisions = {f"r_{c}" for c in right.columns} & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"as_of_join prefixes right columns with 'r_', but the left "
+            f"side already has {sorted(collisions)} — rename before joining"
+        )
+    if "__rn" in left.columns or "__rn" in right.columns:
+        raise ValueError(
+            "as_of_join reserves column name '__rn' internally — rename it "
+            "before joining (it would be clobbered and dropped)"
+        )
     j = interval_join_bucketed(left, right, on=keys, left_time=left_time,
                                right_time=right_time, interval=horizon, how=how,
                                direction=direction)

@@ -12,6 +12,48 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, quer
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
+#: shared corpus -> near-dup-edges oracle chain (Spark twin: the synthetic
+#: 80%-prefix copy corpus, COPY_OFFSET ids, jaccard_pairs(n=3, threshold
+#: 0.5), symmetric edge expansion).  ONE definition read by three oracles
+#: (dedup_clusters, canonical_doc_select, pagerank_dup_graph) — a change
+#: to the copy offset, shingle width, or threshold cannot silently update
+#: only some of them.
+_DUCK_NEARDUP_EDGES = f"""corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    hits AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+    pairs AS (
+      SELECT id_a, id_b FROM hits
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    )"""
+
 
 @query(
     "doc_chunks",
@@ -61,41 +103,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000,
-             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
-      FROM documents
-    ),
-    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(tk) >= 3
-               THEN list_transform(range(1, len(tk) - 1),
-                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
-               ELSE [] END) AS shingles
-      FROM toks
-    ),
-    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-    hits AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
-    pairs AS (
-      SELECT id_a, id_b FROM hits
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
+    WITH {_DUCK_NEARDUP_EDGES},
     closure AS (
       WITH RECURSIVE reach(node, comp) AS (
         SELECT u, u FROM edges
@@ -150,7 +158,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT event_id, event_type, user_id,
-             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
       FROM events
     )
     SELECT event_id, event_type, user_id
@@ -168,7 +176,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sample follows the row's id hash so reruns/backfills select the
     # same rows.  Rates: view 10%, click 25%, everything else kept.
     (ev,) = load(spark, sf_dir, "events")
-    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    # md5_hash60 convention (60-bit hash): a 16-bit hand-rolled variant
+    # had measurable modulo bias (65536 % 100 = 36 — buckets 0-35 were
+    # ~0.15% over-selected); at 60 bits the bias is ~1e-16
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    bucket = md5_hash60(F.col("event_id").cast("string")) % 100
     keep = (
         ((F.col("event_type") == "view") & (bucket < 10))
         | ((F.col("event_type") == "click") & (bucket < 25))
@@ -507,9 +520,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         start.alias("start_offset"),
-        (start / seq).cast("long").alias("first_seq"),
-        (last_tok / seq).cast("long").alias("last_seq"),
-        ((last_tok / seq).cast("long") - (start / seq).cast("long") + 1).alias("n_seqs_spanned"),
+        # floor, not cast-truncation: cast rounds toward zero, which
+        # diverges from the oracle's floor-division when last_tok is -1
+        # (an empty doc holding the first doc_id)
+        F.floor(start / seq).cast("long").alias("first_seq"),
+        F.floor(last_tok / seq).cast("long").alias("last_seq"),
+        (F.floor(last_tok / seq).cast("long") - F.floor(start / seq).cast("long") + 1).alias("n_seqs_spanned"),
     )
 
 
@@ -595,7 +611,7 @@ _REG["zorder_layout"].oracle = _zorder_oracle()
     oracle="""
     WITH rated AS (
       SELECT doc_id, source,
-             CASE CAST(substr(source, 4) AS INTEGER) % 4
+             CASE TRY_CAST(substr(source, 4) AS INTEGER) % 4
                WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100
              END AS rate_permille,
              ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000 AS u_permille
@@ -618,10 +634,15 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
 
     (docs,) = load(spark, sf_dir, "documents")
+    # full suffix + try_cast on BOTH engines: the previous 10-char cap
+    # existed only on the Spark side, and a non-numeric suffix hard-
+    # errored the DuckDB cast while Spark ANSI would abort too — now an
+    # unparsable source lands in the 100-permille class on both
+    sfx = F.expr("try_cast(substr(source, 4) AS INT)")
     rate = (
-        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 1000)
-        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 500)
-        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 250)
+        F.when(sfx % 4 == 0, 1000)
+        .when(sfx % 4 == 1, 500)
+        .when(sfx % 4 == 2, 250)
         .otherwise(100)
     )
     u = md5_hash60(F.concat(F.lit("mix:"), F.col("doc_id"))) % 1000
@@ -655,7 +676,14 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "perplexity-proxy quality filter of a training pipeline",
 )
 def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass shape that scales: pass 1 aggregates token counts (one
+    """KNOWN CROSS-ENGINE CAVEAT: the millibit quantization floors a libm
+    log2 — Spark (JVM Math.log) and DuckDB (C libm) may differ in the
+    last ulp, so a token whose -log2(p)*1000 sits within one ulp of an
+    integer boundary could floor differently (the dsir query avoids log
+    for exactly this reason; here log IS the semantics).  Attested green
+    on this host; a flake would surface as a one-row hash mismatch.
+
+    Two-pass shape that scales: pass 1 aggregates token counts (one
     shuffle on the token; the model table is |vocab| rows), pass 2 joins
     the model back onto the postings (vocab broadcasts at any realistic
     size) and averages per doc (one shuffle on doc_id).  Per-token
@@ -831,7 +859,14 @@ def q_dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "here even when its unigram distribution looks natural)",
 )
 def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same two-pass scale shape as the unigram model (model aggregation,
+    """KNOWN CROSS-ENGINE CAVEAT: the millibit quantization floors a libm
+    log2 — Spark (JVM Math.log) and DuckDB (C libm) may differ in the
+    last ulp, so a token whose -log2(p)*1000 sits within one ulp of an
+    integer boundary could floor differently (the dsir query avoids log
+    for exactly this reason; here log IS the semantics).  Attested green
+    on this host; a flake would surface as a one-row hash mismatch.
+
+    Same two-pass scale shape as the unigram model (model aggregation,
     then a broadcast-model re-join and a per-doc shuffle) with one more
     join to condition on the bigram head.  Per-bigram surprisal is
     quantized to integer millibits BEFORE summing — per-doc sums are
@@ -877,41 +912,7 @@ def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "canonical_doc_select",
     oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000,
-             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
-      FROM documents
-    ),
-    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(tk) >= 3
-               THEN list_transform(range(1, len(tk) - 1),
-                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
-               ELSE [] END) AS shingles
-      FROM toks
-    ),
-    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-    hits AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
-    pairs AS (
-      SELECT id_a, id_b FROM hits
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
+    WITH {_DUCK_NEARDUP_EDGES},
     closure AS (
       WITH RECURSIVE reach(node, comp) AS (
         SELECT u, u FROM edges
@@ -991,15 +992,17 @@ def q_canonical_doc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(v) AS BIGINT) AS sum_q,
            CAST(sum(v * v) AS BIGINT) AS sum_q2,
-           CAST(FLOOR((sum(v * v) * count(*) - sum(v) * sum(v)) * 1.0
-                      / (count(*) * count(*))) AS BIGINT) AS var_micro2
+           CAST(FLOOR((CAST(sum(v * v) AS DOUBLE) * count(*)
+                       - CAST(sum(v) AS DOUBLE) * sum(v))
+                      / (CAST(count(*) AS DOUBLE) * count(*))) AS BIGINT) AS var_micro2
     FROM ex GROUP BY label, dim
     """,
     doc="per-label per-dimension embedding variance in exact integer "
     "micro-units (first 8 dims): the collapsed-dimension / dead-feature "
     "detector — var ≈ 0 on a dim means the encoder ignores it for that "
-    "label; Σq and Σq² are exact integer partial aggregates (|q| ≤ ~4e6, "
-    "q² ≤ 2e13, x 2k rows < 2^53), so the variance is engine-exact",
+    "label; Σq and Σq² are exact integer partial aggregates (< 2^53), "
+    "and the variance numerator runs in double on both engines — "
+    "identical IEEE ops, so the floor agrees at any group size",
 )
 def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance via the one-pass identity n·Σx² − (Σx)² over integer
@@ -1024,10 +1027,15 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v").cast("bigint").alias("sum_q"),
         F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sum_q2"),
+        # numerator in DOUBLE on BOTH engines: the all-integer form
+        # n*sum_q2 wraps int64 (ANSI: aborts) once a (label, dim) group
+        # outgrows ~2k rows of |q|~1e6; double mul/sub/div are correctly
+        # rounded IEEE ops, so Spark and DuckDB produce bit-identical
+        # doubles and the floor agrees
         F.floor(
-            (F.sum(F.col("v") * F.col("v")) * F.count(F.lit(1)) - F.sum("v") * F.sum("v"))
-            * F.lit(1.0)
-            / (F.count(F.lit(1)) * F.count(F.lit(1)))
+            (F.sum(F.col("v") * F.col("v")).cast("double") * F.count(F.lit(1))
+             - F.sum("v").cast("double") * F.sum("v"))
+            / (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)))
         )
         .cast("bigint")
         .alias("var_micro2"),
@@ -1053,42 +1061,7 @@ def _pagerank_oracle(n_iters: int = 5) -> str:
     )""")
         prev = f"it{i}"
     return f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000,
-             substr(text, 1, CAST(FLOOR(length(text) * 0.8) AS INT))
-      FROM documents
-    ),
-    toks AS (SELECT doc_id,
-               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-             FROM corpus),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(tk) >= 3
-               THEN list_transform(range(1, len(tk) - 1),
-                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
-               ELSE [] END) AS shingles
-      FROM toks
-    ),
-    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-    hits AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
-    pairs AS (
-      SELECT id_a, id_b FROM hits
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
+    WITH {_DUCK_NEARDUP_EDGES},
     deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
     it0 AS (SELECT node, 1000000::BIGINT AS r FROM deg),{",".join(its)}
     SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM {prev}
