@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import half_up_round
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
 
 
@@ -27,15 +28,14 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, quer
 def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cume"),
+        half_up_round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        half_up_round(F.cume_dist().over(w), 4).alias("cume"),
     )
 
 
@@ -113,7 +113,7 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self_range_join",
     oracle="""
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
-           floor(epoch(b.ts - a.ts) * 100 + 0.5) / 100 AS gap_secs
+           floor((epoch_us(b.ts) - epoch_us(a.ts) + 5000) // 10000) / 100.0 AS gap_secs
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.event_id <> a.event_id
@@ -136,12 +136,17 @@ def q_self_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.ts") >= F.col("a.ts"))
         & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
     )
-    gap = F.col("b.ts").cast("double") - F.col("a.ts").cast("double")
+    # EXACT integer microseconds, not double timestamp casts: a gap on a
+    # 5 ms boundary floors differently per engine off the double path
+    # (same tie class session_gaps_islands already avoids) — the half-up
+    # round in centiseconds is floor((gap_us + 5000) / 10000), pure
+    # integer arithmetic both engines compute identically
+    gap_us = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
     return a.join(b, cond).select(
         F.col("a.event_id").alias("id_a"),
         F.col("b.event_id").alias("id_b"),
         F.col("a.user_id").alias("user_id"),
-        (F.floor(gap * 100 + 0.5) / 100).alias("gap_secs"),
+        (F.floor((gap_us + 5000) / 10000) / 100.0).alias("gap_secs"),
     )
 
 
@@ -208,14 +213,21 @@ def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", "value"))
         ).alias("rows")
     )
+    # materialize each lambda stage ONCE through stepped projections:
+    # inlining cents/big into all three outputs re-runs the interpreted
+    # transform chain 3× (and the filter 2×) per row — Catalyst's
+    # CollapseProject keeps these steps separate because the aliases are
+    # non-cheap and multiply-referenced (same pattern as lsh_topk's
+    # materialized sketch)
     vals = F.transform("rows", lambda r: r.getField("value"))
-    cents = F.transform(vals, lambda x: F.floor(x * 100))
-    big = F.filter(cents, lambda x: x > 500)
-    return arrs.select(
+    staged = arrs.select(
+        "user_id", F.transform(vals, lambda x: F.floor(x * 100)).alias("cents")
+    ).select("user_id", "cents", F.filter("cents", lambda x: x > 500).alias("big"))
+    return staged.select(
         "user_id",
-        F.size(cents).alias("n_values"),
-        F.size(big).alias("n_big"),
-        F.aggregate(big, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("big_cents_sum"),
+        F.size("cents").alias("n_values"),
+        F.size("big").alias("n_big"),
+        F.aggregate("big", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("big_cents_sum"),
     )
 
 

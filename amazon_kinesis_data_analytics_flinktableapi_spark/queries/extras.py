@@ -9,8 +9,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import half_up_round
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.asof_join import as_of_join
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+
+
+def _asof_orders_rates(ev):
+    """The shared orders/rates role projection of the events table used by
+    all three as-of surfaces (backward, forward, cogroup-pandas) — ONE
+    definition, so a change to the rate derivation (e.g. the % 97
+    modulus) cannot silently attest different datasets per query; each
+    oracle CTE mirrors this projection."""
+    orders = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("order_time"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("rate_time"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+    return orders, rates
 
 
 @query(
@@ -43,17 +64,7 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, quer
 )
 def q_asof_join_latest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = load(spark, sf_dir, "events")
-    orders = ev.select(
-        F.col("event_id").alias("id"),
-        F.col("ts").alias("order_time"),
-        F.floor(F.col("value") * 100).cast("int").alias("amount"),
-        F.col("event_type").alias("currency"),
-    )
-    rates = ev.filter(F.col("event_id") % 17 == 0).select(
-        F.col("ts").alias("rate_time"),
-        F.col("event_type").alias("currency"),
-        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
-    )
+    orders, rates = _asof_orders_rates(ev)
     j = as_of_join(orders, rates, on="currency", left_id="id",
                    left_time="order_time", right_time="rate_time",
                    horizon="1 hour", tie_breakers=["rate"])
@@ -95,17 +106,7 @@ def q_asof_join_latest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = load(spark, sf_dir, "events")
-    orders = ev.select(
-        F.col("event_id").alias("id"),
-        F.col("ts").alias("order_time"),
-        F.floor(F.col("value") * 100).cast("int").alias("amount"),
-        F.col("event_type").alias("currency"),
-    )
-    rates = ev.filter(F.col("event_id") % 17 == 0).select(
-        F.col("ts").alias("rate_time"),
-        F.col("event_type").alias("currency"),
-        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
-    )
+    orders, rates = _asof_orders_rates(ev)
     j = as_of_join(orders, rates, on="currency", left_id="id",
                    left_time="order_time", right_time="rate_time",
                    horizon="1 hour", tie_breakers=["rate"], direction="forward")
@@ -185,14 +186,13 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     known_idx = F.when(F.col("v").isNotNull(), F.col("hidx"))
     pv, pi = F.last("v", ignorenulls=True).over(wb), F.last(known_idx, ignorenulls=True).over(wb)
     nv, ni = F.first("v", ignorenulls=True).over(wf), F.first(known_idx, ignorenulls=True).over(wf)
-    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
     frac = (F.col("hidx") - pi).cast("double") / (ni - pi).cast("double")
     interp = pv + (nv - pv) * frac
     return g.select(
         "event_type",
         F.col("h").alias("bucket_hour"),
-        F.when(F.col("v").isNotNull(), r4(F.col("v")))
-        .when(pv.isNotNull() & nv.isNotNull(), r4(interp))
+        F.when(F.col("v").isNotNull(), half_up_round(F.col("v"), 4))
+        .when(pv.isNotNull() & nv.isNotNull(), half_up_round(interp, 4))
         .alias("value_interp"),
         (F.col("v").isNull() & pv.isNotNull() & nv.isNotNull()).alias("interpolated"),
     )
@@ -460,14 +460,13 @@ def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = hourly.groupBy(
         F.date_trunc("day", "h").alias("d"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
-    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
     h_out = hourly.select(
         F.lit("hour").alias("resolution"), F.col("h").alias("bucket_start"),
-        "event_type", "n", r2(F.col("sv")).alias("total_value"),
+        "event_type", "n", half_up_round(F.col("sv"), 2).alias("total_value"),
     )
     d_out = daily.select(
         F.lit("day").alias("resolution"), F.col("d").alias("bucket_start"),
-        "event_type", "n", r2(F.col("sv")).alias("total_value"),
+        "event_type", "n", half_up_round(F.col("sv"), 2).alias("total_value"),
     )
     return h_out.union(d_out)
 
@@ -680,17 +679,7 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     (ev,) = load(spark, sf_dir, "events")
-    orders = ev.select(
-        F.col("event_id").alias("id"),
-        F.col("ts").alias("order_time"),
-        F.floor(F.col("value") * 100).cast("int").alias("amount"),
-        F.col("event_type").alias("currency"),
-    )
-    rates = ev.filter(F.col("event_id") % 17 == 0).select(
-        F.col("ts").alias("rate_time"),
-        F.col("event_type").alias("currency"),
-        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
-    )
+    orders, rates = _asof_orders_rates(ev)
 
     def merge(odf: "pd.DataFrame", rdf: "pd.DataFrame") -> "pd.DataFrame":
         odf = odf.sort_values(["order_time", "id"])
@@ -1237,8 +1226,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-             count(*) AS n
+             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
     w AS (
@@ -1277,7 +1265,6 @@ def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = load(spark, sf_dir, "events")
     hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
         F.sum(F.floor(F.col("value") * 100)).cast("bigint").alias("cents"),
-        F.count(F.lit(1)).alias("n"),
     )
     win = Window.partitionBy("event_type").orderBy("h").rowsBetween(-6, -1)
     w = hourly.select(
