@@ -63,6 +63,23 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     return out
 
 
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit.  Streaming
+    queries dump replay fixtures (full-table JSON copies) into temp
+    dirs; a bare mkdtemp leaks one such copy per query per gate run,
+    accumulating across rounds until the host fills.  The files must
+    outlive the query's own run (the stream reads them lazily), so
+    cleanup is atexit, not eager."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # import side-effect: populate REGISTRY
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (  # noqa: E402,F401
     advanced,

@@ -15,7 +15,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query, scratch_dir
+
+
+def _streaming_orders_rates(ev):
+    """Shared orders/rates role projection of events for the streaming
+    interval-join and as-of surfaces — ONE definition (same rationale as
+    extras._asof_orders_rates: the % 17 rate filter and % 97 + 2 rate
+    formula must not drift per-query; each oracle mirrors this)."""
+    orders_b = ev.select(
+        F.col("event_id").cast("int").alias("id"),
+        F.col("ts").alias("orderTime"),
+        F.floor(F.col("value") * 100).cast("int").alias("amount"),
+        F.col("event_type").alias("currency"),
+    )
+    rates_b = ev.filter(F.col("event_id") % 17 == 0).select(
+        F.col("ts").alias("exchangeRateTime"),
+        F.col("event_type").alias("currency"),
+        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
+    )
+    return orders_b, rates_b
 
 
 @query(
@@ -142,11 +161,15 @@ def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = (pdf["value"] - pdf["value"].mean()) / std
         import numpy as np
 
+        out = np.floor(z * 10000 + 0.5) / 10000
+        # degenerate groups (one event, or zero variance) give NaN here
+        # but NULL from the oracle's stddev_samp/division — emit None so
+        # the hash compare agrees ('nan' != 'None' after stringification)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "zscore": np.floor(z * 10000 + 0.5) / 10000,
+                "zscore": out.where(~out.isna(), None).astype(object),
             }
         )
 
@@ -161,7 +184,8 @@ def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_weighted_avg",
     oracle="""
     SELECT event_type,
-           floor(sum(value * user_id) / sum(user_id) * 10000 + 0.5) / 10000 AS weighted_avg
+           floor(sum(CAST(FLOOR(value * 100) AS BIGINT) * user_id) / 100.0
+                 / sum(user_id) * 10000 + 0.5) / 10000 AS weighted_avg
     FROM events
     WHERE user_id > 0
     GROUP BY event_type
@@ -173,7 +197,12 @@ def q_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def weighted_avg(v: pd.Series, w: pd.Series) -> float:
-        return float(np.floor(float((v * w).sum()) / float(w.sum()) * 10000 + 0.5) / 10000)
+        # integer cents x integer weights: the numerator is an EXACT int64
+        # sum, so neither the Arrow batch order here nor the oracle's own
+        # sum order can move the result (a double fold is order-dependent)
+        cents = np.floor(v.to_numpy() * 100).astype(np.int64)
+        num = int((cents * w.to_numpy().astype(np.int64)).sum())
+        return float(np.floor(num / 100.0 / float(w.sum()) * 10000 + 0.5) / 10000)
 
     (ev,) = load(spark, sf_dir, "events")
     return (
@@ -252,7 +281,7 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
@@ -268,12 +297,12 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_tw_")
+    tmp = scratch_dir("stream_tw_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
     agg = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), (F.sum(F.floor(F.col("value") * 100)) / F.lit(100.0)).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
     return run_to_memory(agg, spark, timeout_sec=240)
@@ -314,7 +343,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import session_agg
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_sw_")
+    tmp = scratch_dir("stream_sw_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
     agg = session_agg(
         stream, "ts", "6 hours", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
@@ -356,7 +385,7 @@ def q_streaming_running_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_ra_")
+    tmp = scratch_dir("stream_ra_")
     # 3 ts-ordered chunks → ≥2 micro-batches → state genuinely carries
     # across batches (the thing this operator exists for)
     stream = replay_stream(
@@ -400,7 +429,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("click", 1), ("view", 2), ("signup", 5), ("purchase", 10), ("error", 0)],
         "event_type string, type_weight int",
     )
-    tmp = tempfile.mkdtemp(prefix="stream_se_")
+    tmp = scratch_dir("stream_se_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
     # stream-static joins are stateless: the static side is planned as a
     # broadcast into every micro-batch; inner join keeps append semantics
@@ -461,18 +490,8 @@ def prepare_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import replay_stream
 
     (ev,) = load(spark, sf_dir, "events")
-    orders_b = ev.select(
-        F.col("event_id").cast("int").alias("id"),
-        F.col("ts").alias("orderTime"),
-        F.floor(F.col("value") * 100).cast("int").alias("amount"),
-        F.col("event_type").alias("currency"),
-    )
-    rates_b = ev.filter(F.col("event_id") % 17 == 0).select(
-        F.col("ts").alias("exchangeRateTime"),
-        F.col("event_type").alias("currency"),
-        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    orders_b, rates_b = _streaming_orders_rates(ev)
+    tmp = scratch_dir("stream_ij_")
     orders_s = replay_stream(spark, orders_b, ORDER_SCHEMA, f"{tmp}/orders")
     rates_s = replay_stream(spark, rates_b, EXCHANGE_RATE_SCHEMA, f"{tmp}/rates")
 
@@ -510,7 +529,7 @@ def prepare_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT ws AS window_start, event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM starts
     GROUP BY 1, 2
     HAVING ws + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)
@@ -528,11 +547,11 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import sliding_agg
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_slw_")
+    tmp = scratch_dir("stream_slw_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
     agg = sliding_agg(
         stream, "ts", "2 hours", "1 hour", ["event_type"],
-        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+        [F.count(F.lit(1)).alias("n_events"), (F.sum(F.floor(F.col("value") * 100)) / F.lit(100.0)).alias("total_value")],
     )
     return run_to_memory(agg, spark, timeout_sec=240).select(
         "window_start", "event_type", "n_events", "total_value"
@@ -567,7 +586,7 @@ def q_streaming_dedup_restamped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") + F.expr("INTERVAL 3 SECONDS")).alias("ts"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="stream_ddw_")
+    tmp = scratch_dir("stream_ddw_")
     # the +3s re-stamp sorts the retry AFTER its original, possibly into a
     # later micro-batch — the within-watermark state must bridge batches.
     # Output projects ts AWAY, so whichever copy arrives first inside a
@@ -601,7 +620,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = load(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type", "value", "ts"]
     doubled = ev.select(*cols).union(ev.select(*cols))
-    tmp = tempfile.mkdtemp(prefix="stream_dd_")
+    tmp = scratch_dir("stream_dd_")
     # 3 ts-ordered chunks, one file per trigger: duplicate pairs sort
     # adjacent, so dedup state must survive at least one batch boundary
     stream = replay_stream(
@@ -659,7 +678,7 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ontime = ev.filter(F.col("event_id") % 10 != 0).select(cols)
     late1 = ev.filter(F.col("event_id") % 20 == 0).select(cols)
     late2 = ev.filter(F.col("event_id") % 20 == 10).select(cols)
-    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    tmp = scratch_dir("stream_late_")
     dump_json_parts([ontime, late1, late2], tmp)
     stream = file_replay(spark, tmp, EVENTS_SCHEMA, 1)
     agg = (
@@ -700,7 +719,7 @@ def q_streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_topk_")
+    tmp = scratch_dir("stream_topk_")
     stream = replay_stream(
         spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
     )
@@ -739,7 +758,7 @@ def q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    tmp = scratch_dir("stream_cms_")
     stream = replay_stream(
         spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
     )
@@ -793,7 +812,7 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_chain_")
+    tmp = scratch_dir("stream_chain_")
     stream = replay_stream(
         spark, ev, EVENTS_SCHEMA, tmp, n_chunks=3, order_col="ts", max_files_per_trigger=1
     )
@@ -915,18 +934,8 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    orders_b = ev.select(
-        F.col("event_id").cast("int").alias("id"),
-        F.col("ts").alias("orderTime"),
-        F.floor(F.col("value") * 100).cast("int").alias("amount"),
-        F.col("event_type").alias("currency"),
-    )
-    rates_b = ev.filter(F.col("event_id") % 17 == 0).select(
-        F.col("ts").alias("exchangeRateTime"),
-        F.col("event_type").alias("currency"),
-        (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    orders_b, rates_b = _streaming_orders_rates(ev)
+    tmp = scratch_dir("stream_asof_")
     o = replay_stream(spark, orders_b, ORDER_SCHEMA, f"{tmp}/o").withWatermark(
         "orderTime", "0 seconds"
     )
@@ -1078,7 +1087,6 @@ def q_streaming_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     DISTRIBUTED ``spark.read.json`` scan and parsed through the shared S2
     path.  ``sf_dir`` unused — the connector is the source AND the sink."""
     import glob as _glob
-    import tempfile as _tf
 
     from amazon_kinesis_data_analytics_flinktableapi_spark.schemas import ORDER_SCHEMA
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
@@ -1087,7 +1095,7 @@ def q_streaming_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import parse_json_stream
 
     register_kinesis(spark)
-    out = _tf.mkdtemp(prefix="ksim_rt_")
+    out = scratch_dir("ksim_rt_")
     src = (
         spark.readStream.format("kinesis_sim")
         .options(
@@ -1109,7 +1117,13 @@ def q_streaming_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow's awaitTermination returns False on timeout rather
+    # than raising — swallowing that would glob a partially-committed
+    # output while the query keeps writing (run_to_memory documents the
+    # same hazard); 240s matches every other streaming query's budget
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("kinesis roundtrip sink did not finish in 240s")
     files = _glob.glob(f"{out}/batch=*/shardId-*/*.jsonl")
     raw = spark.read.json(files).select(F.col("data"))
     parsed = parse_json_stream(raw, ORDER_SCHEMA, value_col="data")
@@ -1149,14 +1163,16 @@ def q_streaming_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.streaming import file_replay
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import dump_json_chunks
+
     (ev,) = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_seq_")
-    s_stream = replay_stream(
-        spark, ev, EVENTS_SCHEMA, f"{tmp}/s", n_chunks=3, order_col="ts", max_files_per_trigger=1
-    )
-    p_stream = replay_stream(
-        spark, ev, EVENTS_SCHEMA, f"{tmp}/p", n_chunks=3, order_col="ts", max_files_per_trigger=1
-    )
+    tmp = scratch_dir("stream_seq_")
+    # dump ONCE, replay twice: the two sides read byte-identical fixtures,
+    # so a second full-table JSON serialization buys nothing
+    dump_json_chunks(ev, tmp, n_chunks=3, order_col="ts")
+    s_stream = file_replay(spark, tmp, EVENTS_SCHEMA, max_files_per_trigger=1)
+    p_stream = file_replay(spark, tmp, EVENTS_SCHEMA, max_files_per_trigger=1)
     s = (
         s_stream.filter(F.col("event_type") == "signup")
         .select("user_id", F.col("ts").alias("s_ts"))

@@ -18,9 +18,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query, scratch_dir
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+def _planted_incremental_batch(docs):
+    """The history/batch split BOTH incremental-dedup surfaces (batch and
+    streaming) run against — ONE definition, so retuning the plant (the
+    % 5 / % 7 / % 3 selectors or the id offsets) cannot silently make
+    the streaming query attest a different corpus than its batch twin.
+    Returns (hist, batch)."""
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter((F.col("doc_id") % 5 != 4) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return hist, batch
+
+
+def _gram_partials_fn(col: str, dim: int, quant: int | None):
+    """Shared per-partition Gram accumulator used by BOTH gram surfaces
+    (batch q_embedding_gram_matrix quantizes inside the task; streaming
+    q_streaming_gram_matrix consumes pre-quantized ``qv`` rows) — one
+    definition, so a change to dim or the quantization cannot break the
+    'final snapshot equals the batch Gram cell-for-cell' claim silently.
+    Emits the upper-triangle (i, j, partial) int64 cells."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(dim)
+
+    def gram_partials(pdf_iter):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in pdf_iter:
+            x = np.stack(pdf[col].to_numpy())
+            if quant is not None:
+                q = np.floor(x.astype(np.float64) * quant).astype(np.int64)
+            else:
+                q = x.astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame({"i": iu + 1, "j": ju + 1, "partial": acc[iu, ju]})
+
+    return gram_partials
 
 
 @query(
@@ -563,21 +616,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import fingerprint
 
     (docs,) = load(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 5 != 4)
-    batch = (
-        docs.filter(F.col("doc_id") % 5 == 4)
-        .select("doc_id", "text")
-        .unionAll(
-            docs.filter((F.col("doc_id") % 5 != 4) & (F.col("doc_id") % 7 == 0)).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-            )
-        )
-        .unionAll(
-            docs.filter((F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == 0)).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-            )
-        )
-    )
+    hist, batch = _planted_incremental_batch(docs)
     hfp = hist.select(fingerprint("text").alias("fp")).distinct()
     bfp = batch.select("doc_id", fingerprint("text").alias("fp"))
     ranked = bfp.join(
@@ -745,24 +784,9 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    dim, quant = 64, 1_000_000
-    iu, ju = np.triu_indices(dim)
-
-    def gram_partials(pdf_iter):
-        acc = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
-        for pdf in pdf_iter:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(x * quant).astype(np.int64)
-            acc += q.T @ q
-            seen = True
-        if seen:
-            yield pd.DataFrame(
-                {"i": iu + 1, "j": ju + 1, "partial": acc[iu, ju]}
-            )
-
     partials = spread(emb.select("embedding")).mapInPandas(
-        gram_partials, schema="i int, j int, partial long"
+        _gram_partials_fn("embedding", dim=64, quant=1_000_000),
+        schema="i int, j int, partial long",
     )
     return partials.groupBy("i", "j").agg(
         F.sum("partial").cast("bigint").alias("gram_sum")
@@ -1005,8 +1029,6 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant regardless of stream volume or uptime).  A model-monitoring
     job computes covariance/drift statistics this way without ever
     re-reading history."""
-    import tempfile
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -1028,24 +1050,14 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = StructType(
         [StructField("vec_id", LongType()), StructField("qv", ArrayType(LongType()))]
     )
-    tmp = tempfile.mkdtemp(prefix="stream_gram_")
+    tmp = scratch_dir("stream_gram_")
     stream = replay_stream(
         spark, quantized, schema, tmp, n_chunks=3, order_col="vec_id", max_files_per_trigger=1
     )
 
-    def gram_partials(pdf_iter):
-        acc = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
-        for pdf in pdf_iter:
-            q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            acc += q.T @ q
-            seen = True
-        if seen:
-            yield pd.DataFrame({"i": iu + 1, "j": ju + 1, "partial": acc[iu, ju]})
-
     cells = (
         stream.select("qv")
-        .mapInPandas(gram_partials, schema="i int, j int, partial long")
+        .mapInPandas(_gram_partials_fn("qv", dim=dim, quant=None), schema="i int, j int, partial long")
         .groupBy("i", "j")
         .agg(F.sum("partial").cast("bigint").alias("gram_sum"))
     )
@@ -1807,8 +1819,6 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     SET (not doc ids): which of several same-batch copies is dropped
     depends on arrival interleaving, but the surviving set is
     deterministic — so the set is what the oracle pins."""
-    import tempfile
-
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import fingerprint
@@ -1818,26 +1828,12 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     (docs,) = load(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    hist, batch = _planted_incremental_batch(docs)
     hfp = hist.select(fingerprint("text").alias("fp")).distinct()
-    batch = (
-        docs.filter(F.col("doc_id") % 5 == 4)
-        .select("doc_id", "text")
-        .unionAll(
-            docs.filter((F.col("doc_id") % 5 != 4) & (F.col("doc_id") % 7 == 0)).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-            )
-        )
-        .unionAll(
-            docs.filter((F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == 0)).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-            )
-        )
-    )
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
     )
-    tmp = tempfile.mkdtemp(prefix="stream_incdd_")
+    tmp = scratch_dir("stream_incdd_")
     stream = replay_stream(
         spark, batch, schema, tmp, n_chunks=3, order_col="doc_id", max_files_per_trigger=1
     )
