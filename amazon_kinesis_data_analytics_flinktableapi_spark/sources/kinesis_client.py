@@ -484,7 +484,18 @@ class TranslatingKinesisClient:
         cross-process transaction) — entries are re-observed and re-saved
         on the next commit cadence, so the race is self-healing, but a
         deployment wanting zero-race saves should serialize them in its
-        commit hook (the listener shape above already does)."""
+        commit hook (the listener shape above already does).
+
+        BATCH-READ CAVEAT: the self-healing argument requires a NEXT
+        commit to re-observe the lost entries.  One-shot batch reads
+        (``KinesisSimBatchReader`` saves per task) have no next cadence —
+        two batch tasks racing on one ``ledger_path`` can permanently
+        lose one side's entries, and ``strict_anchor`` then fails loudly
+        on the next restart instead of recovering.  For batch reads with
+        a shared ledger, serialize saves: write per-task temp files and
+        have the driver merge them via :func:`merge_ledger_snapshots`
+        (the per-shard-task layout used in tests is already disjoint, so
+        single-process batch runs are safe)."""
         import json as _json
         import os
 

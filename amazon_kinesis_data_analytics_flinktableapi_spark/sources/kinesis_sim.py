@@ -558,9 +558,11 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
             # every parent has drained to its closing sequence.  A held
             # grandchild's parent is itself held until ITS parents drain,
             # so the order is transitive across reshard generations; a
-            # merge child waits for BOTH closed parents.  (Gate on `end`,
-            # not `start`: a parent finishing within THIS batch releases
-            # its children next batch, never concurrently.)
+            # merge child waits for BOTH closed parents.  (Gate on the
+            # parents' START cursors: a parent whose tip is reached only
+            # by THIS batch's `end` still holds its children here, so a
+            # parent finishing within a batch releases its children next
+            # batch, never concurrently with its own final records.)
             for shard_name in end:
                 t = topo.get(shard_name)
                 if t is None:

@@ -76,4 +76,10 @@ def build_reference_query(
         .replace("FROM Orders o", f"FROM Orders_{suffix} o")
         .replace("JOIN ExchangeRates r", f"JOIN ExchangeRates_{suffix} r")
     )
-    return spark.sql(sql)
+    out = spark.sql(sql)
+    # resolution happened eagerly in spark.sql(); drop the per-invocation
+    # views so a long-lived session calling this repeatedly doesn't
+    # accumulate unbounded catalog entries
+    spark.catalog.dropTempView(f"Orders_{suffix}")
+    spark.catalog.dropTempView(f"ExchangeRates_{suffix}")
+    return out

@@ -169,7 +169,15 @@ def run_to_memory_drain(
     replay sources exhibit.)"""
     import time
 
-    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1s")
+    # session-wide conf: save + restore so OTHER streaming queries in this
+    # session don't permanently inherit 10x more no-data progress events
+    # (the interval can't be set per-query on this Spark version)
+    _conf_key = "spark.sql.streaming.noDataProgressEventInterval"
+    try:
+        _prev_interval = spark.conf.get(_conf_key)
+    except Exception:
+        _prev_interval = None
+    spark.conf.set(_conf_key, "1s")
     name = name or f"drain_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -195,6 +203,13 @@ def run_to_memory_drain(
     finally:
         q.stop()
         q.awaitTermination(60)
+        if _prev_interval is not None:
+            spark.conf.set(_conf_key, _prev_interval)
+        else:
+            try:
+                spark.conf.unset(_conf_key)
+            except Exception:
+                pass
     return spark.table(name)
 
 

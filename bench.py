@@ -56,15 +56,25 @@ def _parallel_canary_samples(spark) -> list[float]:
 def _prev_bench() -> tuple[str, dict] | None:
     """Newest BENCH_r{N}.json next to this script that carries a canary
     reading (r9+).  Bench artifacts are driver-written per round, so the
-    previous round's file is the natural round-over-round reference."""
+    previous round's file is the natural round-over-round reference.
+
+    Set ``SPARK_GRAFT_BENCH_ROUND=<N>`` to pin the round being benched:
+    only files with index < N are considered, so re-running after the
+    current round's artifact lands doesn't compare the run against its
+    own prior output (near-zero self-deltas masquerading as
+    round-over-round)."""
     import glob
     import re
 
+    cur = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    cur_n = int(cur) if cur and cur.isdigit() else None
     here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
-        if m and (best is None or int(m.group(1)) > best[0]):
+        if not m or (cur_n is not None and int(m.group(1)) >= cur_n):
+            continue
+        if best is None or int(m.group(1)) > best[0]:
             best = (int(m.group(1)), p)
     if best is None:
         return None
