@@ -103,81 +103,23 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 10 window -----------------------------------------------------
+    # --- round 11 window -----------------------------------------------------
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, changed surfaces ride along, remaining slots go to
-    # the oldest-attested names.  r10 window: 1-2 NEW — the shard-MERGE and
-    # multi-generation reshard-chain attestations (VERDICT r9 #2/#3).
-    # 3: kinesis_reshard_roundtrip re-attests the GENERALIZED topology path
-    # (shard_topology now routes reshard_at through apply_reshard_plan).
-    # 4: interval_join_full (VERDICT r9 #6 explicit).  5-50: the entire
-    # r6-stale block — every query whose newest green row is round 6.
-    # The other changed-surface kinesis queries (fake_sdk/translating
-    # roundtrips: .cache() in the shared helper; kinesis_interval_join,
-    # streaming_kinesis_tumbling/roundtrip: connector option parsing) were
-    # re-verified this round via tools/driver_replica.py instead of window
-    # slots; streaming_kinesis_roundtrip is in the r6 block anyway.
-    "kinesis_merge_roundtrip",
-    "kinesis_reshard_chain_roundtrip",
-    # NEW mid-r10: merge lineage composed through the flagship interval
-    # join (new queries enter the window on their first round).  Its slot
-    # comes from kinesis_reshard_roundtrip, which leaves the window: it is
-    # r9-green (the youngest name the window held) and its r10-changed
-    # path — reshard_at routing through apply_reshard_plan — is attested
-    # in-window by both new plan-model queries and was replica-verified at
-    # sf0.01 AND sf0.1 this round; dropping it instead of an r6-stale name
-    # keeps the rotation criterion (stalest attestation advances past r6)
-    # intact.
-    "kinesis_merge_interval_join",
-    "interval_join_full",
-    "streaming_interval_join",
-    "streaming_tumbling_window",
-    "streaming_late_data",
-    "streaming_dedup",
-    "streaming_asof_enrich",
-    "streaming_kinesis_roundtrip",
-    "duplicate_span_detect",
-    "duplicate_span_removal",
-    "dsir_importance_select",
-    "containment_neardup",
-    "streaming_dedup_restamped",
-    "dataset_split_assign",
-    "semantic_dedup",
-    "domain_mixture_sample",
-    "unigram_surprisal_score",
-    "tpch_q9_product_profit",
-    "doc_chunks",
-    "normalize_text",
-    "rolling_fingerprint",
-    "stratified_sample",
-    "reservoir_per_group",
-    "deterministic_sample",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "topk_orders",
-    "window_rank",
-    "window_moving_avg",
-    "rollup_customer_geo",
-    "large_order_customers",
-    "nation_pair_revenue",
-    "cube_status_priority",
-    "unpivot_lineitem_metrics",
-    "value_histogram",
-    "grouped_having",
-    "distinct_pairs",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "conditional_agg",
-    "shipping_priority",
-    "date_functions",
-    "grouping_sets_revenue",
-    "tpch_q8_market_share",
-    "salted_join_revenue",
-    "regex_extract_tokens",
-    "tpch_q21_late_supplier",
-    "repetition_signals",
-    # --- staleness tail (rotates into future windows oldest-first) ----------
-    # r7-attested remainder:
+    # the oldest-attested names.  r11 window: 1 NEW — the throttling /
+    # expired-iterator fault-contract attestation (VERDICT r10 #2); 1
+    # CHANGED — approx_sketches, re-expressed as the portable
+    # m=1024-register HLL + binned quantile sketch (VERDICT r10 #4, its
+    # FIRST hash-checkable attestation — previously the registry's one
+    # rows-only row); 3-50: the entire r7-stale block — every query whose
+    # newest green row is round 7, advancing the stalest attestation to
+    # r8.  The r11-touched streaming surfaces (run_to_memory_drain conf
+    # restore, build_reference_query view cleanup) were re-verified via
+    # tools/driver_replica.py (10 streaming queries hash-green) instead of
+    # window slots.
+    "kinesis_throttled_roundtrip",
+    "approx_sketches",
+    # --- r7-stale block (48) ------------------------------------------------
     "embedding_neardup_wide",
     "seasonal_residual_flags",
     "event_transition_matrix",
@@ -226,12 +168,12 @@ _PRIORITY: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q18_large_volume_customer",
     "tpch_q12_late_priority",
-    # r8-attested:
+    # --- staleness tail (rotates into future windows oldest-first) ----------
+    # r8-attested remainder:
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
     "json_extract_agg",
     "pivot_status_by_priority",
-    "approx_sketches",
     "set_ops",
     "join_semi",
     "join_anti",
@@ -275,7 +217,7 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_join",
     "neardup_jaccard",
     "dedup_clusters",
-    # r9-attested (the freshest; re-enter the window last):
+    # r9-attested:
     "approx_sketches_bounds",
     "kinesis_translating_sdk_roundtrip",
     "kinesis_fake_sdk_roundtrip",
@@ -325,6 +267,57 @@ _PRIORITY: list[str] = [
     "streaming_kinesis_tumbling",
     "interval_join_forward",
     "embedding_neardup",
+    # r10-attested (the freshest; re-enter the window last):
+    "kinesis_merge_roundtrip",
+    "kinesis_reshard_chain_roundtrip",
+    "kinesis_merge_interval_join",
+    "interval_join_full",
+    "streaming_interval_join",
+    "streaming_tumbling_window",
+    "streaming_late_data",
+    "streaming_dedup",
+    "streaming_asof_enrich",
+    "streaming_kinesis_roundtrip",
+    "duplicate_span_detect",
+    "duplicate_span_removal",
+    "dsir_importance_select",
+    "containment_neardup",
+    "streaming_dedup_restamped",
+    "dataset_split_assign",
+    "semantic_dedup",
+    "domain_mixture_sample",
+    "unigram_surprisal_score",
+    "tpch_q9_product_profit",
+    "doc_chunks",
+    "normalize_text",
+    "rolling_fingerprint",
+    "stratified_sample",
+    "reservoir_per_group",
+    "deterministic_sample",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders",
+    "window_rank",
+    "window_moving_avg",
+    "rollup_customer_geo",
+    "large_order_customers",
+    "nation_pair_revenue",
+    "cube_status_priority",
+    "unpivot_lineitem_metrics",
+    "value_histogram",
+    "grouped_having",
+    "distinct_pairs",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "conditional_agg",
+    "shipping_priority",
+    "date_functions",
+    "grouping_sets_revenue",
+    "tpch_q8_market_share",
+    "salted_join_revenue",
+    "regex_extract_tokens",
+    "tpch_q21_late_supplier",
+    "repetition_signals",
 ]
 
 

@@ -471,33 +471,159 @@ def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h_out.union(d_out)
 
 
+#: m=1024 registers (b=10): SE = 1.04/√m ≈ 3.25%, and the linear-counting
+#: regime reaches 2.5·m = 2560 distinct — so the test-data cardinalities
+#: (15/150/1500 distinct users) all land in accurate regimes, clear of
+#: raw-HLL's biased 2.5m–5m zone.  The remaining 50 hash bits cap rho at
+#: 51, so the integer register sum Σ 2^(51−M_j) ≤ 1024·2^51 = 2^61 — no
+#: BIGINT overflow under ANSI.
+#:
+#: alpha_1024 · m² · 2⁵¹ — the raw-HLL numerator, pre-multiplied in
+#: Python and emitted as one repr() double literal on BOTH engines.  Why:
+#: DuckDB parses plain float literals as DECIMAL, so spelling the
+#: arithmetic inline would run under DECIMAL rules there and IEEE-double
+#: rules in Spark — a silent cross-engine drift.
+_HLL_NUMERATOR = repr((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 2251799813685248.0)
+
+#: shared portable-HLL sub-expressions (Spark and DuckDB texts are kept
+#: BYTE-IDENTICAL where evaluation order affects double bits)
+_HLL_RHO = "CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END"
+_HLL_S = (
+    "CAST(sum(CAST(pow(2.0, 51 - mj) AS BIGINT)) "
+    "+ (1024 - count(*)) * 2251799813685248 AS DOUBLE)"
+)
+_HLL_EST = (
+    f"CAST(FLOOR(CASE WHEN CAST({_HLL_NUMERATOR} AS DOUBLE) / s <= 2560.0 AND v > 0 "
+    "THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v) "
+    f"ELSE CAST({_HLL_NUMERATOR} AS DOUBLE) / s END) AS BIGINT)"
+)
+
+
 @query(
     "approx_sketches",
-    oracle=None,  # the raw estimates are implementation-specific (HLL
-    # register layout), so THIS row is rows-only — but the estimates are
-    # NOT oracle-free: approx_sketches_bounds (below) hash-pins the same
-    # sketches inside their proven error bounds against DuckDB exact
-    # values, and tests/test_quality_gates.py pins the measured error
-    doc="approximate sketches: HLL distinct users + quantile sketch per event "
-    "type (error-bound oracle: see approx_sketches_bounds)",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (SELECT event_type, h % 1024 AS reg, h // 1024 AS w FROM h),
+    per_reg AS (
+      SELECT event_type, reg, max({_HLL_RHO}) AS mj
+      FROM regs GROUP BY 1, 2
+    ),
+    hll AS (
+      SELECT event_type, {_HLL_S} AS s, 1024 - count(*) AS v
+      FROM per_reg GROUP BY 1
+    ),
+    users AS (SELECT event_type, {_HLL_EST} AS approx_users FROM hll),
+    b AS (
+      SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS nv
+      FROM hist
+    ),
+    qs AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN cum * 2 >= nv THEN bin END) AS DOUBLE) / 1000 AS q50,
+             CAST(min(CASE WHEN cum * 20 >= nv * 19 THEN bin END) AS DOUBLE) / 1000 AS q95,
+             CAST(min(CASE WHEN cum * 100 >= nv * 99 THEN bin END) AS DOUBLE) / 1000 AS q99
+      FROM cum GROUP BY 1
+    ),
+    counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+    SELECT c.event_type, u.approx_users, q.q50, q.q95, q.q99, c.n
+    FROM counts c
+    LEFT JOIN users u ON u.event_type = c.event_type
+    LEFT JOIN qs q ON q.event_type = c.event_type
+    """,
+    doc="approximate sketches, portable edition (VERDICT r10 #4): HLL "
+    "distinct users with a LITERAL register layout (md5-derived 60-bit "
+    "hash, m=1024, integer-exact register sum) + fixed-width-bin quantile "
+    "sketch per event type — every estimate hash-checked against DuckDB "
+    "computing the same sketch; native-sketch accuracy stays gated by "
+    "approx_sketches_bounds",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalar quantile columns (not one array column): the driver's row
-    # canonicalizer sorts cell values and cannot hash array cells — r1
-    # recorded a harness error instead of the intended rows-only pass.
+    """The engine's sketch bundle, re-expressed so the ESTIMATES are
+    deterministic and engine-portable (the KMV/CMS treatment, closing the
+    registry's last rows-only row):
+
+    - ``approx_users``: HyperLogLog with a pinned layout — register =
+      ``h % 1024``, rank = leading-zero count of the remaining 50 bits + 1
+      (``51 − bit_length``), registers combined via an INTEGER sum of
+      ``2^(51−M_j)`` (exact, order-free — the double harmonic sum would
+      be partition-order-dependent), absent registers contributing
+      ``2^51``.  Raw estimate ``α·m²·2^51 / S`` with linear-counting
+      small-range correction ``m·ln(m/V)`` — the branch decision compares
+      bit-identical doubles on both engines, and the FLOOR→BIGINT output
+      absorbs the ≤1-ulp ``ln`` divergence measured between JVM and
+      libm (a minority of domain values differ in the last ulp; none
+      within 1e-9 of an integer).  Accuracy vs exact counts is gated in
+      tests/test_quality_gates.py.
+    - ``q50/q95/q99``: first 1-milli-unit bin whose cumulative count
+      crosses the rank — integer comparisons only (``cum·k ≥ n·q``),
+      rank error bounded by bin width.
+    - ``n``: exact per-type count.
+
+    Scale shape: the register table is ≤ m rows per group after the
+    map-side partial max, the histogram is mergeable sums, and both are
+    fixed-size whatever the data volume — the same two shuffles at 100 TB
+    as at sf0.01.  Native ``approx_count_distinct`` / ``percentile_approx``
+    remain covered (and error-bounded) by ``approx_sketches_bounds``.
+
+    Reference parity: the Flink job itself has no sketch surface; this is
+    part of the LLM-pipeline tier (driver brief), kept output-compatible
+    with the pre-r11 rows-only version (same six columns)."""
     (ev,) = load(spark, sf_dir, "events")
-    q = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("__q"),
-        F.count(F.lit(1)).alias("n"),
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    regs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type", md5_hash60(F.col("user_id").cast("string")).alias("h")
+        )
+        .select(
+            "event_type",
+            (F.col("h") % 1024).alias("reg"),
+            F.expr("h div 1024").alias("w"),
+        )
     )
-    return q.select(
+    per_reg = regs.groupBy("event_type", "reg").agg(F.expr(f"max({_HLL_RHO})").alias("mj"))
+    hll = per_reg.groupBy("event_type").agg(
+        F.expr(_HLL_S).alias("s"), F.expr("1024 - count(*)").alias("v")
+    )
+    users = hll.select("event_type", F.expr(_HLL_EST).alias("approx_users"))
+
+    b = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("bin")
+    )
+    hist = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
         "event_type",
-        "approx_users",
-        F.element_at("__q", 1).alias("q50"),
-        F.element_at("__q", 2).alias("q95"),
-        F.element_at("__q", 3).alias("q99"),
-        "n",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("nv"),
+    )
+
+    def cross(k: int, q: int, name: str):
+        crossing = F.min(F.when(F.col("cum") * k >= F.col("nv") * q, F.col("bin")))
+        return (crossing.cast("double") / F.lit(1000)).alias(name)
+
+    qs = cum.groupBy("event_type").agg(
+        cross(2, 1, "q50"), cross(20, 19, "q95"), cross(100, 99, "q99")
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(users, "event_type", "left")
+        .join(qs, "event_type", "left")
+        .select("event_type", "approx_users", "q50", "q95", "q99", "n")
     )
 
 

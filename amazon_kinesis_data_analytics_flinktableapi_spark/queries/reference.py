@@ -546,6 +546,61 @@ def q_kinesis_translating_sdk_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@query(
+    "kinesis_throttled_roundtrip",
+    oracle=f"""
+    WITH o AS (
+      SELECT printf('shardId-%012d', s.shard) AS shard_id,
+             q.seq AS seq,
+             CAST({_DUCK_KSIM_H.format(seed=33, salt='a')} % 10000 + 1 AS INTEGER) AS amount,
+             ['click','view','signup','purchase','error']
+               [{_DUCK_KSIM_H.format(seed=33, salt='c')} % 5 + 1] AS currency
+      FROM range(2) s(shard), range(90) q(seq)
+    )
+    SELECT shard_id, currency,
+           count(*) AS n_records,
+           CAST(sum(amount) AS BIGINT) AS sum_amount,
+           min(seq) AS min_seq,
+           max(seq) AS max_seq,
+           0 AS n_mismatch
+    FROM o GROUP BY shard_id, currency
+    """,
+    doc="S1 fault-contract attestation: the retry adapter over injected "
+    "throttling + expired-iterator schedules vs the direct generator, "
+    "compared as MULTISETS on the wire tuple and hash-checked — a "
+    "dropped page, double-served retry, or wrong re-acquisition position "
+    "anywhere makes n_mismatch nonzero or shifts the aggregates and "
+    "fails the gate",
+)
+def q_kinesis_throttled_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r10 #2 driver row: the adapter retry obligations
+    (KinesisClient protocol docstring) driven end-to-end.  The same
+    stream (orders, 2 shards × 90 @ 20 ms, seed 33) is read through the
+    direct generator and through ``client_mode=sdk,
+    client=fake_throttling`` — where every 3rd ``get_records`` raises
+    ``ProvisionedThroughputExceededException`` and every 5th poisons its
+    iterator with ``ExpiredIteratorException``
+    (sources/kinesis_client.py ThrottlingKinesisClient), absorbed by
+    RetryingKinesisClient's backoff + AFTER_SEQUENCE_NUMBER
+    re-acquisition — the behavior the reference inherits from
+    FlinkKinesisConsumer (StreamingJob.java:26-41).  Symmetric MULTISET
+    diff on the full wire tuple as ``n_mismatch``, pinned 0 by the
+    oracle: a record lost to a throttle, duplicated by a retry, or
+    re-acquired at the wrong position fails the hash.  ``sf_dir`` is
+    unused — the connector is the source."""
+    return _wire_parity_roundtrip(
+        spark,
+        seed=33,
+        records_per_shard=90,
+        interval_ms=20,
+        client_opts={
+            "client": "fake_throttling",
+            "throttle_every": "3",
+            "expire_every": "5",
+        },
+    )
+
+
 #: _DUCK_KSIM_H over a pre-built (shard, seq) position table aliased ``p``
 _DUCK_KSIM_H_P = _DUCK_KSIM_H.replace("s.shard", "p.shard").replace("q.seq", "p.seq")
 

@@ -60,6 +60,30 @@ class KinesisClient(Protocol):
     Matching boto3's names/shapes exactly keeps a production adapter
     thin: it wraps a boto3 client 1:1 and owns only the
     ordinal↔sequence-number translation (module docstring).
+
+    RETRY OBLIGATIONS (the adapter's, not the read loop's).  The
+    connector's read loop (``sdk_read_range``) treats every exception
+    from a client method as a task failure — it never retries, sleeps,
+    or swallows (pinned in tests/test_kinesis_client.py).  A client
+    registered for production must therefore absorb the service's
+    transient faults itself, exactly as the reference's consumer stack
+    (FlinkKinesisConsumer under StreamingJob.java:26-41) does:
+
+    * ``ProvisionedThroughputExceededException`` — back off and retry
+      the same call (exponential backoff, bounded attempts; the service
+      throttles per-shard reads at 5 calls/s / 2 MB/s).
+    * ``ExpiredIteratorException`` — shard iterators age out (~5 min);
+      re-acquire via ``get_shard_iterator(AFTER_SEQUENCE_NUMBER,
+      <last seen sequence>)`` and retry.  Both fakes implement
+      ``AFTER_SEQUENCE_NUMBER`` so adapters can be parity-tested on
+      recovery positioning.
+
+    :class:`RetryingKinesisClient` is the in-repo adapter implementing
+    both obligations (contract-tested against
+    :class:`ThrottlingKinesisClient`'s deterministic fault schedules via
+    ``client=fake_throttling``); a deployment wraps
+    ``boto3.client("kinesis")`` with it (or with botocore's own
+    retry config) before registering.
     """
 
     def list_shards(self, StreamName: str) -> dict:  # noqa: N803 — boto3 names
@@ -178,6 +202,13 @@ class FakeSdkKinesisClient:
             if StartingSequenceNumber is None:
                 raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
             seq = int(StartingSequenceNumber)
+        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+            # the service's recovery position — what a consumer that saw a
+            # record re-acquires from after its iterator expires (KCL and
+            # the reference's FlinkKinesisConsumer both resume this way)
+            if StartingSequenceNumber is None:
+                raise ValueError("AFTER_SEQUENCE_NUMBER requires StartingSequenceNumber")
+            seq = int(StartingSequenceNumber) + 1
         elif ShardIteratorType == "AT_TIMESTAMP":
             from .kinesis_sim import seq_at_timestamp
 
@@ -290,13 +321,15 @@ class OpaqueSeqKinesisClient(FakeSdkKinesisClient):
         StartingSequenceNumber: str | None = None,  # noqa: N803
         Timestamp=None,  # noqa: N803
     ) -> dict:
-        if ShardIteratorType == "AT_SEQUENCE_NUMBER":
+        if ShardIteratorType in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
             if StartingSequenceNumber is None:
-                raise ValueError("AT_SEQUENCE_NUMBER requires StartingSequenceNumber")
+                raise ValueError(f"{ShardIteratorType} requires StartingSequenceNumber")
             self.n_calls += 1
             shard = int(ShardId.rsplit("-", 1)[1])
             self._shard_info(shard)  # raises KeyError on an unknown shard
             ordinal = self._ordinal_for(shard, StartingSequenceNumber)
+            if ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+                ordinal += 1  # expired-iterator recovery resumes past the seen record
             return {"ShardIterator": f"{shard}|{ordinal}"}
         return super().get_shard_iterator(
             StreamName=StreamName,
@@ -781,6 +814,208 @@ class TranslatingKinesisClient:
         }
 
 
+class KinesisClientError(Exception):
+    """botocore ``ClientError``-shaped exception (``.response["Error"]
+    ["Code"]``) so fault-handling code written against this fake handles
+    a real boto3 client unchanged — both are matched by :func:`error_code`,
+    never by exception TYPE (botocore isn't importable here)."""
+
+    def __init__(self, code: str, message: str):
+        self.response = {"Error": {"Code": code, "Message": message}}
+        super().__init__(f"{code}: {message}")
+
+
+def error_code(exc: BaseException) -> str | None:
+    """The AWS error code of ``exc`` (this module's
+    :class:`KinesisClientError` or a real ``botocore.exceptions.ClientError``
+    — both carry ``.response["Error"]["Code"]``), else ``None``."""
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        err = resp.get("Error")
+        if isinstance(err, dict):
+            code = err.get("Code")
+            return str(code) if code is not None else None
+    return None
+
+
+class ThrottlingKinesisClient:
+    """Fault-injecting decorator over any :class:`KinesisClient`:
+    deterministic ``ProvisionedThroughputExceededException`` and
+    ``ExpiredIteratorException`` schedules, for contract-testing the
+    adapter retry obligations the protocol docstring states.
+
+    ``throttle_every=k``: every k-th ``get_records`` call (counting
+    retries — so a retried call lands on a NEW schedule slot and
+    succeeds, unless k=1 which throttles forever, the
+    retry-exhaustion case) raises throughput-exceeded.
+    ``expire_every=m``: every m-th call poisons the presented iterator
+    and raises expired; the poisoned token STAYS expired (as the
+    service's do), so a blind same-token retry keeps failing — only
+    re-acquisition via ``get_shard_iterator`` recovers, which is what
+    the contract tests prove.
+
+    Iterator tokens are wrapped with a per-issuance nonce (``raw#n``)
+    before leaving this class, mirroring the service's unique opaque
+    blobs — without it, a re-acquired iterator at the same position
+    would collide with its own poisoned predecessor.
+    """
+
+    def __init__(self, inner, throttle_every: int = 0, expire_every: int = 0):
+        self.inner = inner
+        self.throttle_every = int(throttle_every)
+        self.expire_every = int(expire_every)
+        self.n_get_records = 0  # schedule clock (includes faulted calls)
+        self.n_throttles_injected = 0
+        self.n_expiries_injected = 0
+        self._n_tokens = 0
+        self._expired: set[str] = set()
+
+    def _wrap(self, raw: str | None) -> str | None:
+        if raw is None:
+            return None
+        self._n_tokens += 1
+        return f"{raw}#{self._n_tokens}"
+
+    # -- protocol ----------------------------------------------------------
+    def list_shards(self, StreamName: str) -> dict:  # noqa: N803
+        return self.inner.list_shards(StreamName=StreamName)
+
+    def get_shard_iterator(self, **kw) -> dict:
+        resp = self.inner.get_shard_iterator(**kw)
+        return {"ShardIterator": self._wrap(resp.get("ShardIterator"))}
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
+        if ShardIterator in self._expired:
+            # poisoned tokens stay dead without consuming schedule slots
+            raise KinesisClientError(
+                "ExpiredIteratorException", f"iterator {ShardIterator!r} has expired"
+            )
+        self.n_get_records += 1
+        n = self.n_get_records
+        if self.throttle_every and n % self.throttle_every == 0:
+            self.n_throttles_injected += 1
+            raise KinesisClientError(
+                "ProvisionedThroughputExceededException",
+                f"Rate exceeded for shard (injected, call {n})",
+            )
+        if self.expire_every and n % self.expire_every == 0:
+            self._expired.add(ShardIterator)
+            self.n_expiries_injected += 1
+            raise KinesisClientError(
+                "ExpiredIteratorException",
+                f"Iterator expired (injected, call {n})",
+            )
+        raw = ShardIterator.rsplit("#", 1)[0]
+        resp = self.inner.get_records(ShardIterator=raw, Limit=Limit)
+        resp["NextShardIterator"] = self._wrap(resp.get("NextShardIterator"))
+        return resp
+
+
+class RetryingKinesisClient:
+    """The production retry adapter (protocol docstring, RETRY
+    OBLIGATIONS): exponential backoff on throughput-exceeded, iterator
+    re-acquisition on expiry — the behavior the reference inherits from
+    FlinkKinesisConsumer (StreamingJob.java:26-41: the consumer survives
+    throttling and expired iterators; the job never sees them).
+
+    Re-acquisition bookkeeping: every token this adapter hands out is
+    remembered with enough origin to recreate it — the original
+    ``get_shard_iterator`` kwargs for a fresh token, or
+    ``(AFTER_SEQUENCE_NUMBER, last sequence served)`` once records have
+    flowed.  Tokens are single-use (the read loop's contract — each is
+    consumed by exactly one ``get_records``); origins are evicted on
+    use so the map stays O(live iterators).  A token that did NOT come
+    from this adapter has no origin and its expiry re-raises (nothing
+    safe to re-acquire from).
+
+    ``sleep`` is injectable so contract tests run at full speed while
+    recording the backoff schedule."""
+
+    def __init__(
+        self,
+        inner,
+        max_retries: int = 10,
+        base_backoff_ms: float = 100.0,
+        max_backoff_ms: float = 10_000.0,
+        sleep=None,
+    ):
+        import time as _time
+
+        self.inner = inner
+        self.max_retries = int(max_retries)
+        self.base_backoff_ms = float(base_backoff_ms)
+        self.max_backoff_ms = float(max_backoff_ms)
+        self._sleep = sleep if sleep is not None else _time.sleep
+        self.n_throttle_retries = 0
+        self.n_reacquisitions = 0
+        #: live token -> get_shard_iterator kwargs that recreate it
+        self._origin: dict[str, dict] = {}
+
+    def _call(self, fn, **kw):
+        """Invoke ``fn`` with backoff-and-retry on throughput-exceeded;
+        any other exception (including the last throttle) propagates."""
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn(**kw)
+            except Exception as e:
+                if (
+                    error_code(e) != "ProvisionedThroughputExceededException"
+                    or attempt == self.max_retries
+                ):
+                    raise
+                self.n_throttle_retries += 1
+                backoff_ms = min(self.base_backoff_ms * 2**attempt, self.max_backoff_ms)
+                self._sleep(backoff_ms / 1000.0)
+        raise AssertionError("unreachable")  # loop returns or raises
+
+    # -- protocol ----------------------------------------------------------
+    def list_shards(self, StreamName: str) -> dict:  # noqa: N803
+        return self._call(self.inner.list_shards, StreamName=StreamName)
+
+    def get_shard_iterator(self, **kw) -> dict:
+        resp = self._call(self.inner.get_shard_iterator, **kw)
+        tok = resp.get("ShardIterator")
+        if tok is not None:
+            self._origin[tok] = dict(kw)
+        return resp
+
+    def get_records(self, ShardIterator: str, Limit: int = 10000) -> dict:  # noqa: N803
+        token = ShardIterator
+        for _ in range(self.max_retries + 1):
+            try:
+                resp = self._call(self.inner.get_records, ShardIterator=token, Limit=Limit)
+            except Exception as e:
+                if error_code(e) != "ExpiredIteratorException":
+                    raise
+                origin = self._origin.pop(token, None)
+                if origin is None:
+                    raise  # unknown token: no safe position to re-acquire from
+                self.n_reacquisitions += 1
+                token = self.get_shard_iterator(**origin)["ShardIterator"]
+                continue
+            origin = self._origin.pop(token, None)
+            nxt = resp.get("NextShardIterator")
+            if nxt is not None:
+                if resp.get("Records") and origin is not None:
+                    # resume past the last record actually served — the
+                    # service's AFTER_SEQUENCE_NUMBER recovery position
+                    self._origin[nxt] = {
+                        "StreamName": origin.get("StreamName"),
+                        "ShardId": origin.get("ShardId"),
+                        "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                        "StartingSequenceNumber": str(resp["Records"][-1]["SequenceNumber"]),
+                    }
+                elif origin is not None:
+                    # empty page: the next token still stands at the same
+                    # position this one did
+                    self._origin[nxt] = origin
+            return resp
+        raise RuntimeError(
+            f"shard iterator expired {self.max_retries + 1} times in one read — "
+            "backend is expiring faster than re-acquisition can progress"
+        )
+
+
 def _fake_sdk_factory(opts) -> FakeSdkKinesisClient:
     """Build the fake client from a validated ``kinesis_sim`` option bag."""
     return FakeSdkKinesisClient(
@@ -826,9 +1061,33 @@ def _fake_opaque_factory(opts) -> TranslatingKinesisClient:
 #: name → factory(validated _Opts) → KinesisClient.  Factories run on the
 #: EXECUTOR (inside DataSourceReader.read), so a factory must construct its
 #: client from the pickled option bag alone — no driver-side session state.
+def _fake_throttling_factory(opts) -> RetryingKinesisClient:
+    """The retry-obligation stack under contract test: the deterministic
+    generator behind injected service faults
+    (:class:`ThrottlingKinesisClient`, schedules from the
+    ``throttle_every`` / ``expire_every`` read options) behind the
+    production retry adapter (:class:`RetryingKinesisClient`).  A read
+    through ``client=fake_throttling`` must be bit-identical to one
+    through ``client=fake_sdk`` — throttles and expiries are absorbed by
+    the adapter, exactly what a deployment expects of its boto3 wrapper
+    under real service faults.  Backoff is real ``time.sleep`` but the
+    option default is 1 ms — the schedule shape, not the wall-clock, is
+    what the seam proves."""
+    return RetryingKinesisClient(
+        ThrottlingKinesisClient(
+            _fake_sdk_factory(opts),
+            throttle_every=opts.throttle_every,
+            expire_every=opts.expire_every,
+        ),
+        max_retries=opts.fault_max_retries,
+        base_backoff_ms=opts.fault_backoff_ms,
+    )
+
+
 CLIENT_FACTORIES: dict[str, object] = {
     "fake_sdk": _fake_sdk_factory,
     "fake_opaque": _fake_opaque_factory,
+    "fake_throttling": _fake_throttling_factory,
 }
 
 

@@ -401,6 +401,25 @@ class _Opts:
         #: range; strict_anchor=true refuses horizon recounts (the
         #: retention/trim production posture — see kinesis_client docs)
         self.ledger_path = options.get("ledger_path")
+        #: fault-injection schedules for ``client=fake_throttling``
+        #: (contract-testing the adapter retry obligations — see
+        #: kinesis_client.ThrottlingKinesisClient): every k-th get_records
+        #: raises throughput-exceeded / every m-th poisons the iterator;
+        #: 0 disables.  fault_max_retries / fault_backoff_ms parameterize
+        #: the RetryingKinesisClient wrapped around the faulty backend.
+        self.throttle_every = int(options.get("throttle_every", 0))
+        self.expire_every = int(options.get("expire_every", 0))
+        self.fault_max_retries = int(options.get("fault_max_retries", 10))
+        self.fault_backoff_ms = float(options.get("fault_backoff_ms", 1.0))
+        if self.throttle_every < 0 or self.expire_every < 0:
+            raise ValueError(
+                "throttle_every/expire_every must be >= 0, got "
+                f"{self.throttle_every}/{self.expire_every}"
+            )
+        if self.fault_max_retries < 0:
+            raise ValueError(
+                f"fault_max_retries must be >= 0, got {self.fault_max_retries}"
+            )
         sa = str(options.get("strict_anchor", "false")).lower()
         if sa not in ("true", "false"):
             raise ValueError(f"strict_anchor must be true or false, got {sa!r}")

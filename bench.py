@@ -140,6 +140,14 @@ def main() -> None:
     # still paying the full data path (caches dropped) — the number a
     # long-running cluster job actually experiences.
     raw_samples: dict[str, list[float]] = {}
+    # min-of-5 overrides (VERDICT r10 #3): queries whose r10 sample traces
+    # showed first-batch spread wide enough that even three samples can sit
+    # inside one host slow window (duplicate_span_removal: [2.64, 0.801,
+    # 0.719] — max/min 3.7×, the worst of all 15; its plan is unchanged and
+    # the sf0.1 scaling probe reads it FASTER than the r10 bench min, so
+    # the +32.5% normalized delta was sampling variance, not a code cost —
+    # two extra samples make the min robust to a window spanning three).
+    min5 = {"duplicate_span_removal"}
     for name, spec in headline.items():
         samples, n_rows = [], 0
 
@@ -159,7 +167,7 @@ def main() -> None:
         # steady-state cost.  A fourth is taken only when even the best
         # two of three still disagree >1.8× (the window outlasted all
         # three).  Full traces land in the output JSON as query_samples.
-        for _ in range(3):
+        for _ in range(5 if name in min5 else 3):
             n_rows = one_run()
         if sorted(samples)[1] > 1.8 * min(samples):
             n_rows = one_run()
@@ -188,12 +196,14 @@ def main() -> None:
     # the same knob goes UP with state volume; the principle is sizing to
     # rows-per-partition-per-batch, never the batch default.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # best of 3 replays, same rationale as the batch loop: the first replay
-    # after the batch phase absorbs residual GC/JIT state, and host slow
-    # windows (multi-second, random) can still tax a single replay —
-    # three ~5s replays cost ~10s extra wall and pin the sustained number
+    # best of 5 replays (min-of-3 r7-r10; widened per VERDICT r10 #6: the
+    # throughput probes were the only metrics still drifting past ±5%
+    # normalized with no code cause — r10's sdk scan −11.4% — and unlike
+    # the batch queries they have no adaptive fourth sample, so a slow
+    # window spanning all three left no clean reading.  Two extra ~5s
+    # replays cost ~10s wall and bound the min against windows that long.)
     stream_samples, stream_rows = [], 0
-    for _ in range(3):
+    for _ in range(5):
         joined = prepare_streaming_interval_join(spark, sf_dir)
         t = time.time()
         stream_rows = run_to_memory(joined, spark, timeout_sec=240).count()
@@ -221,15 +231,16 @@ def main() -> None:
             .option("records_per_shard", n // shards)
             .options(**extra).load().count()
         )
-    # min-of-3 like everything else (VERDICT r7 #3: these were the last
-    # single-sample numbers in BENCH and the only ones that ever "regressed"
-    # — a -12.5% streaming drift on a host with documented multi-second
-    # noise windows, while every min-of-3 metric improved)
+    # min-of-5 (single-sample → min-of-3 per VERDICT r7 #3; widened with
+    # the streaming replay above per VERDICT r10 #6 — the scans share its
+    # noise mode: Python-worker-heavy, ~1s per sample, so two extra
+    # samples are nearly free and bound the min against multi-second
+    # host windows that can tax three consecutive samples)
     def ks_bench(label, **extra):
         ks_read(1000, 4, **extra)  # warm the Python workers / imports
         samples = []
         n = 0
-        for _ in range(3):
+        for _ in range(5):
             t = time.time()
             n = ks_read(200_000, 16, **extra)
             samples.append(round(time.time() - t, 3))

@@ -1143,3 +1143,198 @@ def test_token_eviction_is_lru_not_mint_order():
     assert len(c._tokens) <= 8
     # the chain read the stream head in order, exactly once per position
     assert int(c.get_records(ShardIterator=live, Limit=1)["Records"][0]["SequenceNumber"]) == 15
+
+
+# --- throttling / expired-iterator fault contract (VERDICT r10 #2) --------
+# The service's transient faults are the ADAPTER's to absorb (protocol
+# docstring, RETRY OBLIGATIONS); the connector read loop fails loudly on
+# any of them.  ThrottlingKinesisClient injects them deterministically;
+# RetryingKinesisClient is the in-repo adapter under contract.
+
+
+def test_raw_fault_propagates_loudly_through_read_loop():
+    """Pin the read loop's side of the contract: sdk_read_range performs
+    NO retry/backoff/swallow — an injected throttle surfaces as the task
+    failure Spark retries, never a silent truncation."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        KinesisClientError,
+        ThrottlingKinesisClient,
+        error_code,
+    )
+
+    c = ThrottlingKinesisClient(
+        FakeSdkKinesisClient(shards=1, seed=7, tip=50), throttle_every=3
+    )
+    with pytest.raises(KinesisClientError) as ei:
+        sdk_read_range(c, "s", 0, 0, 50, page_limit=5)
+    assert error_code(ei.value) == "ProvisionedThroughputExceededException"
+    assert c.n_throttles_injected == 1
+
+
+def test_raw_expiry_propagates_loudly_through_read_loop():
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        KinesisClientError,
+        ThrottlingKinesisClient,
+        error_code,
+    )
+
+    c = ThrottlingKinesisClient(
+        FakeSdkKinesisClient(shards=1, seed=7, tip=50), expire_every=4
+    )
+    with pytest.raises(KinesisClientError) as ei:
+        sdk_read_range(c, "s", 0, 0, 50, page_limit=5)
+    assert error_code(ei.value) == "ExpiredIteratorException"
+
+
+def test_retrying_adapter_absorbs_throttles_bit_identically():
+    """Backoff-and-retry on throughput-exceeded: the read completes and is
+    bit-identical to the un-faulted read; the recorded backoff schedule is
+    the expected exponential."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        RetryingKinesisClient,
+        ThrottlingKinesisClient,
+    )
+
+    sleeps: list[float] = []
+    faulty = ThrottlingKinesisClient(
+        FakeSdkKinesisClient(shards=1, seed=7, tip=60), throttle_every=3
+    )
+    c = RetryingKinesisClient(
+        faulty, max_retries=5, base_backoff_ms=100.0, sleep=sleeps.append
+    )
+    got = sdk_read_range(c, "s", 0, 0, 60, page_limit=7)
+    assert got == [_record("orders", 7, 0, seq, 10) for seq in range(60)]
+    assert faulty.n_throttles_injected > 0
+    assert c.n_throttle_retries == faulty.n_throttles_injected
+    # each injected throttle was first-attempt → backoff = base every time
+    assert sleeps == [0.1] * faulty.n_throttles_injected
+
+
+def test_retrying_adapter_backoff_grows_exponentially_and_exhausts():
+    """throttle_every=1 throttles EVERY call (retries included): the
+    adapter must walk the exponential schedule then fail loudly with the
+    service error — never hang or succeed."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        KinesisClientError,
+        RetryingKinesisClient,
+        ThrottlingKinesisClient,
+        error_code,
+    )
+
+    sleeps: list[float] = []
+    c = RetryingKinesisClient(
+        ThrottlingKinesisClient(FakeSdkKinesisClient(shards=1, tip=10), throttle_every=1),
+        max_retries=4,
+        base_backoff_ms=100.0,
+        max_backoff_ms=500.0,
+        sleep=sleeps.append,
+    )
+    with pytest.raises(KinesisClientError) as ei:
+        sdk_read_range(c, "s", 0, 0, 10)
+    assert error_code(ei.value) == "ProvisionedThroughputExceededException"
+    # 4 retries: 100, 200, 400, then capped at 500 ms
+    assert sleeps == [0.1, 0.2, 0.4, 0.5]
+
+
+def test_retrying_adapter_reacquires_expired_iterators_exactly_once():
+    """Expiry mid-pagination: the adapter re-acquires via
+    get_shard_iterator(AFTER_SEQUENCE_NUMBER, last seen) and the read
+    completes exactly-once — no gaps, no duplicates; a blind same-token
+    retry would keep failing (the poison stays)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        RetryingKinesisClient,
+        ThrottlingKinesisClient,
+    )
+
+    faulty = ThrottlingKinesisClient(
+        FakeSdkKinesisClient(shards=1, seed=7, tip=60), expire_every=4
+    )
+    c = RetryingKinesisClient(faulty, max_retries=5, sleep=lambda s: None)
+    got = sdk_read_range(c, "s", 0, 0, 60, page_limit=7)
+    assert got == [_record("orders", 7, 0, seq, 10) for seq in range(60)]
+    assert faulty.n_expiries_injected > 0
+    assert c.n_reacquisitions == faulty.n_expiries_injected
+
+
+def test_retrying_adapter_survives_combined_fault_schedules():
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        RetryingKinesisClient,
+        ThrottlingKinesisClient,
+    )
+
+    faulty = ThrottlingKinesisClient(
+        FakeSdkKinesisClient(shards=2, seed=11, template="rates", tip=80),
+        throttle_every=5,
+        expire_every=7,
+    )
+    c = RetryingKinesisClient(faulty, max_retries=8, sleep=lambda s: None)
+    for shard in (0, 1):
+        got = sdk_read_range(c, "s", shard, 0, 80, page_limit=6)
+        assert got == [_record("rates", 11, shard, seq, 10) for seq in range(80)]
+    assert faulty.n_throttles_injected > 0 and faulty.n_expiries_injected > 0
+
+
+def test_expired_unknown_token_reraises():
+    """A token the adapter did not mint has no origin: its expiry must
+    re-raise (no safe position to re-acquire from), not loop."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_client import (
+        KinesisClientError,
+        RetryingKinesisClient,
+        ThrottlingKinesisClient,
+        error_code,
+    )
+
+    faulty = ThrottlingKinesisClient(FakeSdkKinesisClient(shards=1, tip=10), expire_every=1)
+    c = RetryingKinesisClient(faulty, sleep=lambda s: None)
+    with pytest.raises(KinesisClientError) as ei:
+        c.get_records(ShardIterator="0|0#999", Limit=5)
+    assert error_code(ei.value) == "ExpiredIteratorException"
+
+
+def test_after_sequence_number_iterator_types():
+    """Both fakes implement the recovery iterator type: AFTER starts one
+    past the named sequence (dense ordinal and opaque alike)."""
+    dense = FakeSdkKinesisClient(shards=1, seed=5, tip=30)
+    it = dense.get_shard_iterator(
+        StreamName="s",
+        ShardId="shardId-000000000000",
+        ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+        StartingSequenceNumber="9",
+    )["ShardIterator"]
+    recs = dense.get_records(ShardIterator=it, Limit=1)["Records"]
+    assert recs[0]["SequenceNumber"] == "10"
+
+    opaque = OpaqueSeqKinesisClient(shards=1, seed=5, tip=30)
+    it0 = opaque.get_shard_iterator(
+        StreamName="s", ShardId="shardId-000000000000", ShardIteratorType="TRIM_HORIZON"
+    )["ShardIterator"]
+    page = opaque.get_records(ShardIterator=it0, Limit=3)["Records"]
+    seen = page[1]["SequenceNumber"]  # an opaque sequence actually issued
+    it1 = opaque.get_shard_iterator(
+        StreamName="s",
+        ShardId="shardId-000000000000",
+        ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+        StartingSequenceNumber=seen,
+    )["ShardIterator"]
+    nxt = opaque.get_records(ShardIterator=it1, Limit=1)["Records"][0]
+    assert nxt["SequenceNumber"] == page[2]["SequenceNumber"]
+
+
+def test_fake_throttling_factory_end_to_end(spark):
+    """client=fake_throttling through the connector options: the batch
+    read is bit-identical to client=fake_sdk despite the injected fault
+    schedules — the adapter stack absorbed every fault."""
+    register(spark)
+    base = {"shards": 2, "records_per_shard": 50, "seed": 21, "client_mode": "sdk"}
+    clean = _collect_sorted(spark, **base, client="fake_sdk")
+    faulted = _collect_sorted(
+        spark, **base, client="fake_throttling", throttle_every=3, expire_every=5
+    )
+    assert faulted == clean and len(clean) == 100
+
+
+def test_fault_schedule_options_validated():
+    with pytest.raises(ValueError, match="throttle_every/expire_every"):
+        _Opts({"throttle_every": "-1"})
+    with pytest.raises(ValueError, match="fault_max_retries"):
+        _Opts({"fault_max_retries": "-2"})

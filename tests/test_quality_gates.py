@@ -149,12 +149,18 @@ def test_approx_sketches_error_gate(spark):
         assert r["hll_in_bounds"] and r["q50_in_bounds"] and r["q95_in_bounds"] and r["q99_in_bounds"], (
             f"sketch estimate outside its proven bound: {r}"
         )
-    # measured HLL error: rsd=0.02 → expect ~2%; gate at 6% (3σ), far
-    # inside the driver row's 10%+5 bound
+    # measured PORTABLE-HLL error (approx_sketches is the m=1024
+    # literal-register-layout sketch since r11): linear-counting regime at
+    # these cardinalities → measured ≤2.5% rel at 150/1500 distinct, ±1
+    # absolute at 15 distinct (one register collision).  Gate: 4% relative
+    # with a +2 absolute floor for tiny groups — looser than measured,
+    # far tighter than a broken sketch (wrong rho, dropped registers,
+    # double-counted sum) can pass.
     est = {r["event_type"]: r["approx_users"] for r in specs["approx_sketches"].fn(spark, SF_ORACLE).collect()}
     exact = {r["event_type"]: r["exact_users"] for r in verdicts}
-    rel_errs = {t: abs(est[t] - exact[t]) / exact[t] for t in exact}
-    assert max(rel_errs.values()) <= 0.06, f"HLL relative error degraded: {rel_errs}"
+    errs = {t: abs(est[t] - exact[t]) for t in exact}
+    bad = {t: e for t, e in errs.items() if e > max(0.04 * exact[t], 2)}
+    assert not bad, f"portable HLL error degraded: {bad} (exact={exact}, est={est})"
 
 
 def test_embedding_neardup_wide_shape_clustered_gate(spark):
