@@ -112,6 +112,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
 
+    Precondition: ``id_col`` is unique per document.  Two texts sharing an
+    id merge into one posting list with duplicate (id, shingle) rows; the
+    pair aggregation then over-counts ``shared`` past the true union and
+    the Jaccard denominator ``n_a + n_b - shared`` can reach zero (an ANSI
+    DIVIDE_BY_ZERO deep in the plan rather than a clear error here, so the
+    contract is stated where it belongs).
+
     Inverted-index join: explode shingles, equi-join on the shingle value,
     count shared shingles per pair — candidate generation touches only
     pairs that share ≥1 shingle.  Scale: the shingle join is an equi-join

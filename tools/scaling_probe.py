@@ -35,6 +35,13 @@ def main() -> int:
     ap.add_argument("--sfs", default="0.001,0.01,0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated subset of headline query names (default: all "
+        "headliners) — used for the sf1 probe over tools/make_scaled_data.py "
+        "output, where only the data-dominated top-5 matter",
+    )
+    ap.add_argument(
         "--data-root",
         default=os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata"),
         help="directory holding the sf{N}/ parquet dirs (bench.py's "
@@ -53,6 +60,12 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     headline = {n: s for n, s in all_specs().items() if s.headline}
+    if args.queries:
+        want = {q.strip() for q in args.queries.split(",") if q.strip()}
+        unknown = want - set(headline)
+        if unknown:
+            raise SystemExit(f"--queries not headliners: {sorted(unknown)}")
+        headline = {n: s for n, s in headline.items() if n in want}
     results: dict[str, dict[str, float]] = {}
     for name, spec in headline.items():
         results[name] = {}
