@@ -1153,14 +1153,15 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cusum AS (
       SELECT user_id, d,
-             sum(dev_scaled) OVER (PARTITION BY user_id ORDER BY d
+             sum(dev_scaled) OVER (PARTITION BY user_id ORDER BY d NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
       FROM dev
     )
     SELECT user_id, d AS change_day, CAST(abs(cs) AS BIGINT) AS max_abs_cusum
     FROM (
       SELECT user_id, d, cs,
-             row_number() OVER (PARTITION BY user_id ORDER BY abs(cs) DESC, d)
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY abs(cs) DESC NULLS LAST, d NULLS LAST)
                AS rn
       FROM cusum
     ) WHERE rn = 1
@@ -1199,11 +1200,19 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_cents") * F.count(F.lit(1)).over(wu) - F.sum("v_cents").over(wu)
         ).alias("dev_scaled"),
     )
-    wcs = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+    # NULL placement pinned on BOTH engines (Spark defaults ASC→NULLS
+    # FIRST, DuckDB →NULLS LAST): a NULL day (NULL ts upstream) would
+    # otherwise enter the cumulative sum at opposite ends of the
+    # trajectory and silently diverge — caught by the adversarial
+    # fixture (tests/test_adversarial_oracle.py), invisible on driver
+    # data which never emits NULL timestamps
+    wcs = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cusum = dev.select("user_id", "d", F.sum("dev_scaled").over(wcs).alias("cs"))
-    wr = Window.partitionBy("user_id").orderBy(F.desc(F.abs(F.col("cs"))), F.asc("d"))
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc_nulls_last(F.abs(F.col("cs"))), F.asc_nulls_last("d")
+    )
     return (
         cusum.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
@@ -1480,7 +1489,8 @@ def q_template_doc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts NULLS LAST, event_id)
                AS next_type
       FROM events
     )
@@ -1504,7 +1514,9 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; the matrix feeds session simulators and next-event priors
     without ever re-reading the event log."""
     (ev,) = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last pins the NULL-ts placement to DuckDB's default (see
+    # the cusum comment above — same engine-default divergence class)
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
