@@ -183,12 +183,18 @@ def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "k
                 chunk = pdf.iloc[lo : lo + batch_size_hint]
                 out = []
                 for mid, kind, payload in zip(chunk[id_col], chunk[kind_col], chunk[payload_col]):
-                    b = bytes(payload) if payload is not None else b""
+                    if payload is None:
+                        # a MISSING payload is not a 0-byte file: metadata
+                        # is NULL, not the dims of an empty decode
+                        out.append((mid, kind, None, None, None, None))
+                        continue
+                    b = bytes(payload)
                     w, h, nf = decoder(b, kind)
                     out.append((mid, kind, len(b), w, h, nf))
                 yield pd.DataFrame(
                     out, columns=["media_id", "kind", "n_bytes", "width", "height", "n_frames"]
-                ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+                ).astype({"n_bytes": "Int64", "width": "Int32", "height": "Int32",
+                          "n_frames": "Int32"})
 
     return df.select(id_col, kind_col, payload_col).mapInPandas(decode_batches, DECODED_META_SCHEMA)
 
@@ -217,12 +223,17 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224,
         for pdf in it:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    # missing payload: requested dims are still reported,
+                    # but there are no bytes to scale — NULL, not 0
+                    out.append((mid, target_w, target_h, None))
+                    continue
+                b = bytes(payload)
                 w, h, _ = fake_decode(b, "image")
                 ratio = (target_w * target_h) / max(w * h, 1)
                 out.append((mid, target_w, target_h, int(len(b) * ratio)))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "n_bytes_out"]).astype(
-                {"width": "int32", "height": "int32"}
+                {"width": "int32", "height": "int32", "n_bytes_out": "Int64"}
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)

@@ -71,7 +71,9 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_agg",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(sum(TRY_CAST(json_extract_string(
+             CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER))
+             AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -79,9 +81,14 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="JSON path extraction from the props column + aggregation",
 )
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # malformed/empty props and non-numeric k are NULL on BOTH engines:
+    # Spark's get_json_object already NULLs malformed JSON, but DuckDB's
+    # json_extract_string ERRORS on it (json_valid gate), and a bare ANSI
+    # cast of a non-numeric extract would abort Spark (try_cast) — the
+    # adversarial fixture's empty-string props crashed the oracle
     (ev,) = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
+        F.sum(F.expr("try_cast(get_json_object(props, '$.k') AS int)")).alias("k_sum"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -184,8 +191,13 @@ def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_weighted_avg",
     oracle="""
     SELECT event_type,
+           -- a NULL measurement contributes NEITHER numerator NOR weight:
+           -- sum() skips the NULL product on its own, but the raw
+           -- sum(user_id) would still count the row's weight and silently
+           -- deflate the mean
            floor(sum(CAST(FLOOR(value * 100) AS BIGINT) * user_id) / 100.0
-                 / sum(user_id) * 10000 + 0.5) / 10000 AS weighted_avg
+                 / sum(CASE WHEN value IS NOT NULL THEN user_id END)
+                 * 10000 + 0.5) / 10000 AS weighted_avg
     FROM events
     WHERE user_id > 0
     GROUP BY event_type
@@ -199,10 +211,17 @@ def q_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weighted_avg(v: pd.Series, w: pd.Series) -> float:
         # integer cents x integer weights: the numerator is an EXACT int64
         # sum, so neither the Arrow batch order here nor the oracle's own
-        # sum order can move the result (a double fold is order-dependent)
-        cents = np.floor(v.to_numpy() * 100).astype(np.int64)
-        num = int((cents * w.to_numpy().astype(np.int64)).sum())
-        return float(np.floor(num / 100.0 / float(w.sum()) * 10000 + 0.5) / 10000)
+        # sum order can move the result (a double fold is order-dependent).
+        # NULL measurements drop out entirely (value AND weight): an
+        # unmasked np.floor(NaN).astype(int64) is undefined garbage
+        # (observed −9.2e18) that poisons the whole group's sum
+        mask = v.notna().to_numpy()
+        if not mask.any():
+            return None
+        cents = np.floor(v.to_numpy()[mask] * 100).astype(np.int64)
+        wm = w.to_numpy()[mask].astype(np.int64)
+        num = int((cents * wm).sum())
+        return float(np.floor(num / 100.0 / float(wm.sum()) * 10000 + 0.5) / 10000)
 
     (ev,) = load(spark, sf_dir, "events")
     return (
@@ -317,7 +336,9 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 6 HOUR
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- ts IS NOT NULL: the streaming side's watermark drops rows with a
+      -- NULL event time before session assembly
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -365,7 +386,11 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type AS key, count(*) AS n,
            list_reduce(list(value ORDER BY ts, value), (a, v) -> a + v) AS total,
            list_reduce(list(value ORDER BY ts, value), (a, v) -> 0.3 * v + (1 - 0.3) * a) AS ema
-    FROM events
+    -- ts/value IS NOT NULL: the running fold's caller contract (see
+    -- streaming.windows.running_aggregate) — an unknown event time has no
+    -- position in an order-sensitive fold, and a NULL measurement would
+    -- NaN the state
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     GROUP BY event_type
     """,
     doc="STREAMING custom stateful operator (applyInPandasWithState): "
@@ -385,6 +410,8 @@ def q_streaming_running_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     (ev,) = load(spark, sf_dir, "events")
+    # running_aggregate's caller contract: no NULL event times or values
+    ev = ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     tmp = scratch_dir("stream_ra_")
     # 3 ts-ordered chunks → ≥2 micro-batches → state genuinely carries
     # across batches (the thing this operator exists for)

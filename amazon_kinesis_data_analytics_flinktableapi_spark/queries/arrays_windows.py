@@ -237,13 +237,13 @@ def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT event_id, user_id, ts,
              CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
-                                          ORDER BY ts, event_id) = 1
+                                          ORDER BY ts NULLS LAST, event_id) = 1
                   THEN 1 ELSE 0 END AS is_first
       FROM events
     )
     SELECT event_id, user_id,
            CAST(sum(is_first) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
+                                    ORDER BY ts NULLS LAST, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS distinct_types_so_far
     FROM flagged
@@ -259,10 +259,13 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst reuses one shuffle on user_id (plus in-partition sorts);
     # state per group is one counter, never a distinct-set.
     (ev,) = load(spark, sf_dir, "events")
-    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # NULLS LAST pinned on both engines — see queries/mining.py cusum note
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = ev.select(

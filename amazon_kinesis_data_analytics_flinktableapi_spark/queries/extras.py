@@ -206,13 +206,15 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS secs_since_prev,
            lead(event_type) OVER w AS next_event_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
     doc="lag/lead analytics: inter-event gap seconds + next event type per user",
 )
 def q_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULLS LAST pinned on both engines (Spark ASC default is NULLS
+    # FIRST, DuckDB's is NULLS LAST) — see queries/mining.py cusum note
     (ev,) = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
     return ev.select(
         "event_id",
@@ -391,7 +393,7 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > 21600000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts,
              CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -413,6 +415,11 @@ def q_session_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double-seconds cast flipped exact-6h ties at ~1.7e9 s epochs (driver
     # hash mismatch at sf0.01 that sf0.001 never hit).
     (ev,) = load(spark, sf_dir, "events")
+    # a NULL event time cannot be sessionized (same contract as streaming
+    # session_window, whose watermark drops such rows) — exclude up front
+    # on BOTH engines instead of letting engine-default NULL ordering
+    # attach the row to an arbitrary session
+    ev = ev.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     prev = F.lag("ts").over(w)
     new_session = F.when(
@@ -674,15 +681,26 @@ def q_approx_sketches_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("__q"),
-        F.expr(
-            "percentile(value, array(0.495, 0.505, 0.945, 0.955, 0.985, 0.995))"
-        ).alias("__e"),
+        F.sort_array(F.collect_list("value")).alias("__v"),
     )
+    nv = F.size("__v")
 
-    def q_within(qi: int, lo: int, hi: int):
-        return (F.element_at("__q", qi) >= F.element_at("__e", lo)) & (
-            F.element_at("__q", qi) <= F.element_at("__e", hi)
-        )
+    def q_within(qi: int, p: float):
+        # RANK-space bound, not interpolated-quantile space: the sketch
+        # guarantees the returned value's rank is within n/accuracy of
+        # p·n, and it always returns an ELEMENT of the multiset.  The
+        # previous interpolated ±0.005-quantile band contains no data
+        # element at all for small n (n=2, p=.5 → band ≈ [1.485, 1.515]
+        # between values 0 and 3), so tiny adversarial groups failed the
+        # gate with a CORRECT sketch.  Slack: ±(0.005·n + 1) ranks — same
+        # intent at driver scale (~100 ranks at n=20k vs the guaranteed
+        # 2), and the +1 makes it exact-neighbor-tolerant at any n.
+        q = F.element_at("__q", qi)
+        lo_i = F.greatest(F.lit(1), F.floor(nv * p - nv * 0.005 - 1).cast("int"))
+        hi_i = F.least(nv, F.ceil(nv * p + nv * 0.005 + 1).cast("int"))
+        in_bounds = (q >= F.element_at("__v", lo_i)) & (q <= F.element_at("__v", hi_i))
+        # a group with zero non-NULL values has no quantile: vacuously true
+        return F.when(nv == 0, F.lit(True)).otherwise(in_bounds)
 
     return agg.select(
         "event_type",
@@ -692,9 +710,9 @@ def q_approx_sketches_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("__hll") - F.col("exact_users"))
             <= F.col("exact_users") * 0.10 + F.lit(5)
         ).alias("hll_in_bounds"),
-        q_within(1, 1, 2).alias("q50_in_bounds"),
-        q_within(2, 3, 4).alias("q95_in_bounds"),
-        q_within(3, 5, 6).alias("q99_in_bounds"),
+        q_within(1, 0.50).alias("q50_in_bounds"),
+        q_within(2, 0.95).alias("q95_in_bounds"),
+        q_within(3, 0.99).alias("q99_in_bounds"),
     )
 
 
@@ -811,11 +829,33 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         odf = odf.sort_values(["order_time", "id"])
         # ascending (time, rate): merge_asof takes the LAST row at an equal
         # timestamp, so ties resolve to the highest rate — same rule as the
-        # oracle's ORDER BY rate_time DESC, rate DESC ... rn = 1
-        rdf = rdf.drop(columns=["currency"]).sort_values(["rate_time", "rate"])
-        m = pd.merge_asof(
-            odf, rdf, left_on="order_time", right_on="rate_time", direction="backward"
+        # oracle's ORDER BY rate_time DESC, rate DESC ... rn = 1.
+        # NULL times never match the oracle's >= predicate, so NaT rates
+        # are dropped and NaT orders bypass the merge (merge_asof raises on
+        # unsorted/NaT keys — adversarial-fixture crash, not a sort nicety)
+        # SQL NULL = NULL is not a match: cogroup puts NULL-currency rows
+        # of both sides in ONE group, but the oracle's equi-join predicate
+        # never pairs them — treat the NULL-key group's rate side as empty
+        if len(odf) and odf["currency"].isna().all():
+            rdf = rdf.iloc[0:0]
+        rdf = (
+            rdf.drop(columns=["currency"])
+            .dropna(subset=["rate_time"])
+            .sort_values(["rate_time", "rate"])
         )
+        known = odf["order_time"].notna()
+        left = odf[known]
+        if len(rdf) and len(left):
+            m = pd.merge_asof(
+                left, rdf, left_on="order_time", right_on="rate_time", direction="backward"
+            )
+        else:
+            m = left.copy()
+            m["rate"] = pd.NA
+        if not known.all():
+            nn = odf[~known].copy()
+            nn["rate"] = pd.NA
+            m = pd.concat([m, nn], ignore_index=True)
         m["rate"] = m["rate"].astype("Int32")
         m["converted_amount"] = (m["amount"].astype("Int32") * m["rate"]).astype("Int32")
         return m[["id", "amount", "currency", "rate", "converted_amount"]]
@@ -1351,9 +1391,14 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_anomaly_flags",
     oracle="""
     WITH hourly AS (
+      -- ts IS NOT NULL: an hourly series has no bucket for an unknown
+      -- hour, and (found empirically) DuckDB 1.0.0's parallel window
+      -- sort places a NULL ORDER BY key NONDETERMINISTICALLY (NULL-last
+      -- on one run, mid-partition on the next) — the adversarial sweep
+      -- flaked on exactly this
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     w AS (
       SELECT event_type, h, cents,
@@ -1389,8 +1434,13 @@ def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (ev,) = load(spark, sf_dir, "events")
-    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.sum(F.floor(F.col("value") * 100)).cast("bigint").alias("cents"),
+    # NULL event times are excluded from the hourly series on BOTH
+    # engines (see the oracle comment — also dodges a DuckDB 1.0.0
+    # nondeterministic window sort over NULL ORDER BY keys)
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("bigint").alias("cents"))
     )
     win = Window.partitionBy("event_type").orderBy("h").rowsBetween(-6, -1)
     w = hourly.select(

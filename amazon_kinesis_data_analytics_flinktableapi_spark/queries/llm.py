@@ -67,14 +67,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_fingerprint",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    -- NULL text stays NULL, empty token set becomes '' (DuckDB's
+    -- array_to_string returns NULL for BOTH, Spark's concat_ws returns ''
+    -- for both — each engine needs one side pinned)
     corpus AS (
-      SELECT doc_id, array_to_string(tk, ' ') AS text FROM toks
+      SELECT doc_id,
+             CASE WHEN tk IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(tk, ' '), '') END AS text
+      FROM toks
       UNION ALL
-      SELECT doc_id + {COPY_OFFSET}, array_to_string(list_sort(tk, 'DESC'), ' ') FROM toks
+      SELECT doc_id + {COPY_OFFSET},
+             CASE WHEN tk IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(list_sort(tk, 'DESC'), ' '), '') END
+      FROM toks
     ),
     fp AS (
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fingerprint
+             CASE WHEN {_DUCK_TOKS} IS NULL THEN NULL
+                  ELSE md5(coalesce(array_to_string(
+                         list_sort(list_distinct({_DUCK_TOKS})), ' '), '')) END
+               AS fingerprint
       FROM corpus
     )
     SELECT min(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint
@@ -84,10 +96,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
-    base = docs.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+    # concat_ws SKIPS null arguments (never returns NULL) — unguarded, a
+    # NULL document would re-enter the corpus as '' and collide with every
+    # genuinely empty document, exactly the trap functions.text.fingerprint
+    # guards against; keep NULL text NULL through the corpus too
+    base = docs.select(
+        "doc_id", F.when(toks.isNotNull(), F.concat_ws(" ", toks)).alias("text")
+    )
     shuffled = docs.select(
         (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
-        F.concat_ws(" ", F.sort_array(toks, asc=False)).alias("text"),
+        F.when(toks.isNotNull(), F.concat_ws(" ", F.sort_array(toks, asc=False))).alias("text"),
     )
     corpus = base.union(shuffled)
     return (
@@ -381,7 +399,10 @@ def q_duplicate_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
     SELECT d.doc_id,
-           coalesce(r.clean_text, '') AS clean_text,
+           -- NULL text passes through verbatim (as NULL); the coalesce is
+           -- only for fully-removed non-NULL docs
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(r.clean_text, '') END AS clean_text,
            length(d.text) - length(coalesce(r.clean_text, '')) AS n_removed_chars
     FROM d LEFT JOIN rebuilt r USING (doc_id)
     """,
@@ -403,8 +424,11 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(tk) AS n_tokens,
            len(list_distinct(tk)) AS n_distinct_tokens,
-           round(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0)
-                 * 1.0 / greatest(len(tk), 1), 4)
+           -- the coalesce-to-0 is for EMPTY docs (sum over [] is NULL in
+           -- DuckDB); NULL text must stay NULL like Spark's NULL-in-NULL-out
+           CASE WHEN tk IS NULL THEN NULL ELSE
+             round(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0)
+                   * 1.0 / greatest(len(tk), 1), 4) END
              AS mean_token_len
     FROM t
     """,
@@ -647,14 +671,22 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "edit_distance_verify",
     oracle=f"""
-    WITH {_DUCK_NEARDUP_CORPUS}
+    WITH {_DUCK_NEARDUP_CORPUS},
+    -- ASCII projection (non-ASCII codepoints -> '?') is part of the
+    -- operator contract: DuckDB's levenshtein counts BYTES (an e-acute
+    -- edit costs 2) while Spark's counts codepoints; projecting both
+    -- sides to ASCII makes byte == codepoint and the distance portable
+    p AS (
+      SELECT doc_id,
+             regexp_replace(substr(text, 1, 200), '[^\\x00-\\x7f]', '?', 'g') AS t
+      FROM corpus
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) AS edit_dist,
-           floor((1.0 - levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
-                  * 1.0 / greatest(length(substr(a.text, 1, 200)),
-                                   length(substr(b.text, 1, 200)), 1)) * 10000 + 0.5)
+           levenshtein(a.t, b.t) AS edit_dist,
+           floor((1.0 - levenshtein(a.t, b.t)
+                  * 1.0 / greatest(length(a.t), length(b.t), 1)) * 10000 + 0.5)
              / 10000 AS sim
-    FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + {COPY_OFFSET}
+    FROM p a JOIN p b ON b.doc_id = a.doc_id + {COPY_OFFSET}
     """,
     doc="edit-distance verification of candidate near-dup pairs: "
     "levenshtein over 200-char prefixes (O(k²) per pair, bounded) — the "
@@ -667,9 +699,12 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |candidates| × k².  The join is equi on doc_id — one shuffle of
     # (id, prefix) pairs, prefixes cut at scan time.
     corpus = _docs_with_neardup_copies(spark, sf_dir)
-    a = corpus.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 200).alias("ta"))
+    # ASCII projection: part of the contract (see oracle comment) — makes
+    # the distance identical under byte- and codepoint-counting engines
+    proj = F.regexp_replace(F.substring("text", 1, 200), r"[^\x00-\x7F]", "?")
+    a = corpus.select(F.col("doc_id").alias("id_a"), proj.alias("ta"))
     b = corpus.select((F.col("doc_id") - COPY_OFFSET).alias("id_a"), F.col("doc_id").alias("id_b"),
-                      F.substring("text", 1, 200).alias("tb"))
+                      proj.alias("tb"))
     d = F.levenshtein("ta", "tb")
     sim = F.floor(
         (1.0 - d / F.greatest(F.length("ta"), F.length("tb"), F.lit(1))) * 10000 + 0.5
@@ -811,7 +846,10 @@ def q_embedding_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(encode(text)) AS n_bytes,
            CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
            CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT) AS height,
-           CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN 1
+           -- NULL payload (NULL text) has NULL metadata on both engines —
+           -- the unguarded CASE emitted n_frames=1 for a NULL image payload
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     WHEN CAST(doc_id % 3 AS INT) = 0 THEN 1
                      ELSE 1 + octet_length(encode(text)) % 24 END AS INT) AS n_frames
     FROM documents
     """,

@@ -306,8 +306,14 @@ def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots on the key at write time and the join needs no shuffle at
     all (bucketed storage), which is the documented upgrade path."""
     (orders,) = load(spark, sf_dir, "orders")
+    # presence flags, NOT value-nullity: a key PRESENT in a snapshot with a
+    # NULL price must classify as unchanged/update, never insert/delete —
+    # inferring presence from the price column conflated the two on the
+    # adversarial fixture's NULL-price rows
     old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey", F.col("o_totalprice").alias("old_price")
+        "o_orderkey",
+        F.col("o_totalprice").alias("old_price"),
+        F.lit(True).alias("__in_old"),
     )
     new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
         "o_orderkey",
@@ -315,23 +321,27 @@ def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice")
             + F.when(F.col("o_orderkey") % 50 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias("new_price"),
+        F.lit(True).alias("__in_new"),
     )
     joined = old.join(new, "o_orderkey", "full_outer")
     return (
         joined.select(
             "o_orderkey",
-            F.when(F.col("old_price").isNull(), F.lit("insert"))
-            .when(F.col("new_price").isNull(), F.lit("delete"))
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
             .otherwise(F.lit("update"))
             .alias("change_type"),
             "old_price",
             "new_price",
+            "__in_old",
+            "__in_new",
         )
         .filter(
-            F.col("old_price").isNull()
-            | F.col("new_price").isNull()
+            F.col("__in_old").isNull()
+            | F.col("__in_new").isNull()
             | (F.col("old_price") != F.col("new_price"))
         )
+        .drop("__in_old", "__in_new")
     )
 
 
@@ -1072,7 +1082,10 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
                AS d,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
-      FROM events GROUP BY 1, 2
+      -- ts IS NOT NULL: a daily series has no bucket for an unknown day;
+      -- also dodges DuckDB 1.0.0's nondeterministic window sort over
+      -- NULL ORDER BY keys (observed in the adversarial sweep)
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     slopes AS (
       SELECT a.user_id,
@@ -1104,8 +1117,10 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator tolerates ~29% outliers, which is why monitoring pipelines
     prefer it over least squares for per-entity drift."""
     (ev,) = load(spark, sf_dir, "events")
+    # NULL event times excluded from the daily series on BOTH engines
     daily = (
-        ev.select(
+        ev.filter(F.col("ts").isNotNull())
+        .select(
             "user_id",
             F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
             F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
@@ -1143,7 +1158,10 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
                AS d,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
-      FROM events GROUP BY 1, 2
+      -- ts IS NOT NULL: a daily series has no bucket for an unknown day;
+      -- also dodges DuckDB 1.0.0's nondeterministic window sort over
+      -- NULL ORDER BY keys (observed in the adversarial sweep)
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     dev AS (
       SELECT user_id, d,
@@ -1181,8 +1199,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans ONE Exchange for the lot.  Per-key state is days, not
     events; at 100 TB the window never sees raw event rows."""
     (ev,) = load(spark, sf_dir, "events")
+    # NULL event times excluded from the daily series on BOTH engines
+    # (see the oracle comment)
     daily = (
-        ev.select(
+        ev.filter(F.col("ts").isNotNull())
+        .select(
             "user_id",
             F.datediff(
                 F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
@@ -1537,9 +1558,14 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_leakage_audit",
     oracle="""
     WITH fp AS (
+      -- fingerprint twin of functions.text.fingerprint: NULL text -> NULL,
+      -- empty token set -> md5('') (DuckDB array_to_string NULLs empty
+      -- lists, so it needs the coalesce)
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct(
-               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))), ' '))
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE md5(coalesce(array_to_string(list_sort(list_distinct(
+                    list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> ''))), ' '), '')) END
                AS fp,
              ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS pct
       FROM documents

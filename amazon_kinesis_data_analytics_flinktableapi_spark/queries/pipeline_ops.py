@@ -136,11 +136,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
     SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT,
-               list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
-             (h, t) -> (h * 31 + t) % 2147483647
-           ) AS rhash
+           -- NULL text has no fingerprint (list_prepend(0, NULL) is [0],
+           -- which would alias NULL docs to the empty-doc hash 0)
+           CASE WHEN tk IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+               (h, t) -> (h * 31 + t) % 2147483647
+             ) END AS rhash
     FROM toks
     """,
     doc="order-sensitive rolling-hash fingerprint: exact sequence-reuse key "
@@ -490,9 +493,14 @@ def q_boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, n_tokens, start_offset,
-           start_offset // 512 AS first_seq,
-           (start_offset + n_tokens - 1) // 512 AS last_seq,
-           (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_seqs_spanned
+           -- explicit floor, NOT integer "//": DuckDB's integer division
+           -- truncates toward zero, so an empty doc at offset 0 (last
+           -- token index -1) would land in "sequence 0" while Spark's
+           -- F.floor puts it in -1; floor() matches Spark for every sign
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT) AS last_seq,
+           CAST(floor((start_offset + n_tokens - 1) / 512.0)
+                - floor(start_offset / 512.0) + 1 AS BIGINT) AS n_seqs_spanned
     FROM c
     """,
     doc="training-sequence packing (concat-and-chop): global token offsets "

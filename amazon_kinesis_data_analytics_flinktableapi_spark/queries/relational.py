@@ -143,7 +143,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value,
            round(avg(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
+                                  ORDER BY ts NULLS LAST, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
     FROM events
     """,
@@ -151,7 +151,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    # NULLS LAST pinned on both engines — see queries/mining.py cusum note
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    ).rowsBetween(-2, 0)
     return ev.select(
         "event_id", "user_id", "value", F.round(F.avg("value").over(w), 4).alias("moving_avg")
     )
@@ -475,9 +478,14 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_events",
     oracle="""
     WITH starts AS (
+      -- ts IS NOT NULL: Spark's window() generator emits zero covering
+      -- windows for a NULL event time (the row is excluded), so the
+      -- oracle excludes it too
       SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      WHERE ts IS NOT NULL
       UNION ALL
       SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+      WHERE ts IS NOT NULL
     )
     SELECT ws AS window_start, event_type,
            count(*) AS n_events,

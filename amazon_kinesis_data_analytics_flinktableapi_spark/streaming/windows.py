@@ -108,6 +108,11 @@ def running_aggregate(
     State = (n, total, ema) per key; timeout none (state lives for the
     query's lifetime — bound it with a timeout for unbounded key spaces at
     scale).
+
+    Caller contract: rows with a NULL ``ts_col`` or NULL ``value_col``
+    must be filtered upstream — an order-sensitive fold has no defined
+    place for an unknown event time, and ``total += float(None)`` would
+    poison the key's state with NaN forever.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -130,7 +135,11 @@ def running_aggregate(
                 total += float(v)
                 ema = float(v) if ema is None else alpha * float(v) + (1 - alpha) * ema
         state.update((n, total, ema))
-        yield pd.DataFrame([{"key": str(key[0]), "n": n, "total": total, "ema": ema}])
+        # NULL grouping keys stay NULL: str(None) would smuggle the string
+        # 'None' into the key column and split the NULL group from any
+        # equality the caller does downstream
+        k = key[0] if key[0] is None else str(key[0])
+        yield pd.DataFrame([{"key": k, "n": n, "total": total, "ema": ema}])
 
     return (
         df.groupBy(F.col(key_col))

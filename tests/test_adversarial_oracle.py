@@ -43,6 +43,32 @@ ADVERSARIAL_QUERIES = [
     "canonical_doc_select",      # exact-dup tie (equal length, id tiebreak)
     "correlated_subquery",       # single-order groups, negative & NULL price
     "domain_mixture_sample",     # NULL source, unparsable source suffix
+    # --- promoted from tools/adversarial_sweep.py (full-registry pass):
+    # every query below FAILED the sweep on this fixture before its r11
+    # fix — they stay here so the hazards can't regress
+    "cogroup_asof_pandas",       # merge_asof NaT crash, NULL-key cogroup
+    "json_extract_agg",          # oracle crashed on empty-string props
+    "lag_lead_gaps",             # NULL-ts window-order divergence
+    "window_moving_avg",         # NULL-ts window-order divergence
+    "window_running_distinct",   # NULL-ts window-order divergence
+    "snapshot_cdc_diff",         # presence inferred from NULL-able value col
+    "sliding_window_events",     # NULL ts: window() drops vs oracle kept
+    "session_gaps_islands",      # NULL ts attached to arbitrary session
+    "streaming_session_window",  # watermark drops NULL ts; oracle kept it
+    "streaming_running_aggregate",  # NULL value NaN-poisoned fold state
+    "sequence_packing",          # DuckDB // truncates; floor pinned
+    "dedup_fingerprint",         # concat_ws swallowed NULL text to ''
+    "split_leakage_audit",       # DuckDB array_to_string([]) is NULL
+    "rolling_fingerprint",       # NULL text aliased to empty-doc hash 0
+    "token_stats",               # NULL text mean 0.0 vs NULL
+    "duplicate_span_removal",    # NULL text pass-through semantics
+    "edit_distance_verify",      # byte- vs codepoint-level levenshtein
+    "media_decode_meta",         # NULL payload decoded as 0-byte file
+    "media_resize",              # NULL payload scaled to 0 bytes
+    "pandas_udaf_weighted_avg",  # np.floor(NaN).astype(int64) garbage
+    "approx_sketches_bounds",    # interpolated-quantile gate broken at small n
+    "rolling_anomaly_flags",     # DuckDB nondeterministic NULL window sort
+    "theilsen_trend",            # same daily-series shape, fixed preventively
 ]
 
 
