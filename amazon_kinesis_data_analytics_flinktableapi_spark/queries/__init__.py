@@ -103,26 +103,49 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 11 window -----------------------------------------------------
+    # --- round 11 window (revised mid-round) ---------------------------------
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
-    # their first round, changed surfaces ride along, remaining slots go to
-    # the oldest-attested names.  r11 window: 1 NEW — the throttling /
-    # expired-iterator fault-contract attestation (VERDICT r10 #2); 1
-    # CHANGED — approx_sketches, re-expressed as the portable
-    # m=1024-register HLL + binned quantile sketch (VERDICT r10 #4, its
-    # FIRST hash-checkable attestation — previously the registry's one
-    # rows-only row); 3-50: the entire r7-stale block — every query whose
-    # newest green row is round 7, advancing the stalest attestation to
-    # r8.  The r11-touched streaming surfaces (run_to_memory_drain conf
-    # restore, build_reference_query view cleanup) were re-verified via
-    # tools/driver_replica.py (10 streaming queries hash-green) instead of
-    # window slots.
+    # their first round, CHANGED surfaces take precedence over staleness,
+    # remaining slots go to the oldest-attested names.  r11 window:
+    # 1 NEW (kinesis_throttled_roundtrip, the fault-contract attestation,
+    # VERDICT r10 #2) + approx_sketches (first hash-checkable attestation,
+    # VERDICT r10 #4) + the 23 queries whose Spark-or-oracle code changed
+    # in the r11 adversarial-sweep hardening (tests/test_adversarial_oracle
+    # .py; driver-data hashes proven unchanged via driver_replica at
+    # sf0.01, but changed code gets driver attestation anyway) + as much
+    # of the r7-stale block as fits.  The 19 r7-stale queries displaced by
+    # the sweep fixes were replica-attested this session (sf0.01) and are
+    # FIRST IN LINE for the r12 window — see the displaced block below.
+
     "kinesis_throttled_roundtrip",
     "approx_sketches",
-    # --- r7-stale block (48) ------------------------------------------------
+    "cusum_changepoint",
+    "event_transition_matrix",
+    "theilsen_trend",
+    "snapshot_cdc_diff",
+    "lag_lead_gaps",
+    "session_gaps_islands",
+    "window_moving_avg",
+    "window_running_distinct",
+    "sliding_window_events",
+    "sequence_packing",
+    "dedup_fingerprint",
+    "split_leakage_audit",
+    "rolling_fingerprint",
+    "token_stats",
+    "duplicate_span_removal",
+    "edit_distance_verify",
+    "media_decode_meta",
+    "media_resize",
+    "pandas_udaf_weighted_avg",
+    "approx_sketches_bounds",
+    "json_extract_agg",
+    "cogroup_asof_pandas",
+    "streaming_running_aggregate",
+    "streaming_session_window",
+    "rolling_anomaly_flags",
     "embedding_neardup_wide",
     "seasonal_residual_flags",
-    "event_transition_matrix",
     "incremental_dedup",
     "embedding_gram_matrix",
     "streaming_incremental_dedup",
@@ -138,14 +161,13 @@ _PRIORITY: list[str] = [
     "dedup_pipeline_report",
     "canonical_doc_select",
     "template_doc_detect",
-    "split_leakage_audit",
     "token_budget_select",
-    "snapshot_cdc_diff",
     "incremental_agg_merge",
     "feature_hash_vector",
     "weighted_sample_topk",
     "char_entropy_score",
     "bpe_merge_step",
+    # --- displaced r7-stale block: replica-attested r11, r12 window head --
     "bigram_surprisal_score",
     "pmi_collocations",
     "pca_power_iteration",
@@ -157,9 +179,6 @@ _PRIORITY: list[str] = [
     "attribution_last_touch",
     "cohort_retention",
     "recursive_ewma_rates",
-    "theilsen_trend",
-    "cusum_changepoint",
-    "rolling_anomaly_flags",
     "winsorize_outliers",
     "chisq_priority_status",
     "join_key_skew_report",
@@ -168,11 +187,9 @@ _PRIORITY: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q18_large_volume_customer",
     "tpch_q12_late_priority",
-    # --- staleness tail (rotates into future windows oldest-first) ----------
-    # r8-attested remainder:
+    # --- previously attested tail (r8-r10) ---------------------------------
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
-    "json_extract_agg",
     "pivot_status_by_priority",
     "set_ops",
     "join_semi",
@@ -182,27 +199,21 @@ _PRIORITY: list[str] = [
     "stat_aggregates",
     "correlated_subquery",
     "pandas_grouped_zscore",
-    "pandas_udaf_weighted_avg",
     "python_udtf_bigrams",
     "range_frame_window",
     "robust_stats_mad",
     "rank_family",
     "window_value_family",
-    "window_running_distinct",
-    "cogroup_asof_pandas",
     "table_profile",
     "integrity_audit",
     "dedup_exact",
-    "dedup_fingerprint",
     "ann_cosine_topk",
-    "edit_distance_verify",
     "tfidf_top_terms",
     "vocab_oov_rate",
     "embedding_quantize_int8",
     "embedding_label_centroids",
     "pii_redaction",
     "boilerplate_chunk_removal",
-    "sequence_packing",
     "zorder_layout",
     "tpch_q15_top_supplier",
     "topp_cumulative_share",
@@ -217,8 +228,6 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_join",
     "neardup_jaccard",
     "dedup_clusters",
-    # r9-attested:
-    "approx_sketches_bounds",
     "kinesis_translating_sdk_roundtrip",
     "kinesis_fake_sdk_roundtrip",
     "interval_join",
@@ -226,9 +235,7 @@ _PRIORITY: list[str] = [
     "projection_filter",
     "asof_join_latest_rate",
     "asof_forward_join",
-    "streaming_session_window",
     "streaming_chained_windows",
-    "streaming_running_aggregate",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
@@ -236,9 +243,7 @@ _PRIORITY: list[str] = [
     "streaming_static_enrich",
     "streaming_sliding_window",
     "streaming_topk_complete",
-    "media_decode_meta",
     "media_frame_sample",
-    "media_resize",
     "tpch_q4_priority_check",
     "tpch_q6_revenue_delta",
     "tpch_q10_returned_revenue",
@@ -250,14 +255,11 @@ _PRIORITY: list[str] = [
     "null_scalars",
     "array_hof_pipeline",
     "timeseries_interpolate",
-    "lag_lead_gaps",
     "explode_token_frequencies",
     "event_sequence_detect",
     "funnel_steps",
     "timeseries_gap_fill",
-    "session_gaps_islands",
     "cascaded_rollup",
-    "token_stats",
     "bpe_token_estimate",
     "quality_score",
     "lang_id",
@@ -267,7 +269,6 @@ _PRIORITY: list[str] = [
     "streaming_kinesis_tumbling",
     "interval_join_forward",
     "embedding_neardup",
-    # r10-attested (the freshest; re-enter the window last):
     "kinesis_merge_roundtrip",
     "kinesis_reshard_chain_roundtrip",
     "kinesis_merge_interval_join",
@@ -279,7 +280,6 @@ _PRIORITY: list[str] = [
     "streaming_asof_enrich",
     "streaming_kinesis_roundtrip",
     "duplicate_span_detect",
-    "duplicate_span_removal",
     "dsir_importance_select",
     "containment_neardup",
     "streaming_dedup_restamped",
@@ -290,7 +290,6 @@ _PRIORITY: list[str] = [
     "tpch_q9_product_profit",
     "doc_chunks",
     "normalize_text",
-    "rolling_fingerprint",
     "stratified_sample",
     "reservoir_per_group",
     "deterministic_sample",
@@ -298,7 +297,6 @@ _PRIORITY: list[str] = [
     "join_revenue_by_nation",
     "topk_orders",
     "window_rank",
-    "window_moving_avg",
     "rollup_customer_geo",
     "large_order_customers",
     "nation_pair_revenue",
@@ -308,7 +306,6 @@ _PRIORITY: list[str] = [
     "grouped_having",
     "distinct_pairs",
     "tumbling_window_events",
-    "sliding_window_events",
     "conditional_agg",
     "shipping_priority",
     "date_functions",
