@@ -166,8 +166,9 @@ _PRIORITY: list[str] = [
     "feature_hash_vector",
     "weighted_sample_topk",
     "char_entropy_score",
-    "bpe_merge_step",
+    "streaming_static_enrich",  # r11-changed late (rounding-tie fix)
     # --- displaced r7-stale block: replica-attested r11, r12 window head --
+    "bpe_merge_step",
     "bigram_surprisal_score",
     "pmi_collocations",
     "pca_power_iteration",
@@ -240,7 +241,6 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "streaming_static_enrich",
     "streaming_sliding_window",
     "streaming_topk_complete",
     "media_frame_sample",

@@ -437,7 +437,11 @@ def q_streaming_running_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame
       VALUES ('click', 1), ('view', 2), ('signup', 5), ('purchase', 10), ('error', 0)
     )
     SELECT e.event_id, e.user_id, e.event_type, d.type_weight,
-           round(e.value * d.type_weight, 2) AS weighted_value
+           -- half-up floor, not round(): value*weight lands on exact .xx5
+           -- ties where Spark's HALF_UP and DuckDB's rounding split (the
+           -- skew fixture hit one at 359.285) — functions.text.half_up_round
+           -- convention
+           floor(e.value * d.type_weight * 100 + 0.5) / 100 AS weighted_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     """,
     doc="STREAMING stream-static broadcast join: replayed event stream "
@@ -465,7 +469,8 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "type_weight",
-        F.round(F.col("value") * F.col("type_weight"), 2).alias("weighted_value"),
+        # half-up floor — see the oracle comment
+        (F.floor(F.col("value") * F.col("type_weight") * 100 + 0.5) / 100).alias("weighted_value"),
     )
     return run_to_memory(out, spark, timeout_sec=240)
 

@@ -489,7 +489,12 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ws AS window_start, event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           -- integer milli-units end-to-end: round(sum(double)) is
+           -- summation-ORDER-sensitive at the rounding boundary (the skew
+           -- fixture hit 1312.715); quantize per row, sum exact BIGINTs,
+           -- half-up to 2 decimals in integer space
+           CAST(floor((sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) + 5) / 10.0)
+                AS BIGINT) / 100.0 AS total_value
     FROM starts
     GROUP BY 1, 2
     """,
@@ -499,9 +504,15 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.window with a slide explodes each event into its 2 covering
     # windows; the oracle enumerates the same covers as a 2-way union.
     (ev,) = load(spark, sf_dir, "events")
+    # integer milli-unit totals — see the oracle comment
+    mv = F.floor(F.col("value") * 1000 + 0.5).cast("bigint")
     return (
-        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        ev.select("ts", "event_type", mv.alias("__mv"))
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor((F.sum("__mv") + 5) / 10).cast("bigint") / 100.0).alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 

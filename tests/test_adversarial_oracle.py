@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import all_specs
 from tests.conftest import SF_SMOKE
@@ -219,3 +220,177 @@ def test_adversarial_outputs_nonempty(spark, adv_dir):
     }
     assert 1 not in ent and 9 not in ent  # empty + NULL text drop out
     assert ent[2] == 0 and ent[3] == 0    # single-symbol runs: exactly 0 bits
+
+
+# ---------------------------------------------------------------------------
+# Skew edition: the HOT-KEY fixture.  Same schemas, but every distribution
+# the engine's skew defenses exist for: one user holding 70% of events,
+# one event type at 85%, one customer holding 70% of orders, one hot part
+# and supplier, a 100-doc exact-duplicate mega-cluster, a boilerplate
+# sentence in EVERY document (shingle df = 100% — max_df cap territory),
+# and 100 bit-identical embedding vectors.  Parity with the DuckDB oracle
+# on the SAME data is still the property: the cap/tie-break/cluster logic
+# must agree under skew, not just on the driver's well-spread synthetic.
+# All generation is closed-form arithmetic on the row index — no RNG.
+# ---------------------------------------------------------------------------
+
+SKEW_QUERIES = [
+    "neardup_jaccard",           # boilerplate shingles over the max_df cap
+    "containment_neardup",       # same index under 100% - df shingles
+    "dedup_clusters",            # 200-node exact-dup clique through CC
+    "canonical_doc_select",      # argmax inside the mega-cluster
+    "dedup_exact",               # 100-way duplicate groups
+    "dedup_fingerprint",         # fingerprint collisions at volume
+    "duplicate_span_removal",    # one span repeated across 100 docs
+    "event_transition_matrix",   # hot user: 5600-event single partition
+    "window_running_distinct",   # hot user's running window
+    "session_gaps_islands",      # one giant session for the hot user
+    "topk_orders",               # hot customer dominates ranking ties
+    "join_key_skew_report",      # the skew diagnostic ON skewed data
+    "correlated_subquery",       # hot customer's group avg
+    "ann_cosine_topk",           # 100 identical vectors: tie-break storm
+    "embedding_neardup",         # identical vectors bucket together
+    # caught by the full-registry skew sweep (r11) and fixed:
+    "sliding_window_events",     # round(sum(double)) summation-order tie
+    "streaming_static_enrich",   # per-row .xx5 HALF_UP tie at 359.285
+]
+
+
+def _skew_docs() -> list[dict]:
+    boiler = "terms of service apply to all users of this site"
+    mega = boiler + " the same exact duplicated body repeated verbatim everywhere"
+    docs = []
+    for i in range(400):
+        if i < 100:  # the mega-cluster: bit-identical text
+            text = mega
+        elif i < 150:  # 10 near-dup clusters of 5 (one word varies)
+            c, m = (i - 100) // 5, (i - 100) % 5
+            words = [f"c{c}w{(c * 7 + j) % 53}" for j in range(25)]
+            words[7] = f"variant{m}"
+            text = boiler + " " + " ".join(words)
+        else:  # unique-ish word soup, still carrying the boilerplate
+            words = [f"w{(i * 7 + j * 13) % 997}u{i}" for j in range(30)]
+            text = boiler + " " + " ".join(words)
+        docs.append(
+            dict(doc_id=i, text=text, lang=["en", "de", "es", "fr", "zh"][i % 5],
+                 source=f"src{i % 17}", n_chars=len(text))
+        )
+    return docs
+
+
+def _skew_events() -> list[dict]:
+    base = dt.datetime(2024, 3, 1)
+    types = ["view", "click", "signup", "purchase", "error"]
+    ev = []
+    for i in range(8000):
+        hot = i < 5600  # 70% of events belong to user 777
+        uid = 777 if hot else 100 + (i % 37)
+        # hot user: bursts of 10 events sharing ONE timestamp (tie storms)
+        ts = base + dt.timedelta(seconds=(i // 10) * 5 if hot else i * 11)
+        etype = "view" if i % 100 < 85 else types[i % 5]  # 85% one type
+        ev.append(
+            dict(event_id=i, ts=ts, user_id=uid, event_type=etype,
+                 value=round((i % 997) / 7.0, 3), props='{"k": %d}' % (i % 50))
+        )
+    return ev
+
+
+def _skew_orders() -> list[dict]:
+    base = dt.datetime(2024, 2, 1)
+    out = []
+    for i in range(3000):
+        out.append(
+            dict(
+                o_orderkey=i,
+                o_custkey=7 if i % 10 < 7 else (i * 13) % 150,  # 70% one customer
+                o_orderstatus=["F", "O", "P"][i % 3],
+                o_totalprice=round(100.0 + (i % 887) * 1.25, 2),
+                o_orderdate=base + dt.timedelta(hours=i % 720),
+                o_orderpriority=f"{1 + i % 5}-X",
+            )
+        )
+    return out
+
+
+def _skew_lineitem() -> list[dict]:
+    base = dt.datetime(2024, 2, 10)
+    out = []
+    for i in range(9000):
+        out.append(
+            dict(
+                l_orderkey=i % 3000,
+                l_partkey=13 if i % 5 < 3 else (i * 17) % 200,  # 60% one part
+                l_suppkey=3 if i % 2 == 0 else (i * 7) % 10,    # 50% one supplier
+                l_linenumber=i // 3000 + 1,
+                l_quantity=float(1 + i % 50),
+                l_extendedprice=round(10.0 + (i % 991) * 2.5, 2),
+                l_discount=round((i % 11) / 100.0, 2),
+                l_tax=round((i % 9) / 100.0, 2),
+                l_returnflag=["A", "N", "R"][i % 3],
+                l_linestatus=["F", "O"][i % 2],
+                l_shipdate=base + dt.timedelta(hours=i % 2000),
+            )
+        )
+    return out
+
+
+def _skew_embeddings() -> list[dict]:
+    out = []
+    for i in range(300):
+        if i < 100:  # bit-identical vectors (1/16ths are exact in float32)
+            vec = [((j * 5 + 3) % 31 - 15) / 16.0 for j in range(64)]
+        elif i < 200:  # two tight clusters around distinct centers
+            c = (i - 100) % 2
+            vec = [((j * 7 + c * 11) % 29 - 14) / 16.0 + (i % 5) / 256.0
+                   for j in range(64)]
+        else:  # spread
+            vec = [((i * 3 + j * 13) % 61 - 30) / 16.0 for j in range(64)]
+        out.append(dict(vec_id=i, embedding=vec, label=i % 6))
+    return out
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("skew_sf")
+    _write(d, "documents", _skew_docs())
+    _write(d, "events", _skew_events())
+    _write(d, "orders", _skew_orders())
+    _write(d, "lineitem", _skew_lineitem())
+    _write(d, "embeddings", _skew_embeddings())
+    for t in TESTDATA_TABLES:
+        if t not in ("documents", "events", "orders", "lineitem", "embeddings"):
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def skew_duck(skew_dir):
+    con = duck_connect(skew_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_QUERIES)
+def test_skew_parity(spark, skew_duck, skew_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    compare(spec.fn(spark, skew_dir), skew_duck, spec.oracle)
+
+
+def test_skew_fixture_is_skewed(spark, skew_dir):
+    """Pin the skew shapes so the fixture can't silently flatten: the hot
+    keys must actually dominate, and the mega-cluster must actually be
+    over the max_df cap (so test_skew_parity exercises the capped path)."""
+    ev = spark.read.parquet(f"{skew_dir}/events.parquet")
+    by_user = dict(
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert by_user[777] == 5600 and by_user[777] / sum(by_user.values()) == 0.7
+    clusters = SPECS["dedup_clusters"].fn(spark, skew_dir)
+    top = (
+        clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m")).collect()[0]["m"]
+    )
+    # the 100 identical docs + their 80%-prefix copies form one component
+    assert top >= 200, top

@@ -30,6 +30,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="")
     ap.add_argument("--skip", default="", help="comma-separated names to skip")
+    ap.add_argument(
+        "--fixture", default="adv", choices=["adv", "skew"],
+        help="adv = NULL/empty/tie hostile fixture; skew = hot-key fixture",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,7 +60,8 @@ def main() -> int:
             p.mkdir(parents=True, exist_ok=True)
             return p
 
-    adv_dir = adv.adv_dir.__wrapped__(_Factory())
+    builder = adv.adv_dir if args.fixture == "adv" else adv.skew_dir
+    adv_dir = builder.__wrapped__(_Factory())
 
     spark = build_spark(app_name="adversarial_sweep", master="local[8]",
                         shuffle_partitions=8)
