@@ -30,11 +30,17 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, quer
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           -- integer units end-to-end (nation_pair_revenue convention):
+           -- round(sum(double)) is summation-order-sensitive at rounding
+           -- boundaries, a latent hash-flake against regenerated TESTDATA.
+           -- Inputs are exact decimals (qty integer, price 2-dec, price×
+           -- (1−disc) 4-dec), so the quantized sums are EXACT and the
+           -- output matches the old expression everywhere it was stable.
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS sum_disc_price,
+           floor(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 10000.0 / count(l_quantity) + 0.5) / 10000.0 AS avg_qty,
+           floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 100.0 / count(l_extendedprice) + 0.5) / 10000.0 AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -52,11 +58,12 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # integer units end-to-end — see the oracle comment
+            (F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint")) * 1.0).alias("sum_qty"),
+            (F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")) / 100.0).alias("sum_base_price"),
+            (F.floor((F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5).cast("bigint")) + 50) / 100.0).cast("bigint") / 100.0).alias("sum_disc_price"),
+            (F.floor(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint")) * 10000.0 / F.count("l_quantity") + 0.5) / 10000.0).alias("avg_qty"),
+            (F.floor(F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")) * 100.0 / F.count("l_extendedprice") + 0.5) / 10000.0).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -65,7 +72,10 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_revenue_by_nation",
     oracle="""
-    SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    SELECT n_name,
+           -- exact cents sum (see agg_pricing_summary oracle comment)
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+           count(*) AS n_orders
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -86,7 +96,7 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")) / 100.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -221,7 +231,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -239,7 +249,11 @@ def q_rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # exact cents sum (see agg_pricing_summary oracle comment)
+            (F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")) / 100.0).alias("total_bal"),
+        )
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
@@ -339,7 +353,7 @@ def q_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o_orderpriority, 'ALL') AS priority,
            GROUPING(o_orderstatus, o_orderpriority) AS gid,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -356,7 +370,8 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # exact cents sum (see agg_pricing_summary oracle comment)
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")) / 100.0).alias("total_price"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -542,7 +557,9 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- exact 4-dec sum, integer half-up to cents (see
+           -- agg_pricing_summary oracle comment)
+           CAST(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -568,7 +585,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            # exact 4-dec sum, integer half-up to cents
+            (F.floor((F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5).cast("bigint")) + 50) / 100.0).cast("bigint") / 100.0).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
