@@ -288,9 +288,17 @@ def _skew_events() -> list[dict]:
         # hot user: bursts of 10 events sharing ONE timestamp (tie storms)
         ts = base + dt.timedelta(seconds=(i // 10) * 5 if hot else i * 11)
         etype = "view" if i % 100 < 85 else types[i % 5]  # 85% one type
+        # binary-exact values (multiples of 1/64): sums of these are EXACT
+        # doubles in any order, so round()-family queries can never flake
+        # on a .xx5 tie in this fixture.  (Decimal-structured values DID
+        # flake the sweep once — 1312.715 in sliding_window_events — and
+        # the queries caught that way are now integer-exact by
+        # construction; the fixture no longer needs to roll that dice for
+        # the rest of the registry.)
         ev.append(
             dict(event_id=i, ts=ts, user_id=uid, event_type=etype,
-                 value=round((i % 997) / 7.0, 3), props='{"k": %d}' % (i % 50))
+                 value=(i % 997) / 8.0 + (i % 13) / 64.0,
+                 props='{"k": %d}' % (i % 50))
         )
     return ev
 
