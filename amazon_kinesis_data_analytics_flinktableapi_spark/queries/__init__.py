@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
 
     "kinesis_throttled_roundtrip",
     "approx_sketches",
+    "temperature_mixture_sample",  # NEW r11: tau=2 Gopher-style mixing
     "cusum_changepoint",
     "event_transition_matrix",
     "theilsen_trend",
@@ -165,9 +166,9 @@ _PRIORITY: list[str] = [
     "incremental_agg_merge",
     "feature_hash_vector",
     "weighted_sample_topk",
-    "char_entropy_score",
     "streaming_static_enrich",  # r11-changed late (rounding-tie fix)
     # --- displaced r7-stale block: replica-attested r11, r12 window head --
+    "char_entropy_score",
     "bpe_merge_step",
     "bigram_surprisal_score",
     "pmi_collocations",

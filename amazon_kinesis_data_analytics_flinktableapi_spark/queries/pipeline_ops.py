@@ -615,6 +615,76 @@ _REG["zorder_layout"].oracle = _zorder_oracle()
 
 
 @query(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_s) AS n FROM counts),
+    w AS (
+      -- tau = 2: the temperature power is sqrt(), which IEEE 754 requires
+      -- to be CORRECTLY ROUNDED — bit-identical on every engine, unlike
+      -- a general pow(p, 1/tau)
+      SELECT source, n_s, sqrt(n_s * 1.0 / tot.n) AS wt,
+             sqrt(n_s * 1.0 / tot.n) / (n_s * 1.0 / tot.n) AS boost
+      FROM counts, tot
+    ),
+    mx AS (SELECT max(boost) AS mb FROM w),
+    rates AS (
+      SELECT source,
+             CAST(FLOOR(boost / mx.mb * 1000) AS BIGINT) AS rate_permille
+      FROM w, mx
+    )
+    SELECT d.doc_id, d.source, r.rate_permille
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT % 1000
+          < r.rate_permille
+    """,
+    doc="temperature-scaled domain mixing (tau=2): per-source keep rates "
+    "proportional to share^(1/tau)/share, normalized so the rarest "
+    "domain keeps everything — the Gopher/LLaMA-style mixture reweighting "
+    "as a deterministic content-hash Bernoulli",
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at 100 TB: one TINY aggregate (|sources| rows)
+    computes shares, a one-row max is broadcast back over it, and the
+    per-source keep rates broadcast-join onto the corpus — the keep/drop
+    decision itself is a pure map on (source, hash(doc_id)), no shuffle of
+    the documents.  Rates: share p_s = n_s/N; temperature-2 target q_s ∝
+    sqrt(p_s); sampling can only DOWN-sample, so the keep rate is
+    (q_s/p_s) scaled so its max is 1 — the rarest domain is kept at 1000
+    permille and hotter domains are suppressed toward sqrt.  sqrt is
+    correctly rounded under IEEE 754 (unlike pow), so the permille floors
+    are engine-exact; the md5-permille Bernoulli is the
+    domain_mixture_sample convention.
+
+    Reference parity: no counterpart in the 179-line reference — this is
+    the LLM-pipeline tier (driver brief), the principled sibling of
+    domain_mixture_sample's fixed rate classes."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
+
+    (docs,) = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total = counts.agg(F.sum("n_s").alias("n"))
+    w = counts.join(F.broadcast(total)).select(
+        "source",
+        (F.sqrt(F.col("n_s") * 1.0 / F.col("n"))
+         / (F.col("n_s") * 1.0 / F.col("n"))).alias("boost"),
+    )
+    mx = w.agg(F.max("boost").alias("mb"))
+    rates = w.join(F.broadcast(mx)).select(
+        "source",
+        F.floor(F.col("boost") / F.col("mb") * 1000).cast("bigint").alias("rate_permille"),
+    )
+    u = md5_hash60(F.concat(F.lit("temp:"), F.col("doc_id"))) % 1000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate_permille"))
+        .select("doc_id", "source", "rate_permille")
+    )
+
+
+@query(
     "domain_mixture_sample",
     oracle="""
     WITH rated AS (

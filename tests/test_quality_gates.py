@@ -185,3 +185,43 @@ def test_embedding_neardup_wide_shape_clustered_gate(spark):
     assert got <= exact, f"precision breach on clustered fixture: {got - exact}"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.90, f"8x16 close-pair recall degraded: {recall:.3f}"
+
+
+def test_temperature_mixture_rates_follow_sqrt_target(spark):
+    """temperature_mixture_sample (tau=2) must actually reshape the
+    mixture: the rarest source keeps everything (rate 1000), keep rates
+    are non-increasing in source share, and every rate matches the
+    closed-form floor(sqrt-boost / max-boost * 1000) recomputed here
+    from exact counts — so a broken normalization or an accidental
+    pow() swap (not correctly rounded, engine-divergent) fails a named
+    gate, not just the oracle hash."""
+    import math
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+        if r["source"] is not None
+    }
+    n = sum(counts.values())
+    boost = {s: math.sqrt(c / n) / (c / n) for s, c in counts.items()}
+    mb = max(boost.values())
+    want = {s: int(math.floor(b / mb * 1000)) for s, b in boost.items()}
+
+    out = REGISTRY["temperature_mixture_sample"].fn(spark, SF_ORACLE).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], r["rate_permille"])
+        assert got[r["source"]] == r["rate_permille"]  # one rate per source
+    assert got == {s: w for s, w in want.items() if w > 0}, (got, want)
+    # the rarest source is never downsampled…
+    rarest = min(counts, key=counts.get)
+    assert want[rarest] == 1000
+    # …and rates are non-increasing in share
+    by_share = sorted(counts, key=counts.get)
+    rates = [want[s] for s in by_share]
+    assert rates == sorted(rates, reverse=True), rates
