@@ -116,13 +116,31 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (corpus DataFrame) per (session, sf_dir) — see _docs_with_neardup_copies
+_NEARDUP_CORPUS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Originals ∪ 80%-character-prefix copies (shingle Jaccard vs the
     original ≈ 0.75).  Character (not token) truncation keeps the copy a
     single cheap substr — a nested tokenize-slice-rejoin here gets inlined
     by Catalyst into every downstream reference of the text column and
-    dominated the whole near-dup pipeline's runtime."""
+    dominated the whole near-dup pipeline's runtime.
+
+    Memoized per (session, sf_dir): nine registry queries build this
+    corpus, and without reuse each one re-caches its own copy — the
+    driver's 50-query gate paid the build ~6× per run and a long-lived
+    session leaked one cached RDD per invocation.  The cache entry is
+    only reused when it still belongs to the SAME live session
+    (``df.sparkSession is spark`` guards both id() reuse after gc and a
+    stopped-and-replaced session; ``clearCache()`` by a caller merely
+    uncaches the data — the plan re-caches on next use)."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
+
+    key = (id(spark), sf_dir)
+    hit = _NEARDUP_CORPUS_CACHE.get(key)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
 
     (docs,) = load(spark, sf_dir, "documents")
     # one scan, exploded into (original, 80%-prefix copy) — a union of two
@@ -147,7 +165,9 @@ def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup pipeline ~40%, and repartitioning BEFORE the cache makes
     # every cached-read fan out without a per-use shuffle.  (At real scale
     # the equivalent is persisting the tokenized intermediate.)
-    return spread(exploded).cache()
+    out = spread(exploded).cache()
+    _NEARDUP_CORPUS_CACHE[key] = out
+    return out
 
 
 _DUCK_NEARDUP_CORPUS = f"""

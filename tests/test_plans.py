@@ -433,6 +433,7 @@ BNLJ_SCALAR_CROSS = {
     "zorder_layout",            # 1-row global min/max quantization bounds
     "tpch_q22_idle_customers",  # 1-row global avg-balance threshold
     "tpch_q11_important_stock", # 1-row global value threshold
+    "temperature_mixture_sample",  # 1-row global doc total + 1-row max boost
 }
 
 
