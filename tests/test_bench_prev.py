@@ -1,0 +1,150 @@
+"""Unit tests for bench.py's round-over-round prev recovery.
+
+VERDICT r11 #2: the driver envelope truncates its ``tail`` capture to
+2,000 chars; BENCH_r10.json's truncation cut the JSON line's head, so
+``_prev_bench`` silently returned None and r11 shipped with no
+normalized deltas in the round that most needed them.  These tests pin
+the truncation-proof recovery order (self sidecar → envelope ``parsed``
+→ envelope tail) and the explicit miss reason.
+
+No Spark needed — pure filesystem logic via ``SPARK_GRAFT_BENCH_DIR``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_BENCH_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+@pytest.fixture()
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.modules.pop("bench_under_test", None)
+
+
+def _full_output(round_n: int) -> dict:
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": 10.0 + round_n,
+        "unit": "sec",
+        "queries": {"q1": 1.0, "q2": 2.0},
+        "sf": 0.1,
+        "canary_sec": 0.1,
+    }
+
+
+@pytest.fixture()
+def bench_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROUND", raising=False)
+    return tmp_path
+
+
+def test_truncated_tail_no_parsed_yields_explicit_reason(bench_mod, bench_dir):
+    """The r10 failure mode: tail truncation cut the JSON head AND the
+    driver's parse failed (parsed=None) — recovery must fail LOUDLY."""
+    full_line = json.dumps(_full_output(10))
+    (bench_dir / "BENCH_r10.json").write_text(
+        json.dumps({"n": 10, "rc": 0, "tail": full_line[len(full_line) // 2 :], "parsed": None})
+    )
+    name, prev, reason = bench_mod._prev_bench()
+    assert name is None and prev is None
+    assert "truncation" in reason
+
+
+def test_envelope_parsed_recovers_when_tail_truncated(bench_mod, bench_dir):
+    """Driver-parsed full dict beats tail recovery (the r11→r12 path:
+    BENCH_r11.json has parsed even though tail is capped at 2,000)."""
+    out = _full_output(11)
+    (bench_dir / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": "…truncated garbage…", "parsed": out})
+    )
+    name, prev, source = bench_mod._prev_bench()
+    assert name == "BENCH_r11.json"
+    assert source == "envelope_parsed"
+    assert prev["queries"] == out["queries"]
+
+
+def test_tail_recovery_still_works(bench_mod, bench_dir):
+    out = _full_output(9)
+    (bench_dir / "BENCH_r9.json").write_text(
+        json.dumps({"n": 9, "rc": 0, "tail": "# noise\n" + json.dumps(out) + "\n", "parsed": None})
+    )
+    name, prev, source = bench_mod._prev_bench()
+    assert name == "BENCH_r9.json"
+    assert source == "envelope_tail"
+    assert prev["canary_sec"] == 0.1
+
+
+def test_self_sidecar_preferred_over_envelope(bench_mod, bench_dir):
+    env_out = dict(_full_output(11), canary_sec=0.5)
+    side_out = _full_output(11)
+    (bench_dir / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": "", "parsed": env_out})
+    )
+    (bench_dir / "BENCH_SELF_r11.json").write_text(json.dumps(side_out))
+    name, prev, source = bench_mod._prev_bench()
+    assert name == "BENCH_SELF_r11.json"
+    assert source == "self_sidecar"
+    assert prev["canary_sec"] == 0.1
+
+
+def test_newer_round_wins_and_current_round_excluded(bench_mod, bench_dir, monkeypatch):
+    for n in (9, 10, 11):
+        (bench_dir / f"BENCH_SELF_r{n}.json").write_text(json.dumps(_full_output(n)))
+    # inferred current round = max(BENCH_r*)+1; no BENCH_r* here, so pin it
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "11")
+    name, prev, _ = bench_mod._prev_bench()
+    assert name == "BENCH_SELF_r10.json"
+    assert prev["value"] == 20.0
+
+
+def test_current_round_inferred_from_envelopes(bench_mod, bench_dir):
+    """While round 12 runs, only envelopes ≤11 exist → inferred cur=12,
+    so a same-session BENCH_SELF_r12.json (from an earlier re-run) is
+    excluded from prev candidates."""
+    (bench_dir / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": "", "parsed": _full_output(11)})
+    )
+    (bench_dir / "BENCH_SELF_r12.json").write_text(json.dumps(_full_output(12)))
+    assert bench_mod._current_round() == 12
+    name, prev, source = bench_mod._prev_bench()
+    assert name == "BENCH_r11.json"
+    assert source == "envelope_parsed"
+
+
+def test_unreadable_sidecar_falls_back_to_envelope(bench_mod, bench_dir):
+    (bench_dir / "BENCH_SELF_r11.json").write_text("{not json")
+    (bench_dir / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": "", "parsed": _full_output(11)})
+    )
+    name, prev, source = bench_mod._prev_bench()
+    assert source == "envelope_parsed"
+
+
+def test_no_artifacts_reason(bench_mod, bench_dir):
+    name, prev, reason = bench_mod._prev_bench()
+    assert name is None and prev is None
+    assert "no prior" in reason
+
+
+def test_persist_self_round_trip(bench_mod, bench_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "12")
+    out = _full_output(12)
+    bench_mod._persist_self(out)
+    on_disk = json.loads((bench_dir / "BENCH_SELF_r12.json").read_text())
+    assert on_disk == out
+    # and the NEXT round recovers it
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "13")
+    name, prev, source = bench_mod._prev_bench()
+    assert name == "BENCH_SELF_r12.json" and source == "self_sidecar"
