@@ -116,8 +116,38 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: (corpus DataFrame) per (session, sf_dir) — see _docs_with_neardup_copies
-_NEARDUP_CORPUS_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: (corpus DataFrame) per (session id, sf_dir, data mtime) — see
+#: _docs_with_neardup_copies
+_NEARDUP_CORPUS_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def _docs_mtime_ns(sf_dir: str) -> int:
+    """mtime of the documents table, part of the memo key: a regenerated
+    sf_dir must not serve a corpus built over the OLD parquet's file
+    index (ADVICE r11)."""
+    import os
+
+    try:
+        return os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        return 0
+
+
+def _purge_dead_corpus_entries() -> None:
+    """Drop memo entries bound to stopped/unreachable sessions so the
+    cache cannot grow without bound across session restarts (ADVICE r11:
+    entries for stopped sessions pinned their SparkSession forever).
+    Called on every memo MISS — misses are rare (once per session per
+    sf_dir), so the per-entry liveness probe is off the hot path."""
+    dead = []
+    for k, df in _NEARDUP_CORPUS_CACHE.items():
+        try:
+            if df.sparkSession._sc._jsc.sc().isStopped():
+                dead.append(k)
+        except Exception:  # session/context torn down past introspection
+            dead.append(k)
+    for k in dead:
+        _NEARDUP_CORPUS_CACHE.pop(k, None)
 
 
 def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,14 +163,28 @@ def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     session leaked one cached RDD per invocation.  The cache entry is
     only reused when it still belongs to the SAME live session
     (``df.sparkSession is spark`` guards both id() reuse after gc and a
-    stopped-and-replaced session; ``clearCache()`` by a caller merely
-    uncaches the data — the plan re-caches on next use)."""
+    stopped-and-replaced session) over the SAME data files (mtime in the
+    key — a regenerated sf_dir must not serve the old file index).
+
+    clearCache() hazard (VERDICT r11 #1, the neardup_jaccard +134% bench
+    regression): ``spark.catalog.clearCache()`` does NOT merely drop the
+    cached blocks — it UNREGISTERS the plan from the CacheManager, so a
+    memo hit after clearCache recomputed the corpus at each of its ~3
+    downstream plan references and never re-cached (measured at sf0.1:
+    3.4 s vs 2.2 s for neardup_jaccard; the bench clearCaches before
+    every timed run, so every driver bench sample paid it).  A hit whose
+    storage level has dropped to NONE therefore re-registers with
+    ``.cache()`` before being returned."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, _docs_mtime_ns(sf_dir))
     hit = _NEARDUP_CORPUS_CACHE.get(key)
     if hit is not None and hit.sparkSession is spark:
+        sl = hit.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            hit.cache()  # clearCache() unregistered the plan; re-register
         return hit
+    _purge_dead_corpus_entries()
 
     (docs,) = load(spark, sf_dir, "documents")
     # one scan, exploded into (original, 80%-prefix copy) — a union of two
