@@ -1025,3 +1025,83 @@ def test_strict_lineage_streaming_checkpoint_restart_mid_hold(spark, tmp_path):
             f"child {child} first batch {first[sid(child)]} !> "
             f"parent last batch {last[sid(0)]}"
         )
+
+
+def test_record_byte_identity_with_reference_formulation():
+    """The hand-tuned ``_record`` hot loop (r12: %-format payload, day-
+    cached ISO, _h_fast hashes) must stay BYTE-identical to the original
+    strftime + json.dumps formulation — the wire format is pinned by
+    sink manifests, oracle parity, and checkpoint replay."""
+    import hashlib
+    import json as _json
+    from datetime import timedelta
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        CURRENCIES,
+        _EPOCH,
+        _h,
+        _record,
+    )
+
+    def reference(template, seed, shard, seq, interval_ms):
+        ts = _EPOCH + timedelta(milliseconds=seq * interval_ms + shard)
+        iso = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        currency = CURRENCIES[_h(seed, shard, seq, "c") % len(CURRENCIES)]
+        if template == "rates":
+            payload = {
+                "exchangeRateTime": iso,
+                "currency": currency,
+                "rate": _h(seed, shard, seq, "r") % 97 + 2,
+            }
+        else:
+            payload = {
+                "id": shard * 1_000_000_000 + seq,
+                "orderTime": iso,
+                "amount": _h(seed, shard, seq, "a") % 10_000 + 1,
+                "currency": currency,
+            }
+        return (
+            f"shardId-{shard:012d}",
+            seq,
+            str(_h(seed, shard, seq, "pk") % 128),
+            _json.dumps(payload, separators=(",", ":")),
+            ts,
+        )
+
+    # sweep seeds/shards/intervals incl. multi-day rollover (1h interval
+    # crosses midnight at seq 24) and large seq magnitudes
+    for template in ("orders", "rates"):
+        for seed in (42, 7):
+            for shard in (0, 15):
+                for interval_ms in (10, 3_600_000):
+                    for seq in [*range(50), 9_999, 123_456]:
+                        assert _record(template, seed, shard, seq, interval_ms) == reference(
+                            template, seed, shard, seq, interval_ms
+                        ), (template, seed, shard, seq, interval_ms)
+
+
+def test_arrow_and_tuple_transport_row_parity(spark):
+    """arrow=true (RecordBatch transport) and the default per-tuple
+    transport must produce identical rows in both client modes — only
+    the transport differs."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import register
+
+    register(spark)
+
+    def scan(**extra):
+        return (
+            spark.read.format("kinesis_sim")
+            .option("stream", "orders")
+            .option("shards", 4)
+            .option("records_per_shard", 500)
+            .options(**extra)
+            .load()
+            .orderBy("shard_id", "sequence_number")
+            .collect()
+        )
+
+    base = scan()
+    assert len(base) == 2000
+    assert scan(arrow="true") == base
+    assert scan(arrow="true", client_mode="sdk") == base
+    assert scan(client_mode="sdk") == base
