@@ -103,71 +103,20 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 11 window (revised mid-round) ---------------------------------
+    # --- round 12 window (first 50 = the driver's correctness gate) ----------
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
-    # remaining slots go to the oldest-attested names.  r11 window:
-    # 1 NEW (kinesis_throttled_roundtrip, the fault-contract attestation,
-    # VERDICT r10 #2) + approx_sketches (first hash-checkable attestation,
-    # VERDICT r10 #4) + the 23 queries whose Spark-or-oracle code changed
-    # in the r11 adversarial-sweep hardening (tests/test_adversarial_oracle
-    # .py; driver-data hashes proven unchanged via driver_replica at
-    # sf0.01, but changed code gets driver attestation anyway) + as much
-    # of the r7-stale block as fits.  The 19 r7-stale queries displaced by
-    # the sweep fixes were replica-attested this session (sf0.01) and are
-    # FIRST IN LINE for the r12 window — see the displaced block below.
+    # remaining slots go to the oldest-attested names.  r12 window:
+    # the 21-query r7-stale displaced block leads (VERDICT r11 #3 — they
+    # were replica- and judge-verified green but their newest driver
+    # attestation is r7), then the surfaces the r12 diff touched — the 8
+    # near-dup-corpus-memo consumers (clearCache re-registration fix in
+    # queries/llm.py) and the 10 kinesis_sim-backed queries (the _record
+    # hot-loop rewrite is byte-identical, but changed code gets driver
+    # attestation anyway) — then 11 r8-stale fills.  After this round the
+    # stalest attestation in the registry advances r7 -> r8.
 
-    "kinesis_throttled_roundtrip",
-    "approx_sketches",
-    "temperature_mixture_sample",  # NEW r11: tau=2 Gopher-style mixing
-    "cusum_changepoint",
-    "event_transition_matrix",
-    "theilsen_trend",
-    "snapshot_cdc_diff",
-    "lag_lead_gaps",
-    "session_gaps_islands",
-    "window_moving_avg",
-    "window_running_distinct",
-    "sliding_window_events",
-    "sequence_packing",
-    "dedup_fingerprint",
-    "split_leakage_audit",
-    "rolling_fingerprint",
-    "token_stats",
-    "duplicate_span_removal",
-    "edit_distance_verify",
-    "media_decode_meta",
-    "media_resize",
-    "pandas_udaf_weighted_avg",
-    "approx_sketches_bounds",
-    "json_extract_agg",
-    "cogroup_asof_pandas",
-    "streaming_running_aggregate",
-    "streaming_session_window",
-    "rolling_anomaly_flags",
-    "embedding_neardup_wide",
-    "seasonal_residual_flags",
-    "incremental_dedup",
-    "embedding_gram_matrix",
-    "streaming_incremental_dedup",
-    "streaming_cms_sketch",
-    "streaming_sequence_detect",
-    "streaming_gram_matrix",
-    "cms_frequency_sketch",
-    "kmv_set_ops",
-    "binned_quantile_estimate",
-    "minhash_accuracy_report",
-    "ann_recall_report",
-    "bloom_contamination_screen",
-    "dedup_pipeline_report",
-    "canonical_doc_select",
-    "template_doc_detect",
-    "token_budget_select",
-    "incremental_agg_merge",
-    "feature_hash_vector",
-    "weighted_sample_topk",
-    "streaming_static_enrich",  # r11-changed late (rounding-tie fix)
-    # --- displaced r7-stale block: replica-attested r11, r12 window head --
+    # r7-stale displaced block (window head)
     "char_entropy_score",
     "bpe_merge_step",
     "bigram_surprisal_score",
@@ -189,7 +138,85 @@ _PRIORITY: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q18_large_volume_customer",
     "tpch_q12_late_priority",
-    # --- previously attested tail (r8-r10) ---------------------------------
+    # r12-changed: near-dup corpus memo consumers
+    "neardup_jaccard",
+    "dedup_clusters",
+    "dedup_fingerprint",
+    "containment_neardup",
+    "dedup_minhash_lsh",
+    "edit_distance_verify",
+    "canonical_doc_select",
+    "minhash_accuracy_report",
+    # r12-changed: kinesis_sim record-generation surface
+    "kinesis_throttled_roundtrip",
+    "kinesis_translating_sdk_roundtrip",
+    "kinesis_fake_sdk_roundtrip",
+    "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
+    "kinesis_merge_roundtrip",
+    "kinesis_reshard_chain_roundtrip",
+    "kinesis_merge_interval_join",
+    "streaming_kinesis_roundtrip",
+    "kinesis_reshard_roundtrip",
+    # r8-stale fills (oldest-attested after the r7 block)
+    "dedup_exact",
+    "ann_cosine_topk",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "pii_redaction",
+    "boilerplate_chunk_removal",
+    "zorder_layout",
+    "tpch_q15_top_supplier",
+    "topp_cumulative_share",
+    # --- previously attested tail (r8-r11), prior relative order kept ---
+    "global_sort_index",
+    "approx_sketches",
+    "temperature_mixture_sample",
+    "cusum_changepoint",
+    "event_transition_matrix",
+    "theilsen_trend",
+    "snapshot_cdc_diff",
+    "lag_lead_gaps",
+    "session_gaps_islands",
+    "window_moving_avg",
+    "window_running_distinct",
+    "sliding_window_events",
+    "sequence_packing",
+    "split_leakage_audit",
+    "rolling_fingerprint",
+    "token_stats",
+    "duplicate_span_removal",
+    "media_decode_meta",
+    "media_resize",
+    "pandas_udaf_weighted_avg",
+    "approx_sketches_bounds",
+    "json_extract_agg",
+    "cogroup_asof_pandas",
+    "streaming_running_aggregate",
+    "streaming_session_window",
+    "rolling_anomaly_flags",
+    "embedding_neardup_wide",
+    "seasonal_residual_flags",
+    "incremental_dedup",
+    "embedding_gram_matrix",
+    "streaming_incremental_dedup",
+    "streaming_cms_sketch",
+    "streaming_sequence_detect",
+    "streaming_gram_matrix",
+    "cms_frequency_sketch",
+    "kmv_set_ops",
+    "binned_quantile_estimate",
+    "ann_recall_report",
+    "bloom_contamination_screen",
+    "dedup_pipeline_report",
+    "template_doc_detect",
+    "token_budget_select",
+    "incremental_agg_merge",
+    "feature_hash_vector",
+    "weighted_sample_topk",
+    "streaming_static_enrich",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
     "pivot_status_by_priority",
@@ -208,18 +235,6 @@ _PRIORITY: list[str] = [
     "window_value_family",
     "table_profile",
     "integrity_audit",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "pii_redaction",
-    "boilerplate_chunk_removal",
-    "zorder_layout",
-    "tpch_q15_top_supplier",
-    "topp_cumulative_share",
-    "global_sort_index",
     "merge_upsert_snapshot",
     "map_functions",
     "try_arithmetic",
@@ -228,17 +243,12 @@ _PRIORITY: list[str] = [
     "tpch_q17_small_qty_revenue",
     "tpch_q2_min_cost_supplier",
     "tpch_q19_disjunctive_join",
-    "neardup_jaccard",
-    "dedup_clusters",
-    "kinesis_translating_sdk_roundtrip",
-    "kinesis_fake_sdk_roundtrip",
     "interval_join",
     "currency_conversion",
     "projection_filter",
     "asof_join_latest_rate",
     "asof_forward_join",
     "streaming_chained_windows",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -266,23 +276,16 @@ _PRIORITY: list[str] = [
     "lang_id",
     "corpus_clean_pipeline",
     "contamination_ngram_overlap",
-    "kinesis_interval_join",
-    "streaming_kinesis_tumbling",
     "interval_join_forward",
     "embedding_neardup",
-    "kinesis_merge_roundtrip",
-    "kinesis_reshard_chain_roundtrip",
-    "kinesis_merge_interval_join",
     "interval_join_full",
     "streaming_interval_join",
     "streaming_tumbling_window",
     "streaming_late_data",
     "streaming_dedup",
     "streaming_asof_enrich",
-    "streaming_kinesis_roundtrip",
     "duplicate_span_detect",
     "dsir_importance_select",
-    "containment_neardup",
     "streaming_dedup_restamped",
     "dataset_split_assign",
     "semantic_dedup",
