@@ -671,9 +671,15 @@ def q_approx_sketches_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     side of every comparison) and expects TRUE for all four verdict
     columns — so the hash compare IS the bounds check.  Scale shape: one
     shuffle on event_type; countDistinct expands to a two-phase
-    distinct-aggregate, exact percentile gathers per-group value lists —
-    acceptable for a 5-group accuracy gate, not a pattern for
-    high-cardinality groups (kmv_distinct_sketch is the mergeable path).
+    distinct-aggregate, and the rank-space quantile check materializes
+    each group's FULL value multiset via sort_array(collect_list) —
+    deliberately O(group size) in executor memory, which contradicts
+    sketch scale on purpose: this is the VERIFICATION query that holds
+    the exact answer up against the sketch, run at fixture/audit sizes
+    (5 groups here).  The production sketch path it certifies
+    (approx_sketches, kmv_distinct_sketch) never collects; at real group
+    cardinalities bound the check with two percentile() calls at p±slack
+    instead of collecting the array.
     """
     (ev,) = load(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(

@@ -618,7 +618,13 @@ _REG["zorder_layout"].oracle = _zorder_oracle()
     "temperature_mixture_sample",
     oracle="""
     WITH counts AS (
-      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+      -- NULL sources are excluded from the mixture entirely (the final
+      -- join drops their rows anyway — NULL never equi-matches), so they
+      -- must not dilute the total or the max-boost normalization either:
+      -- with them in, no source reaches rate 1000 when the NULL group is
+      -- rarest, silently breaking the rarest-keeps-everything invariant
+      SELECT source, count(*) AS n_s FROM documents
+      WHERE source IS NOT NULL GROUP BY source
     ),
     tot AS (SELECT sum(n_s) AS n FROM counts),
     w AS (
@@ -664,7 +670,15 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
 
     (docs,) = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # NULL sources never survive the final equi-join, so they are excluded
+    # from the counts/normalization too — otherwise a rare NULL group
+    # would claim the max boost and no real source would reach rate 1000
+    # (ADVICE r11; the oracle's counts CTE filters identically)
+    counts = (
+        docs.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
     total = counts.agg(F.sum("n_s").alias("n"))
     w = counts.join(F.broadcast(total)).select(
         "source",

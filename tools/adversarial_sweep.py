@@ -72,6 +72,11 @@ def main() -> int:
     names = sorted(specs)
     if args.only:
         names = [n for n in args.only.split(",") if n]
+        unknown = [n for n in names if n not in specs]
+        if unknown:
+            # a typo must fail the invocation up front, not crash the
+            # sweep mid-run with a raw KeyError (ADVICE r11)
+            sys.exit(f"--only names not in registry: {unknown}")
     skip = {n for n in args.skip.split(",") if n}
 
     ok, mismatch, error, rows_only, skipped = [], [], [], [], []

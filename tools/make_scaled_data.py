@@ -63,6 +63,11 @@ SHIFT_COLS = {
     "o_orderkey", "l_orderkey", "o_custkey", "c_custkey",
     "l_suppkey", "s_suppkey", "l_partkey", "p_partkey",
     "event_id", "user_id",
+    # documents/embeddings ids are shifted in their own per-copy blocks,
+    # but their maxima MUST participate in the stride computation — a
+    # stride chosen from the fact tables alone silently collides if the
+    # id domains ever exceed it (ADVICE r11)
+    "doc_id", "vec_id",
 }
 
 _TOKEN = re.compile(r"(\S+)")
@@ -110,7 +115,12 @@ def main() -> int:
 
     fact_tabs = {t: read(t) for t in FACTS}
     fact_dfs = {t: tab.to_pandas() for t, tab in fact_tabs.items()}
-    stride = _stride(list(fact_dfs.values()))
+    dtab = read("documents")
+    docs = dtab.to_pandas()
+    etab = read("embeddings")
+    emb = etab.to_pandas()
+    # stride over ALL shiftable id domains, incl. doc_id/vec_id
+    stride = _stride([*fact_dfs.values(), docs[["doc_id"]], emb[["vec_id"]]])
     print(f"key stride: {stride:,}")
 
     for t, df in fact_dfs.items():
@@ -125,23 +135,23 @@ def main() -> int:
                fact_tabs[t].schema)
 
     # documents: injective per-copy token rename (see module docstring)
-    dtab = read("documents")
-    docs = dtab.to_pandas()
     parts = []
     for i in range(args.copies):
         c = docs.copy()
         c["doc_id"] = c["doc_id"] + i * stride
         if i > 0:
             suffix = f"·{i}"
+            # .str.replace leaves NaN (NULL text) untouched — correct:
+            # a NULL document stays NULL in every copy
             c["text"] = c["text"].str.replace(_TOKEN, r"\1" + suffix, regex=True)
-        c["n_chars"] = c["text"].str.len().astype("int64")
+        # nullable length: plain .astype("int64") raises on NULL text
+        # rows (ADVICE r11); Int64 keeps NULL text → NULL n_chars
+        c["n_chars"] = c["text"].str.len().astype("Int64")
         parts.append(c)
     _write(args.dst, "documents", pd.concat(parts, ignore_index=True),
            dtab.schema)
 
     # embeddings: per-copy cyclic dimension rotation (cosine-preserving)
-    etab = read("embeddings")
-    emb = etab.to_pandas()
     e_copies = max(2, args.copies * 4 // 10)
     mat = np.stack(emb["embedding"].to_numpy())
     parts = []
