@@ -138,7 +138,8 @@ _PRIORITY: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q18_large_volume_customer",
     "tpch_q12_late_priority",
-    # r12-changed: near-dup corpus memo consumers
+    # r12-changed: near-dup corpus memo consumers + mixture NULL-source fix
+    "temperature_mixture_sample",
     "neardup_jaccard",
     "dedup_clusters",
     "dedup_fingerprint",
@@ -169,11 +170,10 @@ _PRIORITY: list[str] = [
     "boilerplate_chunk_removal",
     "zorder_layout",
     "tpch_q15_top_supplier",
-    "topp_cumulative_share",
     # --- previously attested tail (r8-r11), prior relative order kept ---
+    "topp_cumulative_share",
     "global_sort_index",
     "approx_sketches",
-    "temperature_mixture_sample",
     "cusum_changepoint",
     "event_transition_matrix",
     "theilsen_trend",
