@@ -59,13 +59,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
-    headline = {n: s for n, s in all_specs().items() if s.headline}
+    specs = all_specs()
+    headline = {n: s for n, s in specs.items() if s.headline}
     if args.queries:
+        # any registered query, not just headliners — the sf1 probe also
+        # covers the most expensive NON-headline LLM-tier ops (VERDICT
+        # r11 #5), whose 100 TB claims need data-dominated measurements
         want = {q.strip() for q in args.queries.split(",") if q.strip()}
-        unknown = want - set(headline)
+        unknown = want - set(specs)
         if unknown:
-            raise SystemExit(f"--queries not headliners: {sorted(unknown)}")
-        headline = {n: s for n, s in headline.items() if n in want}
+            raise SystemExit(f"--queries not in registry: {sorted(unknown)}")
+        headline = {n: s for n, s in specs.items() if n in want}
     results: dict[str, dict[str, float]] = {}
     for name, spec in headline.items():
         results[name] = {}
