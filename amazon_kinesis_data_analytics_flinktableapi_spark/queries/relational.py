@@ -770,6 +770,62 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: local supplier volume — revenue by nation where customer "
+    "and supplier share the nation, ASIA region, one order year.  Completes "
+    "the full TPC-H 22-query suite in the registry (Q1/Q3/Q7 appear as "
+    "agg_pricing_summary / shipping_priority / nation_pair_revenue).",
+)
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the o_orderdate year filter is pushed to the orders
+    parquet scan BEFORE the fact join (pruning ~6/7 of orders), then
+    lineitem joins the filtered orders/customer chain on its keys;
+    supplier, nation and region are broadcast (the c_nationkey =
+    s_nationkey locality constraint rides the broadcast-hash join as a
+    residual equi-condition, never a shuffle of its own).  Integer-cents
+    summation keeps the money sum order-independent and engine-exact
+    (the repo's TPC-H rounding convention)."""
+    customer, orders, lineitem, supplier, nation, region = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    yr = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = (
+        lineitem.join(yr, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast(
+        "bigint"
+    )
+    return joined.groupBy("n_name").agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+
+
+@query(
     "salted_join_revenue",
     oracle="""
     SELECT n_name,

@@ -27,7 +27,13 @@ def _canary_samples() -> list[float]:
     a = np.random.RandomState(0).rand(3000, 3000)
     (a @ a).sum()  # warm BLAS dispatch/threads once, untimed
     samples = []
-    for _ in range(3):
+    # min-of-5 (VERDICT r11 #7): the r11 serial readings swung 0.08 →
+    # 0.216 s while the parallel canary was FLAT, i.e. three samples can
+    # all land inside one scheduler/frequency hiccup; five samples at
+    # ~0.3 s each widen the window coverage for free.  (Core pinning via
+    # sched_setaffinity was rejected: BLAS may still fan out, and a
+    # pinned core's frequency is EXACTLY the unstable quantity.)
+    for _ in range(5):
         t = time.perf_counter()  # monotonic: NTP steps must not corrupt the reference
         (a @ a).sum()
         samples.append(round(time.perf_counter() - t, 4))
