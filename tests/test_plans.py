@@ -91,6 +91,19 @@ def test_tpch_q8_star_broadcasts(spark):
     assert_no_cartesian(df)
 
 
+def test_tpch_q5_pushes_year_filter_and_broadcasts(spark):
+    """Q5's order-year filter must reach the orders parquet scan (pruning
+    ~6/7 of orders before any join) and the dim chain must broadcast —
+    the locality constraint (c_nationkey = s_nationkey) rides the
+    supplier broadcast join as an equi key, never a cartesian."""
+    df = q("tpch_q5_local_supplier_volume", spark)
+    plan = explain_str(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
 def test_grouping_sets_single_expand(spark):
     """All three aggregation levels must come from ONE Expand + aggregate
     pass over the fact — not three separate scans unioned.  (The formatted
