@@ -410,9 +410,21 @@ def main() -> None:
         if prev_out.get("canary_parallel_sec"):
             # first present r10; captures multi-core contention the
             # single-threaded ratio above cannot (see _parallel_canary_samples)
-            out["canary_parallel_ratio_vs_prev"] = round(
-                out["canary_parallel_sec"] / prev_out["canary_parallel_sec"], 4
-            )
+            pratio = round(out["canary_parallel_sec"] / prev_out["canary_parallel_sec"], 4)
+            out["canary_parallel_ratio_vs_prev"] = pratio
+            # r12: the serial BLAS canary has twice produced readings
+            # decoupled from the actual workload substrate (r11: 2.7×
+            # slower while the parallel canary was flat; r12 dev: 2.7×
+            # slower while every query beat its all-round-best raw min).
+            # The queries ARE 32-way parallel Spark jobs, so the parallel
+            # canary is the better normalizer for them — report BOTH
+            # normalizations and let the disagreement itself flag an
+            # untrustworthy serial reading.
+            out["normalized_delta_vs_prev_parallel"] = {
+                q: round((timings[q] / pratio) / pt - 1, 4)
+                for q, pt in prev_out["queries"].items()
+                if q in timings and pt > 0
+            }
         out["normalized_delta_vs_prev"] = {
             q: round((timings[q] / ratio) / pt - 1, 4)
             for q, pt in prev_out["queries"].items()
