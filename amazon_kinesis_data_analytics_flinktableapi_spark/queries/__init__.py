@@ -113,12 +113,14 @@ _PRIORITY: list[str] = [
     # near-dup-corpus-memo consumers (clearCache re-registration fix in
     # queries/llm.py) and the 10 kinesis_sim-backed queries (the _record
     # hot-loop rewrite is byte-identical, but changed code gets driver
-    # attestation anyway) — then 10 r8-stale fills (tpch_q5_local_supplier
-    # _volume, NEW this round, takes the 50th slot).  After this round the
+    # attestation anyway) — then 9 r8-stale fills (the two NEW r12 queries,
+    # tpch_q5_local_supplier_volume and prefix_filter_setjoin, take the
+    # last slots).  After this round the
     # stalest attestation in the registry advances r7 -> r8.
 
-    # NEW r12: completes the TPC-H 22-query suite
+    # NEW r12: completes the TPC-H 22-query suite; PPJoin prefix filter
     "tpch_q5_local_supplier_volume",
+    "prefix_filter_setjoin",
     # r7-stale displaced block (window head)
     "char_entropy_score",
     "bpe_merge_step",
@@ -171,8 +173,8 @@ _PRIORITY: list[str] = [
     "embedding_label_centroids",
     "pii_redaction",
     "boilerplate_chunk_removal",
-    "zorder_layout",
     # --- previously attested tail (r8-r11), prior relative order kept ---
+    "zorder_layout",
     "tpch_q15_top_supplier",
     "topp_cumulative_share",
     "global_sort_index",

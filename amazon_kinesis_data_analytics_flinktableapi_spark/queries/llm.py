@@ -265,6 +265,126 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prefix_filter_setjoin",
+    oracle=f"""
+    WITH {_DUCK_NEARDUP_CORPUS},
+    samp AS (
+      SELECT doc_id, text FROM corpus
+      WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM samp),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               ELSE [] END) AS shingles
+      FROM toks
+    ),
+    nz AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM nz),
+    pairs AS (
+      -- the UNPRUNED exact inverted index: every co-shingle pair.  The
+      -- Spark side prunes candidates with the PPJoin prefix filter; the
+      -- theorem says pruning is LOSSLESS at the threshold, so the final
+      -- thresholded outputs must be identical — the oracle certifies the
+      -- optimization, not just the arithmetic.
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           shared * 1.0 / (sa.n + sb.n - shared) AS jaccard
+    FROM pairs
+    JOIN nz sa ON pairs.id_a = sa.doc_id
+    JOIN nz sb ON pairs.id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.6
+    """,
+    doc="PPJoin-style prefix-filtered set-similarity self-join (shingle "
+    "Jaccard >= 0.6): rarest-first canonical order, prefix + length "
+    "filters prune candidates LOSSLESSLY; oracle is the unpruned exact "
+    "inverted index, so the hash compare proves the pruning sound",
+)
+def q_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (the PPJoin family: Chaudhuri
+    et al. SSJoin / Xiao et al. PPJoin — public literature), the scale
+    path for exact-threshold Jaccard when a full inverted index is too
+    hot: each doc's shingles are sorted by a canonical global order
+    (ascending document frequency, rarest first, ties by value) and only
+    the first ``n - ceil(tau*n) + 1`` shingles generate join candidates —
+    any pair with Jaccard >= tau must share a prefix token under ANY
+    consistent global order, so the pruning loses nothing while hot
+    (frequent) shingles never enter the candidate join.  A length filter
+    (``tau*max(|a|,|b|) <= min(|a|,|b|)``) prunes further before the
+    exact verify.
+
+    Plan at 100 TB: four equi-shuffles, no broadcast needed — df
+    aggregate on shingle, df-join back + per-doc rebuild (groupBy
+    doc_id), candidate self-join on PREFIX shingles only (the hot-key
+    exposure is the rarest ~40% of each doc's shingles — exactly the
+    LOW-df keys), then the verify join on doc ids over candidates only.
+    Contrast with ``neardup_jaccard``'s max_df cap: the cap DROPS hot
+    shingles (recall argued empirically), the prefix filter never
+    consults them yet stays provably exact.
+
+    The corpus is the shared near-dup fixture sampled at doc_id % 10 = 0
+    (COPY_OFFSET is a multiple of 10, so original+copy pairs survive the
+    sample): the UNPRUNED oracle is quadratic in co-shingle pairs, and
+    the sample keeps its cost bounded at replica SFs while exercising
+    the full algorithm."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import shingle_sets
+
+    TAU = 0.6
+    corpus = _docs_with_neardup_copies(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    # raw string shingles (not xxhash64): the oracle compares shingle
+    # SETS cross-engine, so the join keys must be the portable strings;
+    # at real scale flip hashed=True and hash the oracle identically
+    sets = shingle_sets(corpus, "doc_id", "text", n=3)
+    ex = sets.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    df_s = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(df_s, "s")
+        .groupBy("doc_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("st"))
+    )
+    pref = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(f"slice(transform(st, x -> x.s), 1, CAST(n - ceil({TAU} * n) + 1 AS INT))")
+        ).alias("s"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * TAU <= F.col("b.n"))
+            & (F.col("b.n") * TAU <= F.col("a.n")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sha")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("shb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("shared"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+    )
+    return ver.select(
+        "id_a",
+        "id_b",
+        (F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= TAU)
+
+
+@query(
     "neardup_jaccard",
     oracle=f"""
     WITH {_DUCK_NEARDUP_CORPUS},
