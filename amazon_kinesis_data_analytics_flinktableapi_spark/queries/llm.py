@@ -133,21 +133,43 @@ def _docs_mtime_ns(sf_dir: str) -> int:
         return 0
 
 
+#: memo size bound: liveness probing cannot be fully trusted (private
+#: APIs; a Connect session has no _jsc), so the cache is ALSO hard-capped
+#: — oldest-inserted entries evict (with unpersist) past this many
+_CORPUS_CACHE_MAX = 8
+
+
+def _evict_corpus_entry(key) -> None:
+    df = _NEARDUP_CORPUS_CACHE.pop(key, None)
+    if df is not None:
+        try:
+            # drop the cached blocks AND the CacheManager registration so
+            # a later identical plan (same rootPath after an in-place data
+            # regeneration) cannot be served the stale materialization
+            df.unpersist()
+        except Exception:
+            pass  # session already torn down — nothing to free
+
+
 def _purge_dead_corpus_entries() -> None:
-    """Drop memo entries bound to stopped/unreachable sessions so the
+    """Drop memo entries bound to positively-stopped sessions so the
     cache cannot grow without bound across session restarts (ADVICE r11:
     entries for stopped sessions pinned their SparkSession forever).
     Called on every memo MISS — misses are rare (once per session per
-    sf_dir), so the per-entry liveness probe is off the hot path."""
-    dead = []
-    for k, df in _NEARDUP_CORPUS_CACHE.items():
+    sf_dir), so the per-entry liveness probe is off the hot path.
+
+    An entry whose introspection RAISES is kept (evicting live entries
+    on, e.g., a Connect session without ``_jsc`` would churn rebuilds);
+    the ``_CORPUS_CACHE_MAX`` cap bounds the cache even when liveness
+    can't be determined."""
+    for k in list(_NEARDUP_CORPUS_CACHE):
+        df = _NEARDUP_CORPUS_CACHE.get(k)
         try:
-            if df.sparkSession._sc._jsc.sc().isStopped():
-                dead.append(k)
-        except Exception:  # session/context torn down past introspection
-            dead.append(k)
-    for k in dead:
-        _NEARDUP_CORPUS_CACHE.pop(k, None)
+            stopped = df.sparkSession._sc._jsc.sc().isStopped()
+        except Exception:  # introspection unavailable — not proof of death
+            continue
+        if stopped:
+            _evict_corpus_entry(k)
 
 
 def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +206,16 @@ def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (sl.useMemory or sl.useDisk):
             hit.cache()  # clearCache() unregistered the plan; re-register
         return hit
+    # stale-mtime eviction BEFORE rebuilding: the superseded entry's plan
+    # is still registered in the CacheManager, and the rebuilt plan is the
+    # same canonicalized tree over the same rootPath (InMemoryFileIndex
+    # equality is path-based), so cache substitution would serve the OLD
+    # materialized blocks to the new plan — the exact stale-file-index
+    # hazard the mtime key exists to close.  Unpersisting the old entry
+    # removes both the blocks and the registration.
+    for k in list(_NEARDUP_CORPUS_CACHE):
+        if k[0] == id(spark) and k[1] == sf_dir and k != key:
+            _evict_corpus_entry(k)
     _purge_dead_corpus_entries()
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -211,6 +243,10 @@ def _docs_with_neardup_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the equivalent is persisting the tokenized intermediate.)
     out = spread(exploded).cache()
     _NEARDUP_CORPUS_CACHE[key] = out
+    while len(_NEARDUP_CORPUS_CACHE) > _CORPUS_CACHE_MAX:
+        # FIFO cap (dict preserves insertion order): bounds the cache even
+        # when session liveness can't be probed
+        _evict_corpus_entry(next(iter(_NEARDUP_CORPUS_CACHE)))
     return out
 
 

@@ -89,7 +89,7 @@ def _current_round() -> int | None:
     return max(seen) + 1 if seen else None
 
 
-def _prev_bench() -> tuple[str, dict, str] | tuple[None, None, str]:
+def _prev_bench(sf: float | None = None) -> tuple[str, dict, str] | tuple[None, None, str]:
     """Previous round's full bench JSON, with an explicit miss reason.
 
     Returns ``(artifact_name, parsed_output, source)`` or
@@ -103,7 +103,12 @@ def _prev_bench() -> tuple[str, dict, str] | tuple[None, None, str]:
     2. The driver envelope's ``parsed`` field (full dict when the tail
        survived truncation).
     3. Tail-line recovery (legacy fallback).
-    """
+
+    When ``sf`` is given, a candidate at a DIFFERENT sf is skipped and
+    the ladder continues (same round's envelope, then older rounds) —
+    so one dev-sf sidecar cannot mask the round's valid envelope and
+    kill normalization (cross-SF deltas are meaningless; the caller
+    passes the sf it is benching)."""
     import glob
     import re
 
@@ -125,6 +130,7 @@ def _prev_bench() -> tuple[str, dict, str] | tuple[None, None, str]:
             isinstance(d, dict)
             and bool(d.get("canary_sec"))
             and isinstance(d.get("queries"), dict)
+            and (sf is None or d.get("sf") == sf)
         )
 
     if not rounds:
@@ -165,8 +171,9 @@ def _prev_bench() -> tuple[str, dict, str] | tuple[None, None, str]:
                             )
                         break
     return None, None, (
-        "prior artifacts exist but none recoverable "
-        "(no sidecar; envelope parsed/tail unusable — likely tail truncation)"
+        "prior artifacts exist but none recoverable"
+        + (f" at sf={sf}" if sf is not None else "")
+        + " (no usable sidecar; envelope parsed/tail unusable — wrong sf or tail truncation)"
     )
 
 
@@ -174,7 +181,14 @@ def _persist_self(out: dict) -> None:
     """Write this run's full output JSON to ``BENCH_SELF_r{N}.json`` so
     the NEXT round's normalization never depends on the driver envelope's
     2,000-char tail surviving truncation.  Committed by
-    ``tools/round_end.py`` alongside the driver artifacts."""
+    ``tools/round_end.py`` alongside the driver artifacts.
+
+    A re-run AFTER the round's envelope lands infers N+1 and labels the
+    sidecar with the next round — accepted residual: the recovery ladder
+    is sf-aware and per-round multi-candidate, so a mislabeled or dev-sf
+    sidecar is skipped in favor of the round's envelope rather than
+    masking it (pin ``SPARK_GRAFT_BENCH_ROUND`` to avoid the mislabel
+    entirely)."""
     n = _current_round()
     if n is None:
         return
@@ -390,12 +404,10 @@ def main() -> None:
     # multi-core Spark jobs, so this corrects uniform host slowdowns
     # (shared-tenancy windows), not per-query plan changes — which is the
     # point: what survives normalization is a real regression.
-    prev_name, prev_out, prev_source = _prev_bench()
-    if prev_out is not None and prev_out.get("sf") != sf:
-        # (the sf guard: a dev run at sf0.01 must not "compare" against the
-        # driver's sf0.1 artifact — cross-SF deltas are meaningless)
-        prev_name, prev_out = None, None
-        prev_source = f"prior artifact is a different sf ({prev_source} candidate skipped)"
+    # sf-aware recovery: wrong-sf candidates (e.g. a dev-sf sidecar) are
+    # skipped INSIDE the ladder, falling through to the same round's
+    # envelope or older rounds, instead of masking them
+    prev_name, prev_out, prev_source = _prev_bench(sf=sf)
     if prev_out is None:
         # VERDICT r11 #2: never omit the normalization block silently —
         # an explicit reason in-artifact distinguishes "no prior data"
@@ -440,6 +452,18 @@ def main() -> None:
                 out.setdefault("normalized_throughput_delta_vs_prev", {})[label] = round(
                     (out[key] * ratio) / prev_out[key] - 1, 4
                 )
+                if out.get("canary_parallel_ratio_vs_prev"):
+                    # the scans/replays are 16-32-way parallel Python-worker
+                    # jobs — the parallel canary tracks their substrate (the
+                    # r11 case: throughput dipped ~30% while the serial BLAS
+                    # canary was flat), so they get the dual normalization
+                    # the query deltas carry
+                    out.setdefault("normalized_throughput_delta_vs_prev_parallel", {})[
+                        label
+                    ] = round(
+                        (out[key] * out["canary_parallel_ratio_vs_prev"]) / prev_out[key] - 1,
+                        4,
+                    )
     _persist_self(out)
     print(json.dumps(out))
     spark.stop()

@@ -148,3 +148,35 @@ def test_persist_self_round_trip(bench_mod, bench_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "13")
     name, prev, source = bench_mod._prev_bench()
     assert name == "BENCH_SELF_r12.json" and source == "self_sidecar"
+
+
+def test_wrong_sf_sidecar_falls_through_to_envelope(bench_mod, bench_dir):
+    """A dev-sf sidecar must not mask the same round's valid envelope:
+    the sf filter runs INSIDE the recovery ladder (code-review r12)."""
+    side = dict(_full_output(11), sf=0.01)  # dev run at the wrong sf
+    (bench_dir / "BENCH_SELF_r11.json").write_text(json.dumps(side))
+    (bench_dir / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": "", "parsed": _full_output(11)})
+    )
+    name, prev, source = bench_mod._prev_bench(sf=0.1)
+    assert name == "BENCH_r11.json" and source == "envelope_parsed"
+    assert prev["sf"] == 0.1
+
+
+def test_wrong_sf_everywhere_reports_sf_in_reason(bench_mod, bench_dir):
+    (bench_dir / "BENCH_SELF_r11.json").write_text(
+        json.dumps(dict(_full_output(11), sf=0.01))
+    )
+    name, prev, reason = bench_mod._prev_bench(sf=0.1)
+    assert name is None and "sf=0.1" in reason
+
+
+def test_sf_filter_skips_to_older_round(bench_mod, bench_dir, monkeypatch):
+    """Round N-1 at the wrong sf → fall back to round N-2 at the right sf."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "12")
+    (bench_dir / "BENCH_SELF_r11.json").write_text(
+        json.dumps(dict(_full_output(11), sf=0.01))
+    )
+    (bench_dir / "BENCH_SELF_r10.json").write_text(json.dumps(_full_output(10)))
+    name, prev, source = bench_mod._prev_bench(sf=0.1)
+    assert name == "BENCH_SELF_r10.json" and prev["value"] == 20.0

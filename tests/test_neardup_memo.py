@@ -38,31 +38,66 @@ def test_memo_hit_recaches_after_clearcache(spark):
     assert _cached(df2), "a hit whose storage level dropped to NONE must re-register"
 
 
-def test_memo_key_includes_data_mtime(spark, tmp_path):
-    """A regenerated sf_dir (new mtime) must rebuild, not serve the old
-    corpus bound to the previous parquet file index."""
+def test_memo_key_includes_data_mtime_and_evicts_stale_entry(spark, tmp_path):
+    """A regenerated sf_dir (new mtime) must rebuild AND unpersist the
+    superseded entry: its plan is the same canonicalized tree over the
+    same rootPath, so a still-registered old cache would be substituted
+    into the rebuilt plan and serve the stale file index's blocks."""
+    import pyarrow.parquet as pq
+
     sf = tmp_path / "sf"
     sf.mkdir()
-    shutil.copy(os.path.join(SF_ORACLE, "documents.parquet"), sf / "documents.parquet")
+    src = os.path.join(SF_ORACLE, "documents.parquet")
+    shutil.copy(src, sf / "documents.parquet")
     llm._NEARDUP_CORPUS_CACHE.clear()
     df1 = llm._docs_with_neardup_copies(spark, str(sf))
-    os.utime(sf / "documents.parquet", ns=(1, 1))  # simulate regeneration
+    n1 = df1.count()  # materialize the cache so substitution would really bite
+    assert _cached(df1)
+    # regenerate IN PLACE with half the rows — the test the reviewer
+    # asked for: not just a new DataFrame object, but fresh CONTENT
+    # (cache substitution by canonical plan would serve the old count)
+    tab = pq.read_table(src)
+    pq.write_table(tab.slice(0, tab.num_rows // 2), sf / "documents.parquet")
+    spark.catalog.refreshByPath(str(sf))  # drop Spark's file-listing cache too
     df2 = llm._docs_with_neardup_copies(spark, str(sf))
     assert df2 is not df1
-    assert len([k for k in llm._NEARDUP_CORPUS_CACHE if k[1] == str(sf)]) >= 1
+    assert len([k for k in llm._NEARDUP_CORPUS_CACHE if k[1] == str(sf)]) == 1
+    assert df2.count() == n1 // 2, "rebuilt corpus must reflect the regenerated file"
+    assert _cached(df2)
 
 
-def test_purge_drops_unreachable_entries(spark):
-    """Entries whose session introspection fails are evicted on the next
-    miss, bounding cache growth across session restarts."""
+def test_purge_keeps_unreachable_but_cap_bounds_growth(spark):
+    """Introspection failure is NOT proof of death (a Connect session has
+    no _jsc) — such entries survive the purge; the FIFO cap still bounds
+    total cache size, unpersisting evictees."""
 
-    class _DeadDF:
+    class _OpaqueDF:
+        unpersisted = 0
+
         @property
         def sparkSession(self):
-            raise RuntimeError("context torn down")
+            raise RuntimeError("introspection unavailable")
+
+        def unpersist(self):
+            type(self).unpersisted += 1
 
     llm._NEARDUP_CORPUS_CACHE.clear()
-    llm._NEARDUP_CORPUS_CACHE[(0, "dead", 0)] = _DeadDF()
+    llm._NEARDUP_CORPUS_CACHE[(0, "opaque", 0)] = _OpaqueDF()
     live = llm._docs_with_neardup_copies(spark, SF_ORACLE)  # miss → purge
-    assert (0, "dead", 0) not in llm._NEARDUP_CORPUS_CACHE
+    assert (0, "opaque", 0) in llm._NEARDUP_CORPUS_CACHE, "not evicted on doubt"
     assert _cached(live)
+    # overflow the cap with opaque fillers: oldest entries evict, with
+    # unpersist attempted on each evictee
+    for i in range(llm._CORPUS_CACHE_MAX + 2):
+        llm._NEARDUP_CORPUS_CACHE[(1, f"fill{i}", 0)] = _OpaqueDF()
+    llm._NEARDUP_CORPUS_CACHE.clear()  # reset for other tests
+    llm._NEARDUP_CORPUS_CACHE[(0, "opaque", 0)] = _OpaqueDF()
+    before = _OpaqueDF.unpersisted
+    # rebuilding for a real sf_dir triggers the cap path only when over
+    # the limit; fill to exactly the cap first
+    for i in range(llm._CORPUS_CACHE_MAX):
+        llm._NEARDUP_CORPUS_CACHE[(1, f"fill{i}", 0)] = _OpaqueDF()
+    llm._docs_with_neardup_copies(spark, SF_ORACLE)  # insert → over cap → evict oldest
+    assert len(llm._NEARDUP_CORPUS_CACHE) <= llm._CORPUS_CACHE_MAX
+    assert _OpaqueDF.unpersisted > before
+    llm._NEARDUP_CORPUS_CACHE.clear()

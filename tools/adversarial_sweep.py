@@ -78,6 +78,11 @@ def main() -> int:
             # sweep mid-run with a raw KeyError (ADVICE r11)
             sys.exit(f"--only names not in registry: {unknown}")
     skip = {n for n in args.skip.split(",") if n}
+    unknown_skip = [n for n in skip if n not in specs]
+    if unknown_skip:
+        # same contract as --only: a typoed skip must fail loudly, not
+        # silently run the query it meant to exclude
+        sys.exit(f"--skip names not in registry: {unknown_skip}")
 
     ok, mismatch, error, rows_only, skipped = [], [], [], [], []
     for name in names:
