@@ -1105,3 +1105,21 @@ def test_arrow_and_tuple_transport_row_parity(spark):
     assert scan(arrow="true") == base
     assert scan(arrow="true", client_mode="sdk") == base
     assert scan(client_mode="sdk") == base
+
+
+def test_arrow_batches_empty_and_chunk_boundaries():
+    """_arrow_batches: empty iterator yields no batches; chunking splits
+    exactly at _ARROW_CHUNK and preserves order/content."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.kinesis_sim import (
+        _ARROW_CHUNK,
+        _arrow_batches,
+        _record,
+    )
+
+    assert list(_arrow_batches(iter([]))) == []
+    n = _ARROW_CHUNK + 3
+    recs = [_record("orders", 42, 0, q, 10) for q in range(n)]
+    batches = list(_arrow_batches(iter(recs)))
+    assert [b.num_rows for b in batches] == [_ARROW_CHUNK, 3]
+    seqs = [v.as_py() for b in batches for v in b.column("sequence_number")]
+    assert seqs == list(range(n))
