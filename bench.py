@@ -245,7 +245,13 @@ def main() -> None:
     # the sf0.1 scaling probe reads it FASTER than the r10 bench min, so
     # the +32.5% normalized delta was sampling variance, not a code cost —
     # two extra samples make the min robust to a window spanning three).
-    min5 = {"duplicate_span_removal"}
+    # r12 additions: the two corpus-memo headliners' run-1 sample pays the
+    # memo build and their spreads stayed the widest of the set across the
+    # r12 dev runs (neardup_jaccard [8.77, 4.18, 2.75]; dedup_clusters
+    # [8.96, 4.99, 2.68, 3.05]) — three samples can leave the min a full
+    # batch above steady state, which is exactly the r10-vs-r11 ambiguity
+    # the regression forensics had to untangle
+    min5 = {"duplicate_span_removal", "neardup_jaccard", "dedup_clusters"}
     for name, spec in headline.items():
         samples, n_rows = [], 0
 
