@@ -225,3 +225,37 @@ def test_temperature_mixture_rates_follow_sqrt_target(spark):
     by_share = sorted(counts, key=counts.get)
     rates = [want[s] for s in by_share]
     assert rates == sorted(rates, reverse=True), rates
+
+
+def test_temperature_mixture_excludes_null_sources(spark, tmp_path):
+    """ADVICE r11 semantics, pinned on purpose-built data: NULL-source
+    rows never reach the output AND never dilute the normalization — the
+    rarest REAL source keeps rate 1000 even when the NULL group is
+    rarer than every real source."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+
+    rows = []
+    # NULL group of size 1 (rarest overall), then a 2/8/32 real skew
+    sources = [None] + ["rare"] * 2 + ["mid"] * 8 + ["hot"] * 32
+    for i, s in enumerate(sources):
+        rows.append({"doc_id": i, "text": f"doc {i}", "lang": "en", "source": s, "n_chars": 5})
+    pdf = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(pdf), tmp_path / "documents.parquet")
+
+    out = REGISTRY["temperature_mixture_sample"].fn(spark, str(tmp_path)).collect()
+    assert all(r["source"] is not None for r in out)
+    rates = {}
+    for r in out:
+        rates.setdefault(r["source"], r["rate_permille"])
+        assert rates[r["source"]] == r["rate_permille"]
+    # rarest REAL source keeps everything despite the rarer NULL group
+    assert rates.get("rare", 1000) == 1000  # rate must BE 1000 if any rare row survives
+    # with n=2 of 42 and rate 1000, both rare rows survive the Bernoulli
+    assert sum(1 for r in out if r["source"] == "rare") == 2
+    # monotone: hotter sources are suppressed at least as hard
+    if "mid" in rates and "hot" in rates:
+        assert rates["rare"] >= rates["mid"] >= rates["hot"]
