@@ -113,14 +113,15 @@ _PRIORITY: list[str] = [
     # near-dup-corpus-memo consumers (clearCache re-registration fix in
     # queries/llm.py) and the 10 kinesis_sim-backed queries (the _record
     # hot-loop rewrite is byte-identical, but changed code gets driver
-    # attestation anyway) — then 9 r8-stale fills (the two NEW r12 queries,
-    # tpch_q5_local_supplier_volume and prefix_filter_setjoin, take the
-    # last slots).  After this round the
+    # attestation anyway) — then 8 r8-stale fills (the three NEW r12
+    # queries — tpch_q5_local_supplier_volume, prefix_filter_setjoin,
+    # bm25_rank — take the last slots).  After this round the
     # stalest attestation in the registry advances r7 -> r8.
 
-    # NEW r12: completes the TPC-H 22-query suite; PPJoin prefix filter
+    # NEW r12: TPC-H 22 completion; PPJoin prefix filter; BM25 retrieval
     "tpch_q5_local_supplier_volume",
     "prefix_filter_setjoin",
+    "bm25_rank",
     # r7-stale displaced block (window head)
     "char_entropy_score",
     "bpe_merge_step",
@@ -172,8 +173,8 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "embedding_label_centroids",
     "pii_redaction",
-    "boilerplate_chunk_removal",
     # --- previously attested tail (r8-r11), prior relative order kept ---
+    "boilerplate_chunk_removal",
     "zorder_layout",
     "tpch_q15_top_supplier",
     "topp_cumulative_share",

@@ -1366,6 +1366,114 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bm25_rank's fixed query (literal terms from the synthetic vocabulary)
+_BM25_TERMS = ("table", "join", "window")
+
+
+@query(
+    "bm25_rank",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'table'))  AS tf0,
+             len(list_filter(tk, x -> x = 'join'))   AS tf1,
+             len(list_filter(tk, x -> x = 'window')) AS tf2
+      FROM base
+    ),
+    s AS (
+      -- BIGINT casts: DuckDB sum() yields HUGEINT, whose arithmetic
+      -- promotes the whole score to DECIMAL instead of DOUBLE
+      SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM t
+    )
+    SELECT doc_id, dl, tf0 + tf1 + tf2 AS tf_total,
+           FLOOR((
+             (2*n - 2*df0 + 1) * 1.0 / (2*df0 + 1)
+               * (22.0 * tf0 * sl / (10.0 * tf0 * sl + 3.0 * sl + 9.0 * dl * n))
+           + (2*n - 2*df1 + 1) * 1.0 / (2*df1 + 1)
+               * (22.0 * tf1 * sl / (10.0 * tf1 * sl + 3.0 * sl + 9.0 * dl * n))
+           + (2*n - 2*df2 + 1) * 1.0 / (2*df2 + 1)
+               * (22.0 * tf2 * sl / (10.0 * tf2 * sl + 3.0 * sl + 9.0 * dl * n))
+           ) * 1000000 + 0.5) / 1000000 AS bm25_score
+    FROM t, s
+    WHERE tf0 + tf1 + tf2 > 0
+    """,
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query, "
+    "odds-ratio idf variant: every factor is a ratio of small integers, so "
+    "the score is engine-exact without ln()",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring, the retrieval-side sibling of
+    ``tfidf_top_terms``: score(d) = Σ_i idf'_i · tf_i(k1+1) / (tf_i +
+    k1(1−b+b·dl/avgdl)) with k1=1.2, b=0.75.
+
+    Engine-exactness by construction (the repo's doctrine —
+    ``temperature_mixture_sample`` pinned its power to sqrt for the same
+    reason): Robertson idf needs ln(), which IEEE 754 does NOT require
+    to be correctly rounded, so a 1-ulp libm divergence could flip a
+    rounded tie cross-engine.  The odds-ratio variant drops the log:
+    idf' = (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1) — a ratio of exact
+    integers that is also always POSITIVE (no BM25 negative-idf quirk).
+    The tf term clears denominators the same way: with S = Σdl,
+    tf·2.2/(tf + 1.2(0.25 + 0.75·dl·N/S)) = 22·tf·S/(10·tf·S + 3·S +
+    9·dl·N).  Every product of integers stays ≤ 2⁵³ at any tested SF
+    (exact in double), each division is one correctly-rounded IEEE op,
+    and the 3-term sum is written left-associated identically in both
+    engines — bit-identical scores, half-up-floored to 6 decimals as
+    defense in depth.
+
+    Plan at 100 TB: tokens ride the scan (no shuffle before the
+    aggregate), the corpus statistics are ONE 1-row aggregate broadcast
+    back, and scoring is a pure map with a tf>0 filter — no shuffle of
+    the corpus at all.  Reference parity: no counterpart in the
+    reference; LLM-pipeline tier (retrieval/quality scoring)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+
+    def tf_col(term):
+        # factory closure, NOT a default-arg lambda: F.filter treats a
+        # 2-arg lambda as (element, index)
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    t = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(q).alias(f"tf{i}") for i, q in enumerate(_BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    # 1.0D/22.0D… double literals: Spark SQL parses a bare `1.0` as
+    # DECIMAL(2,1), which would silently flip the whole score into
+    # decimal arithmetic (different rounding than the oracle's doubles)
+    contrib = " + ".join(
+        f"(2*n - 2*df{i} + 1) * 1.0D / (2*df{i} + 1)"
+        f" * (22.0D * tf{i} * sl / (10.0D * tf{i} * sl + 3.0D * sl + 9.0D * dl * n))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        t.join(F.broadcast(stats))
+        .filter(F.expr("tf0 + tf1 + tf2 > 0"))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr("tf0 + tf1 + tf2").alias("tf_total"),
+            F.expr(f"FLOOR(({contrib}) * 1000000 + 0.5) / 1000000").alias("bm25_score"),
+        )
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""
