@@ -447,6 +447,7 @@ BNLJ_SCALAR_CROSS = {
     "tpch_q22_idle_customers",  # 1-row global avg-balance threshold
     "tpch_q11_important_stock", # 1-row global value threshold
     "temperature_mixture_sample",  # 1-row global doc total + 1-row max boost
+    "bm25_rank",                # 1-row corpus stats (N, Σdl, df per term)
 }
 
 
