@@ -109,14 +109,15 @@ _PRIORITY: list[str] = [
     # remaining slots go to the oldest-attested names.  r12 window:
     # the 21-query r7-stale displaced block leads (VERDICT r11 #3 — they
     # were replica- and judge-verified green but their newest driver
-    # attestation is r7), then the surfaces the r12 diff touched — the 8
+    # attestation is r7), then the surfaces the r12 diff touched — the 9
     # near-dup-corpus-memo consumers (clearCache re-registration fix in
     # queries/llm.py) and the 10 kinesis_sim-backed queries (the _record
     # hot-loop rewrite is byte-identical, but changed code gets driver
-    # attestation anyway) — then 8 r8-stale fills (the three NEW r12
+    # attestation anyway) — then 7 r8-stale fills (the three NEW r12
     # queries — tpch_q5_local_supplier_volume, prefix_filter_setjoin,
-    # bm25_rank — take the last slots).  After this round the
-    # stalest attestation in the registry advances r7 -> r8.
+    # bm25_rank — LEAD the window; 3 new + 21 r7-stale + 9 memo +
+    # 10 kinesis + 7 fills = 50).  After this round the stalest
+    # attestation in the registry advances r7 -> r8.
 
     # NEW r12: TPC-H 22 completion; PPJoin prefix filter; BM25 retrieval
     "tpch_q5_local_supplier_volume",

@@ -124,13 +124,37 @@ _NEARDUP_CORPUS_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 def _docs_mtime_ns(sf_dir: str) -> int:
     """mtime of the documents table, part of the memo key: a regenerated
     sf_dir must not serve a corpus built over the OLD parquet's file
-    index (ADVICE r11)."""
-    import os
+    index (ADVICE r11).
 
+    When the single-file stat fails (directory-style parquet write,
+    rename), fall back to the sf_dir's own mtime — which still changes
+    on regeneration — instead of a constant 0 that would collapse every
+    session's key and silently disable the staleness protection
+    (ADVICE r12); a one-time warning makes the degraded mode visible."""
+    import os
+    import warnings
+
+    target = os.path.join(sf_dir, "documents.parquet")
     try:
-        return os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+        return os.stat(target).st_mtime_ns
     except OSError:
-        return 0
+        try:
+            fallback = os.stat(sf_dir).st_mtime_ns
+        except OSError:
+            fallback = 0
+        if target not in _MTIME_WARNED:
+            _MTIME_WARNED.add(target)
+            warnings.warn(
+                f"could not stat {target}; near-dup corpus memo key falls "
+                f"back to the sf_dir mtime ({fallback}) — staleness detection "
+                "is coarser until the file is restored",
+                stacklevel=2,
+            )
+        return fallback
+
+
+#: one-time-warning latch for _docs_mtime_ns fallbacks (per target path)
+_MTIME_WARNED: set[str] = set()
 
 
 #: memo size bound: liveness probing cannot be fully trusted (private
@@ -1366,8 +1390,20 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: bm25_rank's fixed query (literal terms from the synthetic vocabulary)
+#: bm25_rank's fixed query (literal terms from the synthetic vocabulary).
+#: The DuckDB oracle below spells these terms (and their tf0/tf1/tf2
+#: columns) out literally — editing this tuple requires editing the
+#: oracle in lockstep, which the assert enforces (ADVICE r12); the
+#: Spark-side filter/tf_total ARE derived from it (see _bm25_tf_sum).
 _BM25_TERMS = ("table", "join", "window")
+assert _BM25_TERMS == ("table", "join", "window"), (
+    "bm25_rank's DuckDB oracle hardcodes these terms — update the oracle "
+    "SQL (tf0/tf1/tf2 list_filter literals, score sum, WHERE) in lockstep"
+)
+
+#: Spark-side "any query term present" sum, derived from the terms tuple
+#: so the filter/tf_total can never desynchronize from the score sum
+_BM25_TF_SUM = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
 
 
 @query(
@@ -1464,11 +1500,11 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.join(F.broadcast(stats))
-        .filter(F.expr("tf0 + tf1 + tf2 > 0"))
+        .filter(F.expr(f"{_BM25_TF_SUM} > 0"))
         .select(
             "doc_id",
             "dl",
-            F.expr("tf0 + tf1 + tf2").alias("tf_total"),
+            F.expr(_BM25_TF_SUM).alias("tf_total"),
             F.expr(f"FLOOR(({contrib}) * 1000000 + 0.5) / 1000000").alias("bm25_score"),
         )
     )

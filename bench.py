@@ -74,19 +74,36 @@ def _current_round() -> int | None:
     driver writes round N's envelope only AFTER round N's bench run, so
     while round N runs, files ≤ N−1 exist.  The inference keeps a
     same-session re-run (which has already written BENCH_SELF_r{N}.json)
-    from comparing against its own prior output."""
+    from comparing against its own prior output.
+
+    Sidecar indices count too (ADVICE r12), but differently: an
+    ENVELOPE for round N is written by the driver AFTER round N's bench
+    (→ current ≥ N+1), while a SIDECAR labeled N means a bench run
+    executed *as* round N — round N is in progress or being re-run
+    (→ current ≥ N, not N+1; +1 here would drift every later round's
+    label whenever a dev run pre-wrote the current round's sidecar).
+    ``max(max_envelope+1, max_sidecar)`` therefore (a) labels a
+    sidecar-only dev dir with the sidecar's own round, so the n ≥ cur
+    exclusion in :func:`_prev_bench` drops it and the run can't compare
+    against its own prior output, and (b) leaves the driver's inference
+    unchanged when a same-round dev sidecar already exists."""
     import glob
     import re
 
     cur = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if cur and cur.isdigit():
         return int(cur)
-    seen = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(_bench_dir(), "BENCH_r*.json"))
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
-    ]
-    return max(seen) + 1 if seen else None
+    env_seen, self_seen = [], []
+    for p in glob.glob(os.path.join(_bench_dir(), "BENCH_r*.json")) + glob.glob(
+        os.path.join(_bench_dir(), "BENCH_SELF_r*.json")
+    ):
+        m = re.fullmatch(r"BENCH(_SELF)?_r(\d+)\.json", os.path.basename(p))
+        if m:
+            (self_seen if m.group(1) else env_seen).append(int(m.group(2)))
+    cands = ([max(env_seen) + 1] if env_seen else []) + (
+        [max(self_seen)] if self_seen else []
+    )
+    return max(cands) if cands else None
 
 
 def _prev_bench(sf: float | None = None) -> tuple[str, dict, str] | tuple[None, None, str]:
@@ -191,6 +208,15 @@ def _persist_self(out: dict) -> None:
     entirely)."""
     n = _current_round()
     if n is None:
+        # ADVICE r12: never skip silently — a dev dir with no artifacts
+        # at all is the only way to get here now, but the operator should
+        # still learn the sidecar wasn't written (next round's
+        # normalization will report prev_missing_reason).
+        print(
+            "# warn: round unknown (no BENCH_r*/BENCH_SELF_r* artifacts and "
+            "SPARK_GRAFT_BENCH_ROUND unset) — BENCH_SELF sidecar not written",
+            file=sys.stderr,
+        )
         return
     try:
         with open(os.path.join(_bench_dir(), f"BENCH_SELF_r{n}.json"), "w") as f:
@@ -471,8 +497,39 @@ def main() -> None:
                         4,
                     )
     _persist_self(out)
-    print(json.dumps(out))
+    print(json.dumps(_slim_for_stdout(out)))
     spark.stop()
+
+
+# Bulky trace fields live in the BENCH_SELF sidecar only; dropped from the
+# stdout line largest-first until it fits the driver's tail window.
+_SLIM_DROP_ORDER = [
+    "query_samples",
+    "canary_samples_sec",
+    "canary_parallel_samples_sec",
+    "throughput_samples_sec",
+    "normalized_delta_vs_prev",  # serial-canary variant; parallel kept (r12: better normalizer)
+    "normalized_throughput_delta_vs_prev",
+    "normalized_delta_vs_prev_parallel",  # last resort — sidecar still has it
+]
+_STDOUT_BUDGET = 1900  # driver envelope keeps the LAST 2,000 chars of stdout
+
+
+def _slim_for_stdout(out: dict) -> dict:
+    """The driver's bench envelope stores only the last 2,000 chars of
+    stdout ("tail") and json-parses it; r10 and r12 both shipped
+    ``"parsed": null`` because the full output line outgrew that window
+    and lost its head (VERDICT r12 #4).  The full record is already
+    truncation-proof in ``BENCH_SELF_r{N}.json``, so the stdout line
+    only needs the headline metrics + normalized deltas — drop trace
+    arrays (and, if still oversized, the redundant serial-canary delta
+    blocks) until the line fits with margin."""
+    slim = dict(out)
+    for key in _SLIM_DROP_ORDER:
+        if len(json.dumps(slim)) <= _STDOUT_BUDGET:
+            break
+        slim.pop(key, None)
+    return slim
 
 
 if __name__ == "__main__":

@@ -163,12 +163,64 @@ def test_wrong_sf_sidecar_falls_through_to_envelope(bench_mod, bench_dir):
     assert prev["sf"] == 0.1
 
 
-def test_wrong_sf_everywhere_reports_sf_in_reason(bench_mod, bench_dir):
+def test_wrong_sf_everywhere_reports_sf_in_reason(bench_mod, bench_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "12")
     (bench_dir / "BENCH_SELF_r11.json").write_text(
         json.dumps(dict(_full_output(11), sf=0.01))
     )
     name, prev, reason = bench_mod._prev_bench(sf=0.1)
     assert name is None and "sf=0.1" in reason
+
+
+def test_sidecar_only_dir_infers_own_round_and_skips_self(bench_mod, bench_dir):
+    """ADVICE r12: a dir with ONLY sidecars (dev machine, no envelopes,
+    round unpinned) must not compare a run against its own earlier
+    sidecar.  The inference labels the run with the newest sidecar's
+    round (a re-run of it), so the n >= cur exclusion drops it."""
+    (bench_dir / "BENCH_SELF_r11.json").write_text(json.dumps(_full_output(11)))
+    assert bench_mod._current_round() == 11
+    name, prev, reason = bench_mod._prev_bench(sf=0.1)
+    assert name is None and "no prior" in reason
+    # an OLDER sidecar is legitimately prior and is recovered
+    (bench_dir / "BENCH_SELF_r10.json").write_text(json.dumps(_full_output(10)))
+    assert bench_mod._current_round() == 11
+    name, prev, source = bench_mod._prev_bench(sf=0.1)
+    assert name == "BENCH_SELF_r10.json" and source == "self_sidecar"
+
+
+def test_same_round_dev_sidecar_does_not_drift_inference(bench_mod, bench_dir):
+    """A dev run that pre-wrote the current round's sidecar must not bump
+    the driver's later inference to round+1 (which would let the dev
+    sidecar masquerade as 'previous')."""
+    (bench_dir / "BENCH_r12.json").write_text(
+        json.dumps({"n": 12, "rc": 0, "tail": "", "parsed": _full_output(12)})
+    )
+    (bench_dir / "BENCH_SELF_r13.json").write_text(json.dumps(_full_output(13)))
+    assert bench_mod._current_round() == 13
+    name, prev, source = bench_mod._prev_bench(sf=0.1)
+    assert name == "BENCH_r12.json" and source == "envelope_parsed"
+
+
+def test_slim_for_stdout_fits_driver_tail(bench_mod):
+    """VERDICT r12 #4: the driver envelope keeps only the LAST 2,000
+    chars of stdout; the stdout line must fit or its head is cut and
+    ``parsed`` lands null."""
+    out = _full_output(12)
+    # inflate with the real bulky fields a full run carries
+    out["query_samples"] = {f"q{i}": [1.234, 2.345, 3.456] for i in range(40)}
+    out["canary_samples_sec"] = {"start": [0.1] * 5, "end": [0.2] * 5}
+    out["canary_parallel_samples_sec"] = {"start": [0.3] * 3, "end": [0.4] * 3}
+    out["throughput_samples_sec"] = {f"t{i}": [5.0] * 5 for i in range(3)}
+    out["normalized_delta_vs_prev"] = {f"q{i}": 0.1234 for i in range(40)}
+    out["normalized_delta_vs_prev_parallel"] = {f"q{i}": 0.1234 for i in range(40)}
+    slim = bench_mod._slim_for_stdout(out)
+    assert len(json.dumps(slim)) <= 2000
+    # headline metrics always survive
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in slim
+    # a small record is passed through untouched
+    small = _full_output(12)
+    assert bench_mod._slim_for_stdout(small) == small
 
 
 def test_sf_filter_skips_to_older_round(bench_mod, bench_dir, monkeypatch):
