@@ -59,6 +59,32 @@ def _parallel_canary_samples(spark) -> list[float]:
     return samples
 
 
+def _sched_canary_samples(spark) -> list[float]:
+    """Scheduling-latency companion to the two compute canaries: a FIXED
+    job of 1,024 near-empty tasks (count over a pre-materialized 1024-
+    partition range), timed min-of-3.  Motivation (r12 forensics): the
+    r12 bench depressed exactly the three latency-bound metrics —
+    micro-batch streaming replay and both 16-way small-task kinesis
+    scans — by 25-45% simultaneously, while every long-running batch
+    query was normal and BOTH canaries (single-thread BLAS, 32-way
+    whole-stage codegen) were only ~16% slower; all three metrics then
+    recovered to best-ever in r13 with zero code change on their paths.
+    The common substrate of the affected metrics is many small
+    scheduling quanta (task dispatch, micro-batch planning, Python
+    worker reuse), which a throughput-bound canary cannot see.  This
+    probe times 1,024 task dispatches doing ~no work, so a host window
+    that taxes scheduling/process churn moves it the way it moved the
+    r12 numbers — making that third noise mode visible in-band."""
+    df = spark.range(0, 1024, 1, 1024)
+    df.count()  # warm task-dispatch path, untimed
+    samples = []
+    for _ in range(3):
+        t = time.perf_counter()
+        df.count()
+        samples.append(round(time.perf_counter() - t, 4))
+    return samples
+
+
 def _bench_dir() -> str:
     """Directory holding BENCH_r*.json / BENCH_SELF_r*.json artifacts.
     Overridable (``SPARK_GRAFT_BENCH_DIR``) so tests can point the
@@ -250,6 +276,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     startup = time.time() - t0
     pcanary_start = _parallel_canary_samples(spark)
+    scanary_start = _sched_canary_samples(spark)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     timings: dict[str, float] = {}
@@ -388,6 +415,7 @@ def main() -> None:
     # shows as end >> start; both traces land in the JSON
     canary_end = _canary_samples()
     pcanary_end = _parallel_canary_samples(spark)
+    scanary_end = _sched_canary_samples(spark)
     print(f"# canary: start={canary_start} end={canary_end}", file=sys.stderr)
     print(
         f"# parallel_canary: start={pcanary_start} end={pcanary_end}",
@@ -418,6 +446,8 @@ def main() -> None:
         "canary_samples_sec": {"start": canary_start, "end": canary_end},
         "canary_parallel_sec": min(min(pcanary_start), min(pcanary_end)),
         "canary_parallel_samples_sec": {"start": pcanary_start, "end": pcanary_end},
+        "canary_sched_sec": min(min(scanary_start), min(scanary_end)),
+        "canary_sched_samples_sec": {"start": scanary_start, "end": scanary_end},
         "query_samples": raw_samples,
         "throughput_samples_sec": {
             "streaming_interval_join": stream_samples,
@@ -451,6 +481,14 @@ def main() -> None:
         out["canary_ratio_vs_prev"] = ratio
         out["prev_bench_file"] = prev_name
         out["prev_bench_source"] = prev_source
+        if prev_out.get("canary_sched_sec"):
+            # reporting-only (no normalization applied): a big sched ratio
+            # with flat compute canaries is the r12 signature — a host
+            # window taxing task dispatch / micro-batch planning, which
+            # depresses the throughput metrics without any code cause
+            out["canary_sched_ratio_vs_prev"] = round(
+                out["canary_sched_sec"] / prev_out["canary_sched_sec"], 4
+            )
         if prev_out.get("canary_parallel_sec"):
             # first present r10; captures multi-core contention the
             # single-threaded ratio above cannot (see _parallel_canary_samples)
@@ -507,6 +545,7 @@ _SLIM_DROP_ORDER = [
     "query_samples",
     "canary_samples_sec",
     "canary_parallel_samples_sec",
+    "canary_sched_samples_sec",
     "throughput_samples_sec",
     "normalized_delta_vs_prev",  # serial-canary variant; parallel kept (r12: better normalizer)
     "normalized_throughput_delta_vs_prev",
