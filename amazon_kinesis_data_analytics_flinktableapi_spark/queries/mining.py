@@ -129,6 +129,94 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bpe_train_merges rounds — enough that later merges visibly consume
+#: earlier ones (multi-char symbols appear by round ~3 on the synthetic
+#: vocab) while keeping the unrolled oracle readable
+_BPE_TRAIN_K = 8
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled k-round DuckDB twin of operators/tokenizer.bpe_train_merges:
+    per round, a pair-count CTE over the current symbol strings, a 1-row
+    argmax CTE, and a replace CTE applying the merge — same
+    marker-delimited representation, same literal ``replace`` (both
+    engines scan left-to-right non-overlapping = greedy BPE), same
+    (count DESC, l, r) tie-break.  Early exhaustion agrees too: an empty
+    argmax CTE makes every later round's cross join empty, exactly where
+    the Spark loop breaks."""
+    rounds = []
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        rounds.append(
+            f"""
+    p{i} AS (
+      SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(s)), j -> [s[j], s[j+1]])) AS p, freq
+        FROM (SELECT string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS s, freq
+              FROM {prev})
+        WHERE len(s) >= 2
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT replace(w, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+                     chr(1) || b.l || b.r || chr(2)) AS w, freq
+      FROM {prev}, b{i} b
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, n AS n_occurrences FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+      )
+      WHERE tok NOT LIKE '%' || chr(1) || '%' AND tok NOT LIKE '%' || chr(2) || '%'
+      GROUP BY tok
+    ),
+    w0 AS (
+      SELECT list_aggregate(list_transform(range(1, length(tok) + 1),
+               i -> chr(1) || substr(tok, i, 1) || chr(2)), 'string_agg', '') AS w, freq
+      FROM words
+    ),{",".join(rounds)}
+    {union}
+    """
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_K),
+    doc=f"iterative BPE tokenizer training: {_BPE_TRAIN_K} merge rounds with "
+    "pair-count recomputation between rounds over the word-frequency table "
+    "— the real tokenizer-training workload (bpe_merge_step is one round)",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training loop (VERDICT r12 #5), Sennrich-style: ONE
+    corpus-scale shuffle builds the (token, freq) vocabulary, then every
+    merge round is vocabulary-scale — pair counts recomputed over the
+    merged symbol state, argmax merged into it, k times.  See
+    operators/tokenizer.py for the marker-string representation and the
+    100 TB sizing argument (vocab ~0.1% of corpus; 1-row driver collect
+    per round).  n_occurrences is the pair's weighted count AT MERGE
+    TIME — rounds interact: e.g. round r's best pair can include a
+    symbol minted by round r-1, which bpe_merge_step can never see."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import (
+        bpe_train_merges,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_train_merges(words, _BPE_TRAIN_K)
+
+
 def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id-ordered (ua < ub) co-occurrence edges: users sharing ≥2 (hour,
     event_type) buckets, hot buckets capped at 20 users before the pair

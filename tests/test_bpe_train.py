@@ -1,0 +1,91 @@
+"""bpe_train_merges semantics pins (VERDICT r12 #5): exact BPE training
+behavior on hand-computed corpora — greedy left-to-right overlap, the
+(count, left, right) tie-break, count-at-merge-time recomputation,
+merged-symbol reuse in later rounds, early exhaustion, and marker-char
+token hygiene.  The sf-data oracle check lives in the driver replica;
+these pins are what the oracle can't explain WHY about."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import (
+    bpe_train_merges,
+    words_as_symbol_strings,
+)
+
+
+def _words(spark, rows):
+    return spark.createDataFrame(rows, "tok string, freq bigint")
+
+
+def _train(spark, rows, k):
+    return [tuple(r) for r in bpe_train_merges(_words(spark, rows), k).collect()]
+
+
+def test_merged_symbol_feeds_later_rounds(spark):
+    # 'abab' x3: round 1 merges (a,b) -> 'ab ab'; round 2 must see the
+    # minted 'ab' symbol pair, not any character pair
+    out = _train(spark, [("abab", 3)], 2)
+    assert out == [(1, "a", "b", "ab", 6), (2, "ab", "ab", "abab", 3)]
+
+
+def test_greedy_left_to_right_overlap(spark):
+    # 'aaa': pair (a,a) occurs at two positions but one merge consumes
+    # both -> after round 1 the word is ('aa','a'), NOT ('a','aa')
+    out = _train(spark, [("aaa", 5)], 2)
+    assert out[0] == (1, "a", "a", "aa", 10)  # both positions counted pre-merge
+    # round 2's only pair is (aa, a) — left-to-right, never (a, aa)
+    assert out[1] == (2, "aa", "a", "aaa", 5)
+
+
+def test_count_recomputed_at_merge_time(spark):
+    # freq-weighted counts and the shift between rounds: 'xy' appears in
+    # both words, but after merging (x,y) the (y,z) pair is GONE (y was
+    # consumed) while (xy,z) appears
+    out = _train(spark, [("xyz", 4), ("xy", 3)], 2)
+    assert out[0] == (1, "x", "y", "xy", 7)
+    assert out[1] == (2, "xy", "z", "xyz", 4)
+
+
+def test_tiebreak_count_then_left_then_right(spark):
+    # (a,b) and (c,d) both count 2 -> (a,b) wins on left asc;
+    # then (c,d) remains the best for round 2
+    out = _train(spark, [("ab", 1), ("ab", 1), ("cd", 2)], 2)
+    assert out[0] == (1, "a", "b", "ab", 2)
+    assert out[1] == (2, "c", "d", "cd", 2)
+
+
+def test_early_exhaustion_stops(spark):
+    # single word fully merges in 2 rounds; asking for 5 returns 2 rows
+    out = _train(spark, [("abc", 1)], 5)
+    assert len(out) == 2
+    assert [m[3] for m in out] == ["ab", "abc"]
+
+
+def test_single_char_words_contribute_nothing(spark):
+    out = _train(spark, [("a", 100), ("b", 100), ("cd", 1)], 3)
+    assert out == [(1, "c", "d", "cd", 1)]
+
+
+def test_marker_char_tokens_dropped_not_corrupted(spark):
+    # a hostile token containing the symbol delimiters must be ignored
+    # entirely, never corrupt the merge state of clean tokens
+    rows = [("ab", 2), ("a\x01b", 50), ("a\x02", 50)]
+    out = _train(spark, rows, 1)
+    assert out == [(1, "a", "b", "ab", 2)]
+
+
+def test_symbol_strings_are_boundary_exact(spark):
+    # ('xa','b') must NOT be counted as pair (a,b): after round 1 merges
+    # (x,a), round 2 sees (xa,b) — the marker representation prevents a
+    # substring false match
+    out = _train(spark, [("xab", 3), ("xa", 1)], 2)
+    assert out[0] == (1, "x", "a", "xa", 4)
+    assert out[1] == (2, "xa", "b", "xab", 3)
+
+
+def test_words_as_symbol_strings_shape(spark):
+    df = words_as_symbol_strings(_words(spark, [("hi", 7)]))
+    rows = df.collect()
+    assert rows[0]["w"] == "\x01h\x02\x01i\x02" and rows[0]["freq"] == 7
