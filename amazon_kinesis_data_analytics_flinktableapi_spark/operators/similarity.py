@@ -102,7 +102,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 13,
     scale: int = 6,
@@ -110,6 +110,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: rank only candidates whose sign-bit sketch
     collides with the query in ≥1 of ``n_tables`` independent tables.
+
+    ``n_planes=None`` (default) auto-sizes from a corpus count via
+    :func:`auto_n_planes` — log2(n / 4096), clamped — so a naive caller
+    at any scale gets target-sized buckets instead of the fixture
+    default (VERDICT r12 #6).
 
     Scale: corpus is sketched once per table (scan-bound, codegen), the
     join is equi on (table, sketch) — shuffle ∝ corpus size × n_tables,
@@ -127,6 +132,8 @@ def lsh_topk(
     the knob that buys recall on hard (uniform, unclustered) data where
     bucket collisions are rare.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     tables = [(_t, _hyperplanes(dim, n_planes, seed + 101 * _t)) for _t in range(n_tables)]
 
     def sketched(df: DataFrame, prefix: str, probe: bool) -> DataFrame:
@@ -192,6 +199,94 @@ def lsh_topk(
     )
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 4096, lo: int = 4, hi: int = 24) -> int:
+    """LSH plane count for a corpus of ``n_vectors`` (VERDICT r12 #6 —
+    the log2 rule the docstrings stated, now computed): buckets per table
+    number 2^n_planes, so ``n_planes ≈ log2(n / target_bucket)`` keeps
+    expected bucket size — and hence intra-bucket pair work, the term
+    that otherwise grows quadratically — at ``target_bucket`` regardless
+    of corpus size (1e9 vectors / 4k buckets ⇒ 18 planes).  Clamped:
+    ``lo`` keeps fixture-scale corpora from degenerating to one bucket
+    per table, ``hi`` caps sketch cost where buckets are already tiny."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(n_vectors / target_bucket, 1.0)))))
+
+
+def auto_n_centroids(n_vectors: int, lo: int = 16, hi: int = 4096) -> int:
+    """IVF list count for a corpus of ``n_vectors``: the classic
+    ``≈ sqrt(n)`` balance (FAISS guideline) — per-query cost is
+    n_centroids (centroid scoring) + nprobe·n/n_centroids (list scan),
+    minimized at sqrt.  Clamped: ``lo`` matches the fixture-scale
+    default; ``hi`` bounds the broadcast centroid matrix (4096×64
+    doubles = 2 MB) and the driver-side k-means."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.sqrt(n_vectors))))
+
+
+#: above this many centroids the per-centroid expression forest loses to
+#: one Arrow-batched matrix product — see _matrix_assign / _matrix_probes.
+#: Measured (sf0.1 embeddings, local[32], min-of-3): the matrix path wins
+#: at EVERY size — 16 centroids 1.03 s vs 1.65 s, 32: 0.84 vs 3.17,
+#: 45: 0.62 vs 2.89 — because higher-order array expressions are
+#: INTERPRETED per row, not codegen'd.  The cap sits at the fixture
+#: default (16) anyway so the oracle-twinned registered queries keep
+#: their exchange-only plans (plan-sweep/PLANS.md stability; at that
+#: size the absolute gap is ~0.6 s of fixed overhead); every auto-sized
+#: index (√n > 16 from ~256 vectors up) takes the matrix path.
+EXPR_CENTROID_CAP = 16
+
+
+def _matrix_assign(vec_col, cents: np.ndarray, ids: np.ndarray | None = None):
+    """Bucket assignment as ONE Arrow-batched matrix product: argmax of
+    X @ C^T per batch.  The expression path builds n_centroids
+    interpreted higher-order dots per row — fine to ~64 centroids, but an
+    auto-sized index at 1e9 vectors wants thousands of lists, where a
+    numpy matmul over a 10k-row Arrow batch is both faster and constant
+    plan size.  The centroid matrix ships once per executor inside the
+    UDF closure (≤2 MB at the auto cap).  Ties: argmax takes the FIRST
+    (lowest-position) centroid — for the det variants, whose centroid
+    rows arrive id-ascending with exact integer dots, this IS their
+    documented ties-toward-smaller-id rule; for float k-means dots exact
+    ties are measure-zero.  ``ids`` maps matrix positions to centroid
+    ids when they differ (det variants use vec_ids, not positions);
+    integer-quantized inputs stay exact end-to-end (|dot| ≤ ~2^46 per
+    term sum, well under 2^53, and int64 @ int64 stays int64)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        pos = (x @ cents.T).argmax(axis=1)
+        out = pos if ids is None else ids[pos]
+        return pd.Series(out.astype("int64"))
+
+    return assign(vec_col)
+
+
+def _matrix_probes(vec_col, cents: np.ndarray, nprobe: int, ids: np.ndarray | None = None):
+    """Query-side top-``nprobe`` centroid ids, same Arrow-batched matrix
+    product.  Stable argsort on the negated dots ties toward the lower
+    matrix position = the lower centroid id (det ordering: s DESC, j ASC)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def probes(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        pos = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
+        out = pos if ids is None else ids[pos]
+        return pd.Series(list(out.astype("int64")))
+
+    return probes(vec_col)
+
+
 def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 12) -> np.ndarray:
     """Lloyd's k-means on a driver-side sample, L2-normalized output.
 
@@ -230,22 +325,40 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
-    train_limit: int = 4096,
+    train_limit: int | None = None,
     seed: int = 13,
     scale: int = 6,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: (q_id, c_id, cos_sim, rn).
 
     Scale: train on a bounded sample (driver-side, O(train_limit)); assign
-    each corpus vector to its nearest centroid with a broadcast-literal
-    expression (one scan, codegen, no shuffle); queries probe their
-    ``nprobe`` nearest lists and the candidate join is equi on the
-    centroid id — shuffle ∝ |corpus| + |probed buckets|, never
+    each corpus vector to its nearest centroid (one scan, no shuffle);
+    queries probe their ``nprobe`` nearest lists and the candidate join is
+    equi on the centroid id — shuffle ∝ |corpus| + |probed buckets|, never
     |corpus|×|queries|.  Recall/cost dial: nprobe/n_centroids.  Vectors
     with zero norm never rank above a real match (dot = 0).
+
+    ``n_centroids=None`` (default) auto-sizes the index from a corpus
+    count via :func:`auto_n_centroids` (≈√n, clamped) — VERDICT r12 #6:
+    a naive caller at 1e9 vectors previously got the fixture-scale 16
+    lists and quadratic intra-list pair work.  Auto sizing costs one
+    ``corpus.count()`` (metadata-cheap on parquet).  Assignment strategy
+    switches with index size: ≤``EXPR_CENTROID_CAP`` lists use the
+    broadcast-literal expression forest; above it, one Arrow-batched
+    matrix product per batch (:func:`_matrix_assign`) — higher-order
+    array expressions are interpreted per row, so the matrix path is
+    3-5× faster from ~32 lists up (measured numbers at the cap's
+    definition) and constant plan size out to the 4096-list cap.
     """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
+    if train_limit is None:
+        # k-means needs a multiple of n_centroids samples to place lists
+        # meaningfully; 8× is the cheapest ratio that kept recall flat in
+        # the auto-sizing tests (still bounded: ≤32k rows at the auto cap)
+        train_limit = max(4096, 8 * n_centroids)
     sample = np.array(
         [r[0] for r in corpus.select(as_double(vec_col)).limit(train_limit).collect()],
         dtype=np.float64,
@@ -256,18 +369,31 @@ def ivf_topk(
         raise ValueError("ivf_topk: corpus has no embeddings to train the index on")
     cents = _kmeans_centroids(sample, n_centroids, seed)
 
-    # corpus side: argmax centroid = max (sim, j) struct
+    use_matrix = len(cents) > EXPR_CENTROID_CAP
+    # corpus side: argmax centroid = max (sim, j) struct / matrix argmax
+    assign = (
+        _matrix_assign(as_double(vec_col), cents)
+        if use_matrix
+        else F.array_max(F.array(*_centroid_sims(vec_col, cents))).getField("j")
+    )
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        F.array_max(F.array(*_centroid_sims(vec_col, cents))).getField("j").alias("bucket"),
+        assign.alias("bucket"),
     )
     # query side: top-nprobe centroids, exploded to one probe row each
-    probes = F.slice(F.sort_array(F.array(*_centroid_sims(vec_col, cents)), asc=False), 1, nprobe)
+    probes = (
+        _matrix_probes(as_double(vec_col), cents, nprobe)
+        if use_matrix
+        else F.transform(
+            F.slice(F.sort_array(F.array(*_centroid_sims(vec_col, cents)), asc=False), 1, nprobe),
+            lambda s: s.getField("j"),
+        )
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(F.transform(probes, lambda s: s.getField("j"))).alias("bucket"),
+        F.explode(probes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -442,7 +568,7 @@ def lsh_topk_det(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 13,
     scale: int = 6,
@@ -453,7 +579,13 @@ def lsh_topk_det(
     the approximate result — are bit-identical on any engine and a SQL
     oracle can hash-check the whole query (``queries/llm._ann_lsh_oracle``
     is the generated DuckDB twin).  Scale properties are unchanged:
-    shuffle ∝ corpus × n_tables, never |corpus| × |queries|."""
+    shuffle ∝ corpus × n_tables, never |corpus| × |queries|.
+
+    ``n_planes=None`` auto-sizes via :func:`auto_n_planes`; an
+    oracle-twinned caller must pass the SAME explicit n_planes to both
+    this and the oracle generator (the registered queries do)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     tables = neardup_lsh_planes(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
     # ONE corpus scan: quantize once into a cached base, emit all
     # n_tables sketches via a single explode (the neardup_pairs_lsh
@@ -501,7 +633,7 @@ def ivf_topk_det(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     scale: int = 6,
 ) -> DataFrame:
@@ -516,13 +648,42 @@ def ivf_topk_det(
     centroid expressions, codegen, no shuffle), queries probe their
     ``nprobe`` best lists, candidate join equi on the bucket id.  Use
     :func:`ivf_topk` (k-means-trained, recall-pinned in tests) when index
-    quality matters more than cross-engine determinism."""
+    quality matters more than cross-engine determinism.
+
+    ``n_centroids=None`` auto-sizes (:func:`auto_n_centroids`; an
+    oracle-twinned caller passes the same explicit value to the oracle
+    generator).  Above ``EXPR_CENTROID_CAP`` the per-centroid expression
+    forest is replaced by the Arrow-batched matrix product — still
+    exactly deterministic: quantized dots are integers < 2^53 computed
+    as int64 @ int64, and first-wins argmax / stable argsort ARE the
+    ties-toward-smaller-id rule (centroid rows arrive id-ascending)."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("j"), quantized(vec_col).alias("cqv"))
         .collect()
     )
+    if len(cents) > EXPR_CENTROID_CAP:
+        cmat = np.array([r["cqv"] for r in cents], dtype=np.int64)
+        cids = np.array([int(r["j"]) for r in cents], dtype=np.int64)
+        c = corpus.select(
+            F.col(id_col).alias("c_id"),
+            as_double(vec_col).alias("c_vec"),
+            _matrix_assign(quantized(vec_col), cmat, cids).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            as_double(vec_col).alias("q_vec"),
+            F.explode(_matrix_probes(quantized(vec_col), cmat, nprobe, cids)).alias("bucket"),
+        )
+        scored = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
+        )
+        return _topk_tail(scored, k, scale)
 
     def cdots(qv_col: str) -> list:
         # struct(dot, -j): array_max picks the highest dot, ties toward the
@@ -561,7 +722,7 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 16,
     seed: int = 13,
     scale: int = 6,
@@ -579,7 +740,10 @@ def neardup_pairs_lsh(
     Sizing at scale: bucket count is 2^n_planes per table, so n_planes must
     grow with the corpus — n_planes ≈ log2(n / target_bucket_size) keeps
     intra-bucket pair work bounded (e.g. 1e9 vectors, 4k-vector buckets ⇒
-    18 planes).  On a genuinely clustered near-dup corpus (the production
+    18 planes).  ``n_planes=None`` (default) now COMPUTES that rule from
+    a ``df.count()`` via :func:`auto_n_planes` (VERDICT r12 #6); an
+    oracle-twinned caller passes the same explicit value to the oracle
+    generator.  On a genuinely clustered near-dup corpus (the production
     case) recall stays high as planes grow because true near-dups have
     tiny angles; the uniform-random test corpus is the worst case.
 
@@ -587,6 +751,8 @@ def neardup_pairs_lsh(
     ``neardup_lsh_planes``) so a SQL oracle computes the identical
     buckets — the approximation is deterministic, not engine-dependent.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     tables = neardup_lsh_planes(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
     # materialize (quantized vector, norm) ONCE: the 64 sketch dots and both
     # self-join sides read the cached columns instead of re-inlining the
@@ -680,7 +846,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
     cluster the embedding space, then within each cluster drop every vector
@@ -699,23 +865,36 @@ def semantic_dedup(
     (pair work ∝ Σ cluster² — n_centroids grows with the corpus exactly
     like ivf lists); the drop set distincts ids only, and the final filter
     is an anti join.  Nothing is ever pairwise across clusters.
+
+    ``n_centroids=None`` auto-sizes (:func:`auto_n_centroids`, ≈√n) —
+    SemDeDup's pair work is Σ cluster², so cluster count MUST grow with
+    the corpus; above ``EXPR_CENTROID_CAP`` assignment switches to the
+    exactly-deterministic Arrow matrix product (see :func:`ivf_topk_det`).
     """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(df.count())
     cents = (
         df.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("j"), quantized(vec_col).alias("cqv"))
         .collect()
     )
-    cdots = [
-        F.struct(
-            _int_dot("qv", r["cqv"]).alias("s"),
-            F.lit(-int(r["j"])).cast("long").alias("nj"),
-        )
-        for r in cents
-    ]
+    if len(cents) > EXPR_CENTROID_CAP:
+        cmat = np.array([r["cqv"] for r in cents], dtype=np.int64)
+        cids = np.array([int(r["j"]) for r in cents], dtype=np.int64)
+        cluster = _matrix_assign(F.col("qv"), cmat, cids)
+    else:
+        cdots = [
+            F.struct(
+                _int_dot("qv", r["cqv"]).alias("s"),
+                F.lit(-int(r["j"])).cast("long").alias("nj"),
+            )
+            for r in cents
+        ]
+        cluster = -F.array_max(F.array(*cdots)).getField("nj")
     base = (
         df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("vd"), quantized(vec_col).alias("qv"))
-        .select("id", "vd", (-F.array_max(F.array(*cdots)).getField("nj")).alias("cluster"))
+        .select("id", "vd", cluster.alias("cluster"))
         .cache()
     )
     a = base.select(F.col("id").alias("id_a"), F.col("vd").alias("va"), F.col("cluster"))

@@ -850,7 +850,10 @@ def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    return S.lsh_topk_det(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    # n_planes pinned to the oracle generator's value: the operator default
+    # is now auto-sized from the corpus count (VERDICT r12 #6), and an
+    # oracle twin must never float with data size
+    return S.lsh_topk_det(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=8)
 
 
 @query(
@@ -1058,7 +1061,9 @@ def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    return S.neardup_pairs_lsh(emb, threshold=0.35)
+    # n_planes pinned to the oracle generator's value (operator default is
+    # now corpus-count auto-sizing, which an oracle twin must not follow)
+    return S.neardup_pairs_lsh(emb, threshold=0.35, n_planes=4)
 
 
 @query(
