@@ -529,6 +529,69 @@ def duplicate_spans(
     )
 
 
+def anchored_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Offset-independent sibling of :func:`duplicate_spans`: span starts
+    are CONTENT-DEFINED anchors instead of stride-aligned offsets.
+
+    Why (VERDICT r12 #7, quantified in tests/test_span_recall_property.py):
+    stride-aligned windows detect two copies of a region only when their
+    document offsets share a residue mod stride — misaligned copies are
+    missed ENTIRELY regardless of region length (a shared window needs
+    o1 ≡ o2 (mod stride); measured recall on adversarial offset pairs is
+    exactly 1/stride).  Anchoring on content removes the offset term: a
+    position p is a span start iff the 2-char key at p hashes to
+    0 mod stride, so two copies of the same region pick the SAME anchor
+    set relative to the content, wherever each copy sits.  Expected
+    anchor density is 1/stride (same index size as the stride version);
+    a copied region of length span_len + g is missed only if its first g
+    positions contain no anchor — probability ≈ (1−1/stride)^g,
+    geometric in the slack instead of offset-dependent (the winnowing /
+    content-defined-chunking trade; pathological anchor-free content,
+    e.g. a single repeated character, can still evade — that is the
+    standard CDC caveat and is pinned in the property test).
+
+    Plan shape is identical to the stride version (the anchor filter is
+    scan-local per-position integer work, ~2 ascii + arithmetic per
+    char); the shuffles still carry only hashes and ids, never text.
+    """
+    anchors = F.expr(
+        f"filter(transform(sequence(0, length({text_col}) - {span_len}), "
+        f"p -> IF((ascii(substring({text_col}, p + 1, 1)) * 31 "
+        f"       + ascii(substring({text_col}, p + 2, 1))) % {stride} = 0, p, NULL)), "
+        "x -> x IS NOT NULL)"
+    )
+    spans = (
+        spread(df)
+        .filter(F.length(text_col) >= span_len)
+        .select(F.col(id_col), F.explode(anchors).alias("pos"), F.col(text_col))
+        .select(
+            id_col,
+            F.md5(F.expr(f"substring({text_col}, pos + 1, {span_len})")).alias("h"),
+        )
+    ).cache()  # read twice (counts + re-join), same as duplicate_spans
+    counts = spans.groupBy("h").agg(F.count("*").alias("cnt"))
+    return (
+        spans.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            half_up_round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

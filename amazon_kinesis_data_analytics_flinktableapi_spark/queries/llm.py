@@ -602,6 +602,44 @@ def q_duplicate_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_span_detect_anchored",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    s AS (
+      SELECT doc_id, md5(substr(text, pos + 1, 40)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(list_filter(list_transform(
+                       range(0, length(text) - 40 + 1),
+                       p -> CASE WHEN (ascii(substr(text, p + 1, 1)) * 31
+                                     + ascii(substr(text, p + 2, 1))) % 10 = 0
+                            THEN p END), x -> x IS NOT NULL)) AS pos
+            FROM d) u
+    ),
+    c AS (SELECT h, count(*) AS cnt FROM s GROUP BY h)
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           (sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END))::BIGINT AS n_dup_spans,
+           floor(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 1000000 + 0.5) / 1000000 AS dup_ratio
+    FROM s JOIN c USING (h)
+    GROUP BY s.doc_id
+    """,
+    doc="offset-independent duplicate-span statistics: span starts are "
+    "content-defined anchors (2-char key ≡ 0 mod stride) instead of "
+    "stride-aligned offsets, so copies detect at ANY document offset — "
+    "closes duplicate_span_detect's measured 1/stride adversarial-offset "
+    "recall floor at the same index density (winnowing/CDC-style anchoring)",
+)
+def q_duplicate_span_detect_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-anchored ExactSubstr statistics (VERDICT r12 #7): see
+    operators/dedup.anchored_duplicate_spans for the miss-model math and
+    tests/test_span_recall_property.py for the measured floors of both
+    variants."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.anchored_duplicate_spans(docs, "doc_id", "text", span_len=40, stride=10)
+
+
+@query(
     "duplicate_span_removal",
     oracle="""
     WITH d AS (SELECT doc_id, text FROM documents),
