@@ -88,24 +88,11 @@ def _pair_counts(sym_words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(words: DataFrame, k: int, token_col: str = "tok") -> DataFrame:
-    """Train ``k`` BPE merges over a (token, freq) word table; returns the
-    merge table (merge_rank, left_sym, right_sym, merged, n_occurrences)
-    — ``n_occurrences`` is the pair's corpus-weighted count AT MERGE
-    TIME (counts shift between rounds as earlier merges consume
-    symbols; that recomputation is the whole point vs ``bpe_merge_step``).
-
-    The loop is driver-sequenced but executor-executed: each round is a
-    distributed vocabulary-scale aggregation, and only the single argmax
-    row crosses to the driver (BPE's merge choice is inherently
-    sequential — round r's counts are undefined until round r-1's merge
-    is applied, so there is nothing to fan out).  The symbol-state table
-    is cached once; round r recomputes at most r-1 chained narrow
-    ``replace`` projections over that cache, never the corpus scan.
-
-    Ties break deterministically by (count DESC, left ASC, right ASC) —
-    byte order, identical in Spark and the DuckDB oracle."""
-    spark = words.sparkSession
+def bpe_train(words: DataFrame, k: int, token_col: str = "tok") -> list[tuple[int, str, str, str, int]]:
+    """Train ``k`` merges; returns the merge records
+    (rank, left, right, merged, n_occurrences) as a driver-side list —
+    the artifact a tokenizer ships.  See :func:`bpe_train_merges` for
+    the loop's scale/semantics notes."""
     base = words_as_symbol_strings(words, token_col).cache()
     try:
         cur = base
@@ -124,6 +111,62 @@ def bpe_train_merges(words: DataFrame, k: int, token_col: str = "tok") -> DataFr
             pat = SYM_BEGIN + l + SYM_END + SYM_BEGIN + r + SYM_END
             rep = SYM_BEGIN + l + r + SYM_END
             cur = cur.select(F.replace("w", F.lit(pat), F.lit(rep)).alias("w"), "freq")
-        return spark.createDataFrame(merges, schema=MERGE_SCHEMA)
+        return merges
     finally:
         base.unpersist()
+
+
+def bpe_encode_counts(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    token_col: str = "tok",
+) -> DataFrame:
+    """Apply a trained merge list to the word table: (token, n_symbols) —
+    the per-word BPE token count under the trained tokenizer.
+
+    Encoding is embarrassingly parallel (unlike training): the k merges
+    are literal replace()s chained in ONE narrow projection over the
+    vocabulary — greedy left-to-right replace per merge, in merge-rank
+    order, which is exactly how a BPE tokenizer applies its merge table.
+    No shuffle; callers join the result back to the exploded corpus on
+    the token."""
+    safe = words.filter(
+        ~F.col(token_col).contains(SYM_BEGIN) & ~F.col(token_col).contains(SYM_END)
+    )
+    w = F.expr(
+        f"concat_ws('', transform(sequence(1, length({token_col})), "
+        f"i -> concat('\\u0001', substring({token_col}, i, 1), '\\u0002')))"
+    )
+    for _, l, r, merged, _n in merges:
+        w = F.replace(
+            w,
+            F.lit(SYM_BEGIN + l + SYM_END + SYM_BEGIN + r + SYM_END),
+            F.lit(SYM_BEGIN + merged + SYM_END),
+        )
+    n_syms = F.size(F.split(F.expr("substring(__w, 2, length(__w) - 2)"), f"{SYM_END}{SYM_BEGIN}"))
+    return (
+        safe.select(token_col, w.alias("__w"))
+        .select(token_col, n_syms.alias("n_symbols"))
+    )
+
+
+def bpe_train_merges(words: DataFrame, k: int, token_col: str = "tok") -> DataFrame:
+    """Train ``k`` BPE merges over a (token, freq) word table; returns the
+    merge table (merge_rank, left_sym, right_sym, merged, n_occurrences)
+    — ``n_occurrences`` is the pair's corpus-weighted count AT MERGE
+    TIME (counts shift between rounds as earlier merges consume
+    symbols; that recomputation is the whole point vs ``bpe_merge_step``).
+
+    The loop is driver-sequenced but executor-executed: each round is a
+    distributed vocabulary-scale aggregation, and only the single argmax
+    row crosses to the driver (BPE's merge choice is inherently
+    sequential — round r's counts are undefined until round r-1's merge
+    is applied, so there is nothing to fan out).  The symbol-state table
+    is cached once; round r recomputes at most r-1 chained narrow
+    ``replace`` projections over that cache, never the corpus scan.
+
+    Ties break deterministically by (count DESC, left ASC, right ASC) —
+    byte order, identical in Spark and the DuckDB oracle."""
+    return words.sparkSession.createDataFrame(
+        bpe_train(words, k, token_col), schema=MERGE_SCHEMA
+    )

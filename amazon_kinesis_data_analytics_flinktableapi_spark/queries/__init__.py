@@ -103,127 +103,28 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 12 window (first 50 = the driver's correctness gate) ----------
+    # --- round 13 window (first 50 = the driver's correctness gate) ----------
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
-    # remaining slots go to the oldest-attested names.  r12 window:
-    # the 21-query r7-stale displaced block leads (VERDICT r11 #3 — they
-    # were replica- and judge-verified green but their newest driver
-    # attestation is r7), then the surfaces the r12 diff touched — the 9
-    # near-dup-corpus-memo consumers (clearCache re-registration fix in
-    # queries/llm.py) and the 10 kinesis_sim-backed queries (the _record
-    # hot-loop rewrite is byte-identical, but changed code gets driver
-    # attestation anyway) — then 7 r8-stale fills (the three NEW r12
-    # queries — tpch_q5_local_supplier_volume, prefix_filter_setjoin,
-    # bm25_rank — LEAD the window; 3 new + 21 r7-stale + 9 memo +
-    # 10 kinesis + 7 fills = 50).  After this round the stalest
-    # attestation in the registry advances r7 -> r8.
+    # remaining slots go to the oldest-attested names.  r13 window:
+    # 3 new (bpe_train_merges, bpe_encode_token_counts,
+    # duplicate_span_detect_anchored) + the FULL 31-query r8-stale block
+    # (VERDICT r12 #4: after this round the stalest attestation advances
+    # r8 -> r9 registry-wide) + 8 r13-changed surfaces (the ANN
+    # auto-sizing diff touched lsh_topk_det/ivf_topk_det/
+    # neardup_pairs_lsh/semantic_dedup call sites and bodies; bm25_rank's
+    # filter construction changed) + 8 oldest-r9 fills = 50.
 
-    # NEW r12: TPC-H 22 completion; PPJoin prefix filter; BM25 retrieval
-    "tpch_q5_local_supplier_volume",
-    "prefix_filter_setjoin",
-    "bm25_rank",
-    # r7-stale displaced block (window head)
-    "char_entropy_score",
-    "bpe_merge_step",
-    "bigram_surprisal_score",
-    "pmi_collocations",
-    "pca_power_iteration",
-    "pca_outlier_scores",
-    "embedding_dim_variance",
-    "triangle_count_graph",
-    "pagerank_dup_graph",
-    "link_prediction_common_neighbors",
-    "attribution_last_touch",
-    "cohort_retention",
-    "recursive_ewma_rates",
-    "winsorize_outliers",
-    "chisq_priority_status",
-    "join_key_skew_report",
-    "variant_semistructured",
-    "xml_roundtrip_extract",
-    "tpch_q11_important_stock",
-    "tpch_q18_large_volume_customer",
-    "tpch_q12_late_priority",
-    # r12-changed: near-dup corpus memo consumers + mixture NULL-source fix
-    "temperature_mixture_sample",
-    "neardup_jaccard",
-    "dedup_clusters",
-    "dedup_fingerprint",
-    "containment_neardup",
-    "dedup_minhash_lsh",
-    "edit_distance_verify",
-    "canonical_doc_select",
-    "minhash_accuracy_report",
-    # r12-changed: kinesis_sim record-generation surface
-    "kinesis_throttled_roundtrip",
-    "kinesis_translating_sdk_roundtrip",
-    "kinesis_fake_sdk_roundtrip",
-    "kinesis_interval_join",
-    "streaming_kinesis_tumbling",
-    "kinesis_merge_roundtrip",
-    "kinesis_reshard_chain_roundtrip",
-    "kinesis_merge_interval_join",
-    "streaming_kinesis_roundtrip",
-    "kinesis_reshard_roundtrip",
-    # r8-stale fills (oldest-attested after the r7 block)
-    "dedup_exact",
-    "ann_cosine_topk",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "pii_redaction",
-    # --- previously attested tail (r8-r11), prior relative order kept ---
+    # NEW r13: iterative BPE training + encode; content-anchored dup spans
+    "bpe_train_merges",
+    "bpe_encode_token_counts",
+    "duplicate_span_detect_anchored",
+    # r8-stale block (31 queries; clears the r8 generation entirely)
     "boilerplate_chunk_removal",
     "zorder_layout",
     "tpch_q15_top_supplier",
     "topp_cumulative_share",
     "global_sort_index",
-    "approx_sketches",
-    "cusum_changepoint",
-    "event_transition_matrix",
-    "theilsen_trend",
-    "snapshot_cdc_diff",
-    "lag_lead_gaps",
-    "session_gaps_islands",
-    "window_moving_avg",
-    "window_running_distinct",
-    "sliding_window_events",
-    "sequence_packing",
-    "split_leakage_audit",
-    "rolling_fingerprint",
-    "token_stats",
-    "duplicate_span_removal",
-    "media_decode_meta",
-    "media_resize",
-    "pandas_udaf_weighted_avg",
-    "approx_sketches_bounds",
-    "json_extract_agg",
-    "cogroup_asof_pandas",
-    "streaming_running_aggregate",
-    "streaming_session_window",
-    "rolling_anomaly_flags",
-    "embedding_neardup_wide",
-    "seasonal_residual_flags",
-    "incremental_dedup",
-    "embedding_gram_matrix",
-    "streaming_incremental_dedup",
-    "streaming_cms_sketch",
-    "streaming_sequence_detect",
-    "streaming_gram_matrix",
-    "cms_frequency_sketch",
-    "kmv_set_ops",
-    "binned_quantile_estimate",
-    "ann_recall_report",
-    "bloom_contamination_screen",
-    "dedup_pipeline_report",
-    "template_doc_detect",
-    "token_budget_select",
-    "incremental_agg_merge",
-    "feature_hash_vector",
-    "weighted_sample_topk",
-    "streaming_static_enrich",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
     "pivot_status_by_priority",
@@ -250,6 +151,16 @@ _PRIORITY: list[str] = [
     "tpch_q17_small_qty_revenue",
     "tpch_q2_min_cost_supplier",
     "tpch_q19_disjunctive_join",
+    # r13-changed surfaces (ANN auto-sizing + bm25 filter derivation)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "embedding_neardup_wide",
+    "semantic_dedup",
+    "ann_recall_report",
+    "duplicate_span_detect",
+    "bm25_rank",
+    # r9-stale fills (oldest-attested after the r8 block)
     "interval_join",
     "currency_conversion",
     "projection_filter",
@@ -257,10 +168,100 @@ _PRIORITY: list[str] = [
     "asof_forward_join",
     "streaming_chained_windows",
     "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "streaming_sliding_window",
+    # --- previously attested tail (r9-r12), prior relative order kept ---
     "streaming_topk_complete",
+    "tpch_q5_local_supplier_volume",
+    "prefix_filter_setjoin",
+    "char_entropy_score",
+    "bpe_merge_step",
+    "bigram_surprisal_score",
+    "pmi_collocations",
+    "pca_power_iteration",
+    "pca_outlier_scores",
+    "embedding_dim_variance",
+    "triangle_count_graph",
+    "pagerank_dup_graph",
+    "link_prediction_common_neighbors",
+    "attribution_last_touch",
+    "cohort_retention",
+    "recursive_ewma_rates",
+    "winsorize_outliers",
+    "chisq_priority_status",
+    "join_key_skew_report",
+    "variant_semistructured",
+    "xml_roundtrip_extract",
+    "tpch_q11_important_stock",
+    "tpch_q18_large_volume_customer",
+    "tpch_q12_late_priority",
+    "temperature_mixture_sample",
+    "neardup_jaccard",
+    "dedup_clusters",
+    "dedup_fingerprint",
+    "containment_neardup",
+    "dedup_minhash_lsh",
+    "edit_distance_verify",
+    "canonical_doc_select",
+    "minhash_accuracy_report",
+    "kinesis_throttled_roundtrip",
+    "kinesis_translating_sdk_roundtrip",
+    "kinesis_fake_sdk_roundtrip",
+    "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
+    "kinesis_merge_roundtrip",
+    "kinesis_reshard_chain_roundtrip",
+    "kinesis_merge_interval_join",
+    "streaming_kinesis_roundtrip",
+    "kinesis_reshard_roundtrip",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "pii_redaction",
+    "approx_sketches",
+    "cusum_changepoint",
+    "event_transition_matrix",
+    "theilsen_trend",
+    "snapshot_cdc_diff",
+    "lag_lead_gaps",
+    "session_gaps_islands",
+    "window_moving_avg",
+    "window_running_distinct",
+    "sliding_window_events",
+    "sequence_packing",
+    "split_leakage_audit",
+    "rolling_fingerprint",
+    "token_stats",
+    "duplicate_span_removal",
+    "media_decode_meta",
+    "media_resize",
+    "pandas_udaf_weighted_avg",
+    "approx_sketches_bounds",
+    "json_extract_agg",
+    "cogroup_asof_pandas",
+    "streaming_running_aggregate",
+    "streaming_session_window",
+    "rolling_anomaly_flags",
+    "seasonal_residual_flags",
+    "incremental_dedup",
+    "embedding_gram_matrix",
+    "streaming_incremental_dedup",
+    "streaming_cms_sketch",
+    "streaming_sequence_detect",
+    "streaming_gram_matrix",
+    "cms_frequency_sketch",
+    "kmv_set_ops",
+    "binned_quantile_estimate",
+    "bloom_contamination_screen",
+    "dedup_pipeline_report",
+    "template_doc_detect",
+    "token_budget_select",
+    "incremental_agg_merge",
+    "feature_hash_vector",
+    "weighted_sample_topk",
+    "streaming_static_enrich",
     "media_frame_sample",
     "tpch_q4_priority_check",
     "tpch_q6_revenue_delta",
@@ -284,18 +285,15 @@ _PRIORITY: list[str] = [
     "corpus_clean_pipeline",
     "contamination_ngram_overlap",
     "interval_join_forward",
-    "embedding_neardup",
     "interval_join_full",
     "streaming_interval_join",
     "streaming_tumbling_window",
     "streaming_late_data",
     "streaming_dedup",
     "streaming_asof_enrich",
-    "duplicate_span_detect",
     "dsir_importance_select",
     "streaming_dedup_restamped",
     "dataset_split_assign",
-    "semantic_dedup",
     "domain_mixture_sample",
     "unigram_surprisal_score",
     "tpch_q9_product_profit",

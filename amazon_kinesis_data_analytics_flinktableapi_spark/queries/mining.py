@@ -217,6 +217,106 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(words, _BPE_TRAIN_K)
 
 
+def _bpe_encode_oracle(k: int) -> str:
+    """DuckDB twin of bpe_train + bpe_encode_counts + the per-doc rollup:
+    the same k-round training chain as ``_bpe_train_oracle`` but carrying
+    ``tok`` through every round, so the final round's symbol strings
+    split back into per-WORD token counts that join to the exploded
+    corpus."""
+    rounds = []
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        rounds.append(
+            f"""
+    p{i} AS (
+      SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(s)), j -> [s[j], s[j+1]])) AS p, freq
+        FROM (SELECT string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS s, freq
+              FROM {prev})
+        WHERE len(s) >= 2
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT tok, replace(w, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+                          chr(1) || b.l || b.r || chr(2)) AS w, freq
+      FROM {prev}, b{i} b
+    )"""
+        )
+    return f"""
+    WITH words AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+      )
+      WHERE tok NOT LIKE '%' || chr(1) || '%' AND tok NOT LIKE '%' || chr(2) || '%'
+      GROUP BY tok
+    ),
+    w0 AS (
+      SELECT tok, list_aggregate(list_transform(range(1, length(tok) + 1),
+               i -> chr(1) || substr(tok, i, 1) || chr(2)), 'string_agg', '') AS w, freq
+      FROM words
+    ),{",".join(rounds)},
+    enc AS (
+      SELECT tok,
+             CAST(len(string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1))) AS BIGINT)
+               AS n_symbols
+      FROM w{k}
+    ),
+    corpus AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_symbols) AS BIGINT) AS n_bpe_tokens,
+           floor(sum(length(tok))::DOUBLE / sum(n_symbols) * 1000000 + 0.5) / 1000000
+             AS chars_per_token
+    FROM corpus JOIN enc USING (tok)
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "bpe_encode_token_counts",
+    oracle=_bpe_encode_oracle(_BPE_TRAIN_K),
+    doc=f"apply the {_BPE_TRAIN_K}-merge trained BPE tokenizer to the corpus: "
+    "per-document word count, BPE token count, and chars-per-token "
+    "compression under the trained merge table — the encode half of "
+    "tokenizer training (bpe_train_merges is the train half)",
+)
+def q_bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE pass over the corpus with the merges
+    ``bpe_train_merges`` trains: per-word symbol counts come from one
+    narrow k-replace projection over the vocabulary (encoding is
+    embarrassingly parallel, unlike training), then one equi-join back
+    to the exploded corpus and a per-doc rollup.  Scale: corpus-side
+    work is explode + join on token + groupBy doc — all linear; the
+    merge chain itself never touches corpus rows, only the vocab table.
+    Marker-containing hostile tokens are excluded from vocab AND corpus
+    counts (inner join) on both engines."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import half_up_round
+
+    (docs,) = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    words = corpus.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    enc = bpe_encode_counts(words, bpe_train(words, _BPE_TRAIN_K))
+    return (
+        corpus.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("n_bpe_tokens"),
+            half_up_round(
+                F.sum(F.length("tok")) / F.sum("n_symbols"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id-ordered (ua < ub) co-occurrence edges: users sharing ≥2 (hour,
     event_type) buckets, hot buckets capped at 20 users before the pair

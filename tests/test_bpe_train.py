@@ -89,3 +89,28 @@ def test_words_as_symbol_strings_shape(spark):
     df = words_as_symbol_strings(_words(spark, [("hi", 7)]))
     rows = df.collect()
     assert rows[0]["w"] == "\x01h\x02\x01i\x02" and rows[0]["freq"] == 7
+
+
+def test_bpe_encode_counts_apply_merges_in_rank_order(spark):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    # corpus: 'abab' x3, 'abc' x1 -> merges: (a,b)->ab, (ab,ab)->abab
+    words = _words(spark, [("abab", 3), ("abc", 1)])
+    merges = bpe_train(words, 2)
+    assert [m[3] for m in merges] == ["ab", "abab"]
+    enc = {r["tok"]: r["n_symbols"] for r in bpe_encode_counts(words, merges).collect()}
+    # 'abab' fully merges to ONE symbol; 'abc' -> ('ab', 'c') = 2
+    assert enc == {"abab": 1, "abc": 2}
+
+
+def test_bpe_encode_empty_merge_list_is_char_count(spark):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import (
+        bpe_encode_counts,
+    )
+
+    words = _words(spark, [("hello", 1), ("x", 2)])
+    enc = {r["tok"]: r["n_symbols"] for r in bpe_encode_counts(words, []).collect()}
+    assert enc == {"hello": 5, "x": 1}
