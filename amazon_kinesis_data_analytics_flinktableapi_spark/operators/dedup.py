@@ -592,6 +592,113 @@ def anchored_duplicate_spans(
     )
 
 
+#: winnowing parameters: k-gram size, window width, hash modulus, and the
+#: pos-packing shift (positions must stay below it — see the length guard)
+WINNOW_K = 8
+WINNOW_W = 8
+WINNOW_M = 1000003
+WINNOW_SHIFT = 2_097_152  # 2^21
+
+
+def winnow_kgram_hash_sql(text_col: str, pos_expr: str, k: int = WINNOW_K) -> str:
+    """Portable polynomial k-gram hash as a plain-SQL snippet — valid
+    verbatim in BOTH Spark SQL and DuckDB (substr/ascii/%/* agree):
+    Σ ascii(c_{p+i})·31^i mod M, all-integer (max term < 2^56, 8-term
+    sum < 2^59 — exact int64 in either engine, any summation order).
+    The BIGINT cast is load-bearing on the Spark side: ascii() is INT32
+    and int × int stays int, so the 31^5+ coefficients overflow under
+    ANSI mode without it."""
+    poly = " + ".join(
+        f"CAST(ascii(substr({text_col}, {pos_expr} + {i} + 1, 1)) AS BIGINT) * {31 ** i}"
+        for i in range(k)
+    )
+    return f"({poly}) % {WINNOW_M}"
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Robust-winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003, SIGMOD — the MOSS algorithm): per document, hash every
+    ``WINNOW_K``-gram, slide a ``WINNOW_W``-wide window over the hash
+    sequence, and select each window's minimum (RIGHTMOST occurrence on
+    ties — the robust variant, which keeps the selected set stable under
+    edits outside the window).  The guarantee the stride/anchor span
+    family can't give: every match of length ≥ w+k−1 shares at least one
+    selected fingerprint, with density ~2/(w+1) — detection is both
+    offset-independent AND content-distribution-independent (no
+    anchor-free-content caveat).
+
+    Returns per-document (id, n_fingerprints, n_shared_fp, shared_ratio)
+    where shared = the fingerprint hash also selected in ≥1 other doc.
+
+    Engine-portable by construction: the k-gram hash is all-integer
+    (``winnow_kgram_hash_sql`` is the same SQL text the DuckDB oracle
+    runs), and rightmost-min selection is ONE integer window-max — the
+    (min-hash, rightmost-pos) pair packs into ``(M−h)·SHIFT + pos`` so
+    ``max(key)`` over a ``ROWS BETWEEN CURRENT AND w−1 FOLLOWING`` frame
+    decodes to exactly the robust-winnowing choice.  Positions must fit
+    under SHIFT (2^21): documents longer than ~2M chars are excluded by
+    a guard filter on BOTH engines — at corpus scale such docs should be
+    chunked first (operators/chunking.py), which is also what winnowing
+    literature assumes.
+
+    Scale shape: per-position hashing rides the scan (integer ops, no
+    Python); the ONLY shuffle before the final rollup is the
+    partition-by-doc sort for the window frame (the standard
+    sessionization shape); fingerprint sharing is a count-distinct over
+    (hash → doc) pairs.  Everything is corpus-linear; nothing is
+    pairwise."""
+    from pyspark.sql.window import Window
+
+    h = winnow_kgram_hash_sql(text_col, "pos")
+    kg = (
+        spread(df)
+        .filter(
+            (F.length(text_col) >= WINNOW_K + WINNOW_W - 1)
+            & (F.length(text_col) < WINNOW_SHIFT)
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - WINNOW_K)
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(id_col, "pos", F.expr(f"(({WINNOW_M} - ({h})) * {WINNOW_SHIFT}) + pos").alias("key"))
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    per_doc = Window.partitionBy(id_col)
+    sel = (
+        kg.select(
+            id_col,
+            "pos",
+            F.max("key").over(frame).alias("sel"),
+            F.max("pos").over(per_doc).alias("max_pos"),
+        )
+        .filter(F.col("pos") <= F.col("max_pos") - (WINNOW_W - 1))
+        .select(id_col, F.expr(f"sel DIV {WINNOW_SHIFT}").alias("fp"), F.expr(f"sel % {WINNOW_SHIFT}").alias("fp_pos"))
+        .distinct()
+    )
+    sharing = sel.groupBy("fp").agg(F.count_distinct(id_col).alias("n_docs"))
+    return (
+        sel.join(sharing, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared_fp"),
+        )
+        .select(
+            id_col,
+            "n_fingerprints",
+            "n_shared_fp",
+            half_up_round(F.col("n_shared_fp") / F.col("n_fingerprints"), 6).alias("shared_ratio"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -639,6 +639,69 @@ def q_duplicate_span_detect_anchored(spark: SparkSession, sf_dir: str) -> DataFr
     return D.anchored_duplicate_spans(docs, "doc_id", "text", span_len=40, stride=10)
 
 
+def _winnowing_oracle() -> str:
+    """DuckDB twin of operators/dedup.winnowing_fingerprints — the k-gram
+    hash snippet is the IDENTICAL SQL text Spark executes
+    (``winnow_kgram_hash_sql``); only integer division spells differently
+    (`//` vs `DIV`)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_SHIFT,
+        WINNOW_W,
+        winnow_kgram_hash_sql,
+    )
+
+    h = winnow_kgram_hash_sql("text", "pos")
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+                 AND length(text) < {WINNOW_SHIFT}),
+    kg AS (
+      SELECT doc_id, pos, (({WINNOW_M} - ({h})) * {WINNOW_SHIFT}) + pos AS key
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, length(text) - {WINNOW_K} + 1)) AS pos
+            FROM d)
+    ),
+    sel0 AS (
+      SELECT doc_id, pos,
+             max(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel,
+             max(pos) OVER (PARTITION BY doc_id) AS max_pos
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, sel // {WINNOW_SHIFT} AS fp, sel % {WINNOW_SHIFT} AS fp_pos
+      FROM sel0 WHERE pos <= max_pos - {WINNOW_W - 1}
+    ),
+    sh AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp)
+    SELECT doc_id, count(*) AS n_fingerprints,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+           floor(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                 * 1000000 + 0.5) / 1000000 AS shared_ratio
+    FROM fps JOIN sh USING (fp)
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "winnowing_fingerprint_stats",
+    oracle=_winnowing_oracle(),
+    doc="robust-winnowing (MOSS) document fingerprints: rightmost-min of "
+    "8-gram hashes per 8-window, selected via one integer window-max — "
+    "guarantees every match of length >= w+k-1 shares a fingerprint, "
+    "offset- AND content-independent (the guarantee the stride/anchor "
+    "span variants trade away); per-doc selected/shared counts",
+)
+def q_winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators/dedup.winnowing_fingerprints for the algorithm, the
+    (M−h)·SHIFT+pos packing that makes robust (rightmost-tie) selection a
+    single window-max, and the 100 TB shape (scan-local integer hashing;
+    one sessionization-shaped sort shuffle)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.winnowing_fingerprints(docs, "doc_id", "text")
+
+
 @query(
     "duplicate_span_removal",
     oracle="""

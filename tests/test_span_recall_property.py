@@ -145,3 +145,38 @@ def test_anchored_known_caveat_anchor_free_content(spark):
     # content only — with no anchors inside the region, no span starts
     # inside it on either side
     assert not ({0, 1} <= hits)
+
+
+def test_winnowing_detects_all_offsets_including_anchor_free(spark):
+    """Robust winnowing's guarantee (Schleimer et al. 2003): any shared
+    region of length ≥ w+k−1 shares at least one selected fingerprint,
+    regardless of document offset AND of content distribution — it
+    detects both the exhaustive offset sweep and the repeated-character
+    region that evades the content-anchored variant."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    rng = random.Random(31)
+    guarantee = WINNOW_W + WINNOW_K - 1
+    rows, pairs = [], []
+    doc_id = 0
+    for o1 in range(4):
+        for o2 in range(4):
+            region = _rand(rng, 2 * guarantee)
+            rows.append((doc_id, _rand(rng, o1) + region + _rand(rng, 40)))
+            rows.append((doc_id + 1, _rand(rng, o2) + region + _rand(rng, 40)))
+            pairs.append((o1, o2, doc_id))
+            doc_id += 2
+    # the anchored variant's caveat content: a single repeated character
+    region = "q" * (2 * guarantee)
+    rows.append((doc_id, region + _rand(rng, 40)))
+    rows.append((doc_id + 1, _rand(rng, 3) + region + _rand(rng, 40)))
+    pairs.append(("rep", "rep", doc_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_fingerprints(df)
+    hits = {r["doc_id"] for r in out.filter(F.col("n_shared_fp") > 0).collect()}
+    missed = [(o1, o2) for (o1, o2, d) in pairs if d not in hits or d + 1 not in hits]
+    assert not missed, f"winnowing missed: {missed}"
