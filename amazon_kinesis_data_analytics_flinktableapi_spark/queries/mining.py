@@ -317,6 +317,127 @@ def q_bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min sketch geometry: d pairwise-independent-ish hash rows of
+#: width w.  (a, b) pairs are fixed literals < p so a·(H mod p) < 2^62
+#: never overflows int64 under ANSI; p = 2^31 − 1 (Mersenne).
+_CMS_P = 2_147_483_647
+_CMS_W = 512
+_CMS_ROWS: list[tuple[int, int]] = [
+    (1_000_003, 12_345),
+    (19_999_999, 987_654),
+    (344_555_667, 55_555),
+    (777_767_777, 1_234_567),
+]
+_CMS_TOPK = 20
+
+#: portable 32-bit token hash: first 8 md5 hex digits (the rolling_hash
+#: idiom) — Spark spells it conv(..., 16, 10), DuckDB ('0x' || ...)::BIGINT
+_CMS_H_SPARK = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 2147483647"
+_CMS_H_DUCK = "('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647"
+
+
+def _cms_bucket(h_expr: str, j: int) -> str:
+    a, b = _CMS_ROWS[j]
+    return f"((({a} * ({h_expr})) + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+def _cms_oracle() -> str:
+    buckets = ",\n             ".join(
+        f"{_cms_bucket(_CMS_H_DUCK, j)} AS b{j}" for j in range(len(_CMS_ROWS))
+    )
+    sketch_rows = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, b{j} AS bucket FROM h" for j in range(len(_CMS_ROWS))
+    )
+    est_rows = "\n      UNION ALL ".join(
+        f"SELECT tok, {j} AS j, b{j} AS bucket FROM tk_top" for j in range(len(_CMS_ROWS))
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+    h AS (SELECT tok, {buckets} FROM toks),
+    sketch AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+      {sketch_rows}
+      ) GROUP BY j, bucket
+    ),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, exact_cnt,
+             row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rank
+      FROM exact
+    ),
+    tk_top AS (
+      SELECT t.tok, t.exact_cnt, t.rank, {buckets.replace("tok", "t.tok")}
+      FROM top t WHERE t.rank <= {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT tok, CAST(min(c) AS BIGINT) AS cms_est FROM (
+      {est_rows}
+      ) e JOIN sketch USING (j, bucket) GROUP BY tok
+    )
+    SELECT t.tok AS token, t.exact_cnt, e.cms_est,
+           e.cms_est - t.exact_cnt AS overestimate, t.rank
+    FROM tk_top t JOIN est e ON e.tok = t.tok
+    """
+
+
+@query(
+    "heavy_hitters_countmin",
+    oracle=_cms_oracle(),
+    doc=f"heavy hitters via a deterministic {len(_CMS_ROWS)}×{_CMS_W} "
+    "Count-Min sketch: one-pass fixed-memory frequency estimation, "
+    "top-20 tokens reported with exact count, CMS estimate, and "
+    "overestimate (CMS never underestimates) — the estimator-vs-exact "
+    "accuracy-report pattern of minhash_accuracy_report",
+)
+def q_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min (Cormode & Muthukrishnan 2005) with fixed literal hash
+    rows so any engine computes the identical sketch.  Scale: the sketch
+    is d·w counters NO MATTER the corpus size — the map side emits
+    (j, bucket) pairs that partial-aggregate to ≤ d·w rows per task, so
+    the reduce input is constant; at 100 TB this is the only way to
+    track frequencies in bounded memory, and the report quantifies the
+    price (overestimate column, ~N/w collisions-worth).  Exact counts
+    for the top-k comparison ride the same scan.  The broadcast join of
+    the 2,048-row sketch back to the 20 report rows is free."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    d = len(_CMS_ROWS)
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cms_bucket(_CMS_H_SPARK, j)).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    pairs = toks.select(F.explode(bucket_structs).alias("p")).select("p.j", "p.bucket")
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    top = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CMS_TOPK)
+    )
+    probes = top.select(
+        "tok", "exact_cnt", "rank", F.explode(bucket_structs).alias("p")
+    ).select("tok", "exact_cnt", "rank", "p.j", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt", "rank")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        "rank",
+    )
+
+
 def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id-ordered (ua < ub) co-occurrence edges: users sharing ≥2 (hour,
     event_type) buckets, hot buckets capped at 20 users before the pair
