@@ -529,6 +529,19 @@ def duplicate_spans(
     )
 
 
+def anchor_positions(text_col: str, span_len: int, stride: int):
+    """Content-defined span-start positions: p is an anchor iff the
+    2-char key at p hashes to 0 mod stride (expected density 1/stride).
+    Shared by the anchored detect AND removal variants so their span
+    sets can never diverge."""
+    return F.expr(
+        f"filter(transform(sequence(0, length({text_col}) - {span_len}), "
+        f"p -> IF((ascii(substring({text_col}, p + 1, 1)) * 31 "
+        f"       + ascii(substring({text_col}, p + 2, 1))) % {stride} = 0, p, NULL)), "
+        "x -> x IS NOT NULL)"
+    )
+
+
 def anchored_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -560,12 +573,7 @@ def anchored_duplicate_spans(
     scan-local per-position integer work, ~2 ascii + arithmetic per
     char); the shuffles still carry only hashes and ids, never text.
     """
-    anchors = F.expr(
-        f"filter(transform(sequence(0, length({text_col}) - {span_len}), "
-        f"p -> IF((ascii(substring({text_col}, p + 1, 1)) * 31 "
-        f"       + ascii(substring({text_col}, p + 2, 1))) % {stride} = 0, p, NULL)), "
-        "x -> x IS NOT NULL)"
-    )
+    anchors = anchor_positions(text_col, span_len, stride)
     spans = (
         spread(df)
         .filter(F.length(text_col) >= span_len)
@@ -705,6 +713,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     span_len: int = 40,
     stride: int = 10,
+    anchored: bool = False,
 ) -> DataFrame:
     """Cut repeated spans out of the corpus, keeping the first occurrence.
 
@@ -728,17 +737,26 @@ def remove_duplicate_spans(
     (intervals per doc are few after merging — bounded by len/stride).
     The text column itself never enters a shuffle wider than its own
     groupBy-collect per document.
+
+    ``anchored=True`` swaps stride-aligned span starts for the
+    content-defined anchors of :func:`anchor_positions` — offset-
+    independent removal (same rationale and miss model as
+    :func:`anchored_duplicate_spans`); everything downstream (first-
+    occurrence ranking, interval merge, splice) is identical.
     """
     from pyspark.sql import Window
 
+    pos_src = (
+        anchor_positions(text_col, span_len, stride)
+        if anchored
+        else F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(stride))
+    )
     spans = (
         spread(df)
         .filter(F.length(text_col) >= span_len)
         .select(
             F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(stride))
-            ).alias("pos"),
+            F.explode(pos_src).alias("pos"),
             F.col(text_col),
         )
         .select(

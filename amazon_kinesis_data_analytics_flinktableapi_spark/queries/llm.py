@@ -763,6 +763,71 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_span_removal_anchored",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    long_docs AS (SELECT doc_id, text FROM d WHERE length(text) >= 40),
+    s AS (
+      SELECT doc_id, pos, md5(substr(text, pos + 1, 40)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(list_filter(list_transform(
+                       range(0, length(text) - 40 + 1),
+                       p -> CASE WHEN (ascii(substr(text, p + 1, 1)) * 31
+                                     + ascii(substr(text, p + 2, 1))) % 10 = 0
+                            THEN p END), x -> x IS NOT NULL)) AS pos
+            FROM long_docs) u
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS cnt,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM s
+    ),
+    rem AS (SELECT doc_id, pos AS s0, pos + 40 AS e0 FROM ranked WHERE cnt >= 2 AND rn > 1),
+    ord_rem AS (
+      SELECT doc_id, s0, e0,
+             max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM rem
+    ),
+    isl AS (
+      SELECT doc_id, s0, e0,
+             sum(CASE WHEN prev_max IS NULL OR s0 > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s0, e0) AS island
+      FROM ord_rem
+    ),
+    merged AS (SELECT doc_id, island, min(s0) AS ms, max(e0) AS me FROM isl GROUP BY doc_id, island),
+    chars AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d) c
+    ),
+    kept AS (
+      SELECT c.doc_id, c.i, c.ch FROM chars c
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = c.doc_id AND c.i > m.ms AND c.i <= m.me)
+    ),
+    rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(r.clean_text, '') END AS clean_text,
+           length(d.text) - length(coalesce(r.clean_text, '')) AS n_removed_chars
+    FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="offset-independent duplicate-span REMOVAL: the anchored sibling of "
+    "duplicate_span_removal — span starts from content-defined anchors, so "
+    "a copied region is cut wherever each copy sits (the stride variant's "
+    "1/stride adversarial-offset recall floor does not apply); identical "
+    "first-occurrence ranking, interval merge, and splice downstream",
+)
+def q_duplicate_span_removal_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators/dedup.remove_duplicate_spans(anchored=True); only the
+    span-position source differs from duplicate_span_removal (shared via
+    anchor_positions with the anchored detect variant)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, "doc_id", "text", span_len=40, stride=10, anchored=True)
+
+
+@query(
     "token_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)

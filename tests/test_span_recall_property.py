@@ -180,3 +180,27 @@ def test_winnowing_detects_all_offsets_including_anchor_free(spark):
     hits = {r["doc_id"] for r in out.filter(F.col("n_shared_fp") > 0).collect()}
     missed = [(o1, o2) for (o1, o2, d) in pairs if d not in hits or d + 1 not in hits]
     assert not missed, f"winnowing missed: {missed}"
+
+
+def test_anchored_removal_cuts_misaligned_copies(spark):
+    """The removal half inherits the detect half's model: a misaligned
+    second copy (offsets differing mod stride) survives the stride
+    variant untouched but is cut by the anchored variant (region planted
+    with an early anchor; first occurrence kept, later cut)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(41)
+    region = "dd" + _rand(rng, SPAN + 2 * STRIDE)  # 'dd' anchors at offset 0
+    rows = [
+        (0, region + _rand(rng, 3 * SPAN)),          # offset 0 (first occurrence)
+        (1, _rand(rng, 3) + region + _rand(rng, 3 * SPAN)),  # offset 3 ≢ 0 (mod 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stride_out = {r["doc_id"]: r["n_removed_chars"]
+                  for r in remove_duplicate_spans(df, span_len=SPAN, stride=STRIDE).collect()}
+    anch_out = {r["doc_id"]: r["n_removed_chars"]
+                for r in remove_duplicate_spans(df, span_len=SPAN, stride=STRIDE, anchored=True).collect()}
+    assert stride_out == {0: 0, 1: 0}          # misaligned -> stride variant blind
+    assert anch_out[0] == 0 and anch_out[1] >= SPAN  # anchored cuts the copy
