@@ -463,6 +463,7 @@ BNLJ_SCALAR_CROSS = {
 #: stays small at ANY data scale.
 GLOBAL_WINDOW_BOUNDED = {
     "bpe_merge_step": "topk",        # merge_rank ≤ 20 over 2-char pair counts
+    "heavy_hitters_countmin": "topk",  # rank ≤ 20 over exact vocab counts
     "pmi_collocations": "topk",      # colloc_rank ≤ 20 over scored pairs
     "pca_outlier_scores": "topk",    # out_rank ≤ 20 over projection scores
     "link_prediction_common_neighbors": "topk",  # pred_rank ≤ 20
