@@ -67,6 +67,92 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact_median_select histogram width per refinement level
+_MEDIAN_B = 1024
+
+
+@query(
+    "exact_median_select",
+    oracle="""
+    WITH v AS (SELECT event_id, value FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)),
+    kk AS (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) AS k FROM v),
+    r AS (SELECT event_id, value,
+                 row_number() OVER (ORDER BY value, event_id) AS rn FROM v)
+    SELECT r.event_id, r.value AS median_value, r.rn AS k
+    FROM r, kk WHERE r.rn = kk.k
+    """,
+    doc="exact global median (lower median, k = ceil(n/2)-th order "
+    "statistic) via two-level histogram selection — no global sort, no "
+    "single-node value buffer; the oracle is the brute-force global "
+    "row_number formulation the algorithm must equal",
+)
+def q_exact_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed selection (BFPRT-style bucket narrowing): the exact
+    k-th order statistic without ever sorting the dataset globally or
+    buffering values on one node — the 100 TB answer to what
+    ``stat_aggregates``' ``F.percentile`` does with a single in-memory
+    value buffer per group.
+
+    Two scan passes narrow k through a 1024-bucket histogram each
+    (driver receives 1-row min/max/count and two ≤1024-row histograms —
+    all bounded): after level 1 the candidate set is ~n/2^10, after
+    level 2 ~n/2^20, so the final (value, event_id) ranking sorts ≤ ~10^6
+    rows even at 10^12 input rows — a bounded single-partition tail
+    (whitelisted as such in the plan sweep).  Production would loop the
+    same refinement to depth ceil(log_B n); two unrolled levels cover
+    every realistic table and keep the plan static.  Level-2 buckets are
+    a finer global grid (B² cells) restricted to the level-1 winner, so
+    float-boundary drift between levels cannot misplace a row: the
+    cumulative count is recomputed from the SAME bucket values that
+    partition the rows.  NaN is excluded on both engines (Spark and
+    DuckDB both sort NaN above +inf, but floor(NaN-derived) buckets
+    would silently drop rows instead).  Ties break on event_id —
+    fully deterministic output: (event_id, median_value, k)."""
+    from pyspark.sql.window import Window
+
+    (ev,) = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull() & ~F.isnan("value")).select("event_id", "value")
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    n = stats["n"]
+    spark_sess = ev.sparkSession
+    if n == 0:
+        return spark_sess.createDataFrame([], "event_id long, median_value double, k bigint")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    k = (n + 1) // 2  # ceil(n/2): the lower median
+
+    def bucket(width: int):
+        if hi == lo:
+            return F.lit(0)
+        return F.least(
+            F.floor((F.col("value") - lo) / (hi - lo) * width), F.lit(width - 1)
+        ).cast("long")
+
+    def narrow(df: DataFrame, width: int, k_local: int) -> tuple[DataFrame, int]:
+        hist = (
+            df.select(bucket(width).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("b").collect()  # bounded: ≤ min(width, distinct buckets) rows
+        )
+        cum = 0
+        for row in hist:
+            if cum + row["c"] >= k_local:
+                return df.filter(bucket(width) == row["b"]), k_local - cum
+            cum += row["c"]
+        raise AssertionError("k exceeded histogram total — concurrent input mutation")
+
+    lvl1, k1 = narrow(v, _MEDIAN_B, k)
+    lvl2, k2 = narrow(lvl1, _MEDIAN_B * _MEDIAN_B, k1)
+    w = Window.orderBy("value", "event_id")
+    return (
+        lvl2.select("event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == k2)
+        .select("event_id", F.col("value").alias("median_value"), F.lit(k).cast("long").alias("k"))
+    )
+
+
 @query(
     "json_extract_agg",
     oracle="""

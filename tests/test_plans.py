@@ -471,6 +471,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "join_key_skew_report": "bounded",    # .limit(10) precedes the window
     "chisq_priority_status": "bounded",   # |priority|×|status| grid (≤ ~15 rows)
     "kmv_set_ops": "bounded",  # union of two ≤k sketches: ≤ 2k = 512 rows
+    "exact_median_select": "bounded",  # level-2 histogram cell: ~n/2^20 rows
 }
 
 
