@@ -550,6 +550,134 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(corpus, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5)
 
 
+def _source_overlap_oracle(n: int = 3, num_perm: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of source_overlap_report: identical shingle hash,
+    identical literal permutations, identical pair algebra."""
+    p = D.MERSENNE_PRIME
+    params = D._minhash_params(num_perm, seed)
+    sig_cols = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(num_perm)
+    )
+    return f"""
+    WITH toks AS (SELECT source, {_DUCK_TOKS} AS tk FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    sh0 AS (SELECT source, unnest(CASE WHEN len(tk) >= {n}
+              THEN list_transform(range(1, len(tk) - {n - 2}),
+                                  i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+              ELSE [] END) AS s
+            FROM toks),
+    u AS (SELECT DISTINCT source,
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h
+          FROM sh0),
+    sig AS (SELECT source, {sig_cols} FROM u GROUP BY source),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ({match_sum}) AS matches
+      FROM sig a JOIN sig b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM u x JOIN u y ON x.h = y.h AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           floor(p.matches * 1.0 / {num_perm} * 1000000 + 0.5) / 1000000 AS est_jaccard,
+           floor(coalesce(i.i, 0) * 1.0 / (sa.n + sb.n - coalesce(i.i, 0))
+                 * 1000000 + 0.5) / 1000000 AS exact_jaccard,
+           sa.n AS n_shingles_a, sb.n AS n_shingles_b,
+           coalesce(i.i, 0) AS n_shared
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+    """
+
+
+@query(
+    "source_overlap_report",
+    oracle=_source_overlap_oracle(),
+    doc="dataset-level overlap report: for every pair of document sources, "
+    "the MinHash-estimated AND exact 3-gram-shingle Jaccard overlap — the "
+    "which-corpora-duplicate-each-other curation question, answered with "
+    "per-source signatures (one 64-min aggregation) plus a shingle-level "
+    "equi self-join for ground truth",
+)
+def q_source_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE MinHash union (the signature of a set union is the
+    element-wise min of member signatures — computed here directly as 64
+    min-aggregates over the distinct (source, shingle-hash) universe) vs
+    exact Jaccard from a shingle-keyed equi self-join.  Scale: the
+    signature aggregation is one shuffle keyed by source with map-side
+    partial mins (reduce input ≤ |sources|·64); the exact side shuffles
+    the distinct universe once on the hash and fans out ≤ |sources|²
+    rows per shingle; the final pairwise frame is |sources|²/2 rows —
+    the tiny signature self-join (|sources| rows per side) is the
+    plan-sweep-whitelisted bounded cross.  At 100 TB the exact half is
+    the expensive-but-linear truth pass you run once; the estimate
+    column shows what the cheap signature-only pass would have told
+    you — that calibration is the report's point."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import (
+        md5_hash60,
+        word_ngrams,
+    )
+
+    p = D.MERSENNE_PRIME
+    num_perm = 64
+    params = D._minhash_params(num_perm, 7)
+    (docs,) = load(spark, sf_dir, "documents")
+    u = (
+        docs.filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.explode(word_ngrams(F.col("text"), 3)).alias("s"))
+        .select("source", F.pmod(md5_hash60(F.col("s")), F.lit(p)).alias("h"))
+        .distinct()
+        .cache()  # read three times: signatures, sizes, intersection
+    )
+    sig = u.groupBy("source").agg(
+        *[
+            F.min(F.expr(f"pmod(h * {a}L + {b}L, {p}L)")).alias(f"m{j}")
+            for j, (a, b) in enumerate(params)
+        ]
+    ).select("source", F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
+    sizes = u.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))").alias("matches"),
+    )
+    x, y = u.alias("x"), u.alias("y")
+    inter = (
+        x.join(y, (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_shingles_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_shingles_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            T.half_up_round(F.col("matches") / num_perm, 6).alias("est_jaccard"),
+            T.half_up_round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("n_shingles_a") + F.col("n_shingles_b") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+            "n_shingles_a",
+            "n_shingles_b",
+            F.coalesce(F.col("i"), F.lit(0)).alias("n_shared"),
+        )
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
