@@ -472,6 +472,7 @@ def duplicate_spans(
     text_col: str = "text",
     span_len: int = 40,
     stride: int = 10,
+    anchored: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate-span statistics per document.
 
@@ -495,17 +496,22 @@ def duplicate_spans(
     (id, fingerprint) — never the text.  Both the count and the re-join are
     plain equi-shuffles on a 32-byte key; no self-join, no pair blowup —
     corpus-linear end to end, unlike the pairwise tiers above.
+
+    ``anchored=True`` swaps stride-aligned span starts for the
+    content-defined anchors of :func:`anchor_positions` (same switch as
+    :func:`remove_duplicate_spans`); see :func:`anchored_duplicate_spans`
+    for the miss-model rationale.  Everything downstream is shared, so
+    the two variants can only differ in where spans start.
     """
+    pos_src = (
+        anchor_positions(text_col, span_len, stride)
+        if anchored
+        else F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(stride))
+    )
     spans = (
         spread(df)
         .filter(F.length(text_col) >= span_len)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(stride))
-            ).alias("pos"),
-            F.col(text_col),
-        )
+        .select(F.col(id_col), F.explode(pos_src).alias("pos"), F.col(text_col))
         .select(
             id_col,
             F.md5(F.expr(f"substring({text_col}, pos + 1, {span_len})")).alias("h"),
@@ -572,32 +578,11 @@ def anchored_duplicate_spans(
     Plan shape is identical to the stride version (the anchor filter is
     scan-local per-position integer work, ~2 ascii + arithmetic per
     char); the shuffles still carry only hashes and ids, never text.
-    """
-    anchors = anchor_positions(text_col, span_len, stride)
-    spans = (
-        spread(df)
-        .filter(F.length(text_col) >= span_len)
-        .select(F.col(id_col), F.explode(anchors).alias("pos"), F.col(text_col))
-        .select(
-            id_col,
-            F.md5(F.expr(f"substring({text_col}, pos + 1, {span_len})")).alias("h"),
-        )
-    ).cache()  # read twice (counts + re-join), same as duplicate_spans
-    counts = spans.groupBy("h").agg(F.count("*").alias("cnt"))
-    return (
-        spans.join(counts, "h")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
-        )
-        .select(
-            id_col,
-            "n_spans",
-            "n_dup_spans",
-            half_up_round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
-        )
-    )
+
+    Thin delegation: the whole pipeline lives in :func:`duplicate_spans`
+    (``anchored=True``) so the two variants physically cannot drift in
+    anything but the span-start source (code-review r13)."""
+    return duplicate_spans(df, id_col, text_col, span_len, stride, anchored=True)
 
 
 #: winnowing parameters: k-gram size, window width, hash modulus, and the
@@ -675,18 +660,21 @@ def winnowing_fingerprints(
             ).alias("pos"),
             F.col(text_col),
         )
-        .select(id_col, "pos", F.expr(f"(({WINNOW_M} - ({h})) * {WINNOW_SHIFT}) + pos").alias("key"))
-    )
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    per_doc = Window.partitionBy(id_col)
-    sel = (
-        kg.select(
+        .select(
             id_col,
             "pos",
-            F.max("key").over(frame).alias("sel"),
-            F.max("pos").over(per_doc).alias("max_pos"),
+            F.expr(f"(({WINNOW_M} - ({h})) * {WINNOW_SHIFT}) + pos").alias("key"),
+            # last FULL-window start, derivable at scan time: max k-gram pos
+            # is len−K, so starts run to len−K−(W−1).  Carrying it as a
+            # column avoids a second whole-partition window pass just to
+            # recompute a constant of the document (code-review r13).
+            (F.length(text_col) - (WINNOW_K + WINNOW_W - 1)).alias("lim"),
         )
-        .filter(F.col("pos") <= F.col("max_pos") - (WINNOW_W - 1))
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = (
+        kg.select(id_col, "pos", "lim", F.max("key").over(frame).alias("sel"))
+        .filter(F.col("pos") <= F.col("lim"))
         .select(id_col, F.expr(f"sel DIV {WINNOW_SHIFT}").alias("fp"), F.expr(f"sel % {WINNOW_SHIFT}").alias("fp_pos"))
         .distinct()
     )

@@ -242,7 +242,12 @@ def auto_n_centroids(n_vectors: int, lo: int = 16, hi: int = 4096) -> int:
 EXPR_CENTROID_CAP = 16
 
 
-def _matrix_assign(vec_col, cents: np.ndarray, ids: np.ndarray | None = None):
+def _matrix_assign(
+    vec_col,
+    cents: np.ndarray,
+    ids: np.ndarray | None = None,
+    null_assign: int | None = None,
+):
     """Bucket assignment as ONE Arrow-batched matrix product: argmax of
     X @ C^T per batch.  The expression path builds n_centroids
     interpreted higher-order dots per row — fine to ~64 centroids, but an
@@ -262,27 +267,61 @@ def _matrix_assign(vec_col, cents: np.ndarray, ids: np.ndarray | None = None):
 
     @pandas_udf("long")
     def assign(v: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy())
-        pos = (x @ cents.T).argmax(axis=1)
-        out = pos if ids is None else ids[pos]
-        return pd.Series(out.astype("int64"))
+        # NULL embeddings: np.stack over a batch containing None would
+        # kill the whole task (the _batch_sketches invariant, code-review
+        # r13) — mask them and fill with null_assign.  The det callers
+        # pass the smallest centroid id, which is EXACTLY the expression
+        # forest's behavior (all-NULL dots tie, ties go to the smallest
+        # id — oracle-attested on the adversarial fixture); the k-means
+        # caller leaves None → NULL bucket → the row never ranks.
+        vals = v.to_numpy()
+        mask = np.array([x is not None for x in vals])
+        out = np.full(len(vals), null_assign, dtype=object)
+        if mask.any():
+            x = np.stack(vals[mask])
+            pos = (x @ cents.T).argmax(axis=1)
+            picked = pos if ids is None else ids[pos]
+            for j, val in zip(np.flatnonzero(mask), picked):
+                out[j] = int(val)
+        return pd.Series(out)
 
     return assign(vec_col)
 
 
-def _matrix_probes(vec_col, cents: np.ndarray, nprobe: int, ids: np.ndarray | None = None):
+def _matrix_probes(
+    vec_col,
+    cents: np.ndarray,
+    nprobe: int,
+    ids: np.ndarray | None = None,
+    null_probes: list[int] | None = None,
+):
     """Query-side top-``nprobe`` centroid ids, same Arrow-batched matrix
     product.  Stable argsort on the negated dots ties toward the lower
-    matrix position = the lower centroid id (det ordering: s DESC, j ASC)."""
+    matrix position = the lower centroid id (det ordering: s DESC, j ASC).
+    ``null_probes`` is the NULL-embedding fill — the det callers pass the
+    ``nprobe`` smallest centroid ids (the expression forest's all-NULL
+    tie order), k-means leaves None (row never probes)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    fill = None if null_probes is None else np.array(null_probes, dtype="int64")
+
     @pandas_udf("array<long>")
     def probes(v: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy())
-        pos = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
-        out = pos if ids is None else ids[pos]
-        return pd.Series(list(out.astype("int64")))
+        # NULL-tolerance: see _matrix_assign
+        vals = v.to_numpy()
+        mask = np.array([x is not None for x in vals])
+        out = np.full(len(vals), None, dtype=object)
+        if fill is not None:
+            for j in np.flatnonzero(~mask):
+                out[j] = fill
+        if mask.any():
+            x = np.stack(vals[mask])
+            pos = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
+            picked = (pos if ids is None else ids[pos]).astype("int64")
+            for j, row in zip(np.flatnonzero(mask), picked):
+                out[j] = row
+        return pd.Series(out)
 
     return probes(vec_col)
 
@@ -665,49 +704,43 @@ def ivf_topk_det(
         .select(F.col(id_col).alias("j"), quantized(vec_col).alias("cqv"))
         .collect()
     )
+    # both strategies produce an assign expression and a probes expression
+    # over the quantized "qv" column; everything downstream (bucket join,
+    # self-pair filter, exact-cosine scoring, top-k tail) is shared — a
+    # fix to the tail applies to both paths by construction
     if len(cents) > EXPR_CENTROID_CAP:
         cmat = np.array([r["cqv"] for r in cents], dtype=np.int64)
         cids = np.array([int(r["j"]) for r in cents], dtype=np.int64)
-        c = corpus.select(
-            F.col(id_col).alias("c_id"),
-            as_double(vec_col).alias("c_vec"),
-            _matrix_assign(quantized(vec_col), cmat, cids).alias("bucket"),
+        # null fills = the expression forest's all-NULL-dot tie behavior
+        # (centroid rows are id-ascending), so strategy equality holds
+        # even for NULL-embedding rows
+        assign = _matrix_assign(F.col("qv"), cmat, cids, null_assign=int(cids[0]))
+        probes = _matrix_probes(
+            F.col("qv"), cmat, nprobe, cids, null_probes=[int(x) for x in cids[:nprobe]]
         )
-        q = queries.select(
-            F.col(id_col).alias("q_id"),
-            as_double(vec_col).alias("q_vec"),
-            F.explode(_matrix_probes(quantized(vec_col), cmat, nprobe, cids)).alias("bucket"),
-        )
-        scored = (
-            c.join(F.broadcast(q), "bucket")
-            .filter(F.col("q_id") != F.col("c_id"))
-            .select("q_id", "c_id", cosine("q_vec", "c_vec").alias("__sim"))
-        )
-        return _topk_tail(scored, k, scale)
-
-    def cdots(qv_col: str) -> list:
+    else:
         # struct(dot, -j): array_max picks the highest dot, ties toward the
         # SMALLER centroid id (max of -j) — mirrored by the oracle's
         # ORDER BY s DESC, j ASC
-        return [
+        cdots = [
             F.struct(
-                _int_dot(qv_col, r["cqv"]).alias("s"),
+                _int_dot("qv", r["cqv"]).alias("s"),
                 F.lit(-int(r["j"])).cast("long").alias("nj"),
             )
             for r in cents
         ]
+        assign = -F.array_max(F.array(*cdots)).getField("nj")
+        probes = F.transform(
+            F.slice(F.sort_array(F.array(*cdots), asc=False), 1, nprobe),
+            lambda s: -s.getField("nj"),
+        )
 
     c = corpus.select(
         F.col(id_col).alias("c_id"), as_double(vec_col).alias("c_vec"), quantized(vec_col).alias("qv")
-    )
-    c = c.select("c_id", "c_vec", (-F.array_max(F.array(*cdots("qv"))).getField("nj")).alias("bucket"))
+    ).select("c_id", "c_vec", assign.alias("bucket"))
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"), quantized(vec_col).alias("qv")
-    )
-    probes = F.slice(F.sort_array(F.array(*cdots("qv")), asc=False), 1, nprobe)
-    q = q.select(
-        "q_id", "q_vec", F.explode(F.transform(probes, lambda s: -s.getField("nj"))).alias("bucket")
-    )
+    ).select("q_id", "q_vec", F.explode(probes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
@@ -882,7 +915,10 @@ def semantic_dedup(
     if len(cents) > EXPR_CENTROID_CAP:
         cmat = np.array([r["cqv"] for r in cents], dtype=np.int64)
         cids = np.array([int(r["j"]) for r in cents], dtype=np.int64)
-        cluster = _matrix_assign(F.col("qv"), cmat, cids)
+        # NULL embeddings land in the smallest-id cluster, exactly like
+        # the expression forest's all-NULL tie (oracle-attested); they can
+        # never form a candidate pair (cosine(NULL, x) filters out)
+        cluster = _matrix_assign(F.col("qv"), cmat, cids, null_assign=int(cids[0]))
     else:
         cdots = [
             F.struct(

@@ -32,7 +32,7 @@ PAIR, not its concatenated spelling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: per-symbol delimiters; tokens containing them are dropped up front
@@ -48,11 +48,17 @@ MERGE_SCHEMA = (
 )
 
 
-def words_as_symbol_strings(words: DataFrame, token_col: str = "tok") -> DataFrame:
-    """(token, freq) -> (marker-delimited char-symbol string, freq).
+def words_as_symbol_strings(
+    words: DataFrame, token_col: str = "tok", keep: tuple[str, ...] = ("freq",)
+) -> DataFrame:
+    """(token, …) -> (marker-delimited char-symbol string ``w``, *keep).
 
     Initial BPE state: every word is its character sequence.  Pure
-    per-row expression work — rides whatever scan produced ``words``."""
+    per-row expression work — rides whatever scan produced ``words``.
+    ONE definition of the marker representation and the hostile-token
+    filter for both the train and encode paths (``keep`` selects which
+    companion columns ride along: training keeps ``freq``, encoding
+    keeps the token itself)."""
     safe = words.filter(
         ~F.col(token_col).contains(SYM_BEGIN) & ~F.col(token_col).contains(SYM_END)
     )
@@ -60,7 +66,7 @@ def words_as_symbol_strings(words: DataFrame, token_col: str = "tok") -> DataFra
         f"concat_ws('', transform(sequence(1, length({token_col})), "
         f"i -> concat('\\u0001', substring({token_col}, i, 1), '\\u0002')))"
     )
-    return safe.select(w.alias("w"), "freq")
+    return safe.select(w.alias("w"), *keep)
 
 
 def _pair_counts(sym_words: DataFrame) -> DataFrame:
@@ -129,14 +135,10 @@ def bpe_encode_counts(
     vocabulary — greedy left-to-right replace per merge, in merge-rank
     order, which is exactly how a BPE tokenizer applies its merge table.
     No shuffle; callers join the result back to the exploded corpus on
-    the token."""
-    safe = words.filter(
-        ~F.col(token_col).contains(SYM_BEGIN) & ~F.col(token_col).contains(SYM_END)
-    )
-    w = F.expr(
-        f"concat_ws('', transform(sequence(1, length({token_col})), "
-        f"i -> concat('\\u0001', substring({token_col}, i, 1), '\\u0002')))"
-    )
+    the token.  The symbol-string representation and hostile-token
+    filter come from :func:`words_as_symbol_strings` — the SAME ones
+    training consumed, by construction."""
+    w: Column = F.col("w")
     for _, l, r, merged, _n in merges:
         w = F.replace(
             w,
@@ -145,7 +147,8 @@ def bpe_encode_counts(
         )
     n_syms = F.size(F.split(F.expr("substring(__w, 2, length(__w) - 2)"), f"{SYM_END}{SYM_BEGIN}"))
     return (
-        safe.select(token_col, w.alias("__w"))
+        words_as_symbol_strings(words, token_col, keep=(token_col,))
+        .select(token_col, w.alias("__w"))
         .select(token_col, n_syms.alias("n_symbols"))
     )
 

@@ -238,9 +238,16 @@ def _bpe_encode_oracle(k: int) -> str:
     ),
     b{i} AS (SELECT l, r FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
     w{i} AS (
-      SELECT tok, replace(w, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-                          chr(1) || b.l || b.r || chr(2)) AS w, freq
-      FROM {prev}, b{i} b
+      -- LEFT JOIN, not cross: on early merge exhaustion b{i} is EMPTY
+      -- and the words must pass through UNCHANGED (the Spark loop
+      -- breaks and applies the shorter merge list) — a cross join would
+      -- empty every later round and zero out enc (code-review r13)
+      SELECT tok,
+             CASE WHEN b.l IS NULL THEN w
+                  ELSE replace(w, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+                               chr(1) || b.l || b.r || chr(2)) END AS w,
+             freq
+      FROM {prev} LEFT JOIN b{i} b ON TRUE
     )"""
         )
     return f"""
