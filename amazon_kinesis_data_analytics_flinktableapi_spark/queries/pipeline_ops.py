@@ -1002,6 +1002,143 @@ def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trigram_backoff_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    tg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 < 80 AS is_train,
+             unnest(list_transform(range(1, len(tk) - 1), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 1])) AS w2,
+             unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 2])) AS w3
+      FROM toks WHERE len(tk) >= 3
+    ),
+    tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg WHERE is_train GROUP BY 1, 2, 3),
+    ctx2 AS (SELECT w1, w2, count(*) AS c2x FROM tg WHERE is_train GROUP BY 1, 2),
+    bi AS (SELECT w2, w3, count(*) AS cb FROM tg WHERE is_train GROUP BY 1, 2),
+    ctx1 AS (SELECT w2, count(*) AS c1x FROM tg WHERE is_train GROUP BY 1),
+    uni AS (SELECT w3, count(*) AS cu FROM tg WHERE is_train GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tg WHERE is_train),
+    scored AS (
+      SELECT g.doc_id,
+             CASE WHEN tri.c3 IS NOT NULL THEN 0
+                  WHEN bi.cb IS NOT NULL THEN 1
+                  WHEN uni.cu IS NOT NULL THEN 2
+                  ELSE 3 END AS lvl,
+             CAST(FLOOR(CASE
+               WHEN tri.c3 IS NOT NULL THEN -log2(tri.c3 * 1.0 / ctx2.c2x)
+               WHEN bi.cb IS NOT NULL THEN -log2(0.4 * (bi.cb * 1.0 / ctx1.c1x))
+               WHEN uni.cu IS NOT NULL THEN -log2(0.16 * (uni.cu * 1.0 / tot.t))
+               ELSE -log2(0.16 * (1.0 / (tot.t + 1)))
+             END * 1000) AS BIGINT) AS millibits
+      FROM tg g
+      LEFT JOIN tri ON tri.w1 = g.w1 AND tri.w2 = g.w2 AND tri.w3 = g.w3
+      LEFT JOIN ctx2 ON ctx2.w1 = g.w1 AND ctx2.w2 = g.w2
+      LEFT JOIN bi ON bi.w2 = g.w2 AND bi.w3 = g.w3
+      LEFT JOIN ctx1 ON ctx1.w2 = g.w2
+      LEFT JOIN uni ON uni.w3 = g.w3
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(FLOOR(sum(millibits) * 1.0 / count(*)) AS BIGINT) AS avg_surprisal_millibits
+    FROM scored GROUP BY doc_id
+    """,
+    doc="held-out trigram LM with stupid backoff (CCNet-style quality "
+    "filter): model trained on the hash-assigned 80% train split, EVERY "
+    "doc scored against it — val/test docs genuinely hit unseen trigrams, "
+    "so the 0.4-penalty backoff ladder (tri → bi → uni → OOV) actually "
+    "fires; per-doc level counts + integer-millibit average surprisal",
+)
+def q_trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step past bigram_surprisal_score that makes backoff MEANINGFUL:
+    a self-trained n-gram model scores its own training data without ever
+    backing off (every trigram is by definition seen), so this one trains
+    on the dataset_split_assign train split (same md5 'split:' salt — the
+    eval-stability convention) and scores all docs.  Stupid backoff
+    (Brants et al. 2007): score = P(w3|w1w2), else 0.4·P(w3|w2), else
+    0.4²·P(w3), else 0.4²/(T+1) for OOV — unnormalized scores, which is
+    the variant that actually ships at corpus scale because it needs no
+    discount mass bookkeeping.
+
+    Scale shape: four model aggregations over the train split (all
+    map-side combined), then the doc trigrams LEFT-join each model level
+    on its own equi key and a CASE picks the deepest hit — no theta
+    joins, no per-row Python; the 1-row total broadcasts.  Millibit
+    quantization before summing keeps per-doc aggregates exact integers
+    (same libm-ulp caveat as bigram_surprisal_score, documented there)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import (
+        md5_hash60,
+        tokens,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        (md5_hash60(F.concat(F.lit("split:"), F.col("doc_id"))) % 100 < 80).alias("is_train"),
+        tokens("text").alias("tk"),
+    ).filter(F.size("tk") >= 3)
+    tg = (
+        toked.select(
+            "doc_id",
+            "is_train",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, F.size("tk") - 2).alias("w1"),
+                    F.slice("tk", 2, F.size("tk") - 2).alias("w2"),
+                    F.slice("tk", 3, F.size("tk") - 2).alias("w3"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "is_train", "p.w1", "p.w2", "p.w3")
+        .cache()  # read six times: five model aggregations + the scoring pass
+    )
+    train = tg.filter("is_train")
+    tri = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2x"))
+    bi = train.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cb"))
+    ctx1 = train.groupBy("w2").agg(F.count(F.lit(1)).alias("c1x"))
+    uni = train.groupBy("w3").agg(F.count(F.lit(1)).alias("cu"))
+    tot = train.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        tg.join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(ctx2), ["w1", "w2"], "left")
+        .join(F.broadcast(bi), ["w2", "w3"], "left")
+        .join(F.broadcast(ctx1), ["w2"], "left")
+        .join(F.broadcast(uni), ["w3"], "left")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c3 IS NOT NULL THEN 0 WHEN cb IS NOT NULL THEN 1 "
+                "WHEN cu IS NOT NULL THEN 2 ELSE 3 END"
+            ).alias("lvl"),
+            F.expr(
+                "CAST(FLOOR(CASE "
+                "WHEN c3 IS NOT NULL THEN -log2(c3 * 1.0 / c2x) "
+                "WHEN cb IS NOT NULL THEN -log2(0.4 * (cb * 1.0 / c1x)) "
+                "WHEN cu IS NOT NULL THEN -log2(0.16 * (cu * 1.0 / t)) "
+                "ELSE -log2(0.16 * (1.0 / (t + 1))) END * 1000) AS BIGINT)"
+            ).alias("millibits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0)).alias("n_tri_hits"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).alias("n_bi_backoffs"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).alias("n_uni_backoffs"),
+        F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).alias("n_oov"),
+        F.floor(F.sum("millibits") / F.count(F.lit(1))).cast("bigint")
+        .alias("avg_surprisal_millibits"),
+    )
+
+
+@query(
     "canonical_doc_select",
     oracle=f"""
     WITH {_DUCK_NEARDUP_EDGES},

@@ -448,6 +448,7 @@ BNLJ_SCALAR_CROSS = {
     "tpch_q11_important_stock", # 1-row global value threshold
     "temperature_mixture_sample",  # 1-row global doc total + 1-row max boost
     "bm25_rank",                # 1-row corpus stats (N, Σdl, df per term)
+    "trigram_backoff_surprisal",  # 1-row train-split token total (T)
     "source_overlap_report",    # |sources|-row signature self-join (≤ ~10³
                                 # rows per side at ANY corpus size — the
                                 # pairwise frame IS the report's output)
