@@ -107,16 +107,17 @@ _PRIORITY: list[str] = [
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
     # remaining slots go to the oldest-attested names.  r13 window:
-    # 9 new (bpe_train_merges, bpe_encode_token_counts,
+    # 10 new (bpe_train_merges, bpe_encode_token_counts,
     # duplicate_span_detect_anchored, duplicate_span_removal_anchored,
     # winnowing_fingerprint_stats, heavy_hitters_countmin,
     # exact_median_select, source_overlap_report,
-    # trigram_backoff_surprisal) + the FULL 31-query r8-stale block
+    # trigram_backoff_surprisal, encoding_artifact_signals)
+    # + the FULL 31-query r8-stale block
     # (VERDICT r12 #4: after this round the stalest attestation advances
     # r8 -> r9 registry-wide) + 8 r13-changed surfaces (the ANN
     # auto-sizing diff touched lsh_topk_det/ivf_topk_det/
     # neardup_pairs_lsh/semantic_dedup call sites and bodies; bm25_rank's
-    # filter construction changed) + 2 oldest-r9 fills (the flagship pair) = 50.
+    # filter construction changed) + 1 oldest-r9 fill (the flagship interval_join) = 50.
 
     # NEW r13: iterative BPE training + encode; content-anchored dup
     # spans; robust-winnowing (MOSS) fingerprints
@@ -129,6 +130,7 @@ _PRIORITY: list[str] = [
     "exact_median_select",
     "source_overlap_report",
     "trigram_backoff_surprisal",
+    "encoding_artifact_signals",
     # r8-stale block (31 queries; clears the r8 generation entirely)
     "boilerplate_chunk_removal",
     "zorder_layout",
@@ -172,8 +174,8 @@ _PRIORITY: list[str] = [
     "bm25_rank",
     # r9-stale fills (oldest-attested after the r8 block)
     "interval_join",
-    "currency_conversion",
     # --- previously attested tail (r9-r12), prior relative order kept ---
+    "currency_conversion",
     "projection_filter",
     "asof_join_latest_rate",
     "asof_forward_join",

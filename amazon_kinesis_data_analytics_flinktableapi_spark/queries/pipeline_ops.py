@@ -1001,6 +1001,62 @@ def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: classic UTF-8-decoded-as-Latin-1 mojibake lead bytes + the replacement
+#: char: each counted via the portable replace-count idiom (no regex —
+#: Java vs RE2 class semantics never enter the comparison)
+_MOJIBAKE_MARKERS: list[tuple[str, str]] = [
+    ("c3_seq", "Ã"),      # 'Ã' — UTF-8 2-byte lead read as Latin-1
+    ("c2_seq", "Â"),      # 'Â' — NBSP/controls double-encoded
+    ("euro_seq", "â€"),  # 'â€' — 3-byte punctuation mojibake
+    ("replacement", "�"),  # U+FFFD — decoder gave up
+]
+
+
+def _mojibake_count_exprs() -> list[str]:
+    """(length(text) - length(replace(text, marker, ''))) / len(marker),
+    as ONE SQL text both engines parse: the markers ride as raw unicode
+    characters inside plain string literals (DuckDB's e''-escape parser
+    rejects \\ufffd, and raw literals need no per-engine spelling)."""
+    return [
+        f"CAST((length(text) - length(replace(text, '{marker}', ''))) / {len(marker)} AS BIGINT)"
+        f" AS {name}"
+        for name, marker in _MOJIBAKE_MARKERS
+    ]
+
+
+@query(
+    "encoding_artifact_signals",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(_mojibake_count_exprs())},
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    doc="encoding-artifact (mojibake) quality signals: per-doc counts of "
+    "the classic UTF-8-decoded-as-Latin-1 lead sequences (Ã, Â, â€) and "
+    "the replacement char U+FFFD — pure replace-count expressions, the "
+    "cheap pre-filter a cleaning pipeline runs before any model-based "
+    "quality scoring",
+)
+def q_encoding_artifact_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting by replace-and-measure — (len − len(replace(text, m, '')))
+    / len(m) — rather than regex, so Java-regex vs RE2 character-class
+    semantics never enter the oracle comparison; each count rides the
+    scan as integer expression work, zero shuffle.  The markers are the
+    canonical double-encoding tells (any 'Ã'-class char means a UTF-8
+    multibyte sequence was re-decoded as Latin-1 somewhere upstream);
+    on clean synthetic text all counts are 0, which the oracle verifies
+    just as strictly — the hostile unicode fixture exercises nonzero
+    paths."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        *[F.expr(e) for e in _mojibake_count_exprs()],
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
 @query(
     "trigram_backoff_surprisal",
     oracle=f"""
