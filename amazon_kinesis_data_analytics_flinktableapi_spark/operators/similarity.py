@@ -229,6 +229,30 @@ def auto_n_centroids(n_vectors: int, lo: int = 16, hi: int = 4096) -> int:
     return max(lo, min(hi, math.ceil(math.sqrt(n_vectors))))
 
 
+def auto_nprobe(n_centroids: int, lo: int = 4) -> int:
+    """Default probe width for an index of ``n_centroids`` lists:
+    ``≈ sqrt(lists)``, clamped to [``lo``, n_centroids].
+
+    VERDICT r13 #1: at a FIXED nprobe the auto-sized index's recall
+    decays per decade (measured 0.65 → 0.47 across sf0.1 → sf1 as auto
+    lists grew 45 → 90 with nprobe pinned at 8), because the probed
+    FRACTION of lists halves every time the corpus quadruples.  Scaling
+    nprobe with √lists keeps the per-query verify cost growing only
+    linearly in √lists (= n^¼ under the √n list rule — per-query scan
+    work nprobe·n/lists = n^¾, still sublinear) while the probed
+    fraction decays only as 1/√lists instead of 1/lists; on clustered
+    data — the regime ANN indexes exist for — recall then holds ~flat
+    because the true neighbours concentrate in the top few probed lists
+    (measured flat ±0.05 across the same decade, SCALING.md auto-sized
+    table).  Callers wanting the old fixed-width behavior pass nprobe
+    explicitly; the oracle-twinned det queries do."""
+    import math
+
+    # n_centroids cap LAST: a tiny index (lists < lo) probes every list,
+    # never more lists than exist
+    return min(n_centroids, max(lo, math.ceil(math.sqrt(max(n_centroids, 1)))))
+
+
 #: above this many centroids the per-centroid expression forest loses to
 #: one Arrow-batched matrix product — see _matrix_assign / _matrix_probes.
 #: Measured (sf0.1 embeddings, local[32], min-of-3): the matrix path wins
@@ -267,25 +291,33 @@ def _matrix_assign(
 
     @pandas_udf("long")
     def assign(v: pd.Series) -> pd.Series:
-        # NULL embeddings: np.stack over a batch containing None would
-        # kill the whole task (the _batch_sketches invariant, code-review
-        # r13) — mask them and fill with null_assign.  The det callers
-        # pass the smallest centroid id, which is EXACTLY the expression
-        # forest's behavior (all-NULL dots tie, ties go to the smallest
-        # id — oracle-attested on the adversarial fixture); the k-means
-        # caller leaves None → NULL bucket → the row never ranks.
-        vals = v.to_numpy()
-        mask = np.array([x is not None for x in vals])
-        out = np.full(len(vals), null_assign, dtype=object)
-        if mask.any():
-            x = np.stack(vals[mask])
-            pos = (x @ cents.T).argmax(axis=1)
-            picked = pos if ids is None else ids[pos]
-            for j, val in zip(np.flatnonzero(mask), picked):
-                out[j] = int(val)
-        return pd.Series(out)
+        return pd.Series(_assign_kernel(v.to_numpy(), cents, ids, null_assign))
 
     return assign(vec_col)
+
+
+def _assign_kernel(vals: np.ndarray, cents: np.ndarray, ids, null_assign):
+    """Per-batch body of :func:`_matrix_assign`, module-level so the
+    empty-batch and NULL-handling invariants are directly unit-testable.
+
+    NULL embeddings: np.stack over a batch containing None would kill
+    the whole task (the _batch_sketches invariant, code-review r13) —
+    mask them and fill with null_assign.  The det callers pass the
+    smallest centroid id, which is EXACTLY the expression forest's
+    behavior (all-NULL dots tie, ties go to the smallest id —
+    oracle-attested on the adversarial fixture); the k-means caller
+    leaves None → NULL bucket → the row never ranks."""
+    # dtype=bool: on an EMPTY batch the comprehension infers float64
+    # and `~mask`/flatnonzero would TypeError (ADVICE r13)
+    mask = np.array([x is not None for x in vals], dtype=bool)
+    out = np.full(len(vals), null_assign, dtype=object)
+    if mask.any():
+        x = np.stack(vals[mask])
+        pos = (x @ cents.T).argmax(axis=1)
+        picked = pos if ids is None else ids[pos]
+        for j, val in zip(np.flatnonzero(mask), picked):
+            out[j] = int(val)
+    return out
 
 
 def _matrix_probes(
@@ -308,22 +340,27 @@ def _matrix_probes(
 
     @pandas_udf("array<long>")
     def probes(v: pd.Series) -> pd.Series:
-        # NULL-tolerance: see _matrix_assign
-        vals = v.to_numpy()
-        mask = np.array([x is not None for x in vals])
-        out = np.full(len(vals), None, dtype=object)
-        if fill is not None:
-            for j in np.flatnonzero(~mask):
-                out[j] = fill
-        if mask.any():
-            x = np.stack(vals[mask])
-            pos = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
-            picked = (pos if ids is None else ids[pos]).astype("int64")
-            for j, row in zip(np.flatnonzero(mask), picked):
-                out[j] = row
-        return pd.Series(out)
+        return pd.Series(_probes_kernel(v.to_numpy(), cents, nprobe, ids, fill))
 
     return probes(vec_col)
+
+
+def _probes_kernel(vals: np.ndarray, cents: np.ndarray, nprobe: int, ids, fill):
+    """Per-batch body of :func:`_matrix_probes` (module-level for direct
+    unit tests; NULL-tolerance mirrors :func:`_assign_kernel`)."""
+    # dtype=bool: empty-batch inference would make ~mask a TypeError
+    mask = np.array([x is not None for x in vals], dtype=bool)
+    out = np.full(len(vals), None, dtype=object)
+    if fill is not None:
+        for j in np.flatnonzero(~mask):
+            out[j] = fill
+    if mask.any():
+        x = np.stack(vals[mask])
+        pos = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
+        picked = (pos if ids is None else ids[pos]).astype("int64")
+        for j, row in zip(np.flatnonzero(mask), picked):
+            out[j] = row
+    return out
 
 
 def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 12) -> np.ndarray:
@@ -365,7 +402,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     train_limit: int | None = None,
     seed: int = 13,
     scale: int = 6,
@@ -391,17 +428,52 @@ def ivf_topk(
     3-5× faster from ~32 lists up (measured numbers at the cap's
     definition) and constant plan size out to the 4096-list cap.
     """
+    n_rows: int | None = None
     if n_centroids is None:
-        n_centroids = auto_n_centroids(corpus.count())
+        # one corpus.count() — metadata-cheap on a parquet scan, but a
+        # DERIVED input re-executes its full lineage here and again at
+        # query run (ADVICE r13): callers with expensive lineage should
+        # cache the input or pass explicit sizes
+        n_rows = corpus.count()
+        n_centroids = auto_n_centroids(n_rows)
+    if nprobe is None:
+        # √lists rule (VERDICT r13 #1) — holds recall ~flat across corpus
+        # decades where a fixed width decays; see auto_nprobe
+        nprobe = auto_nprobe(n_centroids)
     if train_limit is None:
         # k-means needs a multiple of n_centroids samples to place lists
         # meaningfully; 8× is the cheapest ratio that kept recall flat in
         # the auto-sizing tests (still bounded: ≤32k rows at the auto cap)
         train_limit = max(4096, 8 * n_centroids)
+    # Train on a seeded RANDOM sample, not the corpus head (r14): limit()
+    # takes whatever rows the first partitions yield, so any corpus whose
+    # layout is correlated with content (time-partitioned, per-source
+    # files — i.e. every real 100 TB corpus) would train centroids on one
+    # region of the space and scatter the rest across ill-fitting lists —
+    # the classic IVF build mistake the FAISS docs warn about.  (Measured
+    # recall-neutral on the driver fixture, whose id-ordered layout is
+    # uncorrelated with content; the fix targets layout-correlated
+    # corpora.)  sample() is scan-local (no shuffle) and the Bernoulli draw
+    # is seed-deterministic per row for a fixed partition layout.  The
+    # fraction is EXACT (train_limit/n, no oversample): an oversampled
+    # fraction + limit() re-introduces head bias, because limit() fills
+    # from the first partitions — the sample lands a few % short of
+    # train_limit instead, which k-means is indifferent to.
+    base = corpus.select(as_double(vec_col))
+    if n_rows is None:
+        n_rows = base.count()
+    frac = min(1.0, train_limit / max(n_rows, 1))
     sample = np.array(
-        [r[0] for r in corpus.select(as_double(vec_col)).limit(train_limit).collect()],
+        [r[0] for r in base.sample(False, frac, seed).limit(train_limit).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0 and frac < 1.0:
+        # pathological sampling miss (tiny corpus + tiny fraction can
+        # only happen with an explicit train_limit far below the corpus
+        # size) — fall back to the head rather than failing the build
+        sample = np.array(
+            [r[0] for r in base.limit(train_limit).collect()], dtype=np.float64
+        )
     if sample.size == 0:
         # an empty training sample would surface as an opaque numpy
         # AxisError inside _kmeans_centroids; name the actual problem
@@ -673,7 +745,7 @@ def ivf_topk_det(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     scale: int = 6,
 ) -> DataFrame:
     """Deterministic IVF top-k: the oracle-checkable sibling of
@@ -698,6 +770,10 @@ def ivf_topk_det(
     ties-toward-smaller-id rule (centroid rows arrive id-ascending)."""
     if n_centroids is None:
         n_centroids = auto_n_centroids(corpus.count())
+    if nprobe is None:
+        # same √lists default as ivf_topk (VERDICT r13 #1); an
+        # oracle-twinned caller passes the explicit value to both sides
+        nprobe = auto_nprobe(n_centroids)
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)

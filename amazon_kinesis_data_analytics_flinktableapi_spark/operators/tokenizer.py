@@ -94,11 +94,44 @@ def _pair_counts(sym_words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(words: DataFrame, k: int, token_col: str = "tok") -> list[tuple[int, str, str, str, int]]:
+#: merge rounds between symbol-state materializations (see bpe_train);
+#: bounds recompute AND plan depth at ``checkpoint_every`` chained
+#: replaces — 64 keeps the per-checkpoint materialization cost (~one
+#: vocab-scale scan) well under the 64 rounds of work it amortizes
+BPE_CHECKPOINT_EVERY = 64
+
+
+def bpe_train(
+    words: DataFrame,
+    k: int,
+    token_col: str = "tok",
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+    _state_probe: list | None = None,
+) -> list[tuple[int, str, str, str, int]]:
     """Train ``k`` merges; returns the merge records
     (rank, left, right, merged, n_occurrences) as a driver-side list —
     the artifact a tokenizer ships.  See :func:`bpe_train_merges` for
-    the loop's scale/semantics notes."""
+    the loop's scale/semantics notes.
+
+    Every ``checkpoint_every`` rounds the symbol state is materialized
+    via ``localCheckpoint(eager=True)`` (VERDICT r13 #2): without it,
+    round r's state is r chained ``replace`` projections over the cached
+    base, so the k-round loop re-evaluates O(k²) narrow work AND feeds
+    Catalyst an O(k)-deep plan every round — fine at k=8, wrong shape
+    for a real ~30k-merge tokenizer build.  Checkpointing truncates the
+    logical plan to a constant-size scan of the materialized state
+    (lineage depth ≤ checkpoint_every, pinned by
+    ``test_bpe_train_checkpoint_bounds_lineage``), making total work
+    O(k·checkpoint_every) = linear in k.  The predecessor checkpoint's
+    blocks are released by Spark's ContextCleaner once the driver
+    handle drops (eager=True guarantees the new state is fully
+    materialized first); the GraphX/ALS iterative pattern.
+
+    ``_state_probe``: test hook — receives the final symbol-state
+    DataFrame so the lineage-depth regression test can inspect the plan
+    (no public caller uses it)."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     base = words_as_symbol_strings(words, token_col).cache()
     try:
         cur = base
@@ -117,6 +150,10 @@ def bpe_train(words: DataFrame, k: int, token_col: str = "tok") -> list[tuple[in
             pat = SYM_BEGIN + l + SYM_END + SYM_BEGIN + r + SYM_END
             rep = SYM_BEGIN + l + r + SYM_END
             cur = cur.select(F.replace("w", F.lit(pat), F.lit(rep)).alias("w"), "freq")
+            if rank % checkpoint_every == 0 and rank < k:
+                cur = cur.localCheckpoint(eager=True)
+        if _state_probe is not None:
+            _state_probe.append(cur)
         return merges
     finally:
         base.unpersist()
@@ -165,8 +202,11 @@ def bpe_train_merges(words: DataFrame, k: int, token_col: str = "tok") -> DataFr
     row crosses to the driver (BPE's merge choice is inherently
     sequential — round r's counts are undefined until round r-1's merge
     is applied, so there is nothing to fan out).  The symbol-state table
-    is cached once; round r recomputes at most r-1 chained narrow
-    ``replace`` projections over that cache, never the corpus scan.
+    is cached once and re-materialized every ``BPE_CHECKPOINT_EVERY``
+    rounds (localCheckpoint — see :func:`bpe_train`), so round r
+    recomputes at most ``checkpoint_every`` chained narrow ``replace``
+    projections, never the corpus scan and never an O(r) chain: total
+    work is linear in k (measured k=8 → k=256 in SCALING.md).
 
     Ties break deterministically by (count DESC, left ASC, right ASC) —
     byte order, identical in Spark and the DuckDB oracle."""

@@ -470,6 +470,15 @@ def main() -> None:
     # skipped INSIDE the ladder, falling through to the same round's
     # envelope or older rounds, instead of masking them
     prev_name, prev_out, prev_source = _prev_bench(sf=sf)
+    _attach_prev_deltas(out, timings, prev_name, prev_out, prev_source)
+    _persist_self(out)
+    print(json.dumps(_slim_for_stdout(out)))
+    spark.stop()
+
+
+def _attach_prev_deltas(out, timings, prev_name, prev_out, prev_source) -> None:
+    """Round-over-round normalization block (pure dict-in/dict-out so
+    tests can pin the emitted fields without a bench run)."""
     if prev_out is None:
         # VERDICT r11 #2: never omit the normalization block silently —
         # an explicit reason in-artifact distinguishes "no prior data"
@@ -534,9 +543,22 @@ def main() -> None:
                         (out[key] * out["canary_parallel_ratio_vs_prev"]) / prev_out[key] - 1,
                         4,
                     )
-    _persist_self(out)
-    print(json.dumps(_slim_for_stdout(out)))
-    spark.stop()
+                if out.get("canary_sched_ratio_vs_prev"):
+                    # VERDICT r13 #4: the r12 throughput dip was a host window
+                    # taxing task DISPATCH, invisible to both compute canaries
+                    # (serial flat, parallel 1.43× while sched ran 0.58/0.41)
+                    # — and the throughput probes are dispatch-bound streaming
+                    # micro-batch loops, so the sched canary is their best
+                    # substrate proxy.  Third normalization reported alongside
+                    # the other two; a delta that survives ALL three is a real
+                    # regression, one that only one normalizer removes names
+                    # which substrate moved.
+                    out.setdefault("normalized_throughput_delta_vs_prev_sched", {})[
+                        label
+                    ] = round(
+                        (out[key] * out["canary_sched_ratio_vs_prev"]) / prev_out[key] - 1,
+                        4,
+                    )
 
 
 # Bulky trace fields live in the BENCH_SELF sidecar only; dropped from the

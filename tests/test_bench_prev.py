@@ -213,6 +213,13 @@ def test_slim_for_stdout_fits_driver_tail(bench_mod):
     out["throughput_samples_sec"] = {f"t{i}": [5.0] * 5 for i in range(3)}
     out["normalized_delta_vs_prev"] = {f"q{i}": 0.1234 for i in range(40)}
     out["normalized_delta_vs_prev_parallel"] = {f"q{i}": 0.1234 for i in range(40)}
+    labels = ("streaming_interval_join", "kinesis_sim_scan", "kinesis_sim_sdk_scan")
+    for k in (
+        "normalized_throughput_delta_vs_prev",
+        "normalized_throughput_delta_vs_prev_parallel",
+        "normalized_throughput_delta_vs_prev_sched",  # r14: third normalizer
+    ):
+        out[k] = {lbl: -0.1234 for lbl in labels}
     slim = bench_mod._slim_for_stdout(out)
     assert len(json.dumps(slim)) <= 2000
     # headline metrics always survive
@@ -232,3 +239,64 @@ def test_sf_filter_skips_to_older_round(bench_mod, bench_dir, monkeypatch):
     (bench_dir / "BENCH_SELF_r10.json").write_text(json.dumps(_full_output(10)))
     name, prev, source = bench_mod._prev_bench(sf=0.1)
     assert name == "BENCH_SELF_r10.json" and prev["value"] == 20.0
+
+
+def test_sched_normalized_throughput_deltas_emitted(bench_mod):
+    """VERDICT r13 #4: BENCH_r14+ carries sched-canary-normalized
+    throughput deltas alongside the serial and parallel normalizations.
+    A sched canary running 2x FASTER than prev (ratio 0.5) halves the
+    credited throughput gain; identical raw throughput then reads -0.5."""
+    out = {
+        "canary_sec": 1.0,
+        "canary_parallel_sec": 2.0,
+        "canary_sched_sec": 0.5,
+        "streaming_interval_join_recs_per_sec": 30000.0,
+        "kinesis_sim_scan_recs_per_sec": 300000.0,
+        "kinesis_sim_sdk_scan_recs_per_sec": 330000.0,
+    }
+    prev = {
+        "canary_sec": 1.0,
+        "canary_parallel_sec": 2.0,
+        "canary_sched_sec": 1.0,
+        "queries": {"q1": 1.0},
+        "streaming_interval_join_recs_per_sec": 30000.0,
+        "kinesis_sim_scan_recs_per_sec": 300000.0,
+        "kinesis_sim_sdk_scan_recs_per_sec": 330000.0,
+    }
+    bench_mod._attach_prev_deltas(out, {"q1": 1.0}, "BENCH_r13.json", prev, "envelope")
+    assert out["canary_sched_ratio_vs_prev"] == 0.5
+    sched = out["normalized_throughput_delta_vs_prev_sched"]
+    assert set(sched) == {
+        "streaming_interval_join",
+        "kinesis_sim_scan",
+        "kinesis_sim_sdk_scan",
+    }
+    assert all(v == -0.5 for v in sched.values())
+    # the other two normalizations still present (ratios 1.0 -> delta 0)
+    assert all(v == 0.0 for v in out["normalized_throughput_delta_vs_prev"].values())
+    assert all(
+        v == 0.0 for v in out["normalized_throughput_delta_vs_prev_parallel"].values()
+    )
+
+
+def test_sched_normalization_absent_when_prev_lacks_sched_canary(bench_mod):
+    """Pre-r13 envelopes have no canary_sched_sec — the sched block must
+    be skipped without error, other normalizations intact."""
+    out = {
+        "canary_sec": 1.0,
+        "canary_parallel_sec": 2.0,
+        "canary_sched_sec": 0.5,
+        "streaming_interval_join_recs_per_sec": 30000.0,
+        "kinesis_sim_scan_recs_per_sec": 300000.0,
+        "kinesis_sim_sdk_scan_recs_per_sec": 330000.0,
+    }
+    prev = {
+        "canary_sec": 1.0,
+        "canary_parallel_sec": 2.0,
+        "queries": {"q1": 1.0},
+        "streaming_interval_join_recs_per_sec": 30000.0,
+    }
+    bench_mod._attach_prev_deltas(out, {"q1": 1.0}, "BENCH_r12.json", prev, "envelope")
+    assert "canary_sched_ratio_vs_prev" not in out
+    assert "normalized_throughput_delta_vs_prev_sched" not in out
+    assert out["normalized_throughput_delta_vs_prev"] == {"streaming_interval_join": 0.0}

@@ -114,3 +114,47 @@ def test_bpe_encode_empty_merge_list_is_char_count(spark):
     words = _words(spark, [("hello", 1), ("x", 2)])
     enc = {r["tok"]: r["n_symbols"] for r in bpe_encode_counts(words, []).collect()}
     assert enc == {"hello": 5, "x": 1}
+
+
+def test_bpe_train_checkpoint_preserves_merges(spark):
+    """VERDICT r13 #2: periodic localCheckpoint is a pure execution-shape
+    change — the merge list must be byte-identical with an aggressive
+    checkpoint cadence (every 2 rounds) and with none at all."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import bpe_train
+
+    rows = [("abab", 3), ("ababab", 2), ("banana", 4), ("bandana", 1), ("aaa", 5)]
+    words = _words(spark, rows)
+    no_ckpt = bpe_train(words, 9, checkpoint_every=10**9)
+    tight = bpe_train(words, 9, checkpoint_every=2)
+    assert tight == no_ckpt and len(no_ckpt) > 4
+
+
+def test_bpe_train_checkpoint_bounds_lineage(spark):
+    """The lineage-depth regression pin: after k rounds with
+    checkpoint_every=c, the final symbol state's analyzed plan carries at
+    most c chained replace projections (the O(k^2) failure mode was k of
+    them).  localCheckpoint truncates the plan to a scan of the
+    materialized state, so the count is k mod c at the last checkpoint."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import bpe_train
+
+    rows = [("abcdefgh", 3), ("abcdefgi", 2), ("abcdef", 4), ("abcde", 1)]
+    words = _words(spark, rows)
+
+    def replace_depth(k, checkpoint_every):
+        probe = []
+        merges = bpe_train(words, k, checkpoint_every=checkpoint_every, _state_probe=probe)
+        assert len(merges) == k  # enough pairs to run all k rounds
+        plan = probe[0]._jdf.queryExecution().analyzed().toString()
+        return plan.count("replace(")
+
+    assert replace_depth(6, checkpoint_every=10**9) == 6  # unbounded chain
+    assert replace_depth(6, checkpoint_every=2) <= 2      # bounded by cadence
+
+
+def test_bpe_train_checkpoint_every_validated(spark):
+    import pytest as _pytest
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.tokenizer import bpe_train
+
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_train(_words(spark, [("ab", 1)]), 1, checkpoint_every=0)
