@@ -123,3 +123,120 @@ def global_running_sum(
             (F.sum(value_col).over(w) + F.col("__offset")).alias(sum_name),
         )
     )
+
+
+#: grouped_kth_select histogram width per refinement level
+GROUPED_KTH_B = 1024
+
+
+def grouped_kth_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    id_col: str = "event_id",
+    p: float = 0.5,
+    B: int = GROUPED_KTH_B,
+) -> DataFrame:
+    """Exact per-group k-th order statistic (k = max(1, ceil(p·n_g)) —
+    p=0.5 is the lower median) with NO per-group value buffer and NO
+    driver-side collects at all (VERDICT r13 #5).
+
+    The scale problem it replaces: ``F.percentile`` buffers every value
+    of a group in one task's memory — fine for a handful of groups,
+    wrong at a high-cardinality group key (10^6 groups × 10^6 values).
+    ``exact_median_select``'s two-level histogram refinement
+    (queries/advanced.py) narrows k through driver-collected histograms,
+    which per-group would collect |groups|·B rows — also wrong.  This
+    operator keeps the SAME two-level narrowing fully distributed:
+
+    1. one groupBy computes (n, lo, hi, k) per group; an equi join hangs
+       them on every row (broadcast under AQE when groups are few,
+       shuffle join otherwise — either way keyed on the group, never
+       collected),
+    2. level-1: B-bucket histogram per group (groupBy group+bucket,
+       map-side combined), per-group running count via a window
+       PARTITIONED BY group (no SinglePartition), the winning bucket is
+       the first with cumulative ≥ k; rows outside it are dropped by an
+       equi join on (group, bucket) — survivors ≈ n_g/B,
+    3. level-2: the same narrowing on a B²-cell grid restricted to the
+       winner — survivors ≈ n_g/B²,
+    4. a row_number window (partitioned by group, ordered by value +
+       ``id_col`` tie-break) ranks the survivors; rank == the narrowed
+       k-local picks the answer row exactly.
+
+    Every shuffle is keyed on the group (+bucket); window partitions are
+    per group; survivor counts shrink 10^3× per level, so even a
+    10^9-row group ranks ~10^3 rows in step 4.  Non-finite values are
+    excluded up front (NaN buckets would silently drop rows — and ±inf
+    degenerates (value-lo)/(hi-lo) into NaN/0 bucket ids, misplacing or
+    dropping rows while a SQL oracle ranks infinities normally; ADVICE
+    r13).  Ties break on ``id_col``: fully deterministic output
+    (group_cols…, id_col, value_col, k)."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    g = list(group_cols)
+    inf = float("inf")
+    v = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(value_col)
+        & (F.abs(F.col(value_col)) != F.lit(inf))
+    ).select(*g, id_col, value_col)
+    stats = v.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+    ).select(
+        *g,
+        "__lo",
+        "__hi",
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__n") * F.lit(p)).cast("long")).alias(
+            "__k"
+        ),
+    )
+    rows = v.join(stats, g)
+
+    def bucket(width: int):
+        span = F.col("__hi") - F.col("__lo")
+        return F.when(span == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("__lo")) / span * width),
+                F.lit(width - 1),
+            ).cast("long")
+        )
+
+    def narrow(rows: DataFrame, width: int, k_col: str) -> DataFrame:
+        """rows(…, k_col) -> surviving rows with __k_local = k within the
+        per-group winning bucket of a width-cell histogram."""
+        hist = (
+            rows.select(*g, "__lo", "__hi", F.col(k_col).alias("__kk"), bucket(width).alias("__b"))
+            .groupBy(*g, "__kk", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = (
+            Window.partitionBy(*g)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        win = (
+            hist.select(*g, "__kk", "__b", "__c", F.sum("__c").over(w).alias("__cum"))
+            .filter((F.col("__cum") >= F.col("__kk")) & (F.col("__cum") - F.col("__c") < F.col("__kk")))
+            .select(
+                *g,
+                F.col("__b").alias("__b_win"),
+                (F.col("__kk") - (F.col("__cum") - F.col("__c"))).alias("__k_local"),
+            )
+        )
+        return rows.withColumn("__b", bucket(width)).join(
+            win, [*g], how="inner"
+        ).filter(F.col("__b") == F.col("__b_win")).drop("__b", "__b_win", k_col)
+
+    lvl1 = narrow(rows, B, "__k")
+    lvl1 = lvl1.withColumnRenamed("__k_local", "__k1")
+    lvl2 = narrow(lvl1, B * B, "__k1")
+    rank_w = Window.partitionBy(*g).orderBy(value_col, id_col)
+    return (
+        lvl2.select(*g, id_col, value_col, "__k_local", F.row_number().over(rank_w).alias("__rn"))
+        .filter(F.col("__rn") == F.col("__k_local"))
+        .join(stats.select(*g, "__k"), g)
+        .select(*g, id_col, value_col, F.col("__k").alias("k"))
+    )
