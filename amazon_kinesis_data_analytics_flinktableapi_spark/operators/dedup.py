@@ -539,7 +539,19 @@ def anchor_positions(text_col: str, span_len: int, stride: int):
     """Content-defined span-start positions: p is an anchor iff the
     2-char key at p hashes to 0 mod stride (expected density 1/stride).
     Shared by the anchored detect AND removal variants so their span
-    sets can never diverge."""
+    sets can never diverge.
+
+    Per-row memory (ADVICE r13): the candidate array materializes ONE
+    ELEMENT PER CHARACTER before the filter drops non-anchors, so peak
+    per-row allocation is ~stride× the stride variant's (whose sequence
+    is 1/stride as long).  At the driver fixture's ~1 KB documents that
+    is noise; multi-megabyte documents mean tens of MB of transient
+    array per row inside the scan task — pre-chunk such corpora first
+    (``operators/chunking.py``; the winnowing queries gate on
+    ``length(text) < WINNOW_SHIFT`` for the same reason) rather than
+    feeding whole books through per-position expressions.  The OUTPUT
+    array is the same expected size as the stride variant's
+    (density 1/stride) — only the transient differs."""
     return F.expr(
         f"filter(transform(sequence(0, length({text_col}) - {span_len}), "
         f"p -> IF((ascii(substring({text_col}, p + 1, 1)) * 31 "
@@ -578,6 +590,9 @@ def anchored_duplicate_spans(
     Plan shape is identical to the stride version (the anchor filter is
     scan-local per-position integer work, ~2 ascii + arithmetic per
     char); the shuffles still carry only hashes and ids, never text.
+    One honest asymmetry (ADVICE r13): the anchor filter's TRANSIENT
+    per-row array is per-character, ~stride× the stride variant's peak —
+    pre-chunk multi-megabyte documents; see :func:`anchor_positions`.
 
     Thin delegation: the whole pipeline lives in :func:`duplicate_spans`
     (``anchored=True``) so the two variants physically cannot drift in
