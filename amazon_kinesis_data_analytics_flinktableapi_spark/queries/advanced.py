@@ -208,6 +208,120 @@ def q_grouped_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_percentiles_select",
+    oracle="""
+    WITH v AS (SELECT event_type, event_id, value FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+    r AS (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn FROM v),
+    ks AS (SELECT event_type, p, GREATEST(1, CAST(ceil(n * p) AS BIGINT)) AS k
+           FROM n, (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS p))
+    SELECT r.event_type, ks.p, r.event_id, r.value AS pct_value, ks.k
+    FROM r JOIN ks ON r.event_type = ks.event_type AND r.rn = ks.k
+    """,
+    doc="exact per-group p25/p75 (k = ceil(p*n_g)-th order statistics) via "
+    "the same distributed histogram selection as grouped_median_select — "
+    "one operator invocation per percentile, no per-group value buffer",
+)
+def q_grouped_percentiles_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generality half of VERDICT r13 #5: ``grouped_kth_select`` at
+    p=0.25 and p=0.75 (exact LOWER percentiles — the k-th actual data
+    value, not an interpolation, so the result hash-matches a row_number
+    oracle).  Each percentile is an independent two-level refinement;
+    production fuses them by narrowing several k's through one histogram,
+    but two static invocations keep the plan inspectable and the 100 TB
+    shape identical (both are group-keyed all the way down).  Output:
+    (event_type, p, event_id, pct_value, k)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
+        grouped_kth_select,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    parts = [
+        grouped_kth_select(ev, ["event_type"], value_col="value", id_col="event_id", p=p)
+        .select(
+            "event_type",
+            F.lit(p).alias("p"),
+            "event_id",
+            F.col("value").alias("pct_value"),
+            "k",
+        )
+        for p in (0.25, 0.75)
+    ]
+    return parts[0].unionAll(parts[1])
+
+
+@query(
+    "robust_mad_select",
+    oracle="""
+    WITH v AS (SELECT event_type, event_id, value FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+    r AS (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn FROM v),
+    med AS (SELECT r.event_type, r.value AS med
+            FROM r JOIN n USING (event_type)
+            WHERE r.rn = GREATEST(1, CAST(ceil(n.n * 0.5) AS BIGINT))),
+    d AS (SELECT v.event_type, v.event_id, med.med,
+                 abs(v.value - med.med) AS dev
+          FROM v JOIN med USING (event_type)),
+    r2 AS (SELECT event_type, med, dev,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dev, event_id) AS rn FROM d)
+    SELECT r2.event_type, r2.med AS median_value, r2.dev AS mad_value,
+           n.n AS n_events
+    FROM r2 JOIN n USING (event_type)
+    WHERE r2.rn = GREATEST(1, CAST(ceil(n.n * 0.5) AS BIGINT))
+    """,
+    doc="median absolute deviation per group computed ENTIRELY by "
+    "distributed selection (two grouped_kth_select passes, lower-median "
+    "semantics) — the scale path for robust_stats_mad, whose "
+    "F.percentile buffers each group's values in one task",
+)
+def q_robust_mad_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion at a high-cardinality group key: pass 1 selects
+    each group's exact lower median (no value buffer), the tiny
+    per-group median table broadcasts back onto the fact scan, pass 2
+    selects the lower median of |x − med| the same way.  Every value in
+    the output is an actual data value or an exact IEEE |a−b| of two —
+    no interpolation, no rounding, hash-exact against the row_number
+    oracle.  ``robust_stats_mad`` (interpolated percentile semantics)
+    stays for parity with quantile_cont; THIS shape is the one that
+    survives 10^6 groups × 10^6 values.  Output: (event_type,
+    median_value, mad_value, n_events)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
+        grouped_kth_select,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    inf = float("inf")
+    v = ev.filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs(F.col("value")) != F.lit(inf))
+    ).select("event_type", "event_id", "value")
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    med = grouped_kth_select(
+        v, ["event_type"], value_col="value", id_col="event_id", p=0.5
+    ).select("event_type", F.col("value").alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", (F.abs(F.col("value") - F.col("med"))).alias("dev")
+    )
+    mad = grouped_kth_select(
+        dev, ["event_type"], value_col="dev", id_col="event_id", p=0.5
+    ).select("event_type", F.col("dev").alias("mad_value"))
+    return (
+        med.select("event_type", F.col("med").alias("median_value"))
+        .join(mad, "event_type")
+        .join(F.broadcast(n), "event_type")
+        .select("event_type", "median_value", "mad_value", "n_events")
+    )
+
+
+@query(
     "json_extract_agg",
     oracle="""
     SELECT event_type,

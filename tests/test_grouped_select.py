@@ -115,13 +115,6 @@ def test_grouped_kth_select_percentiles_match_sorted_pick(spark):
         }
         want = {}
         for gname, vals in groups.items():
-            srt = sorted(
-                (v, i + 1)
-                for i, (gn, _eid, v) in enumerate(rows)
-                if gn == gname
-                for v in [v]
-            )
-            # rebuild (value, event_id) pairs for this group
             pairs = sorted((v, e) for (gn, e, v) in rows if gn == gname)
             k = max(1, math.ceil(p * len(pairs)))
             v, e = pairs[k - 1]
@@ -159,3 +152,49 @@ def test_grouped_kth_select_no_driver_collects(spark):
     assert after == before
     # and the plan actually runs
     assert [(r["event_id"], r["k"]) for r in plan.collect()] == [(25, 25)]
+
+
+# ---------------------------------------------------------------------------
+# property test: grouped_kth_select vs the straight-line definition
+# (sorted per-group k-th pick) over hypothesis-generated hostile inputs —
+# duplicate values, -0.0/0.0 mixes, negative values, singleton and
+# constant groups, skewed group sizes, fractional p.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_value = st.one_of(
+    st.sampled_from([0.0, -0.0, 1.0, -1.0, 2.5]),  # dense ties incl. signed zero
+    st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+)
+_group_rows = st.lists(_value, min_size=1, max_size=12)
+_dataset = st.dictionaries(
+    st.sampled_from(["g1", "g2", "g3"]), _group_rows, min_size=1, max_size=3
+)
+_p = st.sampled_from([0.1, 0.25, 0.5, 0.9, 1.0])
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=_dataset, p=_p)
+def test_grouped_kth_select_matches_sorted_pick(spark, data, p):
+    rows, eid = [], 0
+    for g, vals in sorted(data.items()):
+        for v in vals:
+            eid += 1
+            rows.append((g, eid, v))
+    df = spark.createDataFrame(rows, "g string, event_id long, value double")
+    got = {
+        r["g"]: (r["event_id"], r["value"], r["k"])
+        for r in grouped_kth_select(df, ["g"], id_col="event_id", p=p).collect()
+    }
+    want = {}
+    for g in data:
+        pairs = sorted((v, e) for (gn, e, v) in rows if gn == g)
+        k = max(1, math.ceil(p * len(pairs)))
+        v, e = pairs[k - 1]
+        want[g] = (e, v, k)
+    # NB: Python sorts -0.0 == 0.0 (stable by event_id insertion order is
+    # NOT guaranteed by sorted() on equal keys — the (v, e) tuple makes the
+    # tie-break explicit, matching the operator's (value, event_id) order)
+    assert got == want, (data, p, got, want)
