@@ -171,9 +171,49 @@ def grouped_kth_select(
     degenerates (value-lo)/(hi-lo) into NaN/0 bucket ids, misplacing or
     dropping rows while a SQL oracle ranks infinities normally; ADVICE
     r13).  Ties break on ``id_col``: fully deterministic output
-    (group_cols…, id_col, value_col, k)."""
-    if not 0.0 < p <= 1.0:
-        raise ValueError(f"p must be in (0, 1], got {p}")
+    (group_cols…, id_col, value_col, k).
+
+    Thin delegation to :func:`grouped_kth_select_multi` with one
+    percentile (the ``p`` output column dropped), so the single- and
+    multi-p paths physically cannot drift."""
+    return grouped_kth_select_multi(
+        df, group_cols, value_col=value_col, id_col=id_col, ps=[p], B=B
+    ).drop("p")
+
+
+def grouped_kth_select_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    id_col: str = "event_id",
+    ps: list[float] = (0.25, 0.5, 0.75),
+    B: int = GROUPED_KTH_B,
+) -> DataFrame:
+    """Several exact per-group order statistics from ONE shared level-1
+    histogram pass: the fact table is scanned the same number of times
+    whether the caller asks for one percentile or nine.
+
+    Fusion point: the level-1 histogram (group × bucket counts) does not
+    depend on k, so every percentile's winning bucket is read off the
+    SAME per-group cumulative counts — only the per-(group, p) winner
+    join and everything downstream (level-2 refinement on ~n_g/B
+    survivors, final ranking on ~n_g/B²) fan out per percentile.  A row
+    landing in two percentiles' winning buckets is duplicated at that
+    point, tagged with its ``p`` — each (group, p) then narrows
+    independently with (group, p) as the effective key, preserving the
+    single-p algorithm exactly (pinned by the thin delegation from
+    :func:`grouped_kth_select` + its property test).
+
+    Output: (group_cols…, p, id_col, value_col, k) — one row per
+    (group, p), k = max(1, ceil(p·n_g))."""
+    ps = list(ps)
+    if not ps:
+        raise ValueError("ps must name at least one percentile")
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"ps must be distinct, got {ps}")
+    for p in ps:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"p must be in (0, 1], got {p}")
     g = list(group_cols)
     inf = float("inf")
     v = df.filter(
@@ -185,15 +225,21 @@ def grouped_kth_select(
         F.count(F.lit(1)).alias("__n"),
         F.min(value_col).alias("__lo"),
         F.max(value_col).alias("__hi"),
+    )
+    # one (group, p, k) row per requested percentile — a |groups|·|ps|
+    # table, still keyed on the group
+    ks = stats.select(
+        *g,
+        "__n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("__p"),
     ).select(
         *g,
-        "__lo",
-        "__hi",
-        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__n") * F.lit(p)).cast("long")).alias(
-            "__k"
-        ),
+        "__p",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("__n") * F.col("__p")).cast("long")
+        ).alias("__k"),
     )
-    rows = v.join(stats, g)
+    rows = v.join(stats.select(*g, "__lo", "__hi"), g)
 
     def bucket(width: int):
         span = F.col("__hi") - F.col("__lo")
@@ -204,39 +250,65 @@ def grouped_kth_select(
             ).cast("long")
         )
 
-    def narrow(rows: DataFrame, width: int, k_col: str) -> DataFrame:
-        """rows(…, k_col) -> surviving rows with __k_local = k within the
-        per-group winning bucket of a width-cell histogram."""
-        hist = (
-            rows.select(*g, "__lo", "__hi", F.col(k_col).alias("__kk"), bucket(width).alias("__b"))
-            .groupBy(*g, "__kk", "__b")
-            .agg(F.count(F.lit(1)).alias("__c"))
+    # level 1: ONE histogram per group (k-independent — the fusion point),
+    # winners read off the shared cumulative counts per (group, p)
+    hist1 = (
+        rows.select(*g, "__lo", "__hi", bucket(B).alias("__b"))
+        .groupBy(*g, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w1 = (
+        Window.partitionBy(*g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win1 = (
+        hist1.select(*g, "__b", "__c", F.sum("__c").over(w1).alias("__cum"))
+        .join(ks.select(*g, "__p", F.col("__k").alias("__kk")), g)
+        .filter((F.col("__cum") >= F.col("__kk")) & (F.col("__cum") - F.col("__c") < F.col("__kk")))
+        .select(
+            *g,
+            "__p",
+            F.col("__b").alias("__b_win"),
+            (F.col("__kk") - (F.col("__cum") - F.col("__c"))).alias("__k_local"),
         )
-        w = (
-            Window.partitionBy(*g)
-            .orderBy("__b")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl1 = (
+        rows.withColumn("__b", bucket(B))
+        .join(win1, g)
+        .filter(F.col("__b") == F.col("__b_win"))
+        .drop("__b", "__b_win")
+    )
+    # level 2: survivors carry __p — (group, p) is the key from here on
+    gp = [*g, "__p"]
+    hist2 = (
+        lvl1.select(*gp, "__lo", "__hi", F.col("__k_local").alias("__kk"), bucket(B * B).alias("__b"))
+        .groupBy(*gp, "__kk", "__b")  # __kk rides as a key (per-(g,p) constant)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w2 = (
+        Window.partitionBy(*gp)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win2 = (
+        hist2.select(*gp, "__kk", "__b", "__c", F.sum("__c").over(w2).alias("__cum"))
+        .filter((F.col("__cum") >= F.col("__kk")) & (F.col("__cum") - F.col("__c") < F.col("__kk")))
+        .select(
+            *gp,
+            F.col("__b").alias("__b_win"),
+            (F.col("__kk") - (F.col("__cum") - F.col("__c"))).alias("__k2"),
         )
-        win = (
-            hist.select(*g, "__kk", "__b", "__c", F.sum("__c").over(w).alias("__cum"))
-            .filter((F.col("__cum") >= F.col("__kk")) & (F.col("__cum") - F.col("__c") < F.col("__kk")))
-            .select(
-                *g,
-                F.col("__b").alias("__b_win"),
-                (F.col("__kk") - (F.col("__cum") - F.col("__c"))).alias("__k_local"),
-            )
-        )
-        return rows.withColumn("__b", bucket(width)).join(
-            win, [*g], how="inner"
-        ).filter(F.col("__b") == F.col("__b_win")).drop("__b", "__b_win", k_col)
-
-    lvl1 = narrow(rows, B, "__k")
-    lvl1 = lvl1.withColumnRenamed("__k_local", "__k1")
-    lvl2 = narrow(lvl1, B * B, "__k1")
-    rank_w = Window.partitionBy(*g).orderBy(value_col, id_col)
+    )
+    lvl2 = (
+        lvl1.withColumn("__b", bucket(B * B))
+        .join(win2, gp)
+        .filter(F.col("__b") == F.col("__b_win"))
+    )
+    rank_w = Window.partitionBy(*gp).orderBy(value_col, id_col)
     return (
-        lvl2.select(*g, id_col, value_col, "__k_local", F.row_number().over(rank_w).alias("__rn"))
-        .filter(F.col("__rn") == F.col("__k_local"))
-        .join(stats.select(*g, "__k"), g)
-        .select(*g, id_col, value_col, F.col("__k").alias("k"))
+        lvl2.select(*gp, id_col, value_col, "__k2", F.row_number().over(rank_w).alias("__rn"))
+        .filter(F.col("__rn") == F.col("__k2"))
+        .join(ks, gp)
+        .select(*g, F.col("__p").alias("p"), id_col, value_col, F.col("__k").alias("k"))
     )

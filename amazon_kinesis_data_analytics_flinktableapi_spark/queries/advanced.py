@@ -226,31 +226,24 @@ def q_grouped_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one operator invocation per percentile, no per-group value buffer",
 )
 def q_grouped_percentiles_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The generality half of VERDICT r13 #5: ``grouped_kth_select`` at
-    p=0.25 and p=0.75 (exact LOWER percentiles — the k-th actual data
-    value, not an interpolation, so the result hash-matches a row_number
-    oracle).  Each percentile is an independent two-level refinement;
-    production fuses them by narrowing several k's through one histogram,
-    but two static invocations keep the plan inspectable and the 100 TB
-    shape identical (both are group-keyed all the way down).  Output:
+    """The generality half of VERDICT r13 #5: exact LOWER percentiles —
+    the k-th actual data value, not an interpolation, so the result
+    hash-matches a row_number oracle.  FUSED: both percentiles narrow
+    through ONE shared level-1 histogram
+    (``grouped_kth_select_multi``) — the fact table is scanned the same
+    number of times as for a single percentile; only the ~n_g/B
+    level-2 survivors fan out per p.  Output:
     (event_type, p, event_id, pct_value, k)."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
-        grouped_kth_select,
+        grouped_kth_select_multi,
     )
 
     (ev,) = load(spark, sf_dir, "events")
-    parts = [
-        grouped_kth_select(ev, ["event_type"], value_col="value", id_col="event_id", p=p)
-        .select(
-            "event_type",
-            F.lit(p).alias("p"),
-            "event_id",
-            F.col("value").alias("pct_value"),
-            "k",
-        )
-        for p in (0.25, 0.75)
-    ]
-    return parts[0].unionAll(parts[1])
+    return grouped_kth_select_multi(
+        ev, ["event_type"], value_col="value", id_col="event_id", ps=[0.25, 0.75]
+    ).select(
+        "event_type", "p", "event_id", F.col("value").alias("pct_value"), "k"
+    )
 
 
 @query(

@@ -198,3 +198,41 @@ def test_grouped_kth_select_matches_sorted_pick(spark, data, p):
     # NOT guaranteed by sorted() on equal keys — the (v, e) tuple makes the
     # tie-break explicit, matching the operator's (value, event_id) order)
     assert got == want, (data, p, got, want)
+
+
+def test_grouped_kth_select_multi_equals_singles(spark):
+    """The fusion is pure execution shape: multi([p1, p2, p3]) must equal
+    the three single-p invocations row for row."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
+        grouped_kth_select_multi,
+    )
+
+    rows = [
+        ("g1", i, float(v))
+        for i, v in enumerate([5, 1, 4, 2, 3, 2, 8, -1, 0, 7], start=1)
+    ] + [("g2", 100 + i, float(v)) for i, v in enumerate([9, 9, 9, 2], start=1)]
+    df = spark.createDataFrame(rows, "g string, event_id long, value double")
+    ps = [0.1, 0.5, 0.9]
+    fused = {
+        (r["g"], r["p"]): (r["event_id"], r["value"], r["k"])
+        for r in grouped_kth_select_multi(df, ["g"], id_col="event_id", ps=ps).collect()
+    }
+    singles = {}
+    for p in ps:
+        for r in grouped_kth_select(df, ["g"], id_col="event_id", p=p).collect():
+            singles[(r["g"], p)] = (r["event_id"], r["value"], r["k"])
+    assert fused == singles and len(fused) == 6
+
+
+def test_grouped_kth_select_multi_validates_ps(spark):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
+        grouped_kth_select_multi,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, event_id long, value double")
+    with pytest.raises(ValueError, match="at least one"):
+        grouped_kth_select_multi(df, ["g"], ps=[])
+    with pytest.raises(ValueError, match="distinct"):
+        grouped_kth_select_multi(df, ["g"], ps=[0.5, 0.5])
+    with pytest.raises(ValueError, match="p must be"):
+        grouped_kth_select_multi(df, ["g"], ps=[0.5, 1.2])
