@@ -75,6 +75,7 @@ def global_running_sum(
     value_col: str,
     sum_name: str = "running_sum",
     num_partitions: int | None = None,
+    row_number_name: str | None = None,
 ) -> DataFrame:
     """End-inclusive global running sum of ``value_col`` in ``order_by``
     order (must be a total order), without ``Exchange SinglePartition``.
@@ -86,6 +87,12 @@ def global_running_sum(
     integer-typed ``value_col``: integer partial sums are associative and
     exact, so the result is bit-identical for ANY boundary placement
     (float partials would make the offsets order-dependent).
+
+    ``row_number_name``: also emit the global row number in the same
+    order, for free — the per-partition row COUNTS ride the same offset
+    collect and the same window pass, saving callers that need both
+    (e.g. water-filling's rank-indexed prefix sums) a second range
+    shuffle + checkpoint through :func:`global_row_number`.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint REQUIRED for correctness (see global_row_number):
@@ -97,18 +104,22 @@ def global_running_sum(
         .localCheckpoint()
     )
     totals = sorted(
-        ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s")).collect(),
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__s"), F.count(F.lit(1)).alias("__cnt"))
+        .collect(),
         key=lambda r: r["__pid"],
     )
-    offsets, acc = {}, 0
+    offsets, acc, racc = {}, 0, 0
     for r in totals:
-        offsets[r["__pid"]] = acc
+        offsets[r["__pid"]] = (acc, racc)
         # a partition whose values are all NULL sums to NULL (SQL sum
         # ignores NULLs) — it contributes 0, not a driver TypeError
         acc += r["__s"] or 0
+        racc += r["__cnt"]
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+            [(p, o, ro) for p, (o, ro) in offsets.items()],
+            "__pid int, __offset long, __row_offset long",
         )
     )
     w = (
@@ -116,11 +127,20 @@ def global_running_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    extra = (
+        []
+        if row_number_name is None
+        else [
+            (F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
+             + F.col("__row_offset")).alias(row_number_name)
+        ]
+    )
     return (
         ranged.join(off_df, "__pid")
         .select(
             *[c for c in df.columns],
             (F.sum(value_col).over(w) + F.col("__offset")).alias(sum_name),
+            *extra,
         )
     )
 
@@ -311,4 +331,81 @@ def grouped_kth_select_multi(
         .filter(F.col("__rn") == F.col("__k2"))
         .join(ks, gp)
         .select(*g, F.col("__p").alias("p"), id_col, value_col, F.col("__k").alias("k"))
+    )
+
+
+def waterfill_allocation(
+    counts: DataFrame,
+    key_cols: list[str],
+    count_col: str = "token_count",
+    budget: int = 0,
+) -> DataFrame:
+    """Water-filling budget allocation: the integer level ``t`` =
+    max t with Σ min(c_d, t) ≤ budget (capped at max(c) when everything
+    fits), and each key's allocation min(c_d, t).
+
+    The training-data use: per-domain token caps — a global token budget
+    spread so no domain exceeds the common level, small domains keep
+    everything, and the big-head domains absorb the squeeze (the
+    proportional-fairness shape data-mixing recipes want; temperature
+    sampling is the smooth cousin, this is the hard-cap one).
+
+    Scale: the input is already the per-key aggregate (|keys| rows, not
+    the corpus), but |keys| can be millions of domains, so nothing here
+    may single-partition or collect it.  Rank-indexed prefix sums come
+    from ONE :func:`global_running_sum` pass (range-partition +
+    broadcast offsets; ``row_number_name`` rides the same window).  For
+    keys ascending by count, S(c_i) = P_i + (m−i)·c_i — the total if the
+    level were c_i — is nondecreasing in i, so the feasible set
+    {S(c_i) ≤ budget} is a prefix and TWO scalar aggregates (max rn,
+    max P over it) pin the level segment; t = ⌊(budget − P_i*)/(m − i*)⌋.
+    The two 1-row aggregates broadcast back onto the key table — total
+    driver traffic is the offset table, same as every ranking op here.
+
+    Ties and NULL keys order (count ASC, key ASC NULLS FIRST) — callers'
+    SQL twins must pin NULLS FIRST explicitly (DuckDB defaults LAST).
+    Output: (key_cols…, count_col, alloc_tokens, water_level)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    g = list(key_cols)
+    order = [F.asc(count_col)] + [F.asc_nulls_first(k) for k in g]
+    ranked = global_running_sum(
+        counts.select(*g, count_col),
+        order_by=order,
+        value_col=count_col,
+        sum_name="__P",
+        row_number_name="__rn",
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(count_col).alias("__total"),
+        F.max(count_col).alias("__cmax"),
+    )
+    feas = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__P") + (F.col("__m") - F.col("__rn")) * F.col(count_col)
+            <= F.lit(budget)
+        )
+        .agg(F.max("__rn").alias("__i"), F.max("__P").alias("__Pi"))
+    )
+    level = (
+        tot.crossJoin(F.broadcast(feas))
+        .select(
+            F.when(F.col("__m") == 0, F.lit(0).cast("long"))
+            .when(F.col("__total") <= F.lit(budget), F.col("__cmax").cast("long"))
+            .otherwise(
+                F.floor(
+                    (F.lit(budget) - F.coalesce(F.col("__Pi"), F.lit(0)))
+                    / (F.col("__m") - F.coalesce(F.col("__i"), F.lit(0)))
+                ).cast("long")
+            )
+            .alias("water_level")
+        )
+    )
+    return counts.select(*g, count_col).crossJoin(F.broadcast(level)).select(
+        *g,
+        count_col,
+        F.least(F.col(count_col), F.col("water_level")).cast("long").alias("alloc_tokens"),
+        "water_level",
     )

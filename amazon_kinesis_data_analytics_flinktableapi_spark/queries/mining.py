@@ -2005,6 +2005,65 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_waterfill",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(sum(coalesce(len({_DUCK_TOKS}), 0)) AS BIGINT)
+               AS token_count
+      FROM documents GROUP BY source
+    ),
+    s AS (SELECT count(*) AS m, sum(token_count) AS total,
+                 max(token_count) AS cmax FROM c),
+    r AS (SELECT source, token_count,
+                 row_number() OVER (ORDER BY token_count, source NULLS FIRST)
+                   AS rn,
+                 sum(token_count) OVER (ORDER BY token_count, source NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          FROM c),
+    f AS (SELECT max(rn) AS i, max(p) AS pi
+          FROM r, s WHERE p + (m - rn) * token_count <= 20000),
+    lvl AS (SELECT CASE WHEN s.m = 0 THEN CAST(0 AS BIGINT)
+                        WHEN s.total <= 20000 THEN s.cmax
+                        ELSE CAST(floor((20000 - coalesce(f.pi, 0)) * 1.0
+                                  / (s.m - coalesce(f.i, 0))) AS BIGINT)
+                   END AS water_level
+            FROM s, f)
+    SELECT c.source, c.token_count,
+           CAST(LEAST(c.token_count, lvl.water_level) AS BIGINT) AS alloc_tokens,
+           lvl.water_level
+    FROM c, lvl
+    """,
+    doc="water-filling token-budget allocation across sources: the integer "
+    "level t = max t with sum(min(count_d, t)) <= 20000; small domains keep "
+    "everything, head domains absorb the squeeze — the hard-cap cousin of "
+    "temperature sampling for training-mix construction",
+)
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain caps from a global token budget (the data-mixing
+    primitive: proportional-fair hard caps).  For keys ascending by
+    count, S(c_i) = P_i + (m−i)·c_i is nondecreasing, so the level
+    segment is found from rank-indexed prefix sums — computed by ONE
+    ``global_running_sum`` pass (range-partition + broadcast offsets,
+    ``row_number_name`` riding the same window; never Exchange
+    SinglePartition even at millions of domains) — plus two 1-row
+    scalar aggregates broadcast back.  See
+    operators/ranking.waterfill_allocation.  NULL text counts 0 tokens
+    and NULL source is a domain like any other (ordered NULLS FIRST,
+    pinned on both engines).  Output: (source, token_count,
+    alloc_tokens, water_level)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import token_count
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import (
+        waterfill_allocation,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.coalesce(token_count("text"), F.lit(0))).cast("long").alias("token_count")
+    )
+    return waterfill_allocation(counts, ["source"], "token_count", budget=20000)
+
+
+@query(
     "attribution_last_touch",
     oracle="""
     WITH p AS (

@@ -449,6 +449,9 @@ BNLJ_SCALAR_CROSS = {
     "temperature_mixture_sample",  # 1-row global doc total + 1-row max boost
     "bm25_rank",                # 1-row corpus stats (N, Σdl, df per term)
     "trigram_backoff_surprisal",  # 1-row train-split token total (T)
+    "token_budget_waterfill",   # 1-row (m, total, cmax) + 1-row feasible
+                                # (i*, P_i*) + 1-row water level — three
+                                # scalar crosses onto the per-source table
     "source_overlap_report",    # |sources|-row signature self-join (≤ ~10³
                                 # rows per side at ANY corpus size — the
                                 # pairwise frame IS the report's output)
