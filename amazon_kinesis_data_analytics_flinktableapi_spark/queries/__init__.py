@@ -103,35 +103,83 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 13 window (first 50 = the driver's correctness gate) ----------
+    # --- round 14 window (first 50 = the driver's correctness gate) ----------
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
-    # remaining slots go to the oldest-attested names.  r13 window:
-    # 10 new (bpe_train_merges, bpe_encode_token_counts,
-    # duplicate_span_detect_anchored, duplicate_span_removal_anchored,
-    # winnowing_fingerprint_stats, heavy_hitters_countmin,
-    # exact_median_select, source_overlap_report,
-    # trigram_backoff_surprisal, encoding_artifact_signals)
-    # + the FULL 31-query r8-stale block
-    # (VERDICT r12 #4: after this round the stalest attestation advances
-    # r8 -> r9 registry-wide) + 8 r13-changed surfaces (the ANN
-    # auto-sizing diff touched lsh_topk_det/ivf_topk_det/
-    # neardup_pairs_lsh/semantic_dedup call sites and bodies; bm25_rank's
-    # filter construction changed) + 1 oldest-r9 fill (the flagship interval_join) = 50.
+    # remaining slots go to the oldest-attested names.  r14 window:
+    # 4 new (grouped_median_select, grouped_percentiles_select,
+    # robust_mad_select, token_budget_waterfill) + 9 r14-changed surfaces
+    # (exact_median_select: non-finite filter; bpe_train/encode: the
+    # localCheckpoint merge loop; token_budget_select + sequence_packing:
+    # global_running_sum grew row-number offsets; ann_ivf_topk +
+    # ann_recall_report + embedding_neardup + semantic_dedup: auto-nprobe
+    # default + the matrix-kernel refactor) + the FULL 31-query r9-stale
+    # block (VERDICT r13 #3: after this round the stalest attestation
+    # advances r9 -> r10 registry-wide) + 6 oldest-r10 fills (incl. the
+    # flagship streaming_interval_join) = 50.
 
-    # NEW r13: iterative BPE training + encode; content-anchored dup
-    # spans; robust-winnowing (MOSS) fingerprints
+    # NEW r14: distributed grouped selection + water-filling
+    "grouped_median_select",
+    "grouped_percentiles_select",
+    "robust_mad_select",
+    "token_budget_waterfill",
+    # r14-changed surfaces
+    "exact_median_select",
     "bpe_train_merges",
     "bpe_encode_token_counts",
+    "token_budget_select",
+    "sequence_packing",
+    "ann_ivf_topk",
+    "ann_recall_report",
+    "embedding_neardup",
+    "semantic_dedup",
+    # r9-stale block (31 queries; clears the r9 generation entirely)
+    "array_agg_sorted",
+    "array_hof_pipeline",
+    "asof_forward_join",
+    "asof_join_latest_rate",
+    "bpe_token_estimate",
+    "cascaded_rollup",
+    "contamination_ngram_overlap",
+    "corpus_clean_pipeline",
+    "currency_conversion",
+    "dedup_simhash",
+    "event_sequence_detect",
+    "explode_token_frequencies",
+    "funnel_steps",
+    "interval_join_forward",
+    "kmv_distinct_sketch",
+    "lang_id",
+    "media_frame_sample",
+    "null_scalars",
+    "projection_filter",
+    "quality_score",
+    "self_range_join",
+    "set_intersect",
+    "streaming_chained_windows",
+    "streaming_sliding_window",
+    "streaming_topk_complete",
+    "timeseries_gap_fill",
+    "timeseries_interpolate",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q4_priority_check",
+    "tpch_q6_revenue_delta",
+    # oldest-r10 fills
+    "streaming_tumbling_window",
+    "streaming_interval_join",
+    "doc_chunks",
+    "normalize_text",
+    "stratified_sample",
+    "reservoir_per_group",
+    # --- previously attested tail (r9-r13), prior relative order kept ---
     "duplicate_span_detect_anchored",
     "duplicate_span_removal_anchored",
     "winnowing_fingerprint_stats",
     "heavy_hitters_countmin",
-    "exact_median_select",
     "source_overlap_report",
     "trigram_backoff_surprisal",
     "encoding_artifact_signals",
-    # r8-stale block (31 queries; clears the r8 generation entirely)
     "boilerplate_chunk_removal",
     "zorder_layout",
     "tpch_q15_top_supplier",
@@ -163,26 +211,11 @@ _PRIORITY: list[str] = [
     "tpch_q17_small_qty_revenue",
     "tpch_q2_min_cost_supplier",
     "tpch_q19_disjunctive_join",
-    # r13-changed surfaces (ANN auto-sizing + bm25 filter derivation)
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
     "embedding_neardup_wide",
-    "semantic_dedup",
-    "ann_recall_report",
     "duplicate_span_detect",
     "bm25_rank",
-    # r9-stale fills (oldest-attested after the r8 block)
     "interval_join",
-    # --- previously attested tail (r9-r12), prior relative order kept ---
-    "currency_conversion",
-    "projection_filter",
-    "asof_join_latest_rate",
-    "asof_forward_join",
-    "streaming_chained_windows",
-    "dedup_simhash",
-    "streaming_sliding_window",
-    "streaming_topk_complete",
     "tpch_q5_local_supplier_volume",
     "prefix_filter_setjoin",
     "char_entropy_score",
@@ -242,7 +275,6 @@ _PRIORITY: list[str] = [
     "window_moving_avg",
     "window_running_distinct",
     "sliding_window_events",
-    "sequence_packing",
     "split_leakage_audit",
     "rolling_fingerprint",
     "token_stats",
@@ -269,37 +301,11 @@ _PRIORITY: list[str] = [
     "bloom_contamination_screen",
     "dedup_pipeline_report",
     "template_doc_detect",
-    "token_budget_select",
     "incremental_agg_merge",
     "feature_hash_vector",
     "weighted_sample_topk",
     "streaming_static_enrich",
-    "media_frame_sample",
-    "tpch_q4_priority_check",
-    "tpch_q6_revenue_delta",
-    "tpch_q10_returned_revenue",
-    "tpch_q14_promo_share",
-    "kmv_distinct_sketch",
-    "array_agg_sorted",
-    "set_intersect",
-    "self_range_join",
-    "null_scalars",
-    "array_hof_pipeline",
-    "timeseries_interpolate",
-    "explode_token_frequencies",
-    "event_sequence_detect",
-    "funnel_steps",
-    "timeseries_gap_fill",
-    "cascaded_rollup",
-    "bpe_token_estimate",
-    "quality_score",
-    "lang_id",
-    "corpus_clean_pipeline",
-    "contamination_ngram_overlap",
-    "interval_join_forward",
     "interval_join_full",
-    "streaming_interval_join",
-    "streaming_tumbling_window",
     "streaming_late_data",
     "streaming_dedup",
     "streaming_asof_enrich",
@@ -309,10 +315,6 @@ _PRIORITY: list[str] = [
     "domain_mixture_sample",
     "unigram_surprisal_score",
     "tpch_q9_product_profit",
-    "doc_chunks",
-    "normalize_text",
-    "stratified_sample",
-    "reservoir_per_group",
     "deterministic_sample",
     "agg_pricing_summary",
     "join_revenue_by_nation",
