@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as dt
 import shutil
+from pathlib import Path
 
 import pandas as pd
 import pyarrow as pa
@@ -402,3 +403,107 @@ def test_skew_fixture_is_skewed(spark, skew_dir):
     )
     # the 100 identical docs + their 80%-prefix copies form one component
     assert top >= 200, top
+
+
+# --- non-finite edition (r14 audit) ----------------------------------------
+# A third fixture: the smoke events table plus three rows whose ``value`` is
+# NaN / +inf / -inf.  The r14 full-registry probe measured the blast radius:
+# 185/215 queries are tolerant (identical results on both engines — NULL
+# propagation, non-finite filters, or value-independence); the 30 below
+# ABORT — loudly and on BOTH engines (Spark ANSI CAST_OVERFLOW on inf→int
+# bindings; DuckDB Conversion/Out-of-Range on the same expressions;
+# stddev/quantile range errors), never silently wrong — or diverge in
+# NaN-ordering corners.  The list is a REVIEWED ledger, not an aspiration:
+# tools/adversarial_sweep.py --fixture nonfinite fails on any NEW
+# intolerant query and on any listed query that has become tolerant
+# (remove it here when hardening lands — the r15 plan is to extend the
+# reference's own malformed-record swallow policy, StreamingJob.java's
+# deserializer returning null, to non-finite numeric bindings).
+NONFINITE_INTOLERANT = [
+    "array_hof_pipeline",
+    "asof_forward_join",
+    "asof_join_latest_rate",
+    "cascaded_rollup",
+    "currency_conversion",
+    "interval_join_forward",
+    "streaming_sliding_window",
+    "timeseries_interpolate",
+    "streaming_tumbling_window",
+    "streaming_interval_join",
+    "zorder_layout",
+    "topp_cumulative_share",
+    "stat_aggregates",
+    "pandas_grouped_zscore",
+    "interval_join",
+    "winsorize_outliers",
+    "approx_sketches",
+    "cusum_changepoint",
+    "theilsen_trend",
+    "sliding_window_events",
+    "pandas_udaf_weighted_avg",
+    "cogroup_asof_pandas",
+    "rolling_anomaly_flags",
+    "seasonal_residual_flags",
+    "binned_quantile_estimate",
+    "streaming_static_enrich",
+    "interval_join_full",
+    "streaming_late_data",
+    "streaming_asof_enrich",
+    "value_histogram",
+]
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir(tmp_path_factory):
+    return make_nonfinite_dir(tmp_path_factory.mktemp("nonfinite_sf"))
+
+
+def make_nonfinite_dir(d) -> str:
+    """Smoke tables + three non-finite events.value rows (shared with
+    tools/adversarial_sweep.py --fixture nonfinite)."""
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    df = ev.to_pandas()
+    ts = df["ts"].iloc[0]
+    extra = pd.DataFrame(
+        [
+            dict(event_id=10_000_001, ts=ts, user_id=11, event_type="click",
+                 value=float("nan"), props=None),
+            dict(event_id=10_000_002, ts=ts, user_id=12, event_type="view",
+                 value=float("inf"), props=None),
+            dict(event_id=10_000_003, ts=ts, user_id=13, event_type="purchase",
+                 value=float("-inf"), props=None),
+        ]
+    )
+    out = pd.concat([df, extra], ignore_index=True)[[f.name for f in ev.schema]]
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=ev.schema, preserve_index=False),
+        str(Path(d) / "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(Path(d) / f"{t}.parquet"))
+    return str(d)
+
+
+#: tolerant-by-construction representatives pinned in pytest (the full 215
+#: run is the sweep's job): the r14 selection family filters non-finite
+#: explicitly, and exact_median_select is the r13 op the ADVICE fix hardened
+NONFINITE_PINNED = [
+    "exact_median_select",
+    "grouped_median_select",
+    "grouped_percentiles_select",
+    "robust_mad_select",
+    "token_budget_waterfill",
+]
+
+
+@pytest.mark.parametrize("name", NONFINITE_PINNED)
+def test_nonfinite_parity_pinned(spark, nonfinite_dir, name):
+    compare(SPECS[name].fn(spark, nonfinite_dir), duck_connect(nonfinite_dir),
+            SPECS[name].oracle)
+
+
+def test_nonfinite_ledger_names_registered():
+    unknown = [n for n in NONFINITE_INTOLERANT if n not in SPECS]
+    assert not unknown, f"intolerance ledger names not in registry: {unknown}"
+    assert len(set(NONFINITE_INTOLERANT)) == len(NONFINITE_INTOLERANT)
