@@ -73,3 +73,25 @@ def register_timestamp_to_string(spark: SparkSession, vectorized: bool = True) -
         spark.udf.register("TimestampToString", fn)
     else:
         spark.udf.register("TimestampToString", timestamp_to_string_py, StringType())
+
+
+#: DuckDB-side twin of :func:`finite_or_null` for oracle SQL (DuckDB has
+#: isfinite(); Spark SQL does not, hence the expression form below)
+FINITE_OR_NULL_SQL = "({col} IS NULL OR isfinite({col}))"
+
+
+def finite_or_null(col: Column | str) -> Column:
+    """True for NULL or finite doubles; False for NaN and ±inf.
+
+    The malformed-record swallow policy (reference parity:
+    ``StreamingJob.java:120-122`` catches serialization failures and
+    emits empty bytes so the job continues — bad records degrade, never
+    abort) extended to non-finite numeric bindings — the r14 non-finite audit
+    (``NONFINITE_INTOLERANT`` in tests/test_adversarial_oracle.py)
+    showed a single NaN/±inf row either aborts a whole job at the
+    inf→int binding (Spark ANSI CAST_OVERFLOW) or, worse, silently
+    saturates through ``floor()`` to ±(2⁶³−1).  NULL stays IN: a NULL
+    value deserialized fine and aggregates/joins treat it by SQL
+    semantics on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))

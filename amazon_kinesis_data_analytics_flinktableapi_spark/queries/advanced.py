@@ -22,7 +22,15 @@ def _streaming_orders_rates(ev):
     """Shared orders/rates role projection of events for the streaming
     interval-join and as-of surfaces — ONE definition (same rationale as
     extras._asof_orders_rates: the % 17 rate filter and % 97 + 2 rate
-    formula must not drift per-query; each oracle mirrors this)."""
+    formula must not drift per-query; each oracle mirrors this).
+    Non-finite value rows are swallowed before the int bindings
+    (functions.scalar.finite_or_null — the reference's malformed-record
+    policy; r14 audit: one ±inf row CAST-aborted the whole streaming
+    job); a scan-local stateless filter, so append semantics and
+    watermarks are untouched."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
+    ev = ev.filter(finite_or_null("value"))
     orders_b = ev.select(
         F.col("event_id").cast("int").alias("id"),
         F.col("ts").alias("orderTime"),
@@ -690,6 +698,7 @@ def q_streaming_running_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame
            -- convention
            floor(e.value * d.type_weight * 100 + 0.5) / 100 AS weighted_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE (e.value IS NULL OR isfinite(e.value))
     """,
     doc="STREAMING stream-static broadcast join: replayed event stream "
     "enriched against an in-memory dimension table (stateless, no "
@@ -710,7 +719,13 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = scratch_dir("stream_se_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
     # stream-static joins are stateless: the static side is planned as a
-    # broadcast into every micro-batch; inner join keeps append semantics
+    # broadcast into every micro-batch; inner join keeps append semantics.
+    # Non-finite value rows are swallowed scan-side (stateless filter, the
+    # reference's malformed-record policy — r14 audit: ±inf silently
+    # saturated through the BIGINT floor() to ±2⁶³−1 here).
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
+    stream = stream.filter(finite_or_null("value"))
     out = stream.join(F.broadcast(dim), "event_type").select(
         "event_id",
         "user_id",
@@ -730,10 +745,12 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value * 100) AS INTEGER) AS amount,
              event_type AS currency
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
     ), r AS (
       SELECT ts AS rate_time, event_type AS currency,
              CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
-      FROM events WHERE event_id % 17 = 0
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
     )
     SELECT o.id, o.amount, o.currency, r.rate,
            o.amount * r.rate AS converted_amount
@@ -1163,10 +1180,12 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value * 100) AS INTEGER) AS amount,
              event_type AS currency
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
     ), r AS (
       SELECT ts AS rate_time, event_type AS currency,
              CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
-      FROM events WHERE event_id % 17 = 0
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
     ), j AS (
       SELECT o.id, o.order_time, o.amount, o.currency, r.rate_time, r.rate
       FROM o JOIN r
@@ -1182,7 +1201,8 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     WHERE rn = 1
       AND date_trunc('hour', order_time) + INTERVAL 1 HOUR
-          <= (SELECT max(ts) FROM events WHERE event_id % 17 = 0) - INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events
+           WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))) - INTERVAL 1 HOUR
     """,
     doc="STREAMING as-of enrichment (Flink temporal-join analogue): "
     "stream-stream interval join chained into a per-order latest-rate "

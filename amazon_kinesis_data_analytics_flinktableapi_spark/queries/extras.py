@@ -19,7 +19,14 @@ def _asof_orders_rates(ev):
     all three as-of surfaces (backward, forward, cogroup-pandas) — ONE
     definition, so a change to the rate derivation (e.g. the % 97
     modulus) cannot silently attest different datasets per query; each
-    oracle CTE mirrors this projection."""
+    oracle CTE mirrors this projection.  Non-finite value rows are
+    swallowed (functions.scalar.finite_or_null — r14 audit: the inf→int
+    binding aborts the job on both engines; the reference's policy
+    degrades instead) — each oracle CTE carries the matching
+    ``isfinite`` predicate."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
+    ev = ev.filter(finite_or_null("value"))
     orders = ev.select(
         F.col("event_id").alias("id"),
         F.col("ts").alias("order_time"),
@@ -42,10 +49,12 @@ def _asof_orders_rates(ev):
              CAST(FLOOR(value * 100) AS INTEGER) AS amount,
              event_type AS currency
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
     ), r AS (
       SELECT ts AS rate_time, event_type AS currency,
              CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
-      FROM events WHERE event_id % 17 = 0
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
     ), ranked AS (
       SELECT o.id, o.amount, o.currency, r.rate,
              row_number() OVER (PARTITION BY o.id
@@ -83,10 +92,12 @@ def q_asof_join_latest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value * 100) AS INTEGER) AS amount,
              event_type AS currency
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
     ), r AS (
       SELECT ts AS rate_time, event_type AS currency,
              CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
-      FROM events WHERE event_id % 17 = 0
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
     ), ranked AS (
       SELECT o.id, o.amount, o.currency, r.rate,
              row_number() OVER (PARTITION BY o.id
@@ -441,7 +452,9 @@ def q_session_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, event_type,
              count(*) AS n, sum(value) AS sv
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2
     ), daily AS (
       SELECT date_trunc('day', h) AS d, event_type,
              CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
@@ -460,7 +473,13 @@ def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The continuous-aggregate pattern: compute the finest resolution once,
     # derive coarser resolutions from the aggregate (never rescanning raw
     # data).  At 100 TB the hourly layer is ~10⁵× smaller than raw events.
+    # Non-finite value rows are swallowed (functions.scalar.finite_or_null;
+    # r14 audit: one ±inf row silently saturated the rollup through Spark's
+    # BIGINT floor() to ±2⁶³−1 while DuckDB kept double-inf).
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
@@ -803,10 +822,12 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str, k: int = 256) ->
              CAST(FLOOR(value * 100) AS INTEGER) AS amount,
              event_type AS currency
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
     ), r AS (
       SELECT ts AS rate_time, event_type AS currency,
              CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
-      FROM events WHERE event_id % 17 = 0
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
     ), ranked AS (
       SELECT o.id, o.amount, o.currency, r.rate,
              row_number() OVER (PARTITION BY o.id
@@ -1064,7 +1085,8 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE base AS (
       SELECT event_type AS currency, ts AS rate_time,
              CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
-      FROM events WHERE event_id % 17 = 0
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
     ),
     seq AS (
       SELECT currency, rate,
@@ -1102,7 +1124,12 @@ def q_recursive_ewma_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       WITH RECURSIVE base AS (
         SELECT event_type AS currency, ts AS rate_time,
                CAST(FLOOR(value) AS INT) % 97 + 2 AS rate
-        FROM __ewma_events WHERE event_id % 17 = 0
+        FROM __ewma_events
+        -- non-finite swallow (no isfinite() in Spark SQL — spelled out;
+        -- see functions.scalar.finite_or_null)
+        WHERE event_id % 17 = 0
+          AND (value IS NULL OR (NOT isnan(value)
+               AND abs(value) <> CAST('Infinity' AS DOUBLE)))
       ),
       seq AS (
         SELECT currency, rate,

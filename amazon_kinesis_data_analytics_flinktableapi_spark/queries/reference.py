@@ -27,25 +27,34 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.operators.interval_join i
 )
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
 
+# The int-binding roles swallow non-finite value rows (r14 audit: one
+# NaN/±inf row aborts the whole job at the inf→int CAST under ANSI on
+# both engines — the reference's own malformed-record policy,
+# StreamingJob.java:120-122, degrades instead of aborting; see
+# functions.scalar.finite_or_null).  NULL value stays in: FLOOR(NULL)
+# binds to a NULL amount on both engines.
 _ORDERS_ROLE = """
     SELECT event_id AS id,
            ts AS order_time,
            CAST(FLOOR(value * 100) AS INTEGER) AS amount,
            event_type AS currency
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
 """
 _RATES_ROLE = """
     SELECT ts AS rate_time,
            event_type AS currency,
            CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
     FROM events
-    WHERE event_id % 17 = 0
+    WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
 """
 
 
 def _orders_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
-    return ev.select(
+    return ev.filter(finite_or_null("value")).select(
         F.col("event_id").alias("id"),
         F.col("ts").alias("order_time"),
         F.floor(F.col("value") * 100).cast("int").alias("amount"),
@@ -54,8 +63,10 @@ def _orders_role(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rates_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
-    return ev.filter(F.col("event_id") % 17 == 0).select(
+    return ev.filter((F.col("event_id") % 17 == 0) & finite_or_null("value")).select(
         F.col("ts").alias("rate_time"),
         F.col("event_type").alias("currency"),
         (F.floor(F.col("value")).cast("int") % 97 + 2).alias("rate"),
