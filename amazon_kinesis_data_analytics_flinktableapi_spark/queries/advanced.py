@@ -56,6 +56,7 @@ def _streaming_orders_rates(ev):
            min(value) AS value_min,
            max(value) AS value_max
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
     GROUP BY event_type
     """,
     doc="statistical aggregates: stddev/variance/correlation/exact median",
@@ -64,7 +65,13 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(c):
         return F.floor(c * 1_000_000 + 0.5) / 1_000_000
 
+    # non-finite swallow (r14 audit: one ±inf row made DuckDB's
+    # STDDEV_SAMP range-error and Spark return NaN — one bad record must
+    # degrade, not poison every moment of its group)
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))
     return ev.groupBy("event_type").agg(
         r6(F.stddev_samp("value")).alias("value_stddev"),
         r6(F.var_samp("value")).alias("value_var"),
@@ -411,12 +418,16 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((value - avg(value) OVER w) / stddev_samp(value) OVER w * 10000 + 0.5) / 10000
              AS zscore
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
     WINDOW w AS (PARTITION BY user_id)
     """,
     doc="grouped-map Pandas UDF (applyInPandas): per-user z-score, SQL-oracle-proven",
 )
 def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))  # non-finite swallow (r14 audit)
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std(ddof=1)
@@ -454,7 +465,7 @@ def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sum(CASE WHEN value IS NOT NULL THEN user_id END)
                  * 10000 + 0.5) / 10000 AS weighted_avg
     FROM events
-    WHERE user_id > 0
+    WHERE user_id > 0 AND (value IS NULL OR isfinite(value))
     GROUP BY event_type
     """,
     doc="grouped-agg Pandas UDF (UDAF): user-weighted mean value per event type",
@@ -478,9 +489,13 @@ def q_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = int((cents * wm).sum())
         return float(np.floor(num / 100.0 / float(wm.sum()) * 10000 + 0.5) / 10000)
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
     return (
-        ev.filter(F.col("user_id") > 0)
+        # non-finite swallow (r14 audit): floor(±inf*100).astype(int64)
+        # inside the UDAF is the same undefined-garbage hazard as NaN
+        ev.filter((F.col("user_id") > 0) & finite_or_null("value"))
         .groupBy("event_type")
         .agg(weighted_avg("value", "user_id").alias("weighted_avg"))
     )
@@ -557,8 +572,12 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            sum(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
-    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    -- cutoff over the FILTERED set: swallowed rows never advance the
+    -- stream's event-time clock (the filter sits before the watermark)
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) FROM events WHERE (value IS NULL OR isfinite(value)))
     """,
     doc="STREAMING tumbling window via file replay; append mode emits exactly "
     "the windows the terminal watermark closes (end <= max event time) — oracle-proven",
@@ -570,9 +589,13 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
     tmp = scratch_dir("stream_tw_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
+    # non-finite swallow BEFORE the int binding (stateless; r14 audit)
+    stream = stream.filter(finite_or_null("value"))
     agg = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -818,17 +841,20 @@ def prepare_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "streaming_sliding_window",
     oracle="""
-    WITH starts AS (
-      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+    WITH fe AS (
+      SELECT ts, event_type, value FROM events
+      WHERE (value IS NULL OR isfinite(value))
+    ), starts AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM fe
       UNION ALL
-      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM fe
     )
     SELECT ws AS window_start, event_type,
            count(*) AS n_events,
            sum(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM starts
     GROUP BY 1, 2
-    HAVING ws + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)
+    HAVING ws + INTERVAL 2 HOUR <= (SELECT max(ts) FROM fe)
     """,
     doc="STREAMING sliding windows (2h window, 1h slide) via file replay; "
     "append mode emits exactly the windows the terminal watermark closes "
@@ -842,9 +868,15 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import sliding_agg
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
     tmp = scratch_dir("stream_slw_")
     stream = replay_stream(spark, ev, EVENTS_SCHEMA, tmp)
+    # non-finite swallow BEFORE the watermark: the filtered rows never
+    # advance the event-time clock, so the oracle's terminal cutoff is
+    # max(ts) over the FILTERED set (the fe CTE)
+    stream = stream.filter(finite_or_null("value"))
     agg = sliding_agg(
         stream, "ts", "2 hours", "1 hour", ["event_type"],
         [F.count(F.lit(1)).alias("n_events"), (F.sum(F.floor(F.col("value") * 100)) / F.lit(100.0)).alias("total_value")],
@@ -931,18 +963,19 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_late_data",
     oracle="""
-    WITH c0 AS (SELECT ts, value FROM events WHERE event_id % 10 <> 0),
+    WITH fe AS (SELECT * FROM events WHERE (value IS NULL OR isfinite(value))),
+    c0 AS (SELECT ts, value FROM fe WHERE event_id % 10 <> 0),
     wm1 AS (SELECT max(ts) AS w FROM c0),
     kept AS (
       SELECT ts, value, 0 AS is_late FROM c0
       UNION ALL
       -- first late wave arrives before any eviction: always merged
-      SELECT ts, value, 1 FROM events WHERE event_id % 20 = 0
+      SELECT ts, value, 1 FROM fe WHERE event_id % 20 = 0
       UNION ALL
       -- second late wave: dropped iff the window was already evicted, i.e.
       -- window end <= the watermark active during the PREVIOUS batch
       -- (= max on-time event time); late rows into still-live windows merge
-      SELECT e.ts, e.value, 1 FROM events e, wm1
+      SELECT e.ts, e.value, 1 FROM fe e, wm1
       WHERE e.event_id % 20 = 10
         AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm1.w
     )
@@ -952,7 +985,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
     FROM kept
     GROUP BY 1
-    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM fe)
     """,
     doc="STREAMING late/out-of-order data: events replayed as 3 micro-batches "
     "— on-time rows (event_id%10!=0), then two late waves.  Pins Spark's "
@@ -969,7 +1002,10 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))  # swallow at the source (r14)
     cols = [f.name for f in EVENTS_SCHEMA.fields]
     ontime = ev.filter(F.col("event_id") % 10 != 0).select(cols)
     late1 = ev.filter(F.col("event_id") % 20 == 0).select(cols)

@@ -183,7 +183,9 @@ def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arrs AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE (value IS NULL OR isfinite(value))
+      GROUP BY user_id
     ), t AS (
       SELECT user_id,
              list_transform(vals, x -> CAST(FLOOR(x * 100) AS BIGINT)) AS cents
@@ -207,7 +209,10 @@ def q_array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform/filter/aggregate run element-wise inside the scan stage; the
     # only shuffle is the per-user collect.  Integer cents keep the fold
     # exact (no float-order flake across engines).
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))  # non-finite swallow (r14)
     arrs = ev.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "value"))

@@ -131,15 +131,17 @@ def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "timeseries_interpolate",
     oracle="""
-    WITH hourly AS (
+    WITH fe AS (
+      SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+    ), hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS v
-      FROM events GROUP BY 1, 2
+      FROM fe GROUP BY 1, 2
     ), b AS (
-      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM fe
     ), cal AS (
       SELECT DISTINCT e.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
-      FROM events e, b
+      FROM fe e, b
     ), g AS (
       SELECT c.event_type, c.h, epoch_us(c.h) // 3600000000 AS hidx, hourly.v
       FROM cal c LEFT JOIN hourly ON c.event_type = hourly.event_type AND c.h = hourly.h
@@ -175,7 +177,11 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles are bit-equal, not merely close.  Scale: one shuffle for the
     # hourly pre-agg; the calendar join and both window passes run over the
     # |keys| × |hours| grid, which is ~10⁵× smaller than raw events.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    # swallow the whole malformed record (calendar bounds included) — r14
+    ev = ev.filter(finite_or_null("value"))
     hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
         (F.sum(F.floor(F.col("value") * 100)).cast("double") / (F.count(F.lit(1)) * 100)).alias("v")
     )
@@ -545,7 +551,7 @@ _HLL_EST = (
     users AS (SELECT event_type, {_HLL_EST} AS approx_users FROM hll),
     b AS (
       SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS bin
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     hist AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
     cum AS (
@@ -605,6 +611,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the Flink job itself has no sketch surface; this is
     part of the LLM-pipeline tier (driver brief), kept output-compatible
     with the pre-r11 rows-only version (same six columns)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
     from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60
 
@@ -625,7 +633,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = hll.select("event_type", F.expr(_HLL_EST).alias("approx_users"))
 
-    b = ev.filter(F.col("value").isNotNull()).select(
+    b = ev.filter(F.col("value").isNotNull() & finite_or_null("value")).select(
         "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("bin")
     )
     hist = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
@@ -1202,7 +1210,7 @@ def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     ranked AS (
       SELECT event_type, event_id, cents,
@@ -1241,8 +1249,11 @@ def q_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaggregatable state)."""
     from pyspark.sql import Window
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
-    v = ev.filter(F.col("value").isNotNull()).select(
+    # NOT NULL was already required; non-finite joins the exclusion (r14)
+    v = ev.filter(F.col("value").isNotNull() & finite_or_null("value")).select(
         "event_type", "event_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
     )
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
@@ -1431,7 +1442,9 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- flaked on exactly this
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2
     ),
     w AS (
       SELECT event_type, h, cents,
@@ -1466,12 +1479,15 @@ def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the |keys|×|hours| grid."""
     from pyspark.sql import Window
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
     # NULL event times are excluded from the hourly series on BOTH
     # engines (see the oracle comment — also dodges a DuckDB 1.0.0
-    # nondeterministic window sort over NULL ORDER BY keys)
+    # nondeterministic window sort over NULL ORDER BY keys); non-finite
+    # values are swallowed before the cents binding (r14)
     hourly = (
-        ev.filter(F.col("ts").isNotNull())
+        ev.filter(F.col("ts").isNotNull() & finite_or_null("value"))
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.sum(F.floor(F.col("value") * 100)).cast("bigint").alias("cents"))
     )
@@ -1558,7 +1574,7 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) // 10 AS bin
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     hist AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
     cum AS (
@@ -1588,8 +1604,10 @@ def q_binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bin width, chosen from the known value domain."""
     from pyspark.sql import Window
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
-    b = ev.filter(F.col("value").isNotNull()).select(
+    b = ev.filter(F.col("value").isNotNull() & finite_or_null("value")).select(
         "event_type", F.expr("CAST(FLOOR(value * 100) AS BIGINT) div 10").alias("bin")
     )
     hist = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))

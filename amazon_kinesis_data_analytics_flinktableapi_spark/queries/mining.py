@@ -1400,8 +1400,11 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
       -- ts IS NOT NULL: a daily series has no bucket for an unknown day;
       -- also dodges DuckDB 1.0.0's nondeterministic window sort over
-      -- NULL ORDER BY keys (observed in the adversarial sweep)
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+      -- NULL ORDER BY keys (observed in the adversarial sweep).
+      -- Non-finite values swallowed before the cents binding (r14).
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2
     ),
     slopes AS (
       SELECT a.user_id,
@@ -1432,10 +1435,13 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     with truncating div, so the median element is engine-exact.  The
     estimator tolerates ~29% outliers, which is why monitoring pipelines
     prefer it over least squares for per-entity drift."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
-    # NULL event times excluded from the daily series on BOTH engines
+    # NULL event times excluded from the daily series on BOTH engines;
+    # non-finite values swallowed before the cents binding (r14)
     daily = (
-        ev.filter(F.col("ts").isNotNull())
+        ev.filter(F.col("ts").isNotNull() & finite_or_null("value"))
         .select(
             "user_id",
             F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
@@ -1476,8 +1482,11 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
       -- ts IS NOT NULL: a daily series has no bucket for an unknown day;
       -- also dodges DuckDB 1.0.0's nondeterministic window sort over
-      -- NULL ORDER BY keys (observed in the adversarial sweep)
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+      -- NULL ORDER BY keys (observed in the adversarial sweep).
+      -- Non-finite values swallowed before the cents binding (r14).
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2
     ),
     dev AS (
       SELECT user_id, d,
@@ -1516,9 +1525,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     events; at 100 TB the window never sees raw event rows."""
     (ev,) = load(spark, sf_dir, "events")
     # NULL event times excluded from the daily series on BOTH engines
-    # (see the oracle comment)
+    # (see the oracle comment); non-finite values swallowed (r14)
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     daily = (
-        ev.filter(F.col("ts").isNotNull())
+        ev.filter(F.col("ts").isNotNull() & finite_or_null("value"))
         .select(
             "user_id",
             F.datediff(
@@ -1694,7 +1705,7 @@ def three_sigma_outlier(v_cents, n, s, s2):
       SELECT event_id, event_type,
              CAST(hour(ts) AS INTEGER) AS hod,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     prof AS (
       SELECT event_type, hod,

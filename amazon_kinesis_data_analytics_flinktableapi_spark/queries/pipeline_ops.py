@@ -557,8 +557,12 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout path at write time is repartitionByRange(z).
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.maintenance import zorder_sql
 
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
-    pts = ev.select(
+    # non-finite swallow before the int binding (r14); a ±inf y would also
+    # blow the min/max normalization bounds for EVERY row
+    pts = ev.filter(finite_or_null("value")).select(
         F.col("user_id").alias("x"),
         F.floor("value").cast("long").alias("y"),
     )
@@ -592,6 +596,7 @@ def _zorder_oracle() -> str:
     return f"""
     WITH pts AS (
       SELECT user_id AS x, CAST(FLOOR(value) AS BIGINT) AS y FROM events
+      WHERE (value IS NULL OR isfinite(value))
     ), b AS (
       SELECT min(x) AS bx0, max(x) AS bx1, min(y) AS by0, max(y) AS by1 FROM pts
     ), normed AS (

@@ -422,13 +422,17 @@ def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(value / 50.0) AS BIGINT) AS bin,
            count(*) AS n
     FROM events
+    WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
     """,
     doc="histogram binning: fixed-width value buckets per key (the "
     "distribution-profiling scan)",
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))  # non-finite swallow (r14)
     return (
         ev.groupBy(
             "event_type", F.floor(F.col("value") / 50.0).cast("bigint").alias("bin")
@@ -497,10 +501,10 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- windows for a NULL event time (the row is excluded), so the
       -- oracle excludes it too
       SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
       UNION ALL
       SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     )
     SELECT ws AS window_start, event_type,
            count(*) AS n_events,
@@ -518,7 +522,10 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.window with a slide explodes each event into its 2 covering
     # windows; the oracle enumerates the same covers as a 2-way union.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))  # non-finite swallow (r14)
     # integer milli-unit totals — see the oracle comment
     mv = F.floor(F.col("value") * 1000 + 0.5).cast("bigint")
     return (
@@ -1008,6 +1015,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, user_id,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
       GROUP BY event_type, user_id
     ),
     ranked AS (
@@ -1028,7 +1036,10 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounding, engine-exact)",
 )
 def q_topp_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_or_null
+
     (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(finite_or_null("value"))  # non-finite swallow (r14)
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
     )

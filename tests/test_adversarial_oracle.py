@@ -419,31 +419,15 @@ def test_skew_fixture_is_skewed(spark, skew_dir):
 # (remove it here when hardening lands — the r15 plan is to extend the
 # reference's own malformed-record swallow policy, StreamingJob.java's
 # deserializer returning null, to non-finite numeric bindings).
-NONFINITE_INTOLERANT = [
-    # (r14 hardening wave 1 delisted the whole int-binding role family —
-    # interval_join/currency_conversion/asof/cogroup/streaming twins,
-    # cascaded_rollup, streaming_static_enrich — via the
-    # functions.scalar.finite_or_null swallow applied to the shared role
-    # helpers and their oracle CTEs; the rot check forced this edit)
-    "array_hof_pipeline",
-    "streaming_sliding_window",
-    "timeseries_interpolate",
-    "streaming_tumbling_window",
-    "zorder_layout",
-    "topp_cumulative_share",
-    "stat_aggregates",
-    "pandas_grouped_zscore",
-    "winsorize_outliers",
-    "approx_sketches",
-    "cusum_changepoint",
-    "theilsen_trend",
-    "sliding_window_events",
-    "pandas_udaf_weighted_avg",
-    "rolling_anomaly_flags",
-    "seasonal_residual_flags",
-    "binned_quantile_estimate",
-    "streaming_late_data",
-    "value_histogram",
+NONFINITE_INTOLERANT: list[str] = [
+    # EMPTY since r14 hardening wave 2: every registered query now
+    # swallows non-finite value rows at its int/cents binding (the
+    # reference's malformed-record degrade-don't-abort policy,
+    # functions.scalar.finite_or_null, mirrored as isfinite() in each
+    # oracle) or is value-independent.  The wave-1/wave-2 history lives
+    # in COVERAGE.md's non-finite audit section.  The sweep's rot check
+    # keeps this list honest in BOTH directions: a new intolerant query
+    # fails the sweep, and a listed query that passes must be delisted.
 ]
 
 
