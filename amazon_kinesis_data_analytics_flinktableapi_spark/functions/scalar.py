@@ -95,3 +95,22 @@ def finite_or_null(col: Column | str) -> Column:
     semantics on both engines."""
     c = F.col(col) if isinstance(col, str) else col
     return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+
+
+def finite_embedding(col: Column | str) -> Column:
+    """True for NULL embeddings or arrays whose every element is a
+    finite non-NULL double — the vector twin of :func:`finite_or_null`
+    (r14 embeddings audit: ONE NaN/±inf component aborts the whole
+    ANN/dedup tier — the integer-quantized sketch math overflows int64
+    on ±inf under ANSI, numpy kernels propagate NaN, and DuckDB's
+    list_inner_product/list_cosine_similarity reject NULL elements —
+    so a malformed vector is swallowed whole, the reference's
+    degrade-don't-abort policy).  A NULL embedding stays IN: the
+    NULL-vector paths are first-class and attested (matrix kernels'
+    null fills, neardup NULL tests).  An empty array passes (forall
+    over empty is TRUE on both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    inf = float("inf")
+    return c.isNull() | F.forall(
+        c, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(inf))
+    )

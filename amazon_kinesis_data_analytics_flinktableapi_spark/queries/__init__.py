@@ -51,6 +51,40 @@ def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
     return deco
 
 
+#: DuckDB predicate for a well-formed embedding row (NULL vector OK,
+#: any NULL/NaN/±inf ELEMENT is malformed) — the oracle twin of
+#: functions.scalar.finite_embedding; bool_and over an empty list is
+#: NULL, coalesced TRUE to match Spark's forall-over-empty
+FINITE_EMBEDDING_SQL = (
+    "(embedding IS NULL OR coalesce(list_aggregate(list_transform("
+    "embedding, x -> x IS NOT NULL AND isfinite(x)), 'bool_and'), TRUE))"
+)
+
+
+def nse_oracle(sql: str) -> str:
+    """Wrap an oracle so its ``embeddings`` references see only
+    well-formed rows (r14 embeddings audit): prepends a CTE that SHADOWS
+    the ``embeddings`` view with the :data:`FINITE_EMBEDDING_SQL` filter
+    (body reads ``main.embeddings`` — DuckDB otherwise binds the CTE's
+    own name as circular).  Mirrors the Spark side's
+    ``finite_embedding`` filter at the load site, so both engines
+    swallow the same malformed vectors.  Works on literal AND generated
+    oracles without touching their internals; merges into an existing
+    WITH."""
+    cte = (
+        "embeddings AS (SELECT * FROM main.embeddings WHERE "
+        + FINITE_EMBEDDING_SQL
+        + ")"
+    )
+    stripped = sql.lstrip()
+    lead = sql[: len(sql) - len(stripped)]
+    if stripped[:14].upper().startswith("WITH RECURSIVE"):
+        return f"{lead}WITH RECURSIVE {cte},\n{stripped[14:].lstrip()}"
+    if stripped[:4].upper() == "WITH":
+        return f"{lead}WITH {cte},\n{stripped[4:].lstrip()}"
+    return f"{lead}WITH {cte}\n{stripped}"
+
+
 def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     """Read TESTDATA parquet tables and register them as temp views."""
     from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_table

@@ -22,7 +22,8 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.functions import text as 
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as D
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, nse_oracle, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
@@ -1073,7 +1074,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_cosine_topk",
-    oracle="""
+    oracle=nse_oracle("""
     SELECT q_id, c_id, floor(cs * 1000000 + 0.5) / 1000000 AS cos_sim, rn FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
              list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs,
@@ -1084,12 +1085,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings q, embeddings c
       WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
     ) WHERE rn <= 10
-    """,
+    """),
     headline=True,
     doc="brute-force cosine top-10 for 5 query vectors (exact ANN baseline)",
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     return S.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -1136,7 +1138,7 @@ def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
 
 @query(
     "ann_lsh_topk",
-    oracle=_ann_lsh_oracle(),
+    oracle=nse_oracle(_ann_lsh_oracle()),
     doc="LSH-bucketed approximate cosine top-k — deterministic "
     "integer-quantized hyperplane sketches, so the approximate result "
     "itself is oracle-hash-checkable; recall vs brute_topk additionally "
@@ -1144,6 +1146,7 @@ def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     # n_planes pinned to the oracle generator's value: the operator default
     # is now auto-sized from the corpus count (VERDICT r12 #6), and an
     # oracle twin must never float with data size
@@ -1298,7 +1301,7 @@ def _ann_ivf_oracle(k: int = 10, n_centroids: int = 16, nprobe: int = 4,
 
 @query(
     "ann_ivf_topk",
-    oracle=_ann_ivf_oracle(),
+    oracle=nse_oracle(_ann_ivf_oracle()),
     doc="IVF approximate cosine top-k — deterministic lowest-id centroids "
     "+ integer-quantized assignment make the inverted-file partitioning "
     "oracle-hash-checkable; the k-means-trained ivf_topk stays the "
@@ -1306,6 +1309,7 @@ def _ann_ivf_oracle(k: int = 10, n_centroids: int = 16, nprobe: int = 4,
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     return S.ivf_topk_det(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4)
 
 
@@ -1347,7 +1351,7 @@ def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16,
 
 @query(
     "embedding_neardup",
-    oracle=_neardup_lsh_oracle(threshold=0.35),
+    oracle=nse_oracle(_neardup_lsh_oracle(threshold=0.35)),
     headline=True,
     doc="embedding-cosine near-duplicate pairs (threshold 0.35) via "
     "deterministic LSH bucketing — equi-join on (table, sketch), exact "
@@ -1355,6 +1359,7 @@ def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     # n_planes pinned to the oracle generator's value (operator default is
     # now corpus-count auto-sizing, which an oracle twin must not follow)
     return S.neardup_pairs_lsh(emb, threshold=0.35, n_planes=4)
@@ -1362,7 +1367,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_neardup_wide",
-    oracle=_neardup_lsh_oracle(threshold=0.35, n_planes=8, n_tables=16),
+    oracle=nse_oracle(_neardup_lsh_oracle(threshold=0.35, n_planes=8, n_tables=16)),
     doc="second LSH shape (8 planes × 16 tables): pins the Arrow sketch "
     "matmul + bit-packing algebra beyond the default 4×16 configuration — "
     "256 buckets/table, the deeper-sketch regime a larger corpus runs at",
@@ -1378,6 +1383,7 @@ def q_embedding_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane dots independently.  Recall at this deeper shape is pinned
     on the clustered fixture in tests/test_similarity.py."""
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     return S.neardup_pairs_lsh(emb, threshold=0.35, n_planes=8, n_tables=16)
 
 
@@ -1939,13 +1945,14 @@ def _semantic_dedup_oracle(threshold: float = 0.35, n_centroids: int = 16) -> st
 
 @query(
     "semantic_dedup",
-    oracle=_semantic_dedup_oracle(),
+    oracle=nse_oracle(_semantic_dedup_oracle()),
     doc="SemDeDup-style semantic pruning: deterministic IVF clusters, then "
     "drop every vector with a smaller-id near-duplicate (cos >= 0.35) in "
     "its cluster — cluster-local pair work only, nothing cross-cluster",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     return S.semantic_dedup(emb, threshold=0.35, n_centroids=16)
 
 

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query, scratch_dir
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, nse_oracle, query, scratch_dir
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
@@ -731,7 +732,7 @@ def _ann_recall_oracle() -> str:
 
 @query(
     "ann_recall_report",
-    oracle=_ann_recall_oracle(),
+    oracle=nse_oracle(_ann_recall_oracle()),
     doc="ANN index quality accounting: IVF top-10 joined against the exact "
     "brute-force top-10 per query, per-query recall in integer permille — "
     "measure the index, don't guess",
@@ -749,6 +750,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
 
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     qs = emb.filter(F.col("vec_id") < 5)
     brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
     ivf = (
@@ -1072,7 +1074,7 @@ def q_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_gram_matrix",
-    oracle="""
+    oracle=nse_oracle("""
     WITH e AS (
       SELECT list_transform(embedding::DOUBLE[],
                             x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
@@ -1086,7 +1088,7 @@ def q_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN range(1, 65) t2(j)
     WHERE t2.j >= t1.i
     GROUP BY t1.i, t2.j
-    """,
+    """),
     headline=True,  # measures the Arrow mapInPandas matmul path
     doc="distributed Gram matrix (X^T X upper triangle) over the embedding "
     "corpus: per-partition numpy matmul partials in exact integer "
@@ -1110,6 +1112,7 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
 
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     partials = spread(emb.select("embedding")).mapInPandas(
         _gram_partials_fn("embedding", dim=64, quant=1_000_000),
         schema="i int, j int, partial long",
@@ -1170,7 +1173,7 @@ def _pca_power_oracle(n_iters: int = 5) -> str:
 
 @query(
     "pca_power_iteration",
-    oracle=_pca_power_oracle(),
+    oracle=nse_oracle(_pca_power_oracle()),
     doc="leading principal direction of the embedding corpus: 5 integer "
     "power-iteration steps over the distributed Gram matrix (rescale → "
     "matvec → max-norm requantize, all integer ops) — iterative linear "
@@ -1325,7 +1328,7 @@ def np_floor_log2_millibits(x: int) -> int:
 
 @query(
     "streaming_gram_matrix",
-    oracle="""
+    oracle=nse_oracle("""
     WITH e AS (
       SELECT list_transform(embedding::DOUBLE[],
                             x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
@@ -1339,7 +1342,7 @@ def np_floor_log2_millibits(x: int) -> int:
     CROSS JOIN range(1, 65) t2(j)
     WHERE t2.j >= t1.i
     GROUP BY t1.i, t2.j
-    """,
+    """),
     doc="STREAMING Gram matrix: pre-quantized integer vectors replayed in 3 "
     "micro-batches, per-batch numpy X^T X partials (stateless mapInPandas) "
     "merged by a complete-mode running sum — the final snapshot equals the "
@@ -1367,6 +1370,7 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     iu, ju = np.triu_indices(dim)
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     quantized = emb.select(
         "vec_id",
         F.expr(
@@ -1631,7 +1635,7 @@ def _pca_outlier_oracle(n_iters: int = 5) -> str:
 
 @query(
     "pca_outlier_scores",
-    oracle=_pca_outlier_oracle(),
+    oracle=nse_oracle(_pca_outlier_oracle()),
     doc="principal-axis outlier detection: every embedding projected onto "
     "the learned leading component (integer dot, scan-local via a "
     "literalized 64-value model), top-20 by |score| — the learn→apply "
@@ -1652,6 +1656,7 @@ def q_pca_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in v_rows:
         v[r["dim"] - 1] = int(r["v_milli"])
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     quant = emb.select(
         "vec_id",
         F.expr(

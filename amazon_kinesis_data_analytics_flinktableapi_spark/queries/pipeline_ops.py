@@ -8,7 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.chunking import chunk_documents
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, nse_oracle, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
@@ -258,7 +259,7 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=nse_oracle("""
     WITH v AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -283,13 +284,14 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> i * qv[i])) AS BIGINT)
              AS q_checksum
     FROM q
-    """,
+    """),
     doc="symmetric int8 embedding quantization (scale = max|x|/127, half-up "
     "rounding) — scan-local expression pipeline, no shuffle; integer "
     "checksum + ppb-scale make the float math engine-portable",
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     e = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(e, F.abs)) / 127.0
     # array_repeat materializes scale ONCE per row; a bare `scale` inside
@@ -322,7 +324,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_label_centroids",
-    oracle="""
+    oracle=nse_oracle("""
     WITH q AS (
       SELECT label,
              list_transform(embedding,
@@ -338,7 +340,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT) AS sum_norm1
     FROM q
     GROUP BY label
-    """,
+    """),
     doc="per-label embedding centroid accumulators in exact integer "
     "micro-units (floor(x*1e6+0.5)): order-independent partial aggregation "
     "— the scalable mean/centroid shape (float sums are order-dependent "
@@ -346,6 +348,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     def q_at(i: int):  # scalar quantize of one dim — cheaper than
         # element_at over a full-array transform (which would re-quantize
         # all 64 dims once per sampled dim)
@@ -1267,7 +1270,7 @@ def q_canonical_doc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dim_variance",
-    oracle="""
+    oracle=nse_oracle("""
     WITH q AS (
       SELECT label,
              list_transform(embedding,
@@ -1286,7 +1289,7 @@ def q_canonical_doc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(sum(v) AS DOUBLE) * sum(v))
                       / (CAST(count(*) AS DOUBLE) * count(*))) AS BIGINT) AS var_micro2
     FROM ex GROUP BY label, dim
-    """,
+    """),
     doc="per-label per-dimension embedding variance in exact integer "
     "micro-units (first 8 dims): the collapsed-dimension / dead-feature "
     "detector — var ≈ 0 on a dim means the encoder ignores it for that "
@@ -1301,6 +1304,7 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-then-residual plan would rescan the corpus).  The dims explode
     8× but collapse immediately into the (label, dim) aggregation."""
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     ex = emb.select(
         "label",
         F.posexplode(

@@ -450,6 +450,11 @@ def make_nonfinite_dir(d) -> str:
                  value=float("inf"), props=None),
             dict(event_id=10_000_003, ts=ts, user_id=13, event_type="purchase",
                  value=float("-inf"), props=None),
+            # 10_000_012 ≡ 0 (mod 17): lands in the RATE side of every
+            # orders/rates role split, so the rate-side swallow is
+            # exercised too (the first three ids all miss the % 17 filter)
+            dict(event_id=10_000_012, ts=ts, user_id=14, event_type="click",
+                 value=float("inf"), props=None),
         ]
     )
     out = pd.concat([df, extra], ignore_index=True)[[f.name for f in ev.schema]]
@@ -457,8 +462,32 @@ def make_nonfinite_dir(d) -> str:
         pa.Table.from_pandas(out, schema=ev.schema, preserve_index=False),
         str(Path(d) / "events.parquet"),
     )
+    # malformed EMBEDDINGS too (r14 embeddings audit): one NaN-component,
+    # one inf-component, one NULL-element vector — the whole ANN/dedup
+    # tier must swallow these rows (finite_embedding / nse_oracle)
+    et = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    edf = et.to_pandas()
+    dim = len(edf["embedding"].iloc[0])
+    base = edf.iloc[0].to_dict()
+    erows = []
+    for vid, vec in (
+        (9_000_001, [float("nan")] * 4 + [0.1] * (dim - 4)),
+        (9_000_002, [float("inf")] + [0.2] * (dim - 1)),
+        (9_000_003, [None] + [0.3] * (dim - 1)),
+    ):
+        r = dict(base)
+        r["vec_id"] = vid
+        r["embedding"] = vec
+        erows.append(r)
+    eout = pd.concat([edf, pd.DataFrame(erows)], ignore_index=True)[
+        [f.name for f in et.schema]
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(eout, schema=et.schema, preserve_index=False),
+        str(Path(d) / "embeddings.parquet"),
+    )
     for t in TESTDATA_TABLES:
-        if t != "events":
+        if t not in ("events", "embeddings"):
             shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(Path(d) / f"{t}.parquet"))
     return str(d)
 
