@@ -1,0 +1,247 @@
+"""Deterministic clustering and vector-codebook operators.
+
+Two published building blocks the ANN/semantic-dedup tier was missing:
+
+* :func:`kmeans_lloyd` — Lloyd's k-means iteration (Lloyd 1982, "Least
+  squares quantization in PCM"), the refinement step behind every real
+  IVF index build (``ivf_topk``'s sampled k-means trains once; this is
+  the distributed multi-iteration version whose assignments a SQL oracle
+  can replay).
+* :func:`pq_encode` — Product Quantization (Jégou, Douze, Schmid 2011,
+  "Product Quantization for Nearest Neighbor Search"): split the vector
+  into M subspaces, encode each against a per-subspace codebook, keep
+  M small codes + the exact quantization error.  With ``ivf_topk`` this
+  completes the IVF-PQ layout that production 100 TB vector stores use
+  (IVF prunes the corpus, PQ shrinks the residual scan by ~dim·4/M
+  bytes per vector).
+
+Cross-engine determinism (the repo-wide sketch convention,
+``operators/similarity.py``): vectors quantize to integer micro-units
+``floor(x·10⁶ + 0.5)`` (the ``embedding_label_centroids`` rounding),
+distances are exact int64 sums (|q| ≤ ~10⁶·|x| ⇒ per-dim square ≤
+~1.5e12, ×64 dims < 2⁴⁷ — no overflow), argmin ties break toward the
+smaller cluster/code id, and centroid means use exact FLOOR division
+(``(s − pmod(s, n)) / n``), so DuckDB replays every step bit-identically.
+
+Scale shape (100 TB): initial centroids are the k lowest-id vectors via
+``orderBy().limit(k)`` — TakeOrderedAndProject, no global sort, never
+collected to the driver (they stay a broadcast DataFrame).  Each Lloyd
+iteration is one broadcast-join assignment pass over the corpus (argmin
+via a per-vector window — single shuffle on vec_id) plus one
+posexplode/groupBy(cluster, dim) update whose reduce input is bounded by
+k·dim rows after partial aggregation.  Nothing is quadratic in the
+corpus; the k×dim update state is constant.  For huge k the assignment's
+``aggregate(zip_with(...))`` expression forest has the same matrix-kernel
+upgrade path ``ivf_topk`` already ships (one numpy matmul per Arrow
+batch); at the registered k=8 the codegen'd expression is faster than
+the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.vector import as_double
+
+#: micro-unit quantization scale (shared with embedding_label_centroids)
+KMEANS_QUANT = 1_000_000
+
+
+def quantize_half_up(vec_col: Column | str) -> Column:
+    """array<long> micro-unit quantization: ``floor(x·10⁶ + 0.5)`` per
+    element — round-half-up, the ``embedding_label_centroids`` rule (the
+    similarity sketches use plain floor; this operator family rounds so
+    a centroid mean of symmetric data stays symmetric)."""
+    return F.transform(
+        as_double(vec_col), lambda x: F.floor(x * KMEANS_QUANT + 0.5).cast("long")
+    )
+
+
+def sq_dist_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two array<long> columns.
+    ``coalesce(.., 0)`` keeps the fold total on empty arrays (DuckDB's
+    ``list_sum([])`` is NULL; Spark's aggregate over empty is the zero —
+    the oracle side coalesces identically)."""
+    return F.coalesce(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def floordiv(s: Column, n: Column) -> Column:
+    """Exact integer FLOOR division (toward −∞) — ``pmod`` makes the
+    dividend exactly divisible, so the double division is exact and both
+    engines agree on negative sums (DuckDB's ``//`` and Spark's ``div``
+    truncate toward zero instead)."""
+    return ((s - F.pmod(s, n)) / n).cast("long")
+
+
+def _quantized_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qv) rows: NULL vectors are dropped — a vector with no
+    components has no position, so clustering/encoding it is undefined
+    (the oracle filters ``embedding IS NOT NULL`` identically; malformed
+    non-finite vectors are the caller's ``finite_embedding`` swallow)."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), quantize_half_up(vec_col).alias("qv")
+    )
+
+
+def init_centroids(base: DataFrame, k: int) -> DataFrame:
+    """(cluster, cv): the k lowest-id quantized vectors, cluster ids
+    0..k−1 in id order.  ``orderBy().limit(k)`` is TakeOrderedAndProject
+    (bounded, no global sort) and the result STAYS distributed — every
+    consumer broadcasts it; nothing lands on the driver."""
+    w = Window.orderBy("vec_id")
+    return (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cluster"), F.col("qv").alias("cv"))
+    )
+
+
+def assign_clusters(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, qv, cluster, dist): nearest centroid by exact integer
+    squared L2, ties toward the smaller cluster id.  Plan: broadcast the
+    k-row centroid table, score k candidates per vector in the scan,
+    argmin via one row_number window partitioned by vec_id (the single
+    shuffle of the assignment step)."""
+    scored = (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "qv", "cluster", sq_dist_q(F.col("qv"), F.col("cv")).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def update_centroids(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Lloyd update: component-wise exact-floor mean of each cluster's
+    members.  posexplode fans each member into (cluster, pos, q) rows;
+    partial aggregation (map-side combine) bounds the reduce input at
+    k·dim rows regardless of corpus size.  An emptied cluster keeps its
+    previous centroid (left join + coalesce) — the standard
+    keep-old-center policy, and the one a SQL oracle can replay."""
+    sums = (
+        assigned.select("cluster", F.posexplode("qv").alias("pos", "q"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cluster", "pos", floordiv(F.col("s"), F.col("n")).alias("m"))
+    )
+    means = sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda st: st["m"]
+        ).alias("mv")
+    )
+    return centroids.join(means, "cluster", "left").select(
+        "cluster", F.coalesce(F.col("mv"), F.col("cv")).alias("cv")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means: deterministic lowest-id init, then
+    ``n_iters`` × (assign → update), returning the FINAL assignment as
+    (vec_id, cluster, dist_q).  Every step is engine-replayable (module
+    docstring), so the registered query hash-checks against an unrolled
+    DuckDB twin.
+
+    Plan cost per iteration: one broadcast-join scan + one vec_id window
+    shuffle (assign) + one (cluster, dim) groupBy whose combined reduce
+    input is k·dim (update).  The iteration count is a literal, so the
+    lineage is n_iters·3 narrow stages — no checkpointing needed at the
+    k/n_iters this engine registers (contrast ``bpe_train``'s k=256
+    localCheckpoint cadence, where rounds are data-dependent).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    base = _quantized_base(df, id_col, vec_col)
+    cents = init_centroids(base, k)
+    assigned = assign_clusters(base, cents)
+    for _ in range(n_iters - 1):
+        cents = update_centroids(assigned, cents)
+        assigned = assign_clusters(base, cents)
+    return assigned.select("vec_id", "cluster", F.col("dist").alias("dist_q"))
+
+
+def pq_encode(
+    df: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-Quantization encoding (Jégou et al. 2011 §II): split each
+    vector into ``n_subspaces`` contiguous blocks, encode each block as
+    the id of its nearest codebook entry (exact integer squared L2, ties
+    toward the smaller code), and report the exact total quantization
+    error.  Returns one row per vector:
+    ``(vec_id, code_s0..code_s{M-1}, err_q)``.
+
+    Codebooks are the sub-vectors of the ``n_codes`` lowest-id vectors —
+    the deterministic init this tier standardizes on (``ivf_topk_det``
+    uses the same rule); a production build refines them with
+    :func:`kmeans_lloyd` per subspace, which changes the codebook rows
+    but not this operator's plan.
+
+    Plan: the M·n_codes-row codebook broadcasts; each vector scores
+    M·n_codes candidates inside the scan (explode by subspace), argmin
+    per (vec, subspace) via one window, then ONE groupBy(vec_id) folds
+    the M winners into code columns + the error sum.  Shuffle ∝
+    corpus·M rows of (id, code, dist) — never corpus × corpus, and the
+    encoded output is M bytes-scale codes per vector, the whole point of
+    PQ at 100 TB.
+
+    Dimension note: the last subspace takes the remainder when dim % M
+    ≠ 0 (slice length = ceil stays within bounds on both engines); all
+    registered corpora are 64-dim with M=4 → even 16-dim blocks.
+    """
+    if n_subspaces < 1:
+        raise ValueError(f"n_subspaces must be >= 1, got {n_subspaces}")
+    if n_codes < 1:
+        raise ValueError(f"n_codes must be >= 1, got {n_codes}")
+    base = _quantized_base(df, id_col, vec_col)
+    cb = init_centroids(base, n_codes).withColumnRenamed("cluster", "j")
+
+    def sub_slices(qv: Column, alias: str) -> Column:
+        """explodable array of (s, sub-vector) structs; per-subspace
+        bounds are literals so the slice stays a codegen projection."""
+        dim_col = F.size(qv)
+        pieces = []
+        for s in range(n_subspaces):
+            start = F.floor(dim_col * s / n_subspaces).cast("int") + 1
+            end = F.floor(dim_col * (s + 1) / n_subspaces).cast("int")
+            pieces.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(qv, start, F.greatest(end - start + 1, F.lit(0))).alias(alias),
+                )
+            )
+        return F.array(*pieces)
+
+    vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+        "vec_id", "p.s", "p.sv"
+    )
+    csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
+        "j", "p.s", "p.cv2"
+    )
+    scored = vsub.join(F.broadcast(csub), "s").select(
+        "vec_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "j")
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    aggs = [
+        F.max(F.when(F.col("s") == s, F.col("j"))).cast("int").alias(f"code_s{s}")
+        for s in range(n_subspaces)
+    ]
+    return best.groupBy("vec_id").agg(*aggs, F.sum("dist").alias("err_q"))

@@ -141,22 +141,28 @@ _PRIORITY: list[str] = [
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
     # remaining slots go to the oldest-attested names.  r14 window:
-    # 4 new (grouped_median_select, grouped_percentiles_select,
-    # robust_mad_select, token_budget_waterfill) + 9 r14-changed surfaces
+    # 7 new (grouped_median_select, grouped_percentiles_select,
+    # robust_mad_select, token_budget_waterfill, kmeans_lloyd_refine,
+    # pq_encode_report, quality_classifier_score) + 9 r14-changed surfaces
     # (exact_median_select: non-finite filter; bpe_train/encode: the
     # localCheckpoint merge loop; token_budget_select + sequence_packing:
     # global_running_sum grew row-number offsets; ann_ivf_topk +
     # ann_recall_report + embedding_neardup + semantic_dedup: auto-nprobe
     # default + the matrix-kernel refactor) + the FULL 31-query r9-stale
     # block (VERDICT r13 #3: after this round the stalest attestation
-    # advances r9 -> r10 registry-wide) + 6 oldest-r10 fills (incl. the
-    # flagship streaming_interval_join) = 50.
+    # advances r9 -> r10 registry-wide) + 3 oldest-r10 fills (incl. the
+    # flagship streaming_interval_join; the 3 fills the late-r14 additions
+    # displaced stay r10-attested, within the >= r10 floor) = 50.
 
     # NEW r14: distributed grouped selection + water-filling
     "grouped_median_select",
     "grouped_percentiles_select",
     "robust_mad_select",
     "token_budget_waterfill",
+    # NEW late-r14: clustering / PQ codebooks / model-based quality filter
+    "kmeans_lloyd_refine",
+    "pq_encode_report",
+    "quality_classifier_score",
     # r14-changed surfaces
     "exact_median_select",
     "bpe_train_merges",
@@ -203,10 +209,10 @@ _PRIORITY: list[str] = [
     "streaming_tumbling_window",
     "streaming_interval_join",
     "doc_chunks",
+    # --- previously attested tail (r9-r13), prior relative order kept ---
     "normalize_text",
     "stratified_sample",
     "reservoir_per_group",
-    # --- previously attested tail (r9-r13), prior relative order kept ---
     "duplicate_span_detect_anchored",
     "duplicate_span_removal_anchored",
     "winnowing_fingerprint_stats",

@@ -2118,3 +2118,71 @@ def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("clean_text")).cast("bigint").alias("n_chars"),
     )
     return raw_row.unionByName(s1_row).unionByName(s2_row)
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    feats AS (
+      SELECT doc_id, unnest(tk) AS f FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS f
+      FROM toks
+    ),
+    fc AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS INTEGER) AS bucket,
+             count(*) AS n
+      FROM feats GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT CAST(b AS INTEGER) AS bucket,
+             ('0x' || substr(md5('qw:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w
+      FROM range(0, 1024) t(b)
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_feats,
+           CAST(sum(n * w) AS BIGINT) AS margin_milli,
+           sum(n * w) > 0 AS keep
+    FROM fc JOIN w USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="fastText-style linear quality classifier (Joulin et al. 2016, the "
+    "CCNet/GPT-3 quality-filter architecture): unigram+bigram features "
+    "hashed into 1024 buckets (hashing trick — no vocabulary build), "
+    "scored against a BROADCAST weight TABLE in integer milli-units, "
+    "keep = margin > 0.  Weights here are a deterministic md5-derived "
+    "stand-in (the corpus ships no labels); a trained model swaps in as "
+    "the same 1024-row table without touching the plan.  Scan-local "
+    "feature extraction, one bounded (docs x 1024) groupBy, one "
+    "broadcast join — no vocabulary shuffle at any corpus size",
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.explode(F.concat(T.tokens("text"), T.word_ngrams("text", 2))).alias("f"),
+    )
+    counts = (
+        feats.select("doc_id", (T.md5_hash60(F.col("f")) % 1024).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weights = spark.range(0, 1024).select(
+        F.col("id").cast("int").alias("bucket"),
+        (T.md5_hash60(F.concat(F.lit("qw:"), F.col("id").cast("string"))) % 2001 - 1000).alias(
+            "w"
+        ),
+    )
+    return (
+        counts.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * F.col("w")).alias("margin_milli"),
+            (F.sum(F.col("n") * F.col("w")) > 0).alias("keep"),
+        )
+    )

@@ -2272,3 +2272,147 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicates(["fp"])
     )
     return run_to_memory(new_fps, spark, timeout_sec=240)
+
+
+# --- deterministic clustering / vector codebooks (operators/clustering) ----
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 2) -> str:
+    """DuckDB twin of ``operators.clustering.kmeans_lloyd``: the Lloyd
+    loop unrolled to ``n_iters`` CTE generations.  Exactness argument
+    (module docstring there): micro-unit quantization, int64 squared
+    distances, (dist, cluster) tie-break, exact-floor centroid means via
+    the nonneg-remainder trick (DuckDB ``//`` truncates toward zero, but
+    the adjusted dividend is exactly divisible so truncation = floor),
+    empty clusters carry the previous centroid through the LEFT JOIN."""
+    dist = (
+        "coalesce(list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 0)"
+    )
+    parts = [
+        """q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    )""",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qv AS cv
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+    )""",
+    ]
+    for it in range(1, n_iters + 1):
+        parts.append(f"""a{it} AS (
+      SELECT vec_id, qv, cluster, dist FROM (
+        SELECT q.vec_id, q.qv, c.cluster, {dist} AS dist
+        FROM q, c{it - 1} c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    )""")
+        if it < n_iters:
+            parts.append(f"""s{it} AS (
+      SELECT cluster, u.pos AS pos, sum(u.q) AS s, count(*) AS n
+      FROM (SELECT cluster,
+                   unnest(list_transform(range(1, len(qv) + 1),
+                                         i -> {{'pos': i, 'q': qv[i]}})) AS u
+            FROM a{it})
+      GROUP BY cluster, u.pos
+    )""")
+            parts.append(f"""m{it} AS (
+      SELECT cluster, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS mv
+      FROM s{it} GROUP BY cluster
+    )""")
+            parts.append(f"""c{it} AS (
+      SELECT c.cluster, coalesce(m.mv, c.cv) AS cv
+      FROM c{it - 1} c LEFT JOIN m{it} m USING (cluster)
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\n    SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_q FROM a{n_iters}"
+    )
+
+
+@query(
+    "kmeans_lloyd_refine",
+    oracle=nse_oracle(_kmeans_oracle(k=8, n_iters=2)),
+    doc="distributed Lloyd k-means (k=8, 2 iterations) over the embedding "
+    "corpus: deterministic lowest-id init, exact integer micro-unit "
+    "distances, exact-floor centroid means, empty clusters keep their "
+    "center — final (vec_id, cluster, dist_q) assignment hash-checks "
+    "against the unrolled DuckDB twin; per iteration: one broadcast "
+    "assign pass + one kxdim bounded update",
+)
+def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import kmeans_lloyd
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    return kmeans_lloyd(emb, k=8, n_iters=2)
+
+
+def _pq_oracle(m: int = 4, n_codes: int = 8) -> str:
+    """DuckDB twin of ``operators.clustering.pq_encode``: per-subspace
+    slices (bounds = floor(len·s/M), matching the Spark literal-slice
+    arithmetic), codebook = sub-vectors of the ``n_codes`` lowest-id
+    vectors, argmin with (dist, j) tie-break, one pivot to code columns."""
+    vsub = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, list_slice(qv, CAST(floor(len(qv) * {s} / {m}) AS INT) + 1, "
+        f"CAST(floor(len(qv) * {s + 1} / {m}) AS INT)) AS sv FROM q"
+        for s in range(m)
+    )
+    csub = "\n      UNION ALL ".join(
+        f"SELECT j, {s} AS s, list_slice(cv, CAST(floor(len(cv) * {s} / {m}) AS INT) + 1, "
+        f"CAST(floor(len(cv) * {s + 1} / {m}) AS INT)) AS cv2 FROM cb"
+        for s in range(m)
+    )
+    codes = ",\n           ".join(
+        f"CAST(max(CASE WHEN s = {s} THEN j END) AS INTEGER) AS code_s{s}" for s in range(m)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv AS cv
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_codes}
+    ),
+    vsub AS (
+      {vsub}
+    ),
+    csub AS (
+      {csub}
+    ),
+    best AS (
+      SELECT vec_id, s, j, dist FROM (
+        SELECT v.vec_id, v.s, c.j,
+               coalesce(list_sum(list_transform(range(1, len(v.sv) + 1),
+                                                i -> (v.sv[i] - c.cv2[i]) * (v.sv[i] - c.cv2[i]))),
+                        0) AS dist
+        FROM vsub v JOIN csub c USING (s)
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+    )
+    SELECT vec_id,
+           {codes},
+           CAST(sum(dist) AS BIGINT) AS err_q
+    FROM best GROUP BY vec_id
+    """
+
+
+@query(
+    "pq_encode_report",
+    oracle=nse_oracle(_pq_oracle(m=4, n_codes=8)),
+    doc="Product-Quantization encoding (Jegou et al. 2011; 4 subspaces x "
+    "8 codes): each vector becomes 4 small codes + its exact integer "
+    "quantization error — the IVF-PQ storage layout's encode pass; "
+    "codebook broadcasts, argmin per (vec, subspace) via one window, "
+    "one groupBy folds codes into columns",
+)
+def q_pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_encode
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    return pq_encode(emb, n_subspaces=4, n_codes=8)

@@ -1,0 +1,221 @@
+"""Property tests: kmeans_lloyd / pq_encode vs straight-line pure-Python
+Lloyd/PQ references, and quality_classifier_score vs a hashlib-md5
+reimplementation — proving the distributed algorithms equal their
+published definitions independently of the SQL oracles (the same
+two-sided strategy as the BPE/winnowing/CMS/selection property tests)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import (
+    kmeans_lloyd,
+    pq_encode,
+)
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+
+QUANT = 1_000_000
+
+
+def _quantize(vec):
+    return [math.floor(float(x) * QUANT + 0.5) for x in vec]
+
+
+def _d2(a, b):
+    return sum((x - y) ** 2 for x, y in zip(a, b))
+
+
+def ref_kmeans(vecs: dict, k: int, n_iters: int) -> dict:
+    """Straight-line Lloyd (Lloyd 1982) under the operator's determinism
+    contract: micro-unit quantization, lowest-id init, (dist, cluster)
+    tie-break, exact floor-division means (Python ``//`` IS floor),
+    empty clusters keep their centroid."""
+    q = {i: _quantize(v) for i, v in sorted(vecs.items()) if v is not None}
+    ids = sorted(q)
+    cents = {c: list(q[i]) for c, i in enumerate(ids[:k])}
+    assign: dict = {}
+    for it in range(n_iters):
+        assign = {i: min((_d2(q[i], cv), c) for c, cv in cents.items())[1] for i in ids}
+        if it < n_iters - 1:
+            new = {}
+            for c, cv in cents.items():
+                members = [q[i] for i in ids if assign[i] == c]
+                if members:
+                    new[c] = [
+                        sum(m[j] for m in members) // len(members)
+                        for j in range(len(members[0]))
+                    ]
+                else:
+                    new[c] = cv
+            cents = new
+    return {i: (assign[i], _d2(q[i], cents[assign[i]])) for i in ids}
+
+
+def ref_pq(vecs: dict, m: int, n_codes: int) -> dict:
+    """Straight-line PQ encode (Jégou et al. 2011 §II) under the same
+    contract: lowest-id codebook, floor(dim·s/M) slice bounds, (dist, j)
+    tie-break."""
+    q = {i: _quantize(v) for i, v in sorted(vecs.items()) if v is not None}
+    ids = sorted(q)
+    cb = {j: q[i] for j, i in enumerate(ids[:n_codes])}
+
+    def sub(v, s):
+        d = len(v)
+        return v[math.floor(d * s / m) : math.floor(d * (s + 1) / m)]
+
+    out = {}
+    for i in ids:
+        codes, err = [], 0
+        for s in range(m):
+            dist, j = min((_d2(sub(q[i], s), sub(cv, s)), j) for j, cv in cb.items())
+            codes.append(j)
+            err += dist
+        out[i] = (codes, err)
+    return out
+
+
+def _emb_df(spark, vecs: dict):
+    """array<double> input (as_double is then a no-op) so the reference's
+    Python float arithmetic sees the identical IEEE doubles."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(i), None if v is None else [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        schema,
+    )
+
+
+@st.composite
+def _vec_corpus(draw):
+    dim = draw(st.integers(min_value=1, max_value=5))
+    elem = st.one_of(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+        st.sampled_from([0.0, -0.0, 0.5, 0.5, -1.25]),  # duplicate/tie pressure
+    )
+    n = draw(st.integers(min_value=1, max_value=14))
+    vecs = {}
+    for i in range(n):
+        if draw(st.booleans()) or i > 0:
+            vecs[i] = draw(st.lists(elem, min_size=dim, max_size=dim))
+        else:
+            vecs[i] = None  # NULL vector: dropped by contract
+    # duplicate low-id vectors force identical init centroids → empty
+    # clusters → the carry-previous-centroid path
+    if n >= 2 and draw(st.booleans()):
+        vecs[1] = list(vecs[0]) if vecs[0] is not None else vecs[1]
+    return vecs
+
+
+@settings(max_examples=12, deadline=None)
+@given(vecs=_vec_corpus())
+def test_kmeans_lloyd_matches_reference(spark, vecs):
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_lloyd(_emb_df(spark, vecs), k=3, n_iters=2).collect()
+    }
+    assert got == ref_kmeans(vecs, k=3, n_iters=2)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vecs=_vec_corpus())
+def test_pq_encode_matches_reference(spark, vecs):
+    rows = pq_encode(_emb_df(spark, vecs), n_subspaces=2, n_codes=3).collect()
+    got = {r["vec_id"]: ([r["code_s0"], r["code_s1"]], r["err_q"]) for r in rows}
+    assert got == ref_pq(vecs, m=2, n_codes=3)
+
+
+def test_kmeans_k_exceeding_corpus(spark):
+    """k larger than the corpus: init takes every vector; each becomes its
+    own centroid; distances are 0."""
+    vecs = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+    got = {r["vec_id"]: (r["cluster"], r["dist_q"])
+           for r in kmeans_lloyd(_emb_df(spark, vecs), k=8, n_iters=2).collect()}
+    assert got == {0: (0, 0), 1: (1, 0)}
+
+
+def test_clustering_validation():
+    with pytest.raises(ValueError):
+        kmeans_lloyd(None, k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(None, k=2, n_iters=0)
+    with pytest.raises(ValueError):
+        pq_encode(None, n_subspaces=0)
+    with pytest.raises(ValueError):
+        pq_encode(None, n_codes=0)
+
+
+# --- quality_classifier_score vs hashlib reference -------------------------
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_classifier(text: str):
+    toks = [t for t in re.split(r"\s+", text.strip()) if t]
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return None  # featureless docs drop out on both engines
+    margin = sum(_h60(f"qw:{_h60(f) % 1024}") % 2001 - 1000 for f in feats)
+    return (len(feats), margin, margin > 0)
+
+
+def _docs_dir(texts):
+    d = tempfile.mkdtemp(prefix="qcls_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": pd.array([len(t or "") for t in texts], dtype="int64"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_quality_classifier_matches_hashlib_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "single",
+        "",
+        "   ",
+        None,
+        "a a a a a a a a",
+        "Zürich naïve café — unicode bigrams",
+        "x " * 200,
+    ]
+    d = _docs_dir(texts)
+    rows = REGISTRY["quality_classifier_score"].fn(spark, d).collect()
+    got = {r["doc_id"]: (r["n_feats"], r["margin_milli"], r["keep"]) for r in rows}
+    want = {
+        i: _ref_classifier(t)
+        for i, t in enumerate(texts)
+        if t is not None and _ref_classifier(t) is not None
+    }
+    assert got == want

@@ -455,6 +455,10 @@ BNLJ_SCALAR_CROSS = {
     "source_overlap_report",    # |sources|-row signature self-join (≤ ~10³
                                 # rows per side at ANY corpus size — the
                                 # pairwise frame IS the report's output)
+    "kmeans_lloyd_refine",      # the k=8 centroid table crossed into the
+                                # corpus scan (one BNLJ per Lloyd assign
+                                # pass — the broadcast side is O(k) at any
+                                # corpus size)
 }
 
 
@@ -479,6 +483,10 @@ GLOBAL_WINDOW_BOUNDED = {
     "chisq_priority_status": "bounded",   # |priority|×|status| grid (≤ ~15 rows)
     "kmv_set_ops": "bounded",  # union of two ≤k sketches: ≤ 2k = 512 rows
     "exact_median_select": "bounded",  # level-2 histogram cell: ~n/2^20 rows
+    "kmeans_lloyd_refine": "bounded",  # centroid-id row_number over the
+                                       # limit(k=8) init rows
+    "pq_encode_report": "bounded",     # codebook-id row_number over the
+                                       # limit(n_codes=8) init rows
 }
 
 
