@@ -61,6 +61,22 @@ FINITE_EMBEDDING_SQL = (
 )
 
 
+#: Java's regex \s spelled as an explicit RE2 class (r14 unicode audit
+#: wave 4): RE2's \s is [ \t\n\f\r] while Java's adds VERTICAL TAB
+#: (U+000B), so an oracle that mirrors a Spark-side \s with a DuckDB \s
+#: silently diverges token boundaries on any corpus containing VT.
+DUCK_WS = r"[ \t\n\x0b\f\r]"
+
+#: canonical DuckDB twin of functions.text.tokens — ONE definition so the
+#: two unicode hazards cannot re-enter per-module copies: (1) the \s
+#: class above; (2) DuckDB's bare trim() strips UNICODE spaces (NBSP
+#: U+00A0, ideographic U+3000) that Spark's trim (ASCII 0x20 only)
+#: keeps, so it must be the explicit-charset form trim(x, ' ').
+DUCK_TOKS = (
+    f"list_filter(string_split_regex(trim(text, ' '), '{DUCK_WS}+'), t -> t <> '')"
+)
+
+
 def nse_oracle(sql: str) -> str:
     """Wrap an oracle so its ``embeddings`` references see only
     well-formed rows (r14 embeddings audit): prepends a CTE that SHADOWS

@@ -506,7 +506,7 @@ def q_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents WHERE doc_id < 50
     )
     SELECT doc_id,

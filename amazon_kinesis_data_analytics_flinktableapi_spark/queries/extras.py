@@ -245,7 +245,7 @@ def q_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_token_frequencies",
     oracle="""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+      SELECT unnest(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS token
       FROM documents
     )
     SELECT token, count(*) AS freq
@@ -1002,7 +1002,7 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cms_frequency_sketch",
     oracle="""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok
+      SELECT unnest(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS tok
       FROM documents
     ),
     cells AS (

@@ -10,7 +10,7 @@ near-dup) — making every operator's match set non-degenerate and
 oracle-checkable.
 
 DuckDB token expression mirrors functions.text.tokens exactly:
-``list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')``.
+``list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> '')``.
 """
 
 from __future__ import annotations
@@ -22,10 +22,10 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.functions import text as 
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as D
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, nse_oracle, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
-_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
 
 COPY_OFFSET = 1_000_000
 
@@ -985,13 +985,16 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_token_estimate",
+    # \s spelled as Java's explicit class (VT member — r14 unicode audit)
+    # and trim(t, ' ') because DuckDB's bare trim strips NBSP/U+3000 that
+    # Spark's keeps: an NBSP piece must count as a token on BOTH engines
     oracle=r"""
     WITH p AS (
       SELECT doc_id, length(text) AS n_chars,
              len(list_filter(
                regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
-               t -> trim(t) <> '')) AS n_bpe_tokens
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+'),
+               t -> trim(t, ' ') <> '')) AS n_bpe_tokens
       FROM documents
     )
     SELECT doc_id, n_bpe_tokens,

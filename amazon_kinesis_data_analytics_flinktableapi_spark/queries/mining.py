@@ -18,10 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, nse_oracle, query, scratch_dir
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query, scratch_dir
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
-_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
 
 
 def _planted_incremental_batch(docs):
@@ -891,7 +891,7 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_FP = (
     "md5(array_to_string(list_sort(list_distinct("
-    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))), ' '))"
+    "list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> ''))), ' '))"
 )
 
 
@@ -1896,7 +1896,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN text IS NULL THEN NULL
                   ELSE md5(coalesce(array_to_string(list_sort(list_distinct(
-                    list_filter(string_split_regex(trim(text), '\\s+'),
+                    list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'),
                                 t -> t <> ''))), ' '), '')) END
                AS fp,
              ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS pct
@@ -1956,13 +1956,13 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
       SELECT doc_id,
-             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+             len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> ''))
                AS n_tokens,
              floor((0.5 * least(length(text) / 500.0, 1.0)
                    + 0.4 * least(round(len(list_filter(
-                       list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                       list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> ''),
                        t -> lower(t) IN ('the','a','of','and','to','in','is'))) * 1.0
-                     / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     / greatest(len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'),
                                                 t -> t <> '')), 1), 6) * 5, 1.0)
                    + 0.1 * (1 - least(round((length(text)
                        - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0

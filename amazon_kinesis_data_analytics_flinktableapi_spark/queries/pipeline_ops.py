@@ -8,10 +8,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.chunking import chunk_documents
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load, nse_oracle, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
-_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
 
 #: shared corpus -> near-dup-edges oracle chain (Spark twin: the synthetic
 #: 80%-prefix copy corpus, COPY_OFFSET ids, jaccard_pairs(n=3, threshold
@@ -83,13 +83,24 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "normalize_text",
+    # unicode parity (r14 audit wave 4), three explicit mirrors of the
+    # JVM semantics the Spark side computes with:
+    #   1. lower(U+0130 İ) is ONE-TO-MANY on the JVM (SpecialCasing.txt:
+    #      i + combining dot U+0307) but one-to-one in utf8proc — the
+    #      replace() pre-maps it so both engines emit the JDK form;
+    #   2. Java \s includes VT (U+000B), RE2's does not — explicit class;
+    #   3. DuckDB bare trim() strips unicode spaces Spark's keeps —
+    #      explicit-charset trim(x, ' ').
     oracle="""
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
-                               '\\s+', ' ', 'g')) AS normalized,
-           length(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
-                                      '\\s+', ' ', 'g'))) AS n_chars_norm
-    FROM documents
+    WITH pre AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+                    lower(replace(text, chr(304), 'i' || chr(775))),
+                    '[.,!?;:]', '', 'g'),
+                  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS normalized
+      FROM documents
+    )
+    SELECT doc_id, normalized, length(normalized) AS n_chars_norm FROM pre
     """,
     doc="text normalization: lowercase, strip punctuation, collapse whitespace",
 )

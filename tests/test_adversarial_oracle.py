@@ -514,3 +514,158 @@ def test_nonfinite_ledger_names_registered():
     unknown = [n for n in NONFINITE_INTOLERANT if n not in SPECS]
     assert not unknown, f"intolerance ledger names not in registry: {unknown}"
     assert len(set(NONFINITE_INTOLERANT)) == len(NONFINITE_INTOLERANT)
+
+
+# ---------------------------------------------------------------------------
+# Unicode edition (r14 audit wave 4): the text tier's remaining hostile
+# class — inputs where the ENGINES' unicode machinery, not the data
+# values, can diverge: astral-plane chars (UTF-16 surrogate pairs on the
+# JVM vs UTF-8 codepoints in DuckDB — length/substr/regex off-by-N
+# class), NFC/NFD combining-mark twins (equality and md5 differ unless
+# BOTH engines stay normalization-naive), locale case mappings
+# (Turkish I, German sharp-s, Greek final sigma — JDK vs utf8proc), the
+# whitespace zoo OUTSIDE regex \\s (NBSP, ZWSP, ideographic space,
+# U+2028/2029 — tokenizer boundary parity), bidi/RTL runs, ZWJ emoji
+# sequences, an embedded NUL, and a leading BOM.  Parity on the SAME
+# data is still the property: a divergence here is a silent
+# wrong-answer on real multilingual corpora, exactly the 100 TB input
+# class (the reference pipeline ingests arbitrary user JSON).  Texts
+# are spelled in ASCII escapes so each hazard is visible in review.
+# ---------------------------------------------------------------------------
+
+UNICODE_DOCS = [
+    # astral plane: every emoji is one codepoint, two UTF-16 units
+    '\U0001f600\U0001f600 \U0001f389 emoji only \U0001f600',
+    # astral letterforms (mathematical alphanumerics)
+    '\U0001d11e astral \U0001d518\U0001d52b\U0001d526\U0001d520 math \U0001d49c\U0001d4c1 letters',
+    # NFD (e + combining acute) vs NFC (precomposed) of the SAME word:
+    # distinct byte strings that render identically
+    'cafe\u0301 caf\xe9 nfd nfc twins',
+    # Turkish dotted/dotless I: JDK vs utf8proc case-mapping corner
+    'I\u0131 \u0130i istanbul TURKISH case',
+    # German sharp-s: lower(SS) vs upper(ß) asymmetry
+    'STRASSE stra\xdfe \u1e9e sharp s',
+    # Greek capital + final sigma: context-sensitive lowercase corner
+    '\u03a3\u03af\u03c3\u03c5\u03c6\u03bf\u03c2 \u03a3 sigma final \u03c2',
+    # control whitespace INSIDE regex \\s: tab, vertical tab, form feed
+    'tab\tsep\x0bvertical\x0cformfeed mix',
+    # whitespace zoo OUTSIDE \\s: NBSP, ZWSP, ideographic space — these
+    # must NOT split tokens on either engine
+    'nbsp\xa0joined zwsp\u200bjoined ideo\u3000space',
+    # line/paragraph separators U+2028/2029: \\s membership parity
+    'line\u2028sep para\u2029sep tokens',
+    # RTL Arabic + Hebrew with LTR english: bidi must not affect byte order
+    '\u0645\u0631\u062d\u0628\u0627 bidi \u05e9\u05dc\u05d5\u05dd mixed english',
+    # combining-mark stacks (zalgo): grapheme != codepoint != byte
+    'combining a\u0300\u0316\u035c stack z\u0335\u0327 zalgo',
+    # embedded NUL: length-prefixed strings on both engines, not C strings
+    'null\x00byte embedded',
+    # leading BOM / ZWNBSP: a token prefix, not a stripped marker
+    '\ufeffBOM leading text',
+    # LEADING/TRAILING unicode spaces: DuckDB's bare trim() strips
+    # NBSP/U+3000, Spark's trim strips ASCII 0x20 only — oracles must
+    # use the explicit-charset trim or the first/last token diverges
+    '\xa0lead nbsp trail\xa0',
+    # LEADING VT: in Java's \\s (a boundary) but not RE2's
+    '\x0bvt lead ideo trail\u3000',
+    # regional-indicator flags + ZWJ family: joiner sequences
+    '\U0001f1fa\U0001f1f8 flags \U0001f468\u200d\U0001f469\u200d\U0001f467 zwj family',
+]
+
+#: queries that diverge between Spark and DuckDB on the unicode fixture —
+#: a REVIEWED ledger with the same two-sided rot contract as
+#: NONFINITE_INTOLERANT: tools/adversarial_sweep.py --fixture unicode
+#: fails on any NEW divergent query and on any listed query that has
+#: become clean (delist when hardening lands).
+UNICODE_INTOLERANT: list[str] = []
+
+
+def make_unicode_dir(d) -> str:
+    """Smoke tables + the hostile unicode documents (appended, ids
+    11_000_001+, so every doc-tier query sees its normal corpus PLUS the
+    hostile rows) + two events rows whose event_type is a non-BMP string
+    (group keys / transition labels built from astral chars).  Shared
+    with tools/adversarial_sweep.py --fixture unicode."""
+    dtab = pq.read_table(f"{SF_SMOKE}/documents.parquet")
+    ddf = dtab.to_pandas()
+    extra = pd.DataFrame(
+        [
+            dict(doc_id=11_000_001 + i, text=t, lang="xx", source="uni",
+                 n_chars=len(t))
+            for i, t in enumerate(UNICODE_DOCS)
+        ]
+    )
+    dout = pd.concat([ddf, extra], ignore_index=True)[[f.name for f in dtab.schema]]
+    pq.write_table(
+        pa.Table.from_pandas(dout, schema=dtab.schema, preserve_index=False),
+        str(Path(d) / "documents.parquet"),
+    )
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    edf = ev.to_pandas()
+    ts = edf["ts"].iloc[0]
+    eextra = pd.DataFrame(
+        [
+            dict(event_id=11_000_001, ts=ts, user_id=21,
+                 event_type="\U0001F6D2purchase", value=1.5, props=None),
+            dict(event_id=11_000_002, ts=ts, user_id=21,
+                 event_type="\U0001D11Eview", value=2.5,
+                 props='{"k": "véç\U0001F600"}'),
+        ]
+    )
+    eout = pd.concat([edf, eextra], ignore_index=True)[[f.name for f in ev.schema]]
+    pq.write_table(
+        pa.Table.from_pandas(eout, schema=ev.schema, preserve_index=False),
+        str(Path(d) / "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t not in ("documents", "events"):
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(Path(d) / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    return make_unicode_dir(tmp_path_factory.mktemp("unicode_sf"))
+
+
+#: representatives pinned in pytest (the full-registry run is the sweep's
+#: job): the text operators whose unicode semantics carry the most
+#: cross-engine machinery — tokenization, codepoint counting, case
+#: mapping, regex classes, md5-over-UTF-8, BPE pre-tokenizer runs
+UNICODE_PINNED = [
+    "normalize_text",          # lower() case mapping + \s collapse
+    "char_entropy_score",      # codepoint histogram over astral chars
+    "token_stats",             # \s+ tokenizer boundaries vs the whitespace zoo
+    "bpe_token_estimate",      # [^A-Za-z0-9\s]+ runs over emoji/ZWJ/bidi
+    "dedup_exact",             # md5 over UTF-8 bytes (NFC/NFD must NOT collide)
+    "lang_id",                 # lower() + stopword matching on mixed scripts
+    "quality_classifier_score",  # md5 token hashing incl. NUL/BOM tokens
+    "winnowing_fingerprint_stats",  # per-char rolling windows over astral text
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_PINNED)
+def test_unicode_parity_pinned(spark, unicode_dir, name):
+    compare(SPECS[name].fn(spark, unicode_dir), duck_connect(unicode_dir),
+            SPECS[name].oracle)
+
+
+def test_unicode_ledger_names_registered():
+    unknown = [n for n in UNICODE_INTOLERANT if n not in SPECS]
+    assert not unknown, f"unicode ledger names not in registry: {unknown}"
+    assert len(set(UNICODE_INTOLERANT)) == len(UNICODE_INTOLERANT)
+
+
+def test_unicode_fixture_exercises_codepoints(spark, unicode_dir):
+    """The fixture must actually stress the machinery: astral docs must
+    survive the load with codepoint-counted lengths (a UTF-16 code-unit
+    leak would count every astral char twice)."""
+    docs = spark.read.parquet(f"{unicode_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.filter(F.col("doc_id") >= 11_000_001)
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    want = {11_000_001 + i: len(t) for i, t in enumerate(UNICODE_DOCS)}
+    assert got == want

@@ -31,12 +31,14 @@ def main() -> int:
     ap.add_argument("--only", default="")
     ap.add_argument("--skip", default="", help="comma-separated names to skip")
     ap.add_argument(
-        "--fixture", default="adv", choices=["adv", "skew", "nonfinite"],
+        "--fixture", default="adv", choices=["adv", "skew", "nonfinite", "unicode"],
         help="adv = NULL/empty/tie hostile fixture; skew = hot-key fixture; "
         "nonfinite = NaN/±inf events.value rows (r14 audit edition: known-"
         "intolerant queries are expected to fail and are checked against "
         "tests.test_adversarial_oracle.NONFINITE_INTOLERANT — the sweep "
-        "fails only on NEW intolerance or ledger rot)",
+        "fails only on NEW intolerance or ledger rot); unicode = astral/"
+        "combining/case-mapping/whitespace-zoo text rows (r14 wave 4, "
+        "ledger UNICODE_INTOLERANT, same two-sided rot contract)",
     )
     args = ap.parse_args()
 
@@ -66,6 +68,8 @@ def main() -> int:
 
     if args.fixture == "nonfinite":
         adv_dir = adv.make_nonfinite_dir(_Factory().mktemp("nonfinite_sf"))
+    elif args.fixture == "unicode":
+        adv_dir = adv.make_unicode_dir(_Factory().mktemp("unicode_sf"))
     else:
         builder = adv.adv_dir if args.fixture == "adv" else adv.skew_dir
         adv_dir = builder.__wrapped__(_Factory())
@@ -119,16 +123,19 @@ def main() -> int:
     print("\n=== SUMMARY ===")
     print(f"ok={len(ok)} mismatch={len(mismatch)} error={len(error)} "
           f"rows_only={len(rows_only)} skipped={len(skipped)}")
-    if args.fixture == "nonfinite":
+    if args.fixture in ("nonfinite", "unicode"):
         # the intolerance ledger: expected failures are fine, NEW failures
         # and ledger rot (a listed query now passing — harden landed, so
         # delist it) are not
-        ledger = set(adv.NONFINITE_INTOLERANT)
+        ledger = set(
+            adv.NONFINITE_INTOLERANT if args.fixture == "nonfinite"
+            else adv.UNICODE_INTOLERANT
+        )
         failed = set(mismatch) | set(error)
         ran = set(ok) | failed
         new = sorted(failed - ledger)
         rot = sorted((ledger & ran) - failed)
-        print(f"nonfinite ledger: expected_failed={len(failed & ledger)} "
+        print(f"{args.fixture} ledger: expected_failed={len(failed & ledger)} "
               f"new_failures={new or 0} ledger_rot={rot or 0}")
         return 1 if (new or rot) else 0
     if mismatch:
