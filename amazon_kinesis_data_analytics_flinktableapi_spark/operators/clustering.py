@@ -245,3 +245,87 @@ def pq_encode(
         for s in range(n_subspaces)
     ]
     return best.groupBy("vec_id").agg(*aggs, F.sum("dist").alias("err_q"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-Distance-Computation top-k (Jégou et al. 2011 §III):
+    the query-time half of PQ.  The corpus is seen ONLY through its
+    codes; each query precomputes a small distance table (exact integer
+    L2² to every codebook entry per subspace) and a candidate's distance
+    is the sum of M table lookups — the constant-per-candidate scan that
+    makes PQ the 100 TB residual-search layout.  Returns
+    (q_id, c_id, adc_dist, rn), k rows per query, ties toward smaller
+    c_id, self-matches excluded.
+
+    Plan: codebook (M·n_codes rows) and the distance table
+    (|queries|·M·n_codes rows) both broadcast; the corpus contributes
+    its (id, subspace, code) rows once; scoring is a broadcast hash join
+    on (s, code) + one groupBy(q_id, c_id) whose input is
+    corpus·|queries|·M rows of five small integers — vectors never
+    enter a shuffle.  Cost is inherently corpus × queries (brute ADC);
+    production composes it with the IVF pruning ``ivf_topk`` already
+    provides.  Exactness: same micro-unit quantization and int64 sums
+    as :func:`pq_encode`, so a SQL twin replays every step."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = _quantized_base(df, id_col, vec_col)
+    qbase = _quantized_base(queries, id_col, vec_col).withColumnRenamed("vec_id", "q_id")
+    cb = init_centroids(base, n_codes).withColumnRenamed("cluster", "j")
+
+    def sub_slices(qv: Column, alias: str) -> Column:
+        dim_col = F.size(qv)
+        pieces = []
+        for s in range(n_subspaces):
+            start = F.floor(dim_col * s / n_subspaces).cast("int") + 1
+            end = F.floor(dim_col * (s + 1) / n_subspaces).cast("int")
+            pieces.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(qv, start, F.greatest(end - start + 1, F.lit(0))).alias(alias),
+                )
+            )
+        return F.array(*pieces)
+
+    csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
+        "j", "p.s", "p.cv2"
+    )
+    # corpus → codes: identical argmin to pq_encode (same tie-break)
+    vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+        F.col("vec_id").alias("c_id"), "p.s", "p.sv"
+    )
+    scored = vsub.join(F.broadcast(csub), "s").select(
+        "c_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
+    )
+    w = Window.partitionBy("c_id", "s").orderBy("dist", "j")
+    codes = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("c_id", "s", F.col("j").alias("code"))
+    )
+    # query → distance table: exact L2² to every codebook entry
+    qsub = qbase.select("q_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+        "q_id", "p.s", "p.sv"
+    )
+    dtab = qsub.join(F.broadcast(csub), "s").select(
+        "q_id", "s", F.col("j").alias("code"), sq_dist_q(F.col("sv"), F.col("cv2")).alias("qd")
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    wk = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "adc_dist", "rn")
+    )

@@ -2416,3 +2416,84 @@ def q_pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     return pq_encode(emb, n_subspaces=4, n_codes=8)
+
+
+def _pq_adc_oracle(m: int = 4, n_codes: int = 8, k: int = 10, n_queries: int = 5) -> str:
+    """DuckDB twin of ``operators.clustering.pq_adc_topk``: corpus codes
+    via the _pq_oracle argmin, a per-query distance table (exact integer
+    L2² to every codebook sub-entry), ADC distance = sum of M lookups,
+    ties toward the smaller candidate id, self-matches excluded."""
+    vsub = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, list_slice(qv, CAST(floor(len(qv) * {s} / {m}) AS INT) + 1, "
+        f"CAST(floor(len(qv) * {s + 1} / {m}) AS INT)) AS sv FROM q"
+        for s in range(m)
+    )
+    csub = "\n      UNION ALL ".join(
+        f"SELECT j, {s} AS s, list_slice(cv, CAST(floor(len(cv) * {s} / {m}) AS INT) + 1, "
+        f"CAST(floor(len(cv) * {s + 1} / {m}) AS INT)) AS cv2 FROM cb"
+        for s in range(m)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv AS cv
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_codes}
+    ),
+    vsub AS (
+      {vsub}
+    ),
+    csub AS (
+      {csub}
+    ),
+    codes AS (
+      SELECT vec_id AS c_id, s, j AS code FROM (
+        SELECT v.vec_id, v.s, c.j,
+               coalesce(list_sum(list_transform(range(1, len(v.sv) + 1),
+                                                i -> (v.sv[i] - c.cv2[i]) * (v.sv[i] - c.cv2[i]))),
+                        0) AS dist
+        FROM vsub v JOIN csub c USING (s)
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+    ),
+    dtab AS (
+      SELECT v.vec_id AS q_id, v.s, c.j AS code,
+             coalesce(list_sum(list_transform(range(1, len(v.sv) + 1),
+                                              i -> (v.sv[i] - c.cv2[i]) * (v.sv[i] - c.cv2[i]))),
+                      0) AS qd
+      FROM vsub v JOIN csub c USING (s)
+      WHERE v.vec_id < {n_queries}
+    ),
+    adc AS (
+      SELECT d.q_id, codes.c_id, CAST(sum(d.qd) AS BIGINT) AS adc_dist
+      FROM codes JOIN dtab d USING (s, code)
+      WHERE d.q_id <> codes.c_id
+      GROUP BY d.q_id, codes.c_id
+    )
+    SELECT q_id, c_id, adc_dist, rn FROM (
+      SELECT q_id, c_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, c_id) AS INTEGER) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
+
+
+@query(
+    "pq_adc_topk",
+    oracle=nse_oracle(_pq_adc_oracle(m=4, n_codes=8, k=10, n_queries=5)),
+    doc="PQ asymmetric-distance top-10 for 5 query vectors (Jegou et al. "
+    "2011 SIII — the query-time half of PQ): corpus seen only through "
+    "its 4 codes, each query precomputes an exact integer distance "
+    "table to the codebook, candidate distance = sum of 4 lookups; "
+    "codebook + distance table broadcast, vectors never shuffle",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_adc_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_subspaces=4, n_codes=8)

@@ -219,3 +219,55 @@ def test_quality_classifier_matches_hashlib_reference(spark):
         if t is not None and _ref_classifier(t) is not None
     }
     assert got == want
+
+
+# --- pq_adc_topk vs straight-line ADC reference -----------------------------
+
+
+def ref_adc(vecs: dict, query_ids: list, m: int, n_codes: int, k: int) -> dict:
+    """Straight-line ADC (Jégou et al. 2011 §III) under the operator's
+    contract: codes from ref_pq's argmin, per-query exact distance
+    tables, candidate distance = sum of M lookups, (dist, c_id) ties,
+    self excluded."""
+    q = {i: _quantize(v) for i, v in sorted(vecs.items()) if v is not None}
+    ids = sorted(q)
+    cb = {j: q[i] for j, i in enumerate(ids[:n_codes])}
+
+    def sub(v, s):
+        d = len(v)
+        return v[math.floor(d * s / m) : math.floor(d * (s + 1) / m)]
+
+    codes = {
+        i: [min((_d2(sub(q[i], s), sub(cv, s)), j) for j, cv in cb.items())[1]
+            for s in range(m)]
+        for i in ids
+    }
+    out = {}
+    for qi in query_ids:
+        if qi not in q:
+            continue
+        dt = {(s, j): _d2(sub(q[qi], s), sub(cv, s)) for s in range(m) for j, cv in cb.items()}
+        scored = sorted(
+            (sum(dt[(s, codes[c][s])] for s in range(m)), c)
+            for c in ids if c != qi
+        )
+        out[qi] = [(c, d, rn + 1) for rn, (d, c) in enumerate(scored[:k])]
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=_vec_corpus())
+def test_pq_adc_topk_matches_reference(spark, vecs):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_adc_topk
+
+    df = _emb_df(spark, vecs)
+    qids = [i for i in sorted(vecs) if i < 2]
+    rows = pq_adc_topk(
+        df, df.filter("vec_id < 2"), k=4, n_subspaces=2, n_codes=3
+    ).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["rn"])):
+        got.setdefault(r["q_id"], []).append((r["c_id"], r["adc_dist"], r["rn"]))
+    want = ref_adc(vecs, qids, m=2, n_codes=3, k=4)
+    want = {k_: v for k_, v in want.items() if v}
+    assert got == want

@@ -487,6 +487,7 @@ GLOBAL_WINDOW_BOUNDED = {
                                        # limit(k=8) init rows
     "pq_encode_report": "bounded",     # codebook-id row_number over the
                                        # limit(n_codes=8) init rows
+    "pq_adc_topk": "bounded",          # same limit(8) codebook-id window
 }
 
 
