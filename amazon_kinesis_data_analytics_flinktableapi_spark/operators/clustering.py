@@ -329,3 +329,124 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "adc_dist", "rn")
     )
+
+
+def int_dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns (same
+    overflow budget as :func:`sq_dist_q`; empty/NULL-safe via coalesce)."""
+    return F.coalesce(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed IVF-PQ search (Jégou et al. 2011 §IV): IVF prunes the
+    corpus to the queries' ``nprobe`` best inverted lists, then ADC
+    scores ONLY those candidates through their PQ codes — the layout a
+    production 100 TB vector store actually runs (neither half scans
+    vectors at query time).  Returns (q_id, c_id, adc_dist, rn).
+
+    Both halves use this module's determinism contract so ONE DuckDB twin
+    replays the whole pipeline: IVF lists assign by exact integer DOT
+    (ties toward the smaller list id, the ``ivf_topk_det`` rule), PQ
+    codes by exact integer L2 argmin (the :func:`pq_encode` rule).
+
+    Plan: centroid table (n_centroids rows) and PQ codebook (M·n_codes
+    rows) broadcast; the corpus is scanned once for (bucket) and once
+    for (codes) — both argmins are windows partitioned by c_id; the
+    probe table (|queries|·nprobe rows) broadcasts into the bucket join,
+    and the final ADC join carries only (q_id, c_id, s, code, qd)
+    integers.  Work ∝ corpus/lists · nprobe · |queries| — the IVF
+    pruning factor — instead of brute ADC's corpus × queries."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1 or nprobe > n_centroids:
+        raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
+    base = _quantized_base(df, id_col, vec_col)
+    qbase = _quantized_base(queries, id_col, vec_col).withColumnRenamed("vec_id", "q_id")
+    cents = init_centroids(base, n_centroids)
+
+    def best_buckets(side: DataFrame, idc: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            idc, "qv", "cluster", int_dot_q(F.col("qv"), F.col("cv")).alias("dot")
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("dot").desc(), "cluster")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(idc, "qv", F.col("cluster").alias("bucket"))
+        )
+
+    buckets = best_buckets(base, "vec_id", 1).withColumnRenamed("vec_id", "c_id")
+    probes = best_buckets(qbase, "q_id", nprobe).select("q_id", "bucket")
+    candidates = (
+        buckets.select("c_id", "bucket")
+        .join(F.broadcast(probes), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+
+    cb = init_centroids(base, n_codes).withColumnRenamed("cluster", "j")
+
+    def sub_slices(qv: Column, alias: str) -> Column:
+        dim_col = F.size(qv)
+        pieces = []
+        for s in range(n_subspaces):
+            start = F.floor(dim_col * s / n_subspaces).cast("int") + 1
+            end = F.floor(dim_col * (s + 1) / n_subspaces).cast("int")
+            pieces.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(qv, start, F.greatest(end - start + 1, F.lit(0))).alias(alias),
+                )
+            )
+        return F.array(*pieces)
+
+    csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
+        "j", "p.s", "p.cv2"
+    )
+    vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+        F.col("vec_id").alias("c_id"), "p.s", "p.sv"
+    )
+    cscored = vsub.join(F.broadcast(csub), "s").select(
+        "c_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
+    )
+    wc = Window.partitionBy("c_id", "s").orderBy("dist", "j")
+    codes = (
+        cscored.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .select("c_id", "s", F.col("j").alias("code"))
+    )
+    qsub = qbase.select("q_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+        "q_id", "p.s", "p.sv"
+    )
+    dtab = qsub.join(F.broadcast(csub), "s").select(
+        "q_id", "s", F.col("j").alias("code"), sq_dist_q(F.col("sv"), F.col("cv2")).alias("qd")
+    )
+    adc = (
+        candidates.join(codes, "c_id")
+        .join(F.broadcast(dtab), ["q_id", "s", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    wk = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "adc_dist", "rn")
+    )

@@ -2497,3 +2497,111 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_subspaces=4, n_codes=8)
+
+
+def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
+                  n_codes: int = 8, k: int = 10, n_queries: int = 5) -> str:
+    """DuckDB twin of ``operators.clustering.ivfpq_topk``: the IVF half
+    (exact integer DOT assignment, ties toward the smaller list id) feeds
+    the candidate set; the ADC half is the _pq_adc_oracle machinery
+    restricted to those candidates.  One CTE chain replays the whole
+    composed pipeline."""
+    vsub = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, list_slice(qv, CAST(floor(len(qv) * {s} / {m}) AS INT) + 1, "
+        f"CAST(floor(len(qv) * {s + 1} / {m}) AS INT)) AS sv FROM q"
+        for s in range(m)
+    )
+    csub = "\n      UNION ALL ".join(
+        f"SELECT j, {s} AS s, list_slice(cv, CAST(floor(len(cv) * {s} / {m}) AS INT) + 1, "
+        f"CAST(floor(len(cv) * {s + 1} / {m}) AS INT)) AS cv2 FROM cb"
+        for s in range(m)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qv AS cv
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_centroids}
+    ),
+    dots AS (
+      SELECT q.vec_id, c.cluster,
+             coalesce(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                              i -> q.qv[i] * c.cv[i])), 0) AS dot
+      FROM q, cent c
+    ),
+    buck AS (
+      SELECT vec_id AS c_id, cluster AS bucket FROM dots
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, cluster AS bucket FROM dots WHERE vec_id < {n_queries}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) <= {nprobe}
+    ),
+    cand AS (
+      SELECT q_id, c_id FROM buck JOIN probes USING (bucket) WHERE q_id <> c_id
+    ),
+    cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv AS cv
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_codes}
+    ),
+    vsub AS (
+      {vsub}
+    ),
+    csub AS (
+      {csub}
+    ),
+    codes AS (
+      SELECT vec_id AS c_id, s, j AS code FROM (
+        SELECT v.vec_id, v.s, c.j,
+               coalesce(list_sum(list_transform(range(1, len(v.sv) + 1),
+                                                i -> (v.sv[i] - c.cv2[i]) * (v.sv[i] - c.cv2[i]))),
+                        0) AS dist
+        FROM vsub v JOIN csub c USING (s)
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+    ),
+    dtab AS (
+      SELECT v.vec_id AS q_id, v.s, c.j AS code,
+             coalesce(list_sum(list_transform(range(1, len(v.sv) + 1),
+                                              i -> (v.sv[i] - c.cv2[i]) * (v.sv[i] - c.cv2[i]))),
+                      0) AS qd
+      FROM vsub v JOIN csub c USING (s)
+      WHERE v.vec_id < {n_queries}
+    ),
+    adc AS (
+      SELECT cand.q_id, cand.c_id, CAST(sum(d.qd) AS BIGINT) AS adc_dist
+      FROM cand JOIN codes USING (c_id) JOIN dtab d
+        ON d.q_id = cand.q_id AND d.s = codes.s AND d.code = codes.code
+      GROUP BY cand.q_id, cand.c_id
+    )
+    SELECT q_id, c_id, adc_dist, rn FROM (
+      SELECT q_id, c_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, c_id) AS INTEGER) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
+
+
+@query(
+    "ivfpq_topk",
+    oracle=nse_oracle(_ivfpq_oracle()),
+    doc="composed IVF-PQ search (Jegou et al. 2011 SIV — the production "
+    "100 TB vector-store layout): IVF prunes to the queries' 4 best of "
+    "16 inverted lists by exact integer dot, then ADC scores only those "
+    "candidates through their 4 PQ codes — neither half touches vectors "
+    "at query time; work is corpus/lists x nprobe x queries, not corpus "
+    "x queries",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import ivfpq_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=10, n_centroids=16, nprobe=4, n_subspaces=4, n_codes=8,
+    )

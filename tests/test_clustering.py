@@ -271,3 +271,65 @@ def test_pq_adc_topk_matches_reference(spark, vecs):
     want = ref_adc(vecs, qids, m=2, n_codes=3, k=4)
     want = {k_: v for k_, v in want.items() if v}
     assert got == want
+
+
+# --- ivfpq_topk vs composed straight-line reference --------------------------
+
+
+def ref_ivfpq(vecs: dict, query_ids: list, n_centroids: int, nprobe: int,
+              m: int, n_codes: int, k: int) -> dict:
+    """Straight-line composed IVF-PQ: IVF lists by exact integer DOT
+    (ties toward smaller list id), candidates from the nprobe best lists,
+    ADC over PQ codes restricted to those candidates."""
+    q = {i: _quantize(v) for i, v in sorted(vecs.items()) if v is not None}
+    ids = sorted(q)
+    cents = {c: q[i] for c, i in enumerate(ids[:n_centroids])}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    bucket = {
+        i: max(((dot(q[i], cv), -c) for c, cv in cents.items()))[1] * -1 for i in ids
+    }
+    cb = {j: q[i] for j, i in enumerate(ids[:n_codes])}
+
+    def sub(v, s):
+        d = len(v)
+        return v[math.floor(d * s / m) : math.floor(d * (s + 1) / m)]
+
+    codes = {
+        i: [min((_d2(sub(q[i], s), sub(cv, s)), j) for j, cv in cb.items())[1]
+            for s in range(m)]
+        for i in ids
+    }
+    out = {}
+    for qi in query_ids:
+        if qi not in q:
+            continue
+        probed = [c for _, c in sorted(
+            ((-dot(q[qi], cv), c) for c, cv in cents.items()))[:nprobe]]
+        cand = [c for c in ids if c != qi and bucket[c] in probed]
+        dt = {(s, j): _d2(sub(q[qi], s), sub(cv, s)) for s in range(m) for j, cv in cb.items()}
+        scored = sorted((sum(dt[(s, codes[c][s])] for s in range(m)), c) for c in cand)
+        res = [(c, d, rn + 1) for rn, (d, c) in enumerate(scored[:k])]
+        if res:
+            out[qi] = res
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=_vec_corpus())
+def test_ivfpq_topk_matches_reference(spark, vecs):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import ivfpq_topk
+
+    df = _emb_df(spark, vecs)
+    qids = [i for i in sorted(vecs) if i < 2]
+    rows = ivfpq_topk(
+        df, df.filter("vec_id < 2"),
+        k=4, n_centroids=4, nprobe=2, n_subspaces=2, n_codes=3,
+    ).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["rn"])):
+        got.setdefault(r["q_id"], []).append((r["c_id"], r["adc_dist"], r["rn"]))
+    want = ref_ivfpq(vecs, qids, n_centroids=4, nprobe=2, m=2, n_codes=3, k=4)
+    assert got == want

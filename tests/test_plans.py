@@ -459,6 +459,9 @@ BNLJ_SCALAR_CROSS = {
                                 # corpus scan (one BNLJ per Lloyd assign
                                 # pass — the broadcast side is O(k) at any
                                 # corpus size)
+    "ivfpq_topk",               # the 16-row IVF centroid table crossed
+                                # into the corpus and query scans (two
+                                # assign passes — broadcast side O(lists))
 }
 
 
@@ -488,6 +491,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "pq_encode_report": "bounded",     # codebook-id row_number over the
                                        # limit(n_codes=8) init rows
     "pq_adc_topk": "bounded",          # same limit(8) codebook-id window
+    "ivfpq_topk": "bounded",           # limit(16)/limit(8) centroid- and
+                                       # codebook-id windows
 }
 
 
