@@ -157,19 +157,20 @@ _PRIORITY: list[str] = [
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
     # remaining slots go to the oldest-attested names.  r14 window:
-    # 9 new (grouped_median_select, grouped_percentiles_select,
+    # 10 new (grouped_median_select, grouped_percentiles_select,
     # robust_mad_select, token_budget_waterfill, kmeans_lloyd_refine,
-    # pq_encode_report, pq_adc_topk, ivfpq_topk,
-    # quality_classifier_score) + 9 r14-changed surfaces
+    # pq_encode_report, pq_adc_topk, ivfpq_topk, quality_classifier_score,
+    # streaming_quality_filter) + 9 r14-changed surfaces
     # (exact_median_select: non-finite filter; bpe_train/encode: the
     # localCheckpoint merge loop; token_budget_select + sequence_packing:
     # global_running_sum grew row-number offsets; ann_ivf_topk +
     # ann_recall_report + embedding_neardup + semantic_dedup: auto-nprobe
     # default + the matrix-kernel refactor) + the FULL 31-query r9-stale
     # block (VERDICT r13 #3: after this round the stalest attestation
-    # advances r9 -> r10 registry-wide) + 1 oldest-r10 fill (the flagship
-    # streaming_interval_join; the 5 fills the late-r14 additions
-    # displaced stay r10-attested, within the >= r10 floor) = 50.
+    # advances r9 -> r10 registry-wide) = 50.  The 6 r10 fills the
+    # late-r14 additions displaced stay r10-attested (within the >= r10
+    # floor); the flagship streaming_interval_join is still measured by
+    # bench.py and the judge's full replica every round.
 
     # NEW r14: distributed grouped selection + water-filling
     "grouped_median_select",
@@ -182,6 +183,7 @@ _PRIORITY: list[str] = [
     "pq_adc_topk",
     "ivfpq_topk",
     "quality_classifier_score",
+    "streaming_quality_filter",
     # r14-changed surfaces
     "exact_median_select",
     "bpe_train_merges",
@@ -224,9 +226,8 @@ _PRIORITY: list[str] = [
     "tpch_q14_promo_share",
     "tpch_q4_priority_check",
     "tpch_q6_revenue_delta",
-    # oldest-r10 fill
-    "streaming_interval_join",
     # --- previously attested tail (r9-r13), prior relative order kept ---
+    "streaming_interval_join",
     "streaming_tumbling_window",
     "doc_chunks",
     "normalize_text",

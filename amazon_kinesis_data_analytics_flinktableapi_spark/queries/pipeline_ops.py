@@ -8,7 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.chunking import chunk_documents
-from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query
+from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (
+    DUCK_TOKS,
+    load,
+    nse_oracle,
+    query,
+    scratch_dir,
+)
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
 
 _DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
@@ -1419,3 +1425,59 @@ def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"), "r")
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+    feats AS (
+      SELECT doc_id, unnest(tk) AS f FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS f
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(('0x' || substr(md5('qw:' || CAST(
+                        CAST(('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS INTEGER)
+                      AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS BIGINT) AS margin_milli
+      FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, margin_milli FROM scored WHERE margin_milli > 0
+    """.replace("{toks}", DUCK_TOKS),
+    doc="STREAMING model-based quality filter: the quality_classifier_score "
+    "margin computed as a PER-ROW integer fold (weights inlined as a "
+    "deterministic function of the hash bucket — no explode, no shuffle, "
+    "no state), so the filter runs stateless in append mode at any "
+    "stream rate: the shape of an in-flight ingest-time quality gate; "
+    "keep-decision identical to the batch classifier by construction",
+)
+def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import md5_hash60, tokens, word_ngrams
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import replay_stream, run_to_memory
+
+    (docs,) = load(spark, sf_dir, "documents")
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    tmp = scratch_dir("stream_qf_")
+    stream = replay_stream(
+        spark, docs.select("doc_id", "text"), schema, tmp,
+        n_chunks=3, order_col="doc_id", max_files_per_trigger=1,
+    )
+    feats = F.concat(tokens("text"), word_ngrams("text", 2))
+    weight = lambda f: (  # noqa: E731 — per-feature inlined weight lookup
+        md5_hash60(F.concat(F.lit("qw:"), (md5_hash60(f) % 1024).cast("int").cast("string")))
+        % 2001 - 1000
+    )
+    margin = F.aggregate(
+        F.transform(feats, weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    out = (
+        stream.select("doc_id", margin.alias("margin_milli"))
+        .filter(F.col("margin_milli") > 0)
+    )
+    return run_to_memory(out, spark, timeout_sec=240)

@@ -333,3 +333,20 @@ def test_ivfpq_topk_matches_reference(spark, vecs):
         got.setdefault(r["q_id"], []).append((r["c_id"], r["adc_dist"], r["rn"]))
     want = ref_ivfpq(vecs, qids, n_centroids=4, nprobe=2, m=2, n_codes=3, k=4)
     assert got == want
+
+
+def test_streaming_filter_agrees_with_batch_classifier(spark):
+    """The streaming per-row fold and the batch explode/groupBy/weight-join
+    must be the SAME model: the stream's kept set == the batch keep rows,
+    margins identical (integer arithmetic, order-free)."""
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["doc_id"]: r["margin_milli"]
+        for r in REGISTRY["quality_classifier_score"].fn(spark, sf).collect()
+        if r["keep"]
+    }
+    stream = {
+        r["doc_id"]: r["margin_milli"]
+        for r in REGISTRY["streaming_quality_filter"].fn(spark, sf).collect()
+    }
+    assert stream == batch
