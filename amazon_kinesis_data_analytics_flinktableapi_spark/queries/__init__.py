@@ -170,7 +170,9 @@ _PRIORITY: list[str] = [
     # advances r9 -> r10 registry-wide) = 50.  The 6 r10 fills the
     # late-r14 additions displaced stay r10-attested (within the >= r10
     # floor); the flagship streaming_interval_join is still measured by
-    # bench.py and the judge's full replica every round.
+    # bench.py and the judge's full replica every round.  Late additions
+    # past window capacity (drift_ks_by_source and any later) are
+    # replica-attested this round and LEAD the r15 window.
 
     # NEW r14: distributed grouped selection + water-filling
     "grouped_median_select",

@@ -2605,3 +2605,96 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5),
         k=10, n_centroids=16, nprobe=4, n_subspaces=4, n_codes=8,
     )
+
+
+@query(
+    "drift_ks_by_source",
+    oracle="""
+    WITH vals AS (
+      SELECT source, n_chars AS v FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    srcs AS (SELECT source, count(*) AS n_a FROM vals GROUP BY source),
+    tot AS (SELECT count(*) AS n FROM vals),
+    dv AS (SELECT DISTINCT v FROM vals),
+    grid AS (SELECT s.source, s.n_a, d.v FROM srcs s CROSS JOIN dv d),
+    c AS (SELECT source, v, count(*) AS c FROM vals GROUP BY source, v),
+    cum_a AS (
+      SELECT g.source, g.n_a, g.v,
+             sum(coalesce(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v) AS cum_a
+      FROM grid g LEFT JOIN c ON c.source = g.source AND c.v = g.v
+    ),
+    cum_all AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cum_all
+      FROM (SELECT v, count(*) AS cnt FROM vals GROUP BY v)
+    ),
+    diffs AS (
+      SELECT a.source, a.n_a, t.n - a.n_a AS n_b,
+             abs(a.cum_a * (t.n - a.n_a) - (l.cum_all - a.cum_a) * a.n_a) AS num
+      FROM cum_a a JOIN cum_all l USING (v) CROSS JOIN tot t
+    )
+    SELECT source,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(max(num) AS BIGINT) AS ks_num,
+           CAST((max(num) * 1000000 - ((max(num) * 1000000) % (n_a * n_b)))
+                / (n_a * n_b) AS BIGINT) AS ks_micro
+    FROM diffs WHERE n_b > 0
+    GROUP BY source, n_a, n_b
+    """,
+    doc="data-drift monitor: EXACT two-sample Kolmogorov-Smirnov statistic "
+    "of the doc-length distribution, each source vs the rest of the "
+    "corpus — sup|ECDF_A - ECDF_B| evaluated at every merged jump point "
+    "in pure integer arithmetic (ks_num / (n_a*n_b) is the exact "
+    "rational; ks_micro its floor at 1e-6), so both engines hash-match "
+    "with no float ECDF anywhere.  The per-source cumulative rides a "
+    "source-partitioned window over the (sources x distinct-lengths) "
+    "grid; the only global window is over DISTINCT length values — "
+    "bounded by the length domain, not the corpus",
+)
+def q_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    vals = docs.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").alias("v"))
+    srcs = vals.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
+    dv = vals.select("v").distinct()
+    counts = vals.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    grid = srcs.crossJoin(F.broadcast(dv))
+    wa = Window.partitionBy("source").orderBy("v")
+    cum_a = (
+        grid.join(counts, ["source", "v"], "left")
+        .select("source", "n_a", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .withColumn("cum_a", F.sum("c").over(wa))
+    )
+    wall = Window.orderBy("v")
+    cum_all = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum_all", F.sum("cnt").over(wall))
+        .select("v", "cum_all")
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n"))
+    diffs = (
+        cum_a.join(cum_all, "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_a",
+            (F.col("n") - F.col("n_a")).alias("n_b"),
+            F.abs(
+                F.col("cum_a") * (F.col("n") - F.col("n_a"))
+                - (F.col("cum_all") - F.col("cum_a")) * F.col("n_a")
+            ).alias("num"),
+        )
+    )
+    mx = (
+        diffs.filter(F.col("n_b") > 0)
+        .groupBy("source", "n_a", "n_b")
+        .agg(F.max("num").alias("ks_num"))
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    ks_micro = ((F.col("ks_num") * 1000000 - F.pmod(F.col("ks_num") * 1000000, denom)) / denom).cast("long")
+    return mx.select(
+        "source", "n_a", "n_b", "ks_num", ks_micro.alias("ks_micro")
+    )

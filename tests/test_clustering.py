@@ -350,3 +350,60 @@ def test_streaming_filter_agrees_with_batch_classifier(spark):
         for r in REGISTRY["streaming_quality_filter"].fn(spark, sf).collect()
     }
     assert stream == batch
+
+
+# --- drift_ks_by_source vs straight-line exact KS ---------------------------
+
+
+def ref_ks(pairs):
+    """Exact two-sample KS per source vs rest, integer arithmetic:
+    num = max over merged jump points of |cumA*m - cumB*n|, denom = n*m."""
+    from collections import Counter
+
+    by_src = {}
+    for s, v in pairs:
+        by_src.setdefault(s, []).append(v)
+    allv = sorted({v for _, v in pairs})
+    total = len(pairs)
+    out = {}
+    for s, vs in by_src.items():
+        n_a, n_b = len(vs), total - len(vs)
+        if n_b == 0:
+            continue
+        ca = Counter(vs)
+        call = Counter(v for _, v in pairs)
+        cum_a = cum_all = 0
+        num = 0
+        for v in allv:
+            cum_a += ca.get(v, 0)
+            cum_all += call[v]
+            num = max(num, abs(cum_a * n_b - (cum_all - cum_a) * n_a))
+        out[s] = (n_a, n_b, num, (num * 1_000_000) // (n_a * n_b))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=2, max_size=30,
+    )
+)
+def test_drift_ks_matches_reference(spark, pairs):
+    d = _docs_dir(["x"] * len(pairs))
+    # rewrite the parquet with the drawn (source, n_chars) pairs
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(pairs)), dtype="int64"),
+            "text": ["x"] * len(pairs),
+            "lang": ["en"] * len(pairs),
+            "source": [s for s, _ in pairs],
+            "n_chars": pd.array([v for _, v in pairs], dtype="int64"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    rows = REGISTRY["drift_ks_by_source"].fn(spark, d).collect()
+    got = {r["source"]: (r["n_a"], r["n_b"], r["ks_num"], r["ks_micro"]) for r in rows}
+    assert got == ref_ks(pairs)

@@ -462,6 +462,9 @@ BNLJ_SCALAR_CROSS = {
     "ivfpq_topk",               # the 16-row IVF centroid table crossed
                                 # into the corpus and query scans (two
                                 # assign passes — broadcast side O(lists))
+    "drift_ks_by_source",       # 1-row corpus total + the distinct-length
+                                # grid (bounded by the length DOMAIN, not
+                                # the corpus) crossed into the source table
 }
 
 
@@ -493,6 +496,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "pq_adc_topk": "bounded",          # same limit(8) codebook-id window
     "ivfpq_topk": "bounded",           # limit(16)/limit(8) centroid- and
                                        # codebook-id windows
+    "drift_ks_by_source": "bounded",   # merged-ECDF cumulative over
+                                       # DISTINCT length values — the
+                                       # length domain, not the corpus
 }
 
 
