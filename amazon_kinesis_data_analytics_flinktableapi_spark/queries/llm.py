@@ -2189,3 +2189,56 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("n") * F.col("w")) > 0).alias("keep"),
         )
     )
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_distinct(
+                list_transform(range(1, len(tk) - 1),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))))),
+              1, 15))::BIGINT AS h
+      FROM toks WHERE len(tk) >= 3
+    ),
+    df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+    per AS (
+      SELECT sh.doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM sh JOIN df USING (h) GROUP BY sh.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST((n_unique * 1000000 - (n_unique * 1000000) % n_shingles)
+                / n_shingles AS BIGINT) AS novelty_micro
+    FROM per
+    """,
+    doc="per-doc n-gram novelty: the fraction of a document's distinct "
+    "trigram shingles that appear in NO other document (corpus df = 1) "
+    "— the memorization/uniqueness signal dual to the overlap reports; "
+    "inverted-index shape with NO pair join: scan-local hashed "
+    "shingling, one df groupBy on 8-byte hashes, one per-doc fold — "
+    "linear in the corpus at any scale; exact integer micro-fraction",
+)
+def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.word_ngrams("text", 3))).alias("s")
+    ).select("doc_id", T.md5_hash60(F.col("s")).alias("h"))
+    df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    novelty = (
+        (F.col("n_unique") * 1000000 - F.pmod(F.col("n_unique") * 1000000, F.col("n_shingles")))
+        / F.col("n_shingles")
+    ).cast("long")
+    return per.select("doc_id", "n_shingles", "n_unique", novelty.alias("novelty_micro"))
