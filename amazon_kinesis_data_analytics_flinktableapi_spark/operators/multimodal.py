@@ -320,3 +320,62 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+#: aHash width — 60 bits keeps the packed hash positive in an int64 and
+#: matches the repo's md5_hash60 headroom convention
+PHASH_BITS = 60
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def ahash_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    bits: int = PHASH_BITS,
+) -> DataFrame:
+    """Average-hash perceptual fingerprint (Krawetz's aHash, the
+    classical perceptual-dedup baseline) adapted to the stub-decoder
+    frame: the "pixel grid" is ``bits`` payload bytes sampled at offsets
+    ``floor(i·n/bits)``, the threshold is the exact integer mean
+    (floor), bit i set iff sample ≥ mean.  With a real image decoder the
+    same signature hashes an 8×8 grayscale downsample — the Spark-side
+    plumbing (Arrow batches over ``mapInPandas``, payload bytes never
+    shuffling) is identical.
+
+    Pure integer arithmetic on deterministic byte samples, so a SQL
+    oracle replays it via hex-string slicing (``hex(encode(text))``).
+    Empty and NULL payloads drop (no bytes → no perceptual content).
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62] (int64 packing), got {bits}")
+    _require_integral_id(df, id_col)
+    proj = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                b = bytes(payload)
+                n = len(b)
+                samp = [b[i * n // bits] for i in range(bits)]
+                mean = sum(samp) // bits
+                h = 0
+                for i, s in enumerate(samp):
+                    if s >= mean:
+                        h |= 1 << i
+                ids.append(mid)
+                sizes.append(n)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "n_bytes": sizes, "phash": hashes})
+
+    return proj.mapInPandas(hash_batches, PHASH_SCHEMA)

@@ -2242,3 +2242,109 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_shingles")
     ).cast("long")
     return per.select("doc_id", "n_shingles", "n_unique", novelty.alias("novelty_micro"))
+
+
+@query(
+    "media_phash_neardup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + {COPY_OFFSET},
+             CASE WHEN length(text) >= 1
+                  THEN substr(text, 1, length(text) - 1) || 'X' ELSE 'X' END
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hb AS (
+      SELECT media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM m
+    ),
+    samp AS (
+      SELECT media_id, n,
+             list_transform(range(0, 60),
+               i -> ('0x' || substr(hx, 1 + 2 * CAST(floor(i * n / 60) AS INT), 2))::BIGINT)
+               AS sb
+      FROM hb WHERE n > 0
+    ),
+    ph AS (
+      SELECT media_id, n,
+             list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN sb[i + 1] >= list_sum(sb) // 60
+                         THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS phash
+      FROM samp
+    ),
+    bands AS (
+      SELECT media_id, phash, b, (phash >> CAST(b * 15 AS INT)) & 32767 AS bv
+      FROM ph, unnest(range(0, 4)) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+             a.phash AS ha, c.phash AS hb2
+      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+                               AND a.media_id < c.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb2)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb2)) <= 6
+    """,
+    doc="perceptual-hash media near-dup (Krawetz aHash over the stub "
+    "decoder's deterministic byte grid; a real image decoder swaps in "
+    "under the same mapInPandas signature): 60-bit hashes computed "
+    "executor-side from payload BYTES (Arrow batches, bytes never "
+    "shuffle), 4x15-bit Hamming-LSH bands generate candidates (equi "
+    "self-join — no all-pairs), exact popcount verifies <= 6; planted "
+    "last-char-mutated copies are the recall fixture (COPY_OFFSET ids)",
+)
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.multimodal import ahash_media
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.when(
+            F.length("text") >= 1,
+            F.concat(
+                F.col("text").substr(F.lit(1), F.greatest(F.length("text") - 1, F.lit(0))),
+                F.lit("X"),
+            ),
+        ).otherwise(F.lit("X")).alias("text"),
+    )
+    media = base.unionByName(mutated).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    ph = ahash_media(media)
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("phash"), b * 15)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("media_id", "phash", "p.b", "p.bv")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ha"), "b", "bv"
+    )
+    c = bands.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("hb2"), "b", "bv"
+    )
+    pairs = (
+        a.join(c, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb2")))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 6)

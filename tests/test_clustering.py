@@ -407,3 +407,52 @@ def test_drift_ks_matches_reference(spark, pairs):
     rows = REGISTRY["drift_ks_by_source"].fn(spark, d).collect()
     got = {r["source"]: (r["n_a"], r["n_b"], r["ks_num"], r["ks_micro"]) for r in rows}
     assert got == ref_ks(pairs)
+
+
+# --- ahash_media vs straight-line aHash reference ---------------------------
+
+
+def ref_ahash(payload: bytes, bits: int = 60):
+    if not payload:
+        return None
+    n = len(payload)
+    samp = [payload[i * n // bits] for i in range(bits)]
+    mean = sum(samp) // bits
+    h = 0
+    for i, s in enumerate(samp):
+        if s >= mean:
+            h |= 1 << i
+    return n, h
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=10
+    )
+)
+def test_ahash_media_matches_reference(spark, payloads):
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.multimodal import ahash_media
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], schema
+    )
+    got = {r["media_id"]: (r["n_bytes"], r["phash"]) for r in ahash_media(df).collect()}
+    want = {
+        i: ref_ahash(p) for i, p in enumerate(payloads) if ref_ahash(p) is not None
+    }
+    assert got == want
+
+
+def test_ahash_validation():
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.multimodal import ahash_media
+
+    with pytest.raises(ValueError):
+        ahash_media(None, bits=0)
+    with pytest.raises(ValueError):
+        ahash_media(None, bits=63)
