@@ -1867,3 +1867,59 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blue_qty",
         )
     )
+
+
+@query(
+    "scd2_history_build",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts, event_id FROM ch
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM starts
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+    doc="SCD Type-2 history build: collapse each user's event-type change "
+    "stream into validity intervals [valid_from, valid_to) — lag() marks "
+    "change points (consecutive duplicates collapse into one interval), "
+    "lead() closes each interval at the next change, the open interval "
+    "is flagged current.  Two user-partitioned windows, one shuffle "
+    "total; ties broken by event_id on both engines.  The dimension-"
+    "table versioning shape every warehouse ingest needs",
+)
+def q_scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = ch.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return iv.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
