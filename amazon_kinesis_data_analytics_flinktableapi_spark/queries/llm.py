@@ -2348,3 +2348,58 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= 6)
+
+
+@query(
+    "token_gini_concentration",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS x FROM documents
+      WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, doc_id) AS i FROM x
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(x) AS s, sum(i * x) AS six FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(s AS BIGINT) AS total_tokens,
+           CAST(((2 * six - (n + 1) * s) * 1000000
+                 - ((2 * six - (n + 1) * s) * 1000000) % (n * s))
+                / (n * s) AS BIGINT) AS gini_micro
+    FROM agg WHERE n > 0 AND s > 0
+    """,
+    doc="corpus token-mass concentration: the EXACT Gini coefficient of "
+    "per-doc token counts — G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) "
+    "over the globally rank-ordered counts (ties by doc_id), all integer "
+    "arithmetic, floored at 1e-6.  The data-mixing diagnostic for 'is "
+    "the token budget concentrated in few documents'.  The global rank "
+    "uses the range-partition + broadcast-offset machinery "
+    "(global_running_sum row numbers) — NO Exchange SinglePartition at "
+    "any corpus size",
+)
+def q_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import global_running_sum
+
+    (docs,) = load(spark, sf_dir, "documents")
+    x = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", T.token_count("text").cast("long").alias("x")
+    )
+    ranked = global_running_sum(
+        x, order_by=[F.col("x"), F.col("doc_id")], value_col="x",
+        sum_name="__rs", row_number_name="i",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = (2 * F.col("six") - (F.col("n") + 1) * F.col("s")) * 1000000
+    den = F.col("n") * F.col("s")
+    gini = ((num - F.pmod(num, den)) / den).cast("long")
+    return agg.filter((F.col("n") > 0) & (F.col("s") > 0)).select(
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("total_tokens"),
+        gini.alias("gini_micro"),
+    )
