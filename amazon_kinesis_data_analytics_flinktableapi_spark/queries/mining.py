@@ -2698,3 +2698,65 @@ def q_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.select(
         "source", "n_a", "n_b", "ks_num", ks_micro.alias("ks_micro")
     )
+
+
+@query(
+    "pq_recall_report",
+    oracle=nse_oracle(f"""
+    WITH brute AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rn <= 10
+    ),
+    adc AS (
+      SELECT q_id, c_id FROM ({_pq_adc_oracle(m=4, n_codes=8, k=10, n_queries=5)})
+    )
+    SELECT b.q_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recalled,
+           CAST(floor(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000.0 / count(*)) AS BIGINT) AS recall_permille
+    FROM brute b
+    LEFT JOIN adc a ON a.q_id = b.q_id AND a.c_id = b.c_id
+    GROUP BY b.q_id
+    """),
+    doc="PQ index quality accounting (the ann_recall_report twin for the "
+    "code path): brute-force ADC top-10 through 4x8 PQ codes joined "
+    "against the exact cosine top-10 per query, per-query recall in "
+    "integer permille — quantization loss measured in-engine, the gate "
+    "a production codebook rebuild runs before swapping in",
+)
+def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_adc_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    qs = emb.filter(F.col("vec_id") < 5)
+    brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
+    adc = pq_adc_topk(emb, qs, k=10, n_subspaces=4, n_codes=8).select(
+        "q_id", F.col("c_id").alias("adc_c_id")
+    )
+    return (
+        brute.join(
+            adc,
+            (adc["q_id"] == brute["q_id"]) & (adc["adc_c_id"] == brute["c_id"]),
+            "left",
+        )
+        .groupBy(brute["q_id"].alias("q_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("adc_c_id").alias("n_recalled"),
+            F.floor(F.count("adc_c_id") * 1000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )
