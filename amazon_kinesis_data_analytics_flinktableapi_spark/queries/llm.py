@@ -2403,3 +2403,84 @@ def q_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("total_tokens"),
         gini.alias("gini_micro"),
     )
+
+
+@query(
+    "vocab_shift_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT doc_id, CAST(doc_id % 2 AS INT) AS half, {_DUCK_TOKS} AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, half, unnest(tk) AS t FROM halves
+    ),
+    df AS (
+      SELECT t,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS df_old,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS df_new
+      FROM tok GROUP BY t
+    ),
+    n AS (
+      SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+      FROM (SELECT DISTINCT doc_id, half FROM halves)
+    ),
+    odds AS (
+      SELECT t, df_old, df_new,
+             ((df_new + 1) * (n_old - df_old + 1) * 1000
+              - ((df_new + 1) * (n_old - df_old + 1) * 1000)
+                % ((df_old + 1) * (n_new - df_new + 1)))
+             / ((df_old + 1) * (n_new - df_new + 1)) AS odds_milli
+      FROM df CROSS JOIN n
+    )
+    SELECT t AS token,
+           CAST(df_old AS BIGINT) AS df_old,
+           CAST(df_new AS BIGINT) AS df_new,
+           CAST(odds_milli AS BIGINT) AS odds_milli,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY odds_milli DESC, t) AS rk FROM odds
+    ) WHERE rk <= 20
+    """,
+    doc="vocabulary drift monitor: smoothed document-frequency odds ratio "
+    "of every token between the two corpus halves (deterministic "
+    "doc_id%2 stand-in for consecutive ingest batches), top-20 RISING "
+    "tokens by exact integer milli-odds — (df_new+1)(n_old-df_old+1) / "
+    "(df_old+1)(n_new-df_new+1), no ln() anywhere (the bm25 odds-ratio "
+    "convention), so both engines hash-match.  Distinct-token df rides "
+    "one groupBy; the top-20 is the whitelisted rank<=20 window shape",
+)
+def q_vocab_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    (docs,) = load(spark, sf_dir, "documents")
+    halves = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("half"), "text"
+    )
+    tok = halves.select(
+        "doc_id", "half", F.explode(F.array_distinct(T.tokens("text"))).alias("t")
+    )
+    df = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("df_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("df_new"),
+    )
+    n = halves.select("doc_id", "half").distinct().agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    num = (F.col("df_new") + 1) * (F.col("n_old") - F.col("df_old") + 1) * 1000
+    den = (F.col("df_old") + 1) * (F.col("n_new") - F.col("df_new") + 1)
+    odds = df.crossJoin(F.broadcast(n)).select(
+        "t", "df_old", "df_new",
+        ((num - F.pmod(num, den)) / den).cast("long").alias("odds_milli"),
+    )
+    w = W.orderBy(F.col("odds_milli").desc(), "t")
+    return (
+        odds.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("t").alias("token"), "df_old", "df_new", "odds_milli",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -443,6 +443,7 @@ BNLJ_SCALAR_CROSS = {
     "chisq_priority_status",    # 1-row grand total for expected counts
     "ann_cosine_topk",          # the k query vectors (bounded, tiny)
     "ann_recall_report",        # composes brute_topk — same query-vector cross
+    "pq_recall_report",         # composes brute_topk — same query-vector cross
     "zorder_layout",            # 1-row global min/max quantization bounds
     "tpch_q22_idle_customers",  # 1-row global avg-balance threshold
     "tpch_q11_important_stock", # 1-row global value threshold
@@ -465,6 +466,8 @@ BNLJ_SCALAR_CROSS = {
     "drift_ks_by_source",       # 1-row corpus total + the distinct-length
                                 # grid (bounded by the length DOMAIN, not
                                 # the corpus) crossed into the source table
+    "vocab_shift_drift",        # 1-row (n_old, n_new) half sizes crossed
+                                # into the per-token df table
 }
 
 
@@ -494,11 +497,14 @@ GLOBAL_WINDOW_BOUNDED = {
     "pq_encode_report": "bounded",     # codebook-id row_number over the
                                        # limit(n_codes=8) init rows
     "pq_adc_topk": "bounded",          # same limit(8) codebook-id window
+    "pq_recall_report": "bounded",     # composes pq_adc_topk — same
+                                       # limit(8) codebook-id window
     "ivfpq_topk": "bounded",           # limit(16)/limit(8) centroid- and
                                        # codebook-id windows
     "drift_ks_by_source": "bounded",   # merged-ECDF cumulative over
                                        # DISTINCT length values — the
                                        # length domain, not the corpus
+    "vocab_shift_drift": "topk",       # rank <= 20 over per-token odds
 }
 
 
