@@ -468,6 +468,8 @@ BNLJ_SCALAR_CROSS = {
                                 # the corpus) crossed into the source table
     "vocab_shift_drift",        # 1-row (n_old, n_new) half sizes crossed
                                 # into the per-token df table
+    "rfm_segmentation",         # 1-row global max-orderdate crossed into
+                                # the cached per-customer metric table
 }
 
 
