@@ -456,3 +456,71 @@ def test_ahash_validation():
         ahash_media(None, bits=0)
     with pytest.raises(ValueError):
         ahash_media(None, bits=63)
+
+
+# --- scd2_history_build vs straight-line interval builder -------------------
+
+
+def ref_scd2(rows):
+    """Straight-line SCD2: per user, sort by (ts, event_id), collapse
+    consecutive same-type runs, intervals close at the next change."""
+    by_user = {}
+    for eid, ts, uid, typ in rows:
+        if ts is None or typ is None:
+            continue
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        starts = [e for i, e in enumerate(evs) if i == 0 or evs[i - 1][2] != e[2]]
+        for i, (ts, eid, typ) in enumerate(starts):
+            nxt = starts[i + 1][0] if i + 1 < len(starts) else None
+            out.append((uid, typ, ts, nxt, nxt is None))
+    return sorted(out, key=lambda r: (r[0], r[2], str(r[1])))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),          # event_id (may tie)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # ts slot
+            st.integers(min_value=0, max_value=3),           # user_id
+            st.sampled_from([None, "a", "b", "c"]),          # event_type
+        ),
+        min_size=0, max_size=25,
+        unique_by=lambda r: r[0],                            # unique event ids
+    )
+)
+def test_scd2_matches_reference(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    mat = [
+        (eid, None if slot is None else base + dt.timedelta(hours=slot), uid, typ)
+        for eid, slot, uid, typ in rows
+    ]
+    d = tempfile.mkdtemp(prefix="scd2_prop_")
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array([r[0] for r in mat], dtype="int64"),
+            "ts": pd.Series([r[1] for r in mat], dtype="datetime64[us]"),
+            "user_id": pd.array([r[2] for r in mat], dtype="int64"),
+            "event_type": [r[3] for r in mat],
+            "value": [1.0] * len(mat),
+            "props": [None] * len(mat),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+    got = sorted(
+        (
+            (r["user_id"], r["event_type"],
+             r["valid_from"].replace(tzinfo=None), 
+             None if r["valid_to"] is None else r["valid_to"].replace(tzinfo=None),
+             r["is_current"])
+            for r in REGISTRY["scd2_history_build"].fn(spark, d).collect()
+        ),
+        key=lambda r: (r[0], r[2], str(r[1])),
+    )
+    assert got == ref_scd2(mat)
