@@ -2377,7 +2377,10 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the token budget concentrated in few documents'.  The global rank "
     "uses the range-partition + broadcast-offset machinery "
     "(global_running_sum row numbers) — NO Exchange SinglePartition at "
-    "any corpus size",
+    "any corpus size.  Int64 budget: sum(i*x) <= n^2*avg_x/2 stays "
+    "under 2^63 up to ~10^8 docs at 500 tokens; past that the ANSI "
+    "engine ABORTS loudly rather than wrapping (shard the corpus and "
+    "combine per-shard rank sums, or widen to DECIMAL)",
 )
 def q_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.ranking import global_running_sum

@@ -2650,7 +2650,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with no float ECDF anywhere.  The per-source cumulative rides a "
     "source-partitioned window over the (sources x distinct-lengths) "
     "grid; the only global window is over DISTINCT length values — "
-    "bounded by the length domain, not the corpus",
+    "bounded by the length domain, not the corpus.  Int64 budget: "
+    "ks_num*1e6 <= n_a*n_b*1e6 < 2^63 up to ~6M rows; the exact "
+    "(ks_num, n_a, n_b) columns are the unbounded primitive — recompute "
+    "ks_micro in wider arithmetic beyond that, or the ANSI engine "
+    "aborts loudly",
 )
 def q_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
