@@ -75,10 +75,12 @@ def sq_dist_q(a: Column, b: Column) -> Column:
 
 def floordiv(s: Column, n: Column) -> Column:
     """Exact integer FLOOR division (toward −∞) — ``pmod`` makes the
-    dividend exactly divisible, so the double division is exact and both
-    engines agree on negative sums (DuckDB's ``//`` and Spark's ``div``
-    truncate toward zero instead)."""
-    return ((s - F.pmod(s, n)) / n).cast("long")
+    dividend exactly divisible, then long ``div`` (IntegralDivide) takes
+    the quotient entirely in int64: no double round-trip, so the result
+    is exact for the FULL int64 range (the old ``/ n`` double path
+    rounded once the adjusted dividend exceeded 2⁵³ — ADVICE r14).
+    Truncation vs floor is immaterial on an exactly-divisible dividend."""
+    return F.call_function("div", s - F.pmod(s, n), n)
 
 
 def _quantized_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -149,8 +151,10 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Distributed Lloyd k-means: deterministic lowest-id init, then
-    ``n_iters`` × (assign → update), returning the FINAL assignment as
-    (vec_id, cluster, dist_q).  Every step is engine-replayable (module
+    ``n_iters`` assignment passes with a centroid update between
+    consecutive passes (assign, then (update → assign) × (n_iters−1) —
+    i.e. n_iters assignments, n_iters−1 updates), returning the FINAL
+    assignment as (vec_id, cluster, dist_q).  Every step is engine-replayable (module
     docstring), so the registered query hash-checks against an unrolled
     DuckDB twin.
 

@@ -2237,10 +2237,14 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
         )
     )
-    novelty = (
-        (F.col("n_unique") * 1000000 - F.pmod(F.col("n_unique") * 1000000, F.col("n_shingles")))
-        / F.col("n_shingles")
-    ).cast("long")
+    # pmod-adjust + long `div`: floor quotient, exact in int64 at any
+    # magnitude (no double round-trip past 2^53)
+    novelty = F.call_function(
+        "div",
+        F.col("n_unique") * 1000000
+        - F.pmod(F.col("n_unique") * 1000000, F.col("n_shingles")),
+        F.col("n_shingles"),
+    )
     return per.select("doc_id", "n_shingles", "n_unique", novelty.alias("novelty_micro"))
 
 
@@ -2400,7 +2404,10 @@ def q_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (2 * F.col("six") - (F.col("n") + 1) * F.col("s")) * 1000000
     den = F.col("n") * F.col("s")
-    gini = ((num - F.pmod(num, den)) / den).cast("long")
+    # pmod-adjust + long `div`: floor quotient, exact in int64 (the old
+    # `/` path rounded past 2^53; the documented budget now covers only
+    # the multiplications)
+    gini = F.call_function("div", num - F.pmod(num, den), den)
     return agg.filter((F.col("n") > 0) & (F.col("s") > 0)).select(
         F.col("n").alias("n_docs"),
         F.col("s").alias("total_tokens"),
@@ -2431,10 +2438,8 @@ def q_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     odds AS (
       SELECT t, df_old, df_new,
-             ((df_new + 1) * (n_old - df_old + 1) * 1000
-              - ((df_new + 1) * (n_old - df_old + 1) * 1000)
-                % ((df_old + 1) * (n_new - df_new + 1)))
-             / ((df_old + 1) * (n_new - df_new + 1)) AS odds_milli
+             ((df_new + 1) * (n_old - df_old + 1) * 1000)
+             // ((df_old + 1) * (n_new - df_new + 1)) AS odds_milli
       FROM df CROSS JOIN n
     )
     SELECT t AS token,
@@ -2451,7 +2456,13 @@ def q_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id%2 stand-in for consecutive ingest batches), top-20 RISING "
     "tokens by exact integer milli-odds — (df_new+1)(n_old-df_old+1) / "
     "(df_old+1)(n_new-df_new+1), no ln() anywhere (the bm25 odds-ratio "
-    "convention), so both engines hash-match.  Distinct-token df rides "
+    "convention), so both engines hash-match.  int64 budget: the "
+    "numerator (df_new+1)(n_old-df_old+1)*1000 needs each corpus half "
+    "under ~2.1e8 documents (factors ~n/2 each; 2e8/2 squared x1000 "
+    "~ 9.2e18 = int64 max) — beyond that, widen both sides to DECIMAL "
+    "(the oracle's HUGEINT sums widen for free; Spark does not).  "
+    "Division itself is exact at any magnitude: long `div` on Spark, "
+    "`//` on DuckDB, both operands positive.  Distinct-token df rides "
     "one groupBy; the top-20 is the whitelisted rank<=20 window shape",
 )
 def q_vocab_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2474,9 +2485,11 @@ def q_vocab_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("df_new") + 1) * (F.col("n_old") - F.col("df_old") + 1) * 1000
     den = (F.col("df_old") + 1) * (F.col("n_new") - F.col("df_new") + 1)
+    # long `div` (IntegralDivide): quotient exact in int64, no double
+    # round-trip (the old pmod-adjust + `/` path rounded past 2^53)
     odds = df.crossJoin(F.broadcast(n)).select(
         "t", "df_old", "df_new",
-        ((num - F.pmod(num, den)) / den).cast("long").alias("odds_milli"),
+        F.call_function("div", num, den).alias("odds_milli"),
     )
     w = W.orderBy(F.col("odds_milli").desc(), "t")
     return (

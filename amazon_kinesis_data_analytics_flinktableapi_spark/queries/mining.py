@@ -2698,7 +2698,11 @@ def q_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("num").alias("ks_num"))
     )
     denom = F.col("n_a") * F.col("n_b")
-    ks_micro = ((F.col("ks_num") * 1000000 - F.pmod(F.col("ks_num") * 1000000, denom)) / denom).cast("long")
+    # pmod-adjust + long `div`: floor quotient, exact in int64 (the
+    # documented budget now covers only ks_num * 1e6)
+    ks_micro = F.call_function(
+        "div", F.col("ks_num") * 1000000 - F.pmod(F.col("ks_num") * 1000000, denom), denom
+    )
     return mx.select(
         "source", "n_a", "n_b", "ks_num", ks_micro.alias("ks_micro")
     )

@@ -1946,11 +1946,16 @@ def q_scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT o_custkey, 'frequency', CAST(f_n AS DOUBLE) FROM m
       UNION ALL SELECT o_custkey, 'monetary', CAST(m_cents AS DOUBLE) FROM m
     ),
-    n AS (SELECT metric, count(*) AS n FROM melt GROUP BY metric),
+    -- rank/count over non-NULL finite values ONLY, mirroring
+    -- grouped_kth_select_multi's drop-before-selection rule (a NULL
+    -- r_days from a NULL o_orderdate must not inflate n and shift the
+    -- quartile index k = ceil(n*p) — ADVICE r14)
+    n AS (SELECT metric, count(*) AS n FROM melt
+          WHERE value IS NOT NULL AND isfinite(value) GROUP BY metric),
     r AS (
       SELECT metric, o_custkey, value,
              row_number() OVER (PARTITION BY metric ORDER BY value, o_custkey) AS rn
-      FROM melt
+      FROM melt WHERE value IS NOT NULL AND isfinite(value)
     ),
     b AS (
       SELECT r.metric,

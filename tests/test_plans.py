@@ -469,7 +469,9 @@ BNLJ_SCALAR_CROSS = {
     "vocab_shift_drift",        # 1-row (n_old, n_new) half sizes crossed
                                 # into the per-token df table
     "rfm_segmentation",         # 1-row global max-orderdate crossed into
-                                # the cached per-customer metric table
+                                # the (deliberately uncached) per-customer
+                                # metric table — see q_rfm_segmentation's
+                                # measured cache-is-slower note
 }
 
 
