@@ -79,6 +79,10 @@ def register_timestamp_to_string(spark: SparkSession, vectorized: bool = True) -
 #: isfinite(); Spark SQL does not, hence the expression form below)
 FINITE_OR_NULL_SQL = "({col} IS NULL OR isfinite({col}))"
 
+#: largest finite IEEE-754 double — the single-comparison finiteness
+#: boundary both swallow predicates test against
+_DBL_MAX = 1.7976931348623157e308
+
 
 def finite_or_null(col: Column | str) -> Column:
     """True for NULL or finite doubles; False for NaN and ±inf.
@@ -92,9 +96,16 @@ def finite_or_null(col: Column | str) -> Column:
     inf→int binding (Spark ANSI CAST_OVERFLOW) or, worse, silently
     saturates through ``floor()`` to ±(2⁶³−1).  NULL stays IN: a NULL
     value deserialized fine and aggregates/joins treat it by SQL
-    semantics on both engines."""
+    semantics on both engines.
+
+    Implementation note (r15 A/B, tools/ab_nonfinite.py): one
+    ``abs(x) <= DBL_MAX`` comparison — NaN fails every comparison and
+    ±inf exceeds DBL_MAX, so this is value-identical to the spelled-out
+    ``NOT isnan AND abs != inf`` form while dropping two branches from
+    the codegen'd scan predicate (measured ~25% cheaper on a bare
+    events-scan count at sf0.1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+    return c.isNull() | (F.abs(c) <= F.lit(_DBL_MAX))
 
 
 def finite_embedding(col: Column | str) -> Column:
@@ -108,9 +119,17 @@ def finite_embedding(col: Column | str) -> Column:
     degrade-don't-abort policy).  A NULL embedding stays IN: the
     NULL-vector paths are first-class and attested (matrix kernels'
     null fills, neardup NULL tests).  An empty array passes (forall
-    over empty is TRUE on both engines)."""
+    over empty is TRUE on both engines).
+
+    Implementation note (r15 A/B, tools/ab_nonfinite.py): higher-order
+    array lambdas run INTERPRETED per element, so every check in the
+    lambda is paid dim times per row outside codegen — the original
+    3-check lambda cost ~10 µs/vector on a bare embeddings-scan count.
+    One ``abs(x) <= DBL_MAX`` comparison halves that: NaN fails every
+    comparison, ±inf exceeds DBL_MAX, and a NULL element NULL-evaluates
+    — ``coalesce(.., false)`` restores the exact three-valued contract
+    (NULL element ⇒ FALSE, as the 3-check form returned)."""
     c = F.col(col) if isinstance(col, str) else col
-    inf = float("inf")
-    return c.isNull() | F.forall(
-        c, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(inf))
+    return c.isNull() | F.coalesce(
+        F.forall(c, lambda x: F.abs(x) <= F.lit(_DBL_MAX)), F.lit(False)
     )
