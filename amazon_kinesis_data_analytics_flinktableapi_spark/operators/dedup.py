@@ -284,6 +284,33 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
+def band_keys(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, bh) rows from a signature table: each band's key is the
+    comma-joined signature slice — portable across engines (an engine
+    hash of the slice would bucket identically but defeat the oracle).
+    Factored out of :func:`minhash_lsh_pairs` so the band-sweep report
+    reuses the identical banding (r15)."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", bi * rows + 1, rows), lambda x: x.cast("string")
+                            ),
+                            ",",
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -313,25 +340,7 @@ def minhash_lsh_pairs(
         )
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", bi * rows + 1, rows), lambda x: x.cast("string")
-                            ),
-                            ",",
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bh").cache()
+    banded = band_keys(sigs, id_col, bands, rows).cache()
     # ^ cache: BOTH sides of the candidate self-join read the banded rows,
     # and the signature chain behind them (tokenize → shingle → md5 → 64
     # modular permutations per shingle) is the op's dominant cost — the

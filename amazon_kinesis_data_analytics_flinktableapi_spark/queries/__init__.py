@@ -153,40 +153,87 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 14 window (first 50 = the driver's correctness gate) ----------
+    # --- round 15 window (first 50 = the driver's correctness gate) ----------
     # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
     # their first round, CHANGED surfaces take precedence over staleness,
-    # remaining slots go to the oldest-attested names.  r14 window:
-    # 10 new (grouped_median_select, grouped_percentiles_select,
-    # robust_mad_select, token_budget_waterfill, kmeans_lloyd_refine,
-    # pq_encode_report, pq_adc_topk, ivfpq_topk, quality_classifier_score,
-    # streaming_quality_filter) + 9 r14-changed surfaces
-    # (exact_median_select: non-finite filter; bpe_train/encode: the
-    # localCheckpoint merge loop; token_budget_select + sequence_packing:
-    # global_running_sum grew row-number offsets; ann_ivf_topk +
-    # ann_recall_report + embedding_neardup + semantic_dedup: auto-nprobe
-    # default + the matrix-kernel refactor) + the FULL 31-query r9-stale
-    # block (VERDICT r13 #3: after this round the stalest attestation
-    # advances r9 -> r10 registry-wide) = 50.  The 6 r10 fills the
-    # late-r14 additions displaced stay r10-attested (within the >= r10
-    # floor); the flagship streaming_interval_join is still measured by
-    # bench.py and the judge's full replica every round.  Late additions
-    # past window capacity (drift_ks_by_source and any later) are
-    # replica-attested this round and LEAD the r15 window.
+    # remaining slots go to the oldest-attested names.  r15 window
+    # (VERDICT r14 #2 verbatim): the 8 late-r14 queries that entered after
+    # the r14 window closed (never driver-attested; judge-replica-green)
+    # LEAD, then 1 new (streaming_clean_pipeline, VERDICT #6) + 1
+    # r15-changed surface (kmeans_lloyd_refine: exact int64 div), then the
+    # FULL 39-query r10-stale block (after this round min(last-green)
+    # >= r11 registry-wide), closing with currency_conversion — changed
+    # (the cheapened finite_or_null predicate, VERDICT #1) AND the
+    # headliner whose r14 regression the A/B attributed to contention,
+    # so its r15 attestation doubles as the perf-proof. = 50 exactly.
+    # Other finite_or_null/finite_embedding call sites changed too but
+    # are value-identical (oracle-replica + 3 hostile sweeps green);
+    # they rotate back on staleness as usual.
 
-    # NEW r14: distributed grouped selection + water-filling
+    # never-driver-attested (late r14)
+    "scd2_history_build",
+    "rfm_segmentation",
+    "media_phash_neardup",
+    "pq_recall_report",
+    "drift_ks_by_source",
+    "vocab_shift_drift",
+    "ngram_novelty_score",
+    "token_gini_concentration",
+    # NEW r15 + changed surface
+    "streaming_clean_pipeline",
+    "kmeans_lloyd_refine",
+    # r10-stale block (39 queries; clears the r10 generation entirely)
+    "agg_pricing_summary",
+    "conditional_agg",
+    "cube_status_priority",
+    "dataset_split_assign",
+    "date_functions",
+    "deterministic_sample",
+    "distinct_pairs",
+    "doc_chunks",
+    "domain_mixture_sample",
+    "dsir_importance_select",
+    "grouped_having",
+    "grouping_sets_revenue",
+    "interval_join_full",
+    "join_revenue_by_nation",
+    "large_order_customers",
+    "nation_pair_revenue",
+    "normalize_text",
+    "regex_extract_tokens",
+    "repetition_signals",
+    "reservoir_per_group",
+    "rollup_customer_geo",
+    "salted_join_revenue",
+    "shipping_priority",
+    "stratified_sample",
+    "streaming_asof_enrich",
+    "streaming_dedup",
+    "streaming_dedup_restamped",
+    "streaming_interval_join",
+    "streaming_late_data",
+    "streaming_tumbling_window",
+    "topk_orders",
+    "tpch_q21_late_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tumbling_window_events",
+    "unigram_surprisal_score",
+    "unpivot_lineitem_metrics",
+    "value_histogram",
+    "window_rank",
+    # changed (cheapened non-finite predicate) + r14 perf-flag headliner
+    "currency_conversion",
+    # --- previously attested tail (r10-r14), prior relative order kept ---
     "grouped_median_select",
     "grouped_percentiles_select",
     "robust_mad_select",
     "token_budget_waterfill",
-    # NEW late-r14: clustering / PQ codebooks / model-based quality filter
-    "kmeans_lloyd_refine",
     "pq_encode_report",
     "pq_adc_topk",
     "ivfpq_topk",
     "quality_classifier_score",
     "streaming_quality_filter",
-    # r14-changed surfaces
     "exact_median_select",
     "bpe_train_merges",
     "bpe_encode_token_counts",
@@ -196,7 +243,6 @@ _PRIORITY: list[str] = [
     "ann_recall_report",
     "embedding_neardup",
     "semantic_dedup",
-    # r9-stale block (31 queries; clears the r9 generation entirely)
     "array_agg_sorted",
     "array_hof_pipeline",
     "asof_forward_join",
@@ -205,7 +251,6 @@ _PRIORITY: list[str] = [
     "cascaded_rollup",
     "contamination_ngram_overlap",
     "corpus_clean_pipeline",
-    "currency_conversion",
     "dedup_simhash",
     "event_sequence_detect",
     "explode_token_frequencies",
@@ -228,13 +273,6 @@ _PRIORITY: list[str] = [
     "tpch_q14_promo_share",
     "tpch_q4_priority_check",
     "tpch_q6_revenue_delta",
-    # --- previously attested tail (r9-r13), prior relative order kept ---
-    "streaming_interval_join",
-    "streaming_tumbling_window",
-    "doc_chunks",
-    "normalize_text",
-    "stratified_sample",
-    "reservoir_per_group",
     "duplicate_span_detect_anchored",
     "duplicate_span_removal_anchored",
     "winnowing_fingerprint_stats",
@@ -367,39 +405,6 @@ _PRIORITY: list[str] = [
     "feature_hash_vector",
     "weighted_sample_topk",
     "streaming_static_enrich",
-    "interval_join_full",
-    "streaming_late_data",
-    "streaming_dedup",
-    "streaming_asof_enrich",
-    "dsir_importance_select",
-    "streaming_dedup_restamped",
-    "dataset_split_assign",
-    "domain_mixture_sample",
-    "unigram_surprisal_score",
-    "tpch_q9_product_profit",
-    "deterministic_sample",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "topk_orders",
-    "window_rank",
-    "rollup_customer_geo",
-    "large_order_customers",
-    "nation_pair_revenue",
-    "cube_status_priority",
-    "unpivot_lineitem_metrics",
-    "value_histogram",
-    "grouped_having",
-    "distinct_pairs",
-    "tumbling_window_events",
-    "conditional_agg",
-    "shipping_priority",
-    "date_functions",
-    "grouping_sets_revenue",
-    "tpch_q8_market_share",
-    "salted_join_revenue",
-    "regex_extract_tokens",
-    "tpch_q21_late_supplier",
-    "repetition_signals",
 ]
 
 

@@ -551,6 +551,164 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(corpus, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5)
 
 
+#: (num_perm, bands) configurations the band-sweep report measures — the
+#: S-curve dials a dedup operator exposes: same rows-per-band at fewer
+#: perms (32/8), the registry default (64/16), and a stricter 8-row band
+#: (64/8) whose collision probability 1-(1-j^8)^8 suppresses borderline
+#: pairs
+_BAND_SWEEP_CONFIGS = [(32, 8), (64, 16), (64, 8)]
+
+
+def _band_sweep_oracle(n: int = 3, threshold: float = 0.5, seed: int = 7) -> str:
+    """DuckDB twin of q_minhash_band_sweep_report: shared shingle/hash
+    CTEs, one suffixed signature→band→candidate→verify chain per config,
+    planted-pair truth from the copy-offset relation, one summary row
+    per config via scalar subqueries."""
+    p = D.MERSENNE_PRIME
+    jac = (
+        "len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
+        "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))"
+    )
+    parts = [
+        _DUCK_NEARDUP_CORPUS,
+        f"toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM corpus)",
+        f"""sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= {n}
+               THEN list_transform(range(1, len(tk) - {n - 2}),
+                                   i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+               ELSE [] END) AS shingles
+           FROM toks)""",
+        "sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)",
+        f"""hs AS (SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hs
+           FROM sh2)""",
+        f"""pl AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh2 a JOIN sh2 b ON b.doc_id = a.doc_id + {COPY_OFFSET}
+           WHERE {jac} >= {threshold})""",
+    ]
+    selects = []
+    for i, (num_perm, bands) in enumerate(_BAND_SWEEP_CONFIGS):
+        rows = num_perm // bands
+        sig_items = ", ".join(
+            f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+            for a, b in D._minhash_params(num_perm, seed)
+        )
+        parts += [
+            f"sig{i} AS (SELECT doc_id, [{sig_items}] AS sig FROM hs)",
+            f"""bands{i} AS (SELECT doc_id, b,
+               array_to_string(sig[CAST(b*{rows}+1 AS INT):CAST(b*{rows}+{rows} AS INT)], ',') AS bh
+              FROM sig{i} CROSS JOIN range({bands}) t(b))""",
+            f"""cand{i} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands{i} a JOIN bands{i} b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""",
+            f"""v{i} AS (SELECT c.id_a, c.id_b FROM cand{i} c
+             JOIN sh2 a ON a.doc_id = c.id_a
+             JOIN sh2 b ON b.doc_id = c.id_b
+             WHERE {jac} >= {threshold})""",
+            f"hit{i} AS (SELECT v.id_a FROM v{i} v JOIN pl USING (id_a, id_b))",
+        ]
+        selects.append(
+            f"""SELECT {num_perm} AS num_perm, {bands} AS bands, {rows} AS rows_per_band,
+           (SELECT count(*) FROM cand{i}) AS n_candidates,
+           (SELECT count(*) FROM v{i}) AS n_verified,
+           (SELECT count(*) FROM hit{i}) AS n_planted_hit,
+           (SELECT count(*) FROM pl) AS planted_total,
+           CAST(((SELECT count(*) FROM hit{i}) * 1000)
+                // greatest((SELECT count(*) FROM pl), 1) AS BIGINT) AS recall_permille"""
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query(
+    "minhash_band_sweep_report",
+    oracle=_band_sweep_oracle(),
+    doc="MinHash banding S-curve tuning report: for three (num_perm, "
+    "bands) configurations — 32/8, the registry default 64/16, and the "
+    "stricter 8-row 64/8 — candidate count, exact-verified pair count, "
+    "and recall of the PLANTED near-dup pairs (the copy-offset relation "
+    "scored by exact Jaccard — linear truth, no all-pairs baseline), "
+    "one summary row per config.  This is how a dedup operator's "
+    "sketch parameters get picked from measured recall (SCALING.md's "
+    "estimator-accounting rule) instead of folklore.  Scale: the 64-perm "
+    "signature table is built ONCE and banded twice; per config the only "
+    "document shuffle is the (band, key) self-join; summaries are 1-row "
+    "aggregates crossed at the end",
+)
+def q_minhash_band_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    sets = D.shingle_sets(corpus, "doc_id", "text", 3).cache()
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    planted = (
+        sa.join(sb, F.col("id_b") == F.col("id_a") + COPY_OFFSET)
+        .filter((inter / union) >= 0.5)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    planted_n = planted.agg(F.count(F.lit(1)).alias("planted_total"))
+    sig_cache: dict[int, DataFrame] = {}
+    rows_out = []
+    for num_perm, bands in _BAND_SWEEP_CONFIGS:
+        rows = num_perm // bands
+        if num_perm not in sig_cache:
+            sig_cache[num_perm] = D.minhash_signatures(
+                corpus, "doc_id", "text", 3, num_perm, 7
+            ).cache()
+        banded = D.band_keys(sig_cache[num_perm], "doc_id", bands, rows)
+        l, r = banded.alias("l"), banded.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+            .distinct()
+            .cache()
+        )
+        ver = (
+            cand.join(sa, "id_a").join(sb, "id_b").filter((inter / union) >= 0.5)
+            .select("id_a", "id_b")
+            .cache()
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+            .crossJoin(
+                ver.join(planted, ["id_a", "id_b"]).agg(
+                    F.count(F.lit(1)).alias("n_planted_hit")
+                )
+            )
+            .select(
+                F.lit(num_perm).alias("num_perm"),
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                "n_planted_hit",
+            )
+        )
+        rows_out.append(row)
+    out = rows_out[0]
+    for r2 in rows_out[1:]:
+        out = out.unionAll(r2)
+    return out.crossJoin(F.broadcast(planted_n)).select(
+        "num_perm",
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        "n_planted_hit",
+        "planted_total",
+        F.call_function(
+            "div", F.col("n_planted_hit") * 1000, F.greatest(F.col("planted_total"), F.lit(1))
+        ).alias("recall_permille"),
+    )
+
+
 def _source_overlap_oracle(n: int = 3, num_perm: int = 64, seed: int = 7) -> str:
     """DuckDB twin of source_overlap_report: identical shingle hash,
     identical literal permutations, identical pair algebra."""
@@ -1212,6 +1370,302 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.substring(F.md5("text"), 1, 1).rlike("[0-9ab]"), "train")
         .otherwise("eval")
         .alias("split"),
+    )
+
+
+#: epoch seconds of 2024-01-01 00:00:00 UTC — the synthetic ingest-time
+#: base for the streaming clean pipeline (documents carry no timestamp;
+#: doc_id seconds past this base gives a deterministic, replayable clock)
+_INGEST_EPOCH = 1_704_067_200
+
+
+@query(
+    "streaming_clean_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS tk FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             floor((0.5 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * least(round({_DUCK_SW.format(toks="tk")} * 1.0 / greatest(len(tk), 1), 6) * 5, 1.0)
+                   + 0.1 * (1 - least(round({_DUCK_PUNCT} * 1.0 / greatest(length(text), 1), 6) * 10, 1.0)))
+                   * 10000 + 0.5) / 10000 AS quality,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit')))
+                   AND {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('le','la','les','et','est','dans','pour')))
+                   AND {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('el','los','las','y','es','en','por')))
+                  THEN 'en' ELSE 'other' END AS plang
+      FROM t
+    ),
+    -- the replay DOUBLES every row; the stream's (fingerprint, ts)
+    -- dedup collapses exactly those replay copies and nothing else (ts
+    -- is doc_id-derived, so two different docs can never share the
+    -- dedup key even on a token-set fingerprint collision) => each
+    -- kept doc appears once, as here
+    stamped AS (
+      SELECT doc_id, quality,
+             TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts,
+             CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM scored WHERE quality >= 0.5 AND plang = 'en'
+    )
+    SELECT date_trunc('minute', ts) AS window_start, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS quality_x10k
+    FROM stamped
+    GROUP BY 1, 2
+    -- append mode emits the windows the terminal watermark closes:
+    -- both stateful stages carry a 10 s watermark delay, so the global
+    -- watermark ends at max(ts) - 10 s (multipleWatermarkPolicy=min
+    -- makes the two identical delays one horizon)
+    HAVING date_trunc('minute', ts) + INTERVAL 1 MINUTE
+           <= (SELECT max(ts) FROM stamped) - INTERVAL 10 SECOND
+    """,
+    doc="STREAMING end-to-end corpus cleaning (the streaming twin of "
+    "corpus_clean_pipeline, VERDICT r14 #6): quality gate + language "
+    "filter (stateless, scan-local) -> content-fingerprint dedup within "
+    "the watermark horizon (stateful: collapses the at-least-once replay "
+    "copies the fixture plants by doubling every row; cross-corpus "
+    "global dedup stays the batch pipeline's job) -> per-minute tumbling "
+    "counts and quality mass by train/eval split (second stateful stage "
+    "chained in append mode).  Oracle reconstructs the closed-window set "
+    "from the batch side exactly",
+)
+def q_streaming_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof for the streaming tier: three pipeline stages —
+    stateless gate, stateful dedup, stateful windowed agg — chained in
+    ONE append-mode query (Spark 3.4+ chained-stateful support, same
+    shape as streaming_chained_windows).  Scale: the gate and the
+    fingerprint/split hashes ride the scan (no Python); dedup state is
+    one (fp, ts) key per kept doc inside the 10 s horizon, evicted by
+    watermark; window state is |splits| x live-windows rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import scratch_dir
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.windows import (
+        stream_dedup,
+        tumbling_agg,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text")
+    # at-least-once fixture: every row replayed twice across 3
+    # doc_id-ordered micro-batches — copies sort adjacent, so at least
+    # one pair straddles a batch boundary and dedup state must carry
+    doubled = src.union(src)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    tmp = scratch_dir("stream_clean_")
+    stream = replay_stream(
+        spark, doubled, schema, tmp, n_chunks=3, order_col="doc_id", max_files_per_trigger=1
+    )
+    gated = (
+        stream.select(
+            "doc_id",
+            F.timestamp_seconds(F.lit(_INGEST_EPOCH).cast("long") + F.col("doc_id")).alias("ts"),
+            T.quality_score("text").alias("quality"),
+            T.lang_id("text").alias("plang"),
+            T.fingerprint("text").alias("__fp"),
+            F.when(F.substring(F.md5("text"), 1, 1).rlike("[0-9ab]"), "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+    )
+    deduped = stream_dedup(gated, "ts", ["__fp"], watermark="10 seconds")
+    # watermark=None: the dedup stage already assigned the stream's one
+    # watermark — Spark rejects a second withWatermark in a chained-
+    # stateful query ("Redefining watermark is disallowed"), and the 10 s
+    # horizon propagates to the window operator unchanged
+    agg = tumbling_agg(
+        deduped,
+        "ts",
+        "1 minute",
+        ["split"],
+        [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.floor(F.col("quality") * 10000 + 0.5).cast("long")).alias("quality_x10k"),
+        ],
+        watermark=None,
+    )
+    out = agg.select("window_start", "split", "n_docs", "quality_x10k")
+    return run_to_memory(out, spark, timeout_sec=240)
+
+
+@query(
+    "clean_retention_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS tk FROM documents),
+    scored AS (
+      SELECT doc_id, source, text,
+             floor((0.5 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * least(round({_DUCK_SW.format(toks="tk")} * 1.0 / greatest(len(tk), 1), 6) * 5, 1.0)
+                   + 0.1 * (1 - least(round({_DUCK_PUNCT} * 1.0 / greatest(length(text), 1), 6) * 10, 1.0)))
+                   * 10000 + 0.5) / 10000 AS quality,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit')))
+                   AND {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('le','la','les','et','est','dans','pour')))
+                   AND {_DUCK_SW.format(toks="tk")} >= len(list_filter(tk, x -> x IN ('el','los','las','y','es','en','por')))
+                  THEN 'en' ELSE 'other' END AS plang
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, source, text FROM scored WHERE quality >= 0.5 AND plang = 'en'
+    ),
+    surv AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' '))
+    ),
+    sv AS (
+      SELECT k.source, count(*) AS n_unique
+      FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+      GROUP BY k.source
+    ),
+    base AS (
+      SELECT source,
+             count(*) AS n_total,
+             count(text) AS n_with_text,
+             CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN quality >= 0.5 AND plang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en_kept
+      FROM scored GROUP BY source
+    )
+    SELECT b.source, b.n_total, b.n_with_text, b.n_quality, b.n_en_kept,
+           coalesce(sv.n_unique, 0) AS n_unique,
+           CAST((coalesce(sv.n_unique, 0) * 1000) // b.n_total AS BIGINT)
+             AS retention_permille
+    FROM base b LEFT JOIN sv ON sv.source = b.source
+    """,
+    doc="per-source retention funnel through the cleaning pipeline: total "
+    "-> has-text -> quality gate -> +language gate -> post-fingerprint-"
+    "dedup survivors (canonical min-doc_id winners attributed to their "
+    "source), with exact integer retention permille — the ablation "
+    "report a corpus curation run publishes per ingest source.  One "
+    "corpus scan feeds the stage counters (conditional aggs, map-side "
+    "combined); the dedup survivors reuse the corpus_clean_pipeline "
+    "shuffle; the per-source frames are |sources|-row joins",
+)
+def q_clean_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("plang"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+    surv = D.dedup_exact(
+        kept.select("doc_id", "source", T.fingerprint("text").alias("__fp")),
+        "doc_id",
+        key=["__fp"],
+    )
+    sv = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+    base = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("text").alias("n_with_text"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias("n_quality"),
+        F.sum(
+            F.when((F.col("quality") >= 0.5) & (F.col("plang") == "en"), 1).otherwise(0)
+        ).alias("n_en_kept"),
+    )
+    nu = F.coalesce(F.col("n_unique"), F.lit(0).cast("long"))
+    return base.join(sv, "source", "left").select(
+        "source",
+        "n_total",
+        "n_with_text",
+        "n_quality",
+        "n_en_kept",
+        nu.alias("n_unique"),
+        F.call_function("div", nu * 1000, F.col("n_total")).alias("retention_permille"),
+    )
+
+
+#: (name, regex char class) script buckets for script_mix_profile — all
+#: BMP ranges written as literal characters so the Java and RE2 engines
+#: compile the identical codepoint set (the r14 unicode audit's rule:
+#: astral-plane classes are the off-by-N hazard, BMP literals are not;
+#: astral chars deliberately land in `other` on both engines).  The
+#: whitespace set is spelled explicitly — regex \\s differs across
+#: engines only outside this set, which is exactly why tokens() uses it.
+_SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \t\n\x0b\f\r]"),
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+]
+
+
+@query(
+    "script_mix_profile",
+    oracle="""
+    WITH t AS (
+      SELECT source, length(text) AS n,
+             {counts}
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS chars_total,
+           {sums},
+           CAST(sum(n) - ({sum_all}) AS BIGINT) AS other,
+           CAST(CASE WHEN sum(n) > 0
+                THEN (sum(c_latin) * 1000) // sum(n) ELSE 0 END AS BIGINT) AS latin_permille,
+           CAST(CASE WHEN sum(n) > 0
+                THEN (sum(c_cjk) * 1000) // sum(n) ELSE 0 END AS BIGINT) AS cjk_permille
+    FROM t GROUP BY source
+    """.format(
+        counts=",\n             ".join(
+            f"length(text) - length(regexp_replace(text, '{cls}', '', 'g')) AS c_{name}"
+            for name, cls in _SCRIPT_CLASSES
+        ),
+        sums=",\n           ".join(
+            f"CAST(sum(c_{name}) AS BIGINT) AS {name}" for name, _ in _SCRIPT_CLASSES
+        ),
+        sum_all=" + ".join(f"sum(c_{name})" for name, _ in _SCRIPT_CLASSES),
+    ),
+    doc="per-source script composition profile: exact codepoint counts "
+    "per script bucket (Latin/digit/whitespace/CJK/Cyrillic, BMP literal "
+    "classes identical under Java regex and RE2; astral codepoints land "
+    "in `other` on both engines) via the length-minus-stripped-length "
+    "identity, aggregated per ingest source with exact integer permille "
+    "shares — the multilingual-mix report a corpus intake publishes.  "
+    "Pure scan expressions + one map-side-combined groupBy(source); "
+    "|sources| output rows at any corpus size",
+)
+def q_script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.length("text").alias("n"),
+        *[
+            (F.length("text") - F.length(F.regexp_replace("text", cls, ""))).alias(f"c_{name}")
+            for name, cls in _SCRIPT_CLASSES
+        ],
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("chars_total"),
+        *[F.sum(f"c_{name}").alias(name) for name, _ in _SCRIPT_CLASSES],
+    )
+    known = sum((F.col(name) for name, _ in _SCRIPT_CLASSES[1:]), F.col(_SCRIPT_CLASSES[0][0]))
+    permille = lambda c: F.when(  # noqa: E731 — exact integer permille share
+        F.col("chars_total") > 0, F.call_function("div", c * 1000, F.col("chars_total"))
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        "source",
+        "n_docs",
+        "chars_total",
+        *[F.col(name) for name, _ in _SCRIPT_CLASSES],
+        (F.col("chars_total") - known).alias("other"),
+        permille(F.col("latin")).alias("latin_permille"),
+        permille(F.col("cjk")).alias("cjk_permille"),
     )
 
 

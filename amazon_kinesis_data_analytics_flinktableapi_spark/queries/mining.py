@@ -2768,3 +2768,168 @@ def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+@query(
+    "ann_int8_topk",
+    oracle=nse_oracle("""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    m AS (
+      SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS ma FROM e
+    ),
+    -- ma = 0 excluded: a zero vector has no direction to quantize (and
+    -- x/0 poisons the codes); identical filter on the Spark side
+    q8 AS (
+      SELECT vec_id,
+             CAST(ceil(ma * 1000000 / 127) AS BIGINT) AS scale_micro,
+             list_transform(dv, x -> CAST(floor(x / ma * 127 + 0.5) AS BIGINT)) AS qv
+      FROM m WHERE ma > 0
+    )
+    SELECT q_id, c_id, score, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             coalesce(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                              i -> q.qv[i] * c.qv[i])), 0)
+               * c.scale_micro AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY coalesce(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                                         i -> q.qv[i] * c.qv[i])), 0)
+                        * c.scale_micro DESC,
+                        c.vec_id) AS rn
+      FROM q8 q, q8 c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ) WHERE rn <= 10
+    """),
+    doc="int8-quantized brute-force top-k (the production quantized-ANN "
+    "default: 4x smaller vectors, integer SIMD dots): per-vector "
+    "symmetric max-abs quantization to [-127, 127] codes plus an exact "
+    "integer micro-unit scale, ranking by code-dot x candidate scale — "
+    "an EXACT int64 surrogate of the reconstructed dot for a fixed "
+    "query, so both engines hash-match bit-for-bit (no float compare "
+    "anywhere in the ordering).  Zero vectors are excluded (no "
+    "direction to quantize); malformed vectors swallowed tier-wide.  "
+    "Scale: codes are dim bytes-scale integers (the point of int8 at "
+    "100 TB); the 5-query probe broadcasts; ranking is the whitelisted "
+    "per-query top-k window.  int64 budget: |dot| <= dim x 127^2 "
+    "~ 1e6, x scale_micro (<= 1e6 x max|x|/127) stays under 2^63 for "
+    "max|x| < ~7e8 — far beyond unit-norm embedding ranges",
+)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cites the same quantization contract as ``embedding_quantize_int8``
+    (per-vector max-abs symmetric) but carries it all the way through
+    SEARCH with an integer-exact ordering."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.vector import as_double
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import int_dot_q
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    e = emb.filter(finite_embedding("embedding")).filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", as_double("embedding").alias("dv"))
+    m = e.select(
+        "vec_id", "dv", F.array_max(F.transform("dv", lambda x: F.abs(x))).alias("ma")
+    )
+    ma = F.col("ma")
+    q8 = m.filter(ma > 0).select(
+        "vec_id",
+        F.ceil(ma * 1000000 / 127).cast("long").alias("scale_micro"),
+        F.transform("dv", lambda x: F.floor(x / ma * 127 + 0.5).cast("long")).alias("qv"),
+    )
+    qs = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    scored = q8.crossJoin(F.broadcast(qs)).filter(F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        (int_dot_q(F.col("q_qv"), F.col("qv")) * F.col("scale_micro")).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", "score", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "tvd_drift_by_source",
+    oracle="""
+    WITH vals AS (
+      SELECT source, least(n_chars // 64, 31) AS b
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    sc AS (SELECT source, b, count(*) AS c FROM vals GROUP BY source, b),
+    gb AS (SELECT b, count(*) AS g FROM vals GROUP BY b),
+    ns AS (SELECT source, count(*) AS n_a FROM vals GROUP BY source),
+    tot AS (SELECT count(*) AS n FROM vals),
+    -- the grid is (sources x occupied buckets): a bucket a source never
+    -- hits still contributes |0 - q_i| mass, so LEFT-join the source
+    -- onto the GLOBAL bucket list, not its own
+    grid AS (
+      SELECT ns.source, ns.n_a, gb.b, gb.g, coalesce(sc.c, 0) AS c
+      FROM ns CROSS JOIN gb
+      LEFT JOIN sc ON sc.source = ns.source AND sc.b = gb.b
+    )
+    SELECT source,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST((SELECT n FROM tot) - n_a AS BIGINT) AS n_b,
+           CAST(sum(abs(c * ((SELECT n FROM tot) - n_a) - (g - c) * n_a)) AS BIGINT)
+             AS tvd_num,
+           CAST((sum(abs(c * ((SELECT n FROM tot) - n_a) - (g - c) * n_a)) * 1000000)
+                // (2 * n_a * ((SELECT n FROM tot) - n_a)) AS BIGINT) AS tvd_micro
+    FROM grid
+    WHERE (SELECT n FROM tot) > n_a
+    GROUP BY source, n_a
+    """,
+    doc="data-drift monitor #2: EXACT total-variation distance of the "
+    "binned doc-length histogram, each source vs the rest of the corpus "
+    "— TVD = (1/2)*sum_i |p_i - q_i| over fixed 64-char buckets capped "
+    "at 32, evaluated as the exact integer rational "
+    "sum|c_i*n_b - (g_i-c_i)*n_a| / (2*n_a*n_b) with tvd_micro its "
+    "floor at 1e-6 (long `div`, exact at any magnitude).  Complements "
+    "drift_ks_by_source: KS reads the worst single CDF gap (shift-"
+    "sensitive), TVD reads total redistributed mass (shape-sensitive) — "
+    "a monitor wants both.  Plan: two counting groupBys (map-side "
+    "combined) + a (sources x <=32 buckets) grid join — bounded by the "
+    "bucket DOMAIN, not the corpus.  int64 budget: c_i*n_b < n^2 and "
+    "the micro numerator adds 1e6 — exact up to ~3M rows per the same "
+    "budget note as drift_ks_by_source; beyond that recompute tvd_micro "
+    "from the exact (tvd_num, n_a, n_b) columns in wider arithmetic",
+)
+def q_tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    vals = docs.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.least(F.floor(F.col("n_chars") / 64), F.lit(31)).cast("long").alias("b"))
+    sc = vals.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    gb = vals.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
+    ns = vals.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
+    tot = vals.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(gb))
+        .join(sc, ["source", "b"], "left")
+        .select("source", "n_a", "b", "g", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_b", F.col("n") - F.col("n_a"))
+    )
+    agg = (
+        grid.filter(F.col("n_b") > 0)
+        .groupBy("source", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("c") * F.col("n_b") - (F.col("g") - F.col("c")) * F.col("n_a"))
+            ).alias("tvd_num")
+        )
+    )
+    den = 2 * F.col("n_a") * F.col("n_b")
+    return agg.select(
+        "source",
+        "n_a",
+        "n_b",
+        "tvd_num",
+        F.call_function(
+            "div", F.col("tvd_num") * 1000000 - F.pmod(F.col("tvd_num") * 1000000, den), den
+        ).alias("tvd_micro"),
+    )

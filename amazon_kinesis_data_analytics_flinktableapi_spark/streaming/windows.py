@@ -18,14 +18,18 @@ from pyspark.sql import functions as F
 
 def _windowed_agg(
     df: DataFrame, win: Column, ts_col: str, keys: list[str], aggs: list[Column],
-    watermark: str, prefix: str,
+    watermark: str | None, prefix: str,
 ) -> DataFrame:
     """Shared body of the three window shapes: watermark guard, groupBy
     on the window expression + keys, flatten window bounds to
     ``{prefix}_start``/``{prefix}_end``.  NOTE the agg columns are picked
     by exclusion (``not in {"w", *keys}``) — an agg aliased identically
-    to a key would be silently dropped, in every shape alike."""
-    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    to a key would be silently dropped, in every shape alike.
+
+    ``watermark=None`` means the caller already assigned one upstream
+    (chained-stateful pipelines: Spark rejects a second ``withWatermark``
+    on the same stream — "Redefining watermark is disallowed")."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming and watermark is not None else df
     out = src.groupBy(win.alias("w"), *keys).agg(*aggs)
     return out.select(
         F.col("w.start").alias(f"{prefix}_start"), F.col("w.end").alias(f"{prefix}_end"),
@@ -36,7 +40,7 @@ def _windowed_agg(
 
 def tumbling_agg(
     df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: list[Column],
-    watermark: str = "0 seconds",
+    watermark: str | None = "0 seconds",
 ) -> DataFrame:
     return _windowed_agg(df, F.window(ts_col, duration), ts_col, keys, aggs, watermark, "window")
 

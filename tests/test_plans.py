@@ -466,12 +466,20 @@ BNLJ_SCALAR_CROSS = {
     "drift_ks_by_source",       # 1-row corpus total + the distinct-length
                                 # grid (bounded by the length DOMAIN, not
                                 # the corpus) crossed into the source table
+    "tvd_drift_by_source",      # same shape: 1-row total + the <=32-bucket
+                                # histogram grid crossed into |sources| rows
     "vocab_shift_drift",        # 1-row (n_old, n_new) half sizes crossed
                                 # into the per-token df table
     "rfm_segmentation",         # 1-row global max-orderdate crossed into
                                 # the (deliberately uncached) per-customer
                                 # metric table — see q_rfm_segmentation's
                                 # measured cache-is-slower note
+    "ann_int8_topk",            # the 5-row int8 query-code table crossed
+                                # into the corpus scan (brute quantized
+                                # search — broadcast side O(|queries|))
+    "minhash_band_sweep_report",  # three 1-row per-config count aggregates
+                                # + the 1-row planted-total crossed into
+                                # the 3-row summary frame
 }
 
 
