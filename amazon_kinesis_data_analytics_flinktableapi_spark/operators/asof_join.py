@@ -32,9 +32,12 @@ def as_of_join(
     tie_breakers: list[str] | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """Latest-right-at-or-before join within ``horizon`` (``backward``), or
+    """Latest-right-at-or-before join within ``horizon`` (``backward``),
     earliest-right-at-or-after (``direction="forward"`` — "the next quote
-    after the order").
+    after the order"), or the closest right row on EITHER side
+    (``direction="nearest"`` — min |Δt| within ±horizon, ties toward the
+    earlier/backward row: the pandas ``merge_asof(direction='nearest')``
+    semantics, r15).
 
     ``left_id`` must uniquely identify left rows (the rank-1 partition
     key).  Result: all left columns + right columns prefixed ``r_`` (NULL
@@ -62,16 +65,29 @@ def as_of_join(
             "as_of_join reserves column name '__rn' internally — rename it "
             "before joining (it would be clobbered and dropped)"
         )
-    j = interval_join_bucketed(left, right, on=keys, left_time=left_time,
-                               right_time=right_time, interval=horizon, how=how,
-                               direction=direction)
     left_cols = [F.col(f"l.{c}").alias(c) for c in left.columns]
     right_cols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
-    picked = j.select(*left_cols, *right_cols)
+
+    def picked_for(d: str) -> DataFrame:
+        j = interval_join_bucketed(left, right, on=keys, left_time=left_time,
+                                   right_time=right_time, interval=horizon, how=how,
+                                   direction=d)
+        return j.select(*left_cols, *right_cols)
+
     t_ord = F.col(f"r_{right_time}")
-    order = [t_ord.desc_nulls_last() if direction == "backward" else t_ord.asc_nulls_last()] + [
-        F.col(f"r_{c}").desc_nulls_last() for c in (tie_breakers or [])
-    ]
+    if direction == "nearest":
+        # union of the two one-sided joins: candidate window (t−h, t+h),
+        # Δt = 0 rows appear in BOTH branches as identical rows (rank-1
+        # keeps one); unmatched-left NULL rows sort last, so a left row
+        # emits its NULL row only when NEITHER side matched.  Ordering is
+        # exact integer micros — no float time compare.
+        picked = picked_for("backward").unionAll(picked_for("forward"))
+        delta = F.abs(F.unix_micros(t_ord) - F.unix_micros(F.col(left_time)))
+        order = [delta.asc_nulls_last(), t_ord.asc_nulls_last()]
+    else:
+        picked = picked_for(direction)
+        order = [t_ord.desc_nulls_last() if direction == "backward" else t_ord.asc_nulls_last()]
+    order += [F.col(f"r_{c}").desc_nulls_last() for c in (tie_breakers or [])]
     w = Window.partitionBy(left_id).orderBy(*order)
     return (
         picked.withColumn("__rn", F.row_number().over(w))

@@ -367,6 +367,99 @@ def pq_adc_topk(
     )
 
 
+def _nearest_code(
+    base: DataFrame, vcol: str, codebook: DataFrame, cb_vcol: str, code_col: str
+) -> DataFrame:
+    """(vec_id, <vcol>, code, dist): nearest codebook entry by exact
+    integer L2², ties toward the smaller code id — the shared argmin of
+    this module (broadcast codebook → score in scan → one vec_id
+    window)."""
+    scored = base.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", vcol, code_col, sq_dist_q(F.col(vcol), F.col(cb_vcol)).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", code_col)
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def rq_encode(
+    df: DataFrame,
+    n_codes1: int = 8,
+    n_codes2: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage Residual Quantization (additive codebooks — Chen et al.
+    2010 "Approximate nearest neighbor search by residual vector
+    quantization"; the RVQ/RQ layout modern vector stores refine into):
+    stage 1 encodes the full vector against an ``n_codes1``-entry
+    codebook, stage 2 encodes the RESIDUAL (vector − codeword) against a
+    second codebook built from the head vectors' own residuals.  Returns
+    one row per vector: ``(vec_id, code1, code2, err1_q, err2_q)`` where
+    ``err1_q`` is the stage-1 quantization error and ``err2_q`` the
+    final two-stage reconstruction error, both exact integer L2².
+
+    Determinism contract (module rules): micro-unit quantization,
+    lowest-id codebooks, (dist, code) tie-break — one SQL twin replays
+    every step.  Codebook 2 = the ZERO residual (code 0 — "no
+    refinement", and the tie-break winner) ∪ the residuals of the NEXT
+    ``n_codes2 − 1`` lowest-id vectors (ids ranked n_codes1+1 …) — the
+    stage-1 codeword rows are skipped because their residuals are
+    identically zero (building C2 from the same head as C1 yields an
+    all-zero codebook and a dead stage 2; found by the err2<err1 pin).
+    Guarantee: zero ∈ C2 ⇒ err2_q ≤ err1_q for EVERY vector.
+
+    Plan: both codebooks broadcast (≤ n_codes rows each — codebook 2 is
+    the head slice of the already-computed residual table, never a
+    collect); two assign passes = two vec_id windows; the residual is a
+    zip_with projection in the scan.  Shuffle carries (id, vector,
+    code, dist) rows — corpus-linear, never corpus × corpus."""
+    for name, v in (("n_codes1", n_codes1), ("n_codes2", n_codes2)):
+        if v < 1:
+            raise ValueError(f"{name} must be >= 1, got {v}")
+    base = _quantized_base(df, id_col, vec_col)
+    cb1 = init_centroids(base, n_codes1).select(
+        F.col("cluster").alias("code1"), F.col("cv").alias("cv1")
+    )
+    a1 = _nearest_code(base.select("vec_id", "qv"), "qv", cb1, "cv1", "code1")
+    res = (
+        a1.join(F.broadcast(cb1), "code1")
+        .select(
+            "vec_id",
+            "code1",
+            F.col("dist").alias("err1"),
+            F.zip_with("qv", "cv1", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    w = Window.orderBy("vec_id")
+    zero_row = cb1.filter(F.col("code1") == 0).select(
+        F.lit(0).cast("int").alias("code2"),
+        F.transform("cv1", lambda x: F.lit(0).cast("long")).alias("cv2"),
+    )
+    nxt = (
+        res.orderBy("vec_id")
+        .limit(n_codes1 + n_codes2 - 1)
+        .withColumn("__hrn", F.row_number().over(w))
+        .filter(F.col("__hrn") > n_codes1)
+        .select(
+            (F.col("__hrn") - n_codes1).cast("int").alias("code2"),
+            F.col("rv").alias("cv2"),
+        )
+    )
+    cb2 = zero_row.unionAll(nxt)
+    a2 = _nearest_code(res.select("vec_id", "rv"), "rv", cb2, "cv2", "code2")
+    return (
+        res.select("vec_id", "code1", "err1")
+        .join(a2.select("vec_id", "code2", F.col("dist").alias("err2")), "vec_id")
+        .select(
+            "vec_id",
+            "code1",
+            "code2",
+            F.col("err1").alias("err1_q"),
+            F.col("err2").alias("err2_q"),
+        )
+    )
+
+
 def int_dot_q(a: Column, b: Column) -> Column:
     """Exact integer dot product of two array<long> columns (same
     overflow budget as :func:`sq_dist_q`; empty/NULL-safe via coalesce)."""

@@ -129,6 +129,57 @@ def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_nearest",
+    oracle="""
+    WITH o AS (
+      SELECT event_id AS id, ts AS order_time,
+             CAST(FLOOR(value * 100) AS INTEGER) AS amount,
+             event_type AS currency
+      FROM events
+      WHERE (value IS NULL OR isfinite(value))
+    ), r AS (
+      SELECT ts AS rate_time, event_type AS currency,
+             CAST(FLOOR(value) AS INTEGER) % 97 + 2 AS rate
+      FROM events
+      WHERE event_id % 17 = 0 AND (value IS NULL OR isfinite(value))
+    ), ranked AS (
+      SELECT o.id, o.amount, o.currency, r.rate,
+             row_number() OVER (
+               PARTITION BY o.id
+               ORDER BY abs(epoch_us(r.rate_time) - epoch_us(o.order_time))
+                          ASC NULLS LAST,
+                        r.rate_time ASC NULLS LAST,
+                        r.rate DESC NULLS LAST) AS rn
+      FROM o LEFT JOIN r
+        ON o.currency = r.currency
+       AND r.rate_time > o.order_time - INTERVAL 1 HOUR
+       AND r.rate_time < o.order_time + INTERVAL 1 HOUR
+    )
+    SELECT id, amount, currency, rate,
+           amount * rate AS converted_amount
+    FROM ranked WHERE rn = 1
+    """,
+    doc="nearest as-of join: the single rate CLOSEST in time to each order "
+    "on either side within ±1 h (min |Δt|, ties toward the earlier/"
+    "backward row — pandas merge_asof(direction='nearest') semantics), "
+    "completing the backward/forward family.  Candidate window is the "
+    "union of the two half-open one-sided windows; ordering is exact "
+    "integer micros, never a float time compare",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = load(spark, sf_dir, "events")
+    orders, rates = _asof_orders_rates(ev)
+    j = as_of_join(orders, rates, on="currency", left_id="id",
+                   left_time="order_time", right_time="rate_time",
+                   horizon="1 hour", tie_breakers=["rate"], direction="nearest")
+    return j.select(
+        "id", "amount", "currency",
+        F.col("r_rate").alias("rate"),
+        (F.col("amount") * F.col("r_rate")).alias("converted_amount"),
+    )
+
+
+@query(
     "timeseries_interpolate",
     oracle="""
     WITH fe AS (

@@ -2933,3 +2933,67 @@ def q_tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div", F.col("tvd_num") * 1000000 - F.pmod(F.col("tvd_num") * 1000000, den), den
         ).alias("tvd_micro"),
     )
+
+
+@query(
+    "rq_encode_report",
+    oracle=nse_oracle("""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c1 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code1, qv AS cv1
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+    ),
+    a1 AS (
+      SELECT vec_id, qv, code1, cv1, dist AS err1 FROM (
+        SELECT q.vec_id, q.qv, c.code1, c.cv1,
+               coalesce(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv1[i]) * (q.qv[i] - c.cv1[i]))), 0) AS dist
+        FROM q, c1 c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code1) = 1
+    ),
+    res AS (
+      SELECT vec_id, code1, err1,
+             list_transform(range(1, len(qv) + 1), i -> qv[i] - cv1[i]) AS rv
+      FROM a1
+    ),
+    c2 AS (
+      SELECT 0 AS code2, list_transform(cv1, x -> CAST(0 AS BIGINT)) AS cv2
+      FROM c1 WHERE code1 = 0
+      UNION ALL
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 8 AS INTEGER) AS code2, rv AS cv2
+      FROM res QUALIFY row_number() OVER (ORDER BY vec_id) BETWEEN 9 AND 15
+    ),
+    a2 AS (
+      SELECT vec_id, code2, dist AS err2 FROM (
+        SELECT r.vec_id, c.code2,
+               coalesce(list_sum(list_transform(range(1, len(r.rv) + 1),
+                 i -> (r.rv[i] - c.cv2[i]) * (r.rv[i] - c.cv2[i]))), 0) AS dist
+        FROM res r, c2 c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code2) = 1
+    )
+    SELECT r.vec_id, r.code1, a2.code2,
+           CAST(r.err1 AS BIGINT) AS err1_q, CAST(a2.err2 AS BIGINT) AS err2_q
+    FROM res r JOIN a2 USING (vec_id)
+    """),
+    doc="two-stage Residual Quantization encode (RVQ — additive "
+    "codebooks, the layout modern vector stores refine): full-vector "
+    "code + residual code per vector with exact integer stage-1 and "
+    "final reconstruction errors; codebook 2 contains the zero residual "
+    "of self-coded head vectors, so err2_q <= err1_q for every row "
+    "(pinned in tests); codebook 2 = zero ('no refinement') + the NEXT "
+    "7 lowest-id vectors' residuals — stage-1 codeword rows are skipped "
+    "because their residuals are identically zero (a same-head C2 is a "
+    "dead codebook).  Both codebooks broadcast; two assign windows; "
+    "residuals are scan projections — corpus-linear",
+)
+def q_rq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import rq_encode
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    return rq_encode(emb, n_codes1=8, n_codes2=8)

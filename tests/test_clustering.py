@@ -524,3 +524,24 @@ def test_scd2_matches_reference(spark, rows):
         key=lambda r: (r[0], r[2], str(r[1])),
     )
     assert got == ref_scd2(mat)
+
+
+# --- rq_encode: residual-quantization invariants -----------------------------
+
+
+def test_rq_encode_err2_never_exceeds_err1(spark):
+    """RQ guarantee (operator docstring): codebook 2 explicitly contains
+    the zero codeword ('no refinement'), so the stage-2 argmin is never
+    worse than keeping the stage-1 residual — err2_q <= err1_q on every
+    row — and the next-head residual codewords must strictly improve
+    somewhere (this pin is what exposed the original same-head C2 as a
+    dead all-zero codebook)."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import rq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = rq_encode(emb, n_codes1=8, n_codes2=8).collect()
+    assert rows, "rq_encode returned nothing"
+    assert all(r.err2_q <= r.err1_q for r in rows)
+    assert any(r.err2_q < r.err1_q for r in rows), "stage 2 never improved — dead codebook"
+    # the next-head codebook rows reconstruct their own residual exactly
+    assert any(r.err2_q == 0 and r.err1_q > 0 for r in rows)

@@ -480,6 +480,9 @@ BNLJ_SCALAR_CROSS = {
     "minhash_band_sweep_report",  # three 1-row per-config count aggregates
                                 # + the 1-row planted-total crossed into
                                 # the 3-row summary frame
+    "rq_encode_report",         # two <=8-row codebooks crossed into the
+                                # corpus scan (RQ assign passes — broadcast
+                                # side O(n_codes) at any corpus size)
 }
 
 
