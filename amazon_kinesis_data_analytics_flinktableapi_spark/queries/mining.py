@@ -2788,7 +2788,7 @@ def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(dv, x -> CAST(floor(x / ma * 127 + 0.5) AS BIGINT)) AS qv
       FROM m WHERE ma > 0
     )
-    SELECT q_id, c_id, score, CAST(rn AS INTEGER) AS rn FROM (
+    SELECT q_id, c_id, CAST(score AS BIGINT) AS score, CAST(rn AS INTEGER) AS rn FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
              coalesce(list_sum(list_transform(range(1, len(q.qv) + 1),
                                               i -> q.qv[i] * c.qv[i])), 0)
