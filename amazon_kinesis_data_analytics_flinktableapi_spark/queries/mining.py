@@ -2857,7 +2857,11 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tvd_drift_by_source",
     oracle="""
     WITH vals AS (
-      SELECT source, least(n_chars // 64, 31) AS b
+      -- greatest(.., 0) before the divide: DuckDB // truncates toward
+      -- zero while Spark floor() floors, so a (nonsensical, hostile-
+      -- fixture) negative n_chars would bucket differently; clamping
+      -- collapses all non-positive lengths into bucket 0 on both engines
+      SELECT source, least(greatest(n_chars, 0) // 64, 31) AS b
       FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
     ),
     sc AS (SELECT source, b, count(*) AS c FROM vals GROUP BY source, b),
@@ -2902,7 +2906,12 @@ def q_tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     vals = docs.filter(
         F.col("source").isNotNull() & F.col("n_chars").isNotNull()
-    ).select("source", F.least(F.floor(F.col("n_chars") / 64), F.lit(31)).cast("long").alias("b"))
+    ).select(
+        "source",
+        F.least(F.floor(F.greatest(F.col("n_chars"), F.lit(0)) / 64), F.lit(31))
+        .cast("long")
+        .alias("b"),
+    )
     sc = vals.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
     gb = vals.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
     ns = vals.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
