@@ -2273,6 +2273,107 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_search_rrf",
+    oracle=nse_oracle(f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'table'))  AS tf0,
+             len(list_filter(tk, x -> x = 'join'))   AS tf1,
+             len(list_filter(tk, x -> x = 'window')) AS tf2
+      FROM base
+    ),
+    s AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM t
+    ),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS lex_rank
+      FROM (
+        SELECT doc_id,
+               FLOOR((
+                 (2*n - 2*df0 + 1) * 1.0 / (2*df0 + 1)
+                   * (22.0 * tf0 * sl / (10.0 * tf0 * sl + 3.0 * sl + 9.0 * dl * n))
+               + (2*n - 2*df1 + 1) * 1.0 / (2*df1 + 1)
+                   * (22.0 * tf1 * sl / (10.0 * tf1 * sl + 3.0 * sl + 9.0 * dl * n))
+               + (2*n - 2*df2 + 1) * 1.0 / (2*df2 + 1)
+                   * (22.0 * tf2 * sl / (10.0 * tf2 * sl + 3.0 * sl + 9.0 * dl * n))
+               ) * 1000000 + 0.5) / 1000000 AS score
+        FROM t, s WHERE tf0 + tf1 + tf2 > 0
+      ) QUALIFY lex_rank <= 20
+    ),
+    sem AS (
+      SELECT c_id AS doc_id, CAST(rn AS INTEGER) AS sem_rank FROM (
+        SELECT c.vec_id AS c_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id = 0 AND c.vec_id <> 0
+      ) WHERE rn <= 20
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank,
+             CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+                  + coalesce(1000000 // (60 + m.sem_rank), 0) AS BIGINT) AS rrf_micro
+      FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INTEGER)
+             AS fused_rank
+    FROM fused QUALIFY fused_rank <= 10
+    """),
+    doc="hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009): the lexical arm is the engine's exact-integer BM25 top-20, "
+    "the semantic arm the brute cosine top-20 for query vector 0 "
+    "(TESTDATA convention: vec_id ≡ doc_id over the embedded prefix of "
+    "the corpus — a doc outside it simply gets no semantic "
+    "contribution, which RRF absorbs), fused by "
+    "sum(floor(1e6/(60+rank))) — the classic k=60 RRF in exact integer "
+    "micro-units, top-10 by fused score.  The RAG-stack retrieval "
+    "shape: two bounded top-k arms, one ≤40-row fusion join — at 100 TB "
+    "each arm is its own index scan and the fusion cost stays O(k)",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    lex_scores = q_bm25_rank(spark, sf_dir)
+    wlex = W.orderBy(F.col("bm25_score").desc(), "doc_id")
+    lex = (
+        lex_scores.select("doc_id", F.row_number().over(wlex).alias("lex_rank"))
+        .filter(F.col("lex_rank") <= 20)
+    )
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    sem = (
+        S.brute_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("c_id").alias("doc_id"), F.col("rn").alias("sem_rank"))
+    )
+    rrf = lambda rank: F.coalesce(  # noqa: E731 — exact integer 1e6/(60+rank)
+        F.call_function("div", F.lit(1_000_000).cast("long"), (F.lit(60) + rank).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (rrf(F.col("lex_rank")) + rrf(F.col("sem_rank"))).alias("rrf_micro"),
+    )
+    wf = W.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+@query(
     "tfidf_top_terms",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),

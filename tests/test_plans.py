@@ -520,6 +520,11 @@ GLOBAL_WINDOW_BOUNDED = {
                                        # DISTINCT length values — the
                                        # length domain, not the corpus
     "vocab_shift_drift": "topk",       # rank <= 20 over per-token odds
+    "hybrid_search_rrf": "topk",       # lex_rank <= 20 over bm25 scores +
+                                       # fused_rank <= 10 over the <=40-row
+                                       # fusion frame
+    "rq_encode_report": "bounded",     # codebook-id row_number over the
+                                       # limit(15) residual head rows
 }
 
 
