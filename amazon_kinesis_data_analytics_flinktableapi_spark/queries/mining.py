@@ -3006,3 +3006,69 @@ def q_rq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
     return rq_encode(emb, n_codes1=8, n_codes2=8)
+
+
+@query(
+    "ivfpq_recall_report",
+    oracle=nse_oracle(f"""
+    WITH brute AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rn <= 10
+    ),
+    approx AS (
+      SELECT q_id, c_id FROM ({_ivfpq_oracle(n_centroids=16, nprobe=4, m=4,
+                                             n_codes=8, k=10, n_queries=5)})
+    )
+    SELECT b.q_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recalled,
+           CAST(floor(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000.0 / count(*)) AS BIGINT) AS recall_permille
+    FROM brute b
+    LEFT JOIN approx a ON a.q_id = b.q_id AND a.c_id = b.c_id
+    GROUP BY b.q_id
+    """),
+    doc="recall gate for the COMPOSED IVF-PQ index (the pq_recall_report "
+    "twin for the production layout): ivfpq top-10 through 16 lists / "
+    "nprobe 4 / 4x8 PQ codes joined against the exact cosine top-10 per "
+    "query, per-query recall in integer permille — measures BOTH loss "
+    "sources (list pruning + quantization) through one gate, the number "
+    "a store compares against pq_recall_report's to see which half "
+    "hurts.  Scale: brute side is the 5-query probe; approx side is the "
+    "pruned pipeline; the join is k x queries ids",
+)
+def q_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import ivfpq_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    qs = emb.filter(F.col("vec_id") < 5)
+    brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
+    approx = ivfpq_topk(
+        emb, qs, k=10, n_centroids=16, nprobe=4, n_subspaces=4, n_codes=8
+    ).select("q_id", F.col("c_id").alias("a_c_id"))
+    return (
+        brute.join(
+            approx,
+            (approx["q_id"] == brute["q_id"]) & (approx["a_c_id"] == brute["c_id"]),
+            "left",
+        )
+        .groupBy(brute["q_id"].alias("q_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_c_id").alias("n_recalled"),
+            F.floor(F.count("a_c_id") * 1000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )

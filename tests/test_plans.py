@@ -449,6 +449,8 @@ BNLJ_SCALAR_CROSS = {
     "tpch_q11_important_stock", # 1-row global value threshold
     "temperature_mixture_sample",  # 1-row global doc total + 1-row max boost
     "bm25_rank",                # 1-row corpus stats (N, Σdl, df per term)
+    "hybrid_search_rrf",        # composes bm25_rank's 1-row stats cross +
+                                # brute_topk's 1-query-vector cross
     "trigram_backoff_surprisal",  # 1-row train-split token total (T)
     "token_budget_waterfill",   # 1-row (m, total, cmax) + 1-row feasible
                                 # (i*, P_i*) + 1-row water level — three
@@ -483,6 +485,8 @@ BNLJ_SCALAR_CROSS = {
     "rq_encode_report",         # two <=8-row codebooks crossed into the
                                 # corpus scan (RQ assign passes — broadcast
                                 # side O(n_codes) at any corpus size)
+    "ivfpq_recall_report",      # composes ivfpq_topk — the same 16-row
+                                # centroid / 8-row codebook crosses
 }
 
 
@@ -516,6 +520,7 @@ GLOBAL_WINDOW_BOUNDED = {
                                        # limit(8) codebook-id window
     "ivfpq_topk": "bounded",           # limit(16)/limit(8) centroid- and
                                        # codebook-id windows
+    "ivfpq_recall_report": "bounded",  # composes ivfpq_topk — same windows
     "drift_ks_by_source": "bounded",   # merged-ECDF cumulative over
                                        # DISTINCT length values — the
                                        # length domain, not the corpus
