@@ -3072,3 +3072,64 @@ def q_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+@query(
+    "cluster_topic_terms",
+    oracle=nse_oracle(f"""
+    WITH asg AS (
+      SELECT vec_id, cluster FROM ({_kmeans_oracle(k=8, n_iters=2)})
+    ),
+    toks AS (
+      SELECT doc_id, unnest({DUCK_TOKS}) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT a.cluster, t.term, count(*) AS c
+      FROM asg a JOIN toks t ON t.doc_id = a.vec_id
+      GROUP BY a.cluster, t.term
+    ),
+    ranked AS (
+      SELECT cluster, term, c,
+             row_number() OVER (PARTITION BY cluster ORDER BY c DESC, term) AS rk
+      FROM cnt
+    )
+    SELECT cluster, CAST(rk AS INTEGER) AS rank, term,
+           CAST(c AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rk <= 3
+    """),
+    doc="cluster-then-describe: Lloyd k-means (k=8, 2 iterations) over the "
+    "embeddings joined back onto the documents' tokens (TESTDATA "
+    "convention: vec_id ≡ doc_id over the embedded prefix), top-3 terms "
+    "per cluster by exact occurrence count — the topic-label report a "
+    "corpus exploration run prints next to each cluster.  Scale: the "
+    "k-means half is the attested broadcast-assign plan; term counting "
+    "is one map-side-combined groupBy(cluster, term); the top-3 is a "
+    "cluster-partitioned rank window",
+)
+def q_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.text import tokens
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import kmeans_lloyd
+
+    (emb, docs) = load(spark, sf_dir, "embeddings", "documents")
+    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    asg = kmeans_lloyd(emb, k=8, n_iters=2).select("vec_id", "cluster")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    cnt = (
+        asg.join(toks, asg["vec_id"] == toks["doc_id"])
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), "term")
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "cluster",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("c").alias("n_occurrences"),
+        )
+    )

@@ -150,6 +150,93 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_purity_report",
+    oracle=f"""
+    WITH {_DUCK_NEARDUP_EDGES},
+    jp AS (
+      SELECT id_a, id_b,
+             CAST(floor(shared * 1.0 / (sa.n + sb.n - shared) * 10000 + 0.5) AS BIGINT)
+               AS j10k
+      FROM hits
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    ),
+    closure AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ),
+    mem AS (
+      SELECT comp AS cluster_id, count(*) AS n_members
+      FROM closure GROUP BY comp HAVING count(*) >= 2
+    ),
+    ec AS (
+      SELECT cl.comp AS cluster_id,
+             count(*) AS n_edges,
+             min(j10k) AS min_jaccard_x10k,
+             CAST(sum(j10k) AS BIGINT) AS s10k
+      FROM jp JOIN closure cl ON cl.node = jp.id_a
+      GROUP BY cl.comp
+    )
+    SELECT m.cluster_id, m.n_members, e.n_edges, e.min_jaccard_x10k,
+           CAST(e.s10k // e.n_edges AS BIGINT) AS mean_jaccard_x10k,
+           CAST((e.n_edges * 2000) // (m.n_members * (m.n_members - 1)) AS BIGINT)
+             AS density_permille
+    FROM mem m JOIN ec e ON e.cluster_id = m.cluster_id
+    """,
+    doc="dedup-cluster quality audit: for every multi-member near-dup "
+    "cluster — size, verified-edge count, the WEAKEST in-cluster edge "
+    "(min exact Jaccard x10k: a low value means transitive chaining "
+    "merged documents that are not pairwise similar — the classic LSH "
+    "false-merge risk), mean edge Jaccard, and exact integer edge "
+    "density permille vs the complete graph.  The report a curation run "
+    "reads before trusting canonical-doc collapse.  Scale: reuses the "
+    "pairs/components shuffles; per-cluster frames are one groupBy each",
+)
+def q_dedup_cluster_purity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import dedup_clusters
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import jaccard_pairs
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        _docs_with_neardup_copies,
+    )
+
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).cache()
+    clusters = dedup_clusters(pairs, corpus, "doc_id")
+    mem = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    jp = pairs.select(
+        "id_a", F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("j10k")
+    )
+    ec = (
+        jp.join(clusters, jp["id_a"] == clusters["doc_id"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("j10k").alias("min_jaccard_x10k"),
+            F.sum("j10k").alias("s10k"),
+        )
+    )
+    return mem.join(ec, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        "min_jaccard_x10k",
+        F.call_function("div", F.col("s10k"), F.col("n_edges")).alias("mean_jaccard_x10k"),
+        F.call_function(
+            "div", F.col("n_edges") * 2000, F.col("n_members") * (F.col("n_members") - 1)
+        ).alias("density_permille"),
+    )
+
+
+@query(
     "rolling_fingerprint",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)

@@ -487,6 +487,8 @@ BNLJ_SCALAR_CROSS = {
                                 # side O(n_codes) at any corpus size)
     "ivfpq_recall_report",      # composes ivfpq_topk — the same 16-row
                                 # centroid / 8-row codebook crosses
+    "cluster_topic_terms",      # composes kmeans_lloyd_refine — the k=8
+                                # centroid table crossed into each assign
 }
 
 
@@ -521,6 +523,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "ivfpq_topk": "bounded",           # limit(16)/limit(8) centroid- and
                                        # codebook-id windows
     "ivfpq_recall_report": "bounded",  # composes ivfpq_topk — same windows
+    "cluster_topic_terms": "bounded",  # composes kmeans_lloyd_refine — the
+                                       # limit(k=8) centroid-id window
     "drift_ks_by_source": "bounded",   # merged-ECDF cumulative over
                                        # DISTINCT length values — the
                                        # length domain, not the corpus
