@@ -109,3 +109,61 @@ def test_asof_forward_matches_brute_force(orders, rates):
     got = _run(orders, rates, "forward")
     assert set(got) == {o[0] for o in orders}
     assert got == _brute(orders, rates, "forward")
+
+
+def _brute_nearest(orders, rates):
+    """Documented nearest contract: candidates = the UNION of the two
+    one-sided half-open windows (ot−H, ot] ∪ [ot, ot+H); rank by min
+    |rt−ot|, ties toward the EARLIER (backward) right row, then the
+    tie-breaker column descending."""
+    want = {}
+    for oid, ot, key in orders:
+        best = None
+        if ot is not None and key is not None:
+            for rt, rkey, rate in rates:
+                if rt is None or rkey != key:
+                    continue
+                if not (ot - HORIZON_S < rt < ot + HORIZON_S):
+                    continue
+                rank = (-abs(rt - ot), -rt, rate)  # max wins
+                if best is None or rank > best[0]:
+                    best = (rank, (rt, rate))
+        want[oid] = best[1] if best else None
+    return want
+
+
+@given(orders=orders_st, rates=rates_st)
+@settings(max_examples=25, deadline=None)
+def test_asof_nearest_matches_brute_force(orders, rates):
+    got = _run(orders, rates, "nearest")
+    assert set(got) == {o[0] for o in orders}
+    assert got == _brute_nearest(orders, rates)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Published-reference cross-check: pandas merge_asof(direction=
+    'nearest') implements the same contract this operator documents
+    (nearest by |Δt|, ties toward backward).  Fixture keeps right times
+    unique per key and off the exact horizon boundary, where the two
+    APIs' inclusivity conventions differ (ours is the union of two
+    half-open windows; pandas' tolerance is inclusive)."""
+    import pandas as pd
+
+    orders = [(i, T0 + timedelta(seconds=s), "EUR") for i, s in
+              enumerate([0, 7, 23, 55, 119, 200])]
+    rates = [(T0 + timedelta(seconds=s), "EUR", v) for s, v in
+             [(-30, 2), (5, 3), (20, 4), (90, 5), (260, 6)]]
+    left = spark.createDataFrame(orders, "id long, t timestamp, ccy string")
+    right = spark.createDataFrame(rates, "rt timestamp, ccy string, rate int")
+    out = as_of_join(left, right, on="ccy", left_id="id", left_time="t",
+                     right_time="rt", horizon=f"{HORIZON_S} seconds",
+                     tie_breakers=["rate"], direction="nearest")
+    got = {r.id: r.r_rate for r in out.collect()}
+    pl = pd.DataFrame(orders, columns=["id", "t", "ccy"]).sort_values("t")
+    pr = pd.DataFrame(rates, columns=["rt", "ccy", "rate"]).sort_values("rt")
+    ref = pd.merge_asof(pl, pr, left_on="t", right_on="rt", by="ccy",
+                        direction="nearest",
+                        tolerance=pd.Timedelta(seconds=HORIZON_S - 1))
+    want = {int(r.id): (None if pd.isna(r.rate) else int(r.rate))
+            for r in ref.itertuples()}
+    assert got == want
