@@ -168,12 +168,13 @@ _PRIORITY: list[str] = [
     # so its r15 attestation doubles as the perf-proof. = 50 exactly.
     # Other finite_or_null/finite_embedding call sites changed too but
     # are value-identical (oracle-replica + 4 hostile sweeps green);
-    # they rotate back on staleness as usual.  The ELEVEN late-r15
+    # they rotate back on staleness as usual.  The THIRTEEN late-r15
     # additions past window capacity (asof_join_nearest,
     # minhash_band_sweep_report, clean_retention_funnel,
     # script_mix_profile, hybrid_search_rrf, ann_int8_topk,
     # tvd_drift_by_source, rq_encode_report, ivfpq_recall_report,
-    # cluster_topic_terms, dedup_cluster_purity_report) are
+    # cluster_topic_terms, dedup_cluster_purity_report,
+    # doc_embedding_coverage_report, embedding_centroid_drift) are
     # replica-attested this round at sf0.01 AND sf0.1 plus all four
     # hostile sweeps, and LEAD the r16 window (the r14→r15 precedent).
 

@@ -1568,3 +1568,128 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("margin_milli") > 0)
     )
     return run_to_memory(out, spark, timeout_sec=240)
+
+
+@query(
+    "doc_embedding_coverage_report",
+    oracle=nse_oracle("""
+    WITH e AS (
+      SELECT DISTINCT vec_id FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_embedded,
+           CAST((sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+                // count(*) AS BIGINT) AS coverage_permille
+    FROM documents d LEFT JOIN e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """),
+    doc="embedding-coverage audit: per ingest source, how many documents "
+    "have a WELL-FORMED embedding row (vec_id ≡ doc_id convention; "
+    "malformed vectors swallowed tier-wide, so they count as uncovered "
+    "— exactly the rows an embedding backfill job must redo), exact "
+    "integer permille.  The pipeline-health report run before any "
+    "ANN/dedup stage that silently skips unembedded docs.  Scale: one "
+    "id-only left join + a map-side-combined groupBy(source)",
+)
+def q_doc_embedding_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs, emb) = load(spark, sf_dir, "documents", "embeddings")
+    e = (
+        emb.filter(finite_embedding("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id")
+        .distinct()
+    )
+    j = docs.select("doc_id", "source").join(
+        e, e["vec_id"] == F.col("doc_id"), "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("vec_id").alias("n_embedded"),
+        F.call_function("div", F.count("vec_id") * 1000, F.count(F.lit(1))).alias(
+            "coverage_permille"
+        ),
+    )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=nse_oracle("""
+    WITH q AS (
+      SELECT label, CAST(vec_id % 2 AS INT) AS half,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT label, half, u.pos AS pos, sum(u.q) AS s, count(*) AS n
+      FROM (SELECT label, half,
+                   unnest(list_transform(range(1, len(qv) + 1),
+                                         i -> {'pos': i, 'q': qv[i]})) AS u
+            FROM q)
+      GROUP BY label, half, u.pos
+    ),
+    m AS (
+      SELECT label, half, pos, (s - ((s % n) + n) % n) // n AS m FROM s
+    ),
+    c AS (SELECT label, half, count(*) AS n_vecs FROM q GROUP BY label, half)
+    SELECT m0.label,
+           CAST(co.n_vecs AS BIGINT) AS n_old,
+           CAST(cn.n_vecs AS BIGINT) AS n_new,
+           CAST(sum((m0.m - m1.m) * (m0.m - m1.m)) AS BIGINT) AS drift_q
+    FROM m m0
+    JOIN m m1 ON m1.label = m0.label AND m1.pos = m0.pos
+             AND m0.half = 0 AND m1.half = 1
+    JOIN c co ON co.label = m0.label AND co.half = 0
+    JOIN c cn ON cn.label = m0.label AND cn.half = 1
+    GROUP BY m0.label, co.n_vecs, cn.n_vecs
+    """),
+    doc="embedding-space drift monitor: per label, the EXACT integer "
+    "squared L2 distance between the micro-unit floor-mean centroids of "
+    "the two vec_id%2 corpus halves (the ingest-batch stand-in the "
+    "vocab/KS monitors use) — a retrained or re-normalized embedding "
+    "model moves these centroids long before ANN recall visibly decays; "
+    "labels present in only one half drop out (no drift is defined).  "
+    "Exactness: same quantize + nonneg-remainder floor-mean contract as "
+    "kmeans_lloyd, so both engines agree bit-for-bit at any magnitude.  "
+    "Scale: one posexplode groupBy bounded at labels x 2 x dim rows "
+    "after map-side combine; the centroid frames are tiny joins",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import (
+        floordiv,
+        quantize_half_up,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(finite_embedding("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "label",
+            (F.col("vec_id") % 2).cast("int").alias("half"),
+            quantize_half_up("embedding").alias("qv"),
+        )
+    )
+    s = (
+        q.select("label", "half", F.posexplode("qv").alias("pos", "qd"))
+        .groupBy("label", "half", "pos")
+        .agg(F.sum("qd").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "half", "pos", floordiv(F.col("s"), F.col("n")).alias("m"))
+    )
+    c = q.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n_vecs"))
+    m0 = s.filter(F.col("half") == 0).select("label", "pos", F.col("m").alias("m0"))
+    m1 = s.filter(F.col("half") == 1).select("label", "pos", F.col("m").alias("m1"))
+    co = c.filter(F.col("half") == 0).select("label", F.col("n_vecs").alias("n_old"))
+    cn = c.filter(F.col("half") == 1).select("label", F.col("n_vecs").alias("n_new"))
+    return (
+        m0.join(m1, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))).alias("drift_q")
+        )
+        .join(co, "label")
+        .join(cn, "label")
+        .select("label", "n_old", "n_new", "drift_q")
+    )
