@@ -81,6 +81,15 @@ def as_of_join(
         # keeps one); unmatched-left NULL rows sort last, so a left row
         # emits its NULL row only when NEITHER side matched.  Ordering is
         # exact integer micros — no float time compare.
+        # COST (ADVICE r15): two independent bucketed joins means the
+        # left side is scanned/shuffled TWICE and exact-time matches
+        # materialize in both branches — ~2× the one-sided join cost.
+        # The single-shuffle alternative (explode right into 3 adjacent
+        # buckets, residual |Δt| < horizon) halves that but changes the
+        # bucketed join's half-open residual into a symmetric one;
+        # measured at the current scale the union form's extra scan is
+        # cheaper than maintaining a second residual contract — revisit
+        # if nearest ever joins a fact-sized left side.
         picked = picked_for("backward").unionAll(picked_for("forward"))
         delta = F.abs(F.unix_micros(t_ord) - F.unix_micros(F.col(left_time)))
         order = [delta.asc_nulls_last(), t_ord.asc_nulls_last()]

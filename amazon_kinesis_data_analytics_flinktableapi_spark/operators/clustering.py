@@ -74,12 +74,21 @@ def sq_dist_q(a: Column, b: Column) -> Column:
 
 
 def floordiv(s: Column, n: Column) -> Column:
-    """Exact integer FLOOR division (toward −∞) — ``pmod`` makes the
-    dividend exactly divisible, then long ``div`` (IntegralDivide) takes
-    the quotient entirely in int64: no double round-trip, so the result
-    is exact for the FULL int64 range (the old ``/ n`` double path
-    rounded once the adjusted dividend exceeded 2⁵³ — ADVICE r14).
-    Truncation vs floor is immaterial on an exactly-divisible dividend."""
+    """Exact integer FLOOR division (toward −∞) for divisors ``n > 0`` —
+    ``pmod`` makes the dividend exactly divisible, then long ``div``
+    (IntegralDivide) takes the quotient entirely in int64: no double
+    round-trip, so the result is exact for the FULL int64 dividend range
+    (the old ``/ n`` double path rounded once the adjusted dividend
+    exceeded 2⁵³ — ADVICE r14).  Truncation vs floor is immaterial on an
+    exactly-divisible dividend.
+
+    PRECONDITION: ``n > 0``.  For a NEGATIVE divisor ``pmod`` returns a
+    value in ``(n, 0]`` rather than ``[0, n)``, the adjusted dividend
+    rounds toward the wrong side, and the result is the TRUNCATED
+    quotient, not the floor (``floordiv(7, -2)`` → −3, not −4 — ADVICE
+    r15).  Every call site passes a positive count/size; callers adding
+    a signed-divisor path must adjust by ``pmod(s, abs(n))`` semantics
+    first rather than reuse this helper."""
     return F.call_function("div", s - F.pmod(s, n), n)
 
 

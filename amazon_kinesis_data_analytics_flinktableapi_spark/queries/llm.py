@@ -636,77 +636,96 @@ def _band_sweep_oracle(n: int = 3, threshold: float = 0.5, seed: int = 7) -> str
 )
 def q_minhash_band_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_neardup_copies(spark, sf_dir)
-    sets = D.shingle_sets(corpus, "doc_id", "text", 3).cache()
+    # Cache scoping (ADVICE r15): the shingle sets / planted pairs / per-perm
+    # signatures / per-config candidate+verified frames are each read by 2-3
+    # downstream aggregates, so they cache — but a long-lived session running
+    # the full registry must not accumulate their storage across queries.
+    # The summary is one row per config (bounded at ANY corpus size), so it
+    # is materialized eagerly (localCheckpoint) inside a try/finally that
+    # releases every intermediate before returning.  Cost: the query
+    # executes at fn-call time instead of at the caller's action — same
+    # total work, and the returned plan is the 3-row checkpointed frame
+    # (which is why this query no longer appears in the plan-sweep BNLJ
+    # whitelist: the scalar crosses happen before the checkpoint cut).
+    cached: list[DataFrame] = []
+
+    def _c(df: DataFrame) -> DataFrame:
+        cached.append(df.cache())
+        return df
+
+    sets = _c(D.shingle_sets(corpus, "doc_id", "text", 3))
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    planted = (
-        sa.join(sb, F.col("id_b") == F.col("id_a") + COPY_OFFSET)
-        .filter((inter / union) >= 0.5)
-        .select("id_a", "id_b")
-        .cache()
-    )
-    planted_n = planted.agg(F.count(F.lit(1)).alias("planted_total"))
-    sig_cache: dict[int, DataFrame] = {}
-    rows_out = []
-    for num_perm, bands in _BAND_SWEEP_CONFIGS:
-        rows = num_perm // bands
-        if num_perm not in sig_cache:
-            sig_cache[num_perm] = D.minhash_signatures(
-                corpus, "doc_id", "text", 3, num_perm, 7
-            ).cache()
-        banded = D.band_keys(sig_cache[num_perm], "doc_id", bands, rows)
-        l, r = banded.alias("l"), banded.alias("r")
-        cand = (
-            l.join(
-                r,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.bh") == F.col("r.bh"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-            .distinct()
-            .cache()
-        )
-        ver = (
-            cand.join(sa, "id_a").join(sb, "id_b").filter((inter / union) >= 0.5)
+    try:
+        planted = _c(
+            sa.join(sb, F.col("id_b") == F.col("id_a") + COPY_OFFSET)
+            .filter((inter / union) >= 0.5)
             .select("id_a", "id_b")
-            .cache()
         )
-        row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
-            .crossJoin(
-                ver.join(planted, ["id_a", "id_b"]).agg(
-                    F.count(F.lit(1)).alias("n_planted_hit")
+        planted_n = planted.agg(F.count(F.lit(1)).alias("planted_total"))
+        sig_cache: dict[int, DataFrame] = {}
+        rows_out = []
+        for num_perm, bands in _BAND_SWEEP_CONFIGS:
+            rows = num_perm // bands
+            if num_perm not in sig_cache:
+                sig_cache[num_perm] = _c(
+                    D.minhash_signatures(corpus, "doc_id", "text", 3, num_perm, 7)
+                )
+            banded = D.band_keys(sig_cache[num_perm], "doc_id", bands, rows)
+            l, r = banded.alias("l"), banded.alias("r")
+            cand = _c(
+                l.join(
+                    r,
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.bh") == F.col("r.bh"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id")),
+                )
+                .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+                .distinct()
+            )
+            ver = _c(
+                cand.join(sa, "id_a").join(sb, "id_b").filter((inter / union) >= 0.5)
+                .select("id_a", "id_b")
+            )
+            row = (
+                cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+                .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+                .crossJoin(
+                    ver.join(planted, ["id_a", "id_b"]).agg(
+                        F.count(F.lit(1)).alias("n_planted_hit")
+                    )
+                )
+                .select(
+                    F.lit(num_perm).alias("num_perm"),
+                    F.lit(bands).alias("bands"),
+                    F.lit(rows).alias("rows_per_band"),
+                    "n_candidates",
+                    "n_verified",
+                    "n_planted_hit",
                 )
             )
-            .select(
-                F.lit(num_perm).alias("num_perm"),
-                F.lit(bands).alias("bands"),
-                F.lit(rows).alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-                "n_planted_hit",
-            )
+            rows_out.append(row)
+        out = rows_out[0]
+        for r2 in rows_out[1:]:
+            out = out.unionAll(r2)
+        out = out.crossJoin(F.broadcast(planted_n)).select(
+            "num_perm",
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_verified",
+            "n_planted_hit",
+            "planted_total",
+            F.call_function(
+                "div", F.col("n_planted_hit") * 1000, F.greatest(F.col("planted_total"), F.lit(1))
+            ).alias("recall_permille"),
         )
-        rows_out.append(row)
-    out = rows_out[0]
-    for r2 in rows_out[1:]:
-        out = out.unionAll(r2)
-    return out.crossJoin(F.broadcast(planted_n)).select(
-        "num_perm",
-        "bands",
-        "rows_per_band",
-        "n_candidates",
-        "n_verified",
-        "n_planted_hit",
-        "planted_total",
-        F.call_function(
-            "div", F.col("n_planted_hit") * 1000, F.greatest(F.col("planted_total"), F.lit(1))
-        ).alias("recall_permille"),
-    )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def _source_overlap_oracle(n: int = 3, num_perm: int = 64, seed: int = 7) -> str:

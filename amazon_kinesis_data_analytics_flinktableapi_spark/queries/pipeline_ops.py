@@ -205,35 +205,44 @@ def q_dedup_cluster_purity_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     corpus = _docs_with_neardup_copies(spark, sf_dir)
+    # Cache scoping (ADVICE r15): `pairs` feeds the component build AND two
+    # per-cluster aggregates, so it caches — but must not outlive the query
+    # in a long-lived session's executor storage.  The report is one row
+    # per multi-member cluster (bounded by cluster count, not corpus), so
+    # materialize it eagerly and release the cache before returning.
     pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).cache()
-    clusters = dedup_clusters(pairs, corpus, "doc_id")
-    mem = (
-        clusters.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-    )
-    jp = pairs.select(
-        "id_a", F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("j10k")
-    )
-    ec = (
-        jp.join(clusters, jp["id_a"] == clusters["doc_id"])
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.min("j10k").alias("min_jaccard_x10k"),
-            F.sum("j10k").alias("s10k"),
+    try:
+        clusters = dedup_clusters(pairs, corpus, "doc_id")
+        mem = (
+            clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") >= 2)
         )
-    )
-    return mem.join(ec, "cluster_id").select(
-        "cluster_id",
-        "n_members",
-        "n_edges",
-        "min_jaccard_x10k",
-        F.call_function("div", F.col("s10k"), F.col("n_edges")).alias("mean_jaccard_x10k"),
-        F.call_function(
-            "div", F.col("n_edges") * 2000, F.col("n_members") * (F.col("n_members") - 1)
-        ).alias("density_permille"),
-    )
+        jp = pairs.select(
+            "id_a", F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("j10k")
+        )
+        ec = (
+            jp.join(clusters, jp["id_a"] == clusters["doc_id"])
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.min("j10k").alias("min_jaccard_x10k"),
+                F.sum("j10k").alias("s10k"),
+            )
+        )
+        out = mem.join(ec, "cluster_id").select(
+            "cluster_id",
+            "n_members",
+            "n_edges",
+            "min_jaccard_x10k",
+            F.call_function("div", F.col("s10k"), F.col("n_edges")).alias("mean_jaccard_x10k"),
+            F.call_function(
+                "div", F.col("n_edges") * 2000, F.col("n_members") * (F.col("n_members") - 1)
+            ).alias("density_permille"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
 
 
 @query(

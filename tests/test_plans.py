@@ -479,9 +479,11 @@ BNLJ_SCALAR_CROSS = {
     "ann_int8_topk",            # the 5-row int8 query-code table crossed
                                 # into the corpus scan (brute quantized
                                 # search — broadcast side O(|queries|))
-    "minhash_band_sweep_report",  # three 1-row per-config count aggregates
-                                # + the 1-row planted-total crossed into
-                                # the 3-row summary frame
+    # minhash_band_sweep_report's three 1-row-per-config scalar crosses
+    # still exist but now execute BEFORE an eager localCheckpoint that
+    # scopes the query's caches (ADVICE r15), so the returned plan is the
+    # 3-row checkpointed frame and the sweep no longer sees the BNLJ —
+    # its shape remains pinned by tests/test_r15_reports.py
     "rq_encode_report",         # two <=8-row codebooks crossed into the
                                 # corpus scan (RQ assign passes — broadcast
                                 # side O(n_codes) at any corpus size)

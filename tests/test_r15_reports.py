@@ -10,6 +10,7 @@ import math
 import re
 from collections import Counter, defaultdict
 
+import pandas as pd
 import pyarrow.parquet as papq
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
@@ -22,10 +23,14 @@ def _docs():
 
 def test_tvd_drift_matches_straightline(spark):
     df = _docs()
+    # pd.notna, not `is not None`: pandas surfaces parquet NULLs in
+    # numeric columns as NaN, which passes `is not None` and then blows
+    # up in int() — the reference must tolerate the NULLs the query
+    # contract covers (ADVICE r15)
     rows = [
         (r.source, min(max(int(r.n_chars), 0) // 64, 31))
         for r in df.itertuples()
-        if r.source is not None and r.n_chars is not None
+        if pd.notna(r.source) and pd.notna(r.n_chars)
     ]
     n = len(rows)
     per = defaultdict(Counter)
