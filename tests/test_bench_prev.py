@@ -300,3 +300,56 @@ def test_sched_normalization_absent_when_prev_lacks_sched_canary(bench_mod):
     assert "canary_sched_ratio_vs_prev" not in out
     assert "normalized_throughput_delta_vs_prev_sched" not in out
     assert out["normalized_throughput_delta_vs_prev"] == {"streaming_interval_join": 0.0}
+
+
+# ---------------------------------------------------------------------------
+# contention gate (VERDICT r15 #2): canary-vs-prev ratios >1.2 escalate the
+# prev artifact's sub-second headliners to min-of-5 and flag the artifact
+# ---------------------------------------------------------------------------
+
+def _prev_with_canaries() -> dict:
+    return {
+        "queries": {"fast": 0.3, "slow": 2.5, "edge": 0.999},
+        "canary_sec": 0.2,
+        "canary_parallel_sec": 1.0,
+        "canary_sched_sec": 0.5,
+    }
+
+
+def test_contention_gate_clean_window_no_flag(bench_mod):
+    flag, esc = bench_mod._contention_gate(
+        _prev_with_canaries(), [0.21], [1.05], [0.55]
+    )
+    assert flag is None and esc == set()
+
+
+def test_contention_gate_no_prev_no_flag(bench_mod):
+    flag, esc = bench_mod._contention_gate(None, [0.5], [2.0], [1.0])
+    assert flag is None and esc == set()
+
+
+def test_contention_gate_one_hot_canary_trips_and_escalates_subsecond(bench_mod):
+    # only the sched canary is dirty (the r12 signature) — still trips
+    flag, esc = bench_mod._contention_gate(
+        _prev_with_canaries(), [0.2], [1.0], [0.8]
+    )
+    assert flag is not None
+    assert flag["start_ratios"]["sched"] == 1.6
+    # escalation = prev artifact's sub-second headliners only
+    assert esc == {"fast", "edge"}
+
+
+def test_contention_gate_exactly_at_threshold_is_clean(bench_mod):
+    flag, esc = bench_mod._contention_gate(
+        _prev_with_canaries(), [0.24], [1.2], [0.6]
+    )
+    assert flag is None and esc == set()
+
+
+def test_contention_gate_missing_prev_canary_keys_skipped(bench_mod):
+    # prev from the pre-parallel-canary era: only canary_sec present —
+    # the gate must not KeyError, and must still trip on the serial ratio
+    prev = {"queries": {"fast": 0.1}, "canary_sec": 0.2}
+    flag, esc = bench_mod._contention_gate(prev, [0.5], [9.9], [9.9])
+    assert flag is not None and set(flag["start_ratios"]) == {"serial"}
+    assert esc == {"fast"}
