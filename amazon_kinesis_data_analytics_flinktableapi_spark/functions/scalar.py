@@ -133,3 +133,33 @@ def finite_embedding(col: Column | str) -> Column:
     return c.isNull() | F.coalesce(
         F.forall(c, lambda x: F.abs(x) <= F.lit(_DBL_MAX)), F.lit(False)
     )
+
+
+#: ingest-time embedding validity bit (VERDICT r15 #3).  Written ONCE by
+#: :func:`~amazon_kinesis_data_analytics_flinktableapi_spark.operators.embedding_prep.with_embedding_validity`
+#: when a corpus is prepared; every downstream swallow then reads a plain
+#: boolean column (whole-stage codegen + parquet predicate pushdown)
+#: instead of re-paying :func:`finite_embedding`'s per-element interpreted
+#: lambda (~7.6 µs/vector even after the r15 cheapening) on every scan.
+EMB_FINITE_COL = "emb_is_finite"
+
+
+def swallow_malformed_embeddings(df, vec_col: str = "embedding"):
+    """The malformed-vector swallow, preferring the ingest-time validity
+    bit: if ``df`` carries :data:`EMB_FINITE_COL`, filter on that column
+    (single codegen'd boolean comparison, pushed down to the parquet
+    scan); otherwise fall back to the :func:`finite_embedding` lambda.
+
+    Contract: when present, the column is TRUSTED as written by
+    ``with_embedding_validity`` over the SAME vector column (TRUE for
+    NULL vectors — the NULL-stays-in policy — and for all-finite arrays;
+    FALSE for any NaN/±inf/NULL element).  A pipeline that mutates
+    vectors after preparation must drop or rewrite the bit.
+
+    This is the pipeline-shape fix for the lambda's per-vector cost at
+    100 TB (SCALING.md "r16: ingest-time validity bit"): validity is
+    computed once at ingest where the bytes are already in cache, not on
+    each of the dozens of scans a curation run makes over the corpus."""
+    if EMB_FINITE_COL in df.columns:
+        return df.filter(F.col(EMB_FINITE_COL))
+    return df.filter(finite_embedding(vec_col))

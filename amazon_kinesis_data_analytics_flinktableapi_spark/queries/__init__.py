@@ -186,7 +186,10 @@ _PRIORITY: list[str] = [
     "dedup_cluster_purity_report",
     "doc_embedding_coverage_report",
     "embedding_centroid_drift",
-    # r11-stale block, oldest-first fill (37 of 40)
+    # NEW r16: ingest-time validity-bit attestation (VERDICT r15 #3)
+    "embedding_prepared_finite",
+    # r11-stale block, oldest-first fill (36 of 40; one more displaced
+    # past the boundary by the new query, per the arithmetic above)
     "approx_sketches",
     "approx_sketches_bounds",
     "binned_quantile_estimate",
@@ -223,9 +226,9 @@ _PRIORITY: list[str] = [
     "theilsen_trend",
     "token_stats",
     "window_moving_avg",
-    "window_running_distinct",
     # --- window boundary: positions 51+ (r17 leads) ---
-    # 3 r11-stale deferred by capacity (see arithmetic above)
+    # 4 r11-stale deferred by capacity (see arithmetic above)
+    "window_running_distinct",
     "feature_hash_vector",
     "weighted_sample_topk",
     "streaming_static_enrich",

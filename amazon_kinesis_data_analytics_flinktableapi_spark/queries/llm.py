@@ -23,7 +23,10 @@ from amazon_kinesis_data_analytics_flinktableapi_spark.operators import dedup as
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import multimodal as M
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
+    finite_embedding,
+    swallow_malformed_embeddings,
+)
 
 _DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
 
@@ -1271,7 +1274,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return S.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -1326,7 +1329,7 @@ def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     # n_planes pinned to the oracle generator's value: the operator default
     # is now auto-sized from the corpus count (VERDICT r12 #6), and an
     # oracle twin must never float with data size
@@ -1785,7 +1788,7 @@ def _ann_ivf_oracle(k: int = 10, n_centroids: int = 16, nprobe: int = 4,
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return S.ivf_topk_det(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4)
 
 
@@ -1835,7 +1838,7 @@ def _neardup_lsh_oracle(threshold: float, n_planes: int = 4, n_tables: int = 16,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     # n_planes pinned to the oracle generator's value (operator default is
     # now corpus-count auto-sizing, which an oracle twin must not follow)
     return S.neardup_pairs_lsh(emb, threshold=0.35, n_planes=4)
@@ -1859,7 +1862,7 @@ def q_embedding_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane dots independently.  Recall at this deeper shape is pinned
     on the clustered fixture in tests/test_similarity.py."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return S.neardup_pairs_lsh(emb, threshold=0.35, n_planes=8, n_tables=16)
 
 
@@ -2370,7 +2373,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= 20)
     )
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (ingest-bit-aware r16)
     sem = (
         S.brute_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
         .select(F.col("c_id").alias("doc_id"), F.col("rn").alias("sem_rank"))
@@ -2529,7 +2532,7 @@ def _semantic_dedup_oracle(threshold: float = 0.35, n_centroids: int = 16) -> st
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return S.semantic_dedup(emb, threshold=0.35, n_centroids=16)
 
 

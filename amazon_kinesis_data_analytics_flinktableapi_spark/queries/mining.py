@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query, scratch_dir
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
+    finite_embedding,
+    swallow_malformed_embeddings,
+)
 
 _DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
 
@@ -750,7 +753,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     qs = emb.filter(F.col("vec_id") < 5)
     brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
     ivf = (
@@ -1112,7 +1115,7 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import spread
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     partials = spread(emb.select("embedding")).mapInPandas(
         _gram_partials_fn("embedding", dim=64, quant=1_000_000),
         schema="i int, j int, partial long",
@@ -1370,7 +1373,7 @@ def q_streaming_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     iu, ju = np.triu_indices(dim)
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     quantized = emb.select(
         "vec_id",
         F.expr(
@@ -1656,7 +1659,7 @@ def q_pca_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in v_rows:
         v[r["dim"] - 1] = int(r["v_milli"])
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     quant = emb.select(
         "vec_id",
         F.expr(
@@ -2346,7 +2349,7 @@ def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import kmeans_lloyd
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return kmeans_lloyd(emb, k=8, n_iters=2)
 
 
@@ -2414,7 +2417,7 @@ def q_pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_encode
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return pq_encode(emb, n_subspaces=4, n_codes=8)
 
 
@@ -2495,7 +2498,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_adc_topk
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_subspaces=4, n_codes=8)
 
 
@@ -2600,7 +2603,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import ivfpq_topk
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 5),
         k=10, n_centroids=16, nprobe=4, n_subspaces=4, n_codes=8,
@@ -2747,7 +2750,7 @@ def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_adc_topk
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     qs = emb.filter(F.col("vec_id") < 5)
     brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
     adc = pq_adc_topk(emb, qs, k=10, n_subspaces=4, n_codes=8).select(
@@ -2825,7 +2828,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import int_dot_q
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    e = emb.filter(finite_embedding("embedding")).filter(
+    e = swallow_malformed_embeddings(emb).filter(
         F.col("embedding").isNotNull()
     ).select("vec_id", as_double("embedding").alias("dv"))
     m = e.select(
@@ -3004,7 +3007,7 @@ def q_rq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import rq_encode
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (ingest-bit-aware r16)
     return rq_encode(emb, n_codes1=8, n_codes2=8)
 
 
@@ -3051,7 +3054,7 @@ def q_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import ivfpq_topk
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (ingest-bit-aware r16)
     qs = emb.filter(F.col("vec_id") < 5)
     brute = S.brute_topk(emb, qs, k=10).select("q_id", "c_id")
     approx = ivfpq_topk(
@@ -3112,7 +3115,7 @@ def q_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import kmeans_lloyd
 
     (emb, docs) = load(spark, sf_dir, "embeddings", "documents")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (ingest-bit-aware r16)
     asg = kmeans_lloyd(emb, k=8, n_iters=2).select("vec_id", "cluster")
     toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.explode(tokens("text")).alias("term")

@@ -9,13 +9,17 @@ from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.operators.chunking import chunk_documents
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import (
+    FINITE_EMBEDDING_SQL,
     DUCK_TOKS,
     load,
     nse_oracle,
     query,
     scratch_dir,
 )
-from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
+from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
+    finite_embedding,
+    swallow_malformed_embeddings,
+)
 
 _DUCK_TOKS = DUCK_TOKS  # shared canonical twin (r14 unicode audit)
 
@@ -404,7 +408,7 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     e = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(e, F.abs)) / 127.0
     # array_repeat materializes scale ONCE per row; a bare `scale` inside
@@ -461,7 +465,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     def q_at(i: int):  # scalar quantize of one dim — cheaper than
         # element_at over a full-array transform (which would re-quantize
         # all 64 dims once per sampled dim)
@@ -1417,7 +1421,7 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-then-residual plan would rescan the corpus).  The dims explode
     8× but collapse immediately into the (label, dim) aggregation."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))  # malformed-vector swallow (r14)
+    emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (r14; ingest-bit-aware r16)
     ex = emb.select(
         "label",
         F.posexplode(
@@ -1605,7 +1609,7 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_embedding_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs, emb) = load(spark, sf_dir, "documents", "embeddings")
     e = (
-        emb.filter(finite_embedding("embedding"))
+        swallow_malformed_embeddings(emb)
         .filter(F.col("embedding").isNotNull())
         .select("vec_id")
         .distinct()
@@ -1619,6 +1623,50 @@ def q_doc_embedding_coverage_report(spark: SparkSession, sf_dir: str) -> DataFra
         F.call_function("div", F.count("vec_id") * 1000, F.count(F.lit(1))).alias(
             "coverage_permille"
         ),
+    )
+
+
+@query(
+    "embedding_prepared_finite",
+    oracle=f"""
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN {FINITE_EMBEDDING_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_finite,
+           CAST(sum(CASE WHEN {FINITE_EMBEDDING_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lambda_finite,
+           CAST(0 AS BIGINT) AS n_disagree
+    FROM embeddings
+    """,
+    doc="ingest-time validity-bit attestation (VERDICT r15 #3): write the "
+    "embeddings through operators.embedding_prep (one pass adding the "
+    "emb_is_finite boolean), read the prepared parquet back, and count "
+    "rows the FLAG marks finite vs rows the per-element LAMBDA marks "
+    "finite vs rows where the two disagree — through an actual parquet "
+    "roundtrip, so the prepared path the 100 TB pipeline scans is the "
+    "path attested, not an in-memory shortcut.  The oracle computes the "
+    "same counts from the raw table with the canonical DuckDB finiteness "
+    "twin and pins n_disagree = 0.  Scale: the prep is one narrow "
+    "projection ride-along on the ingest write; the audit is one "
+    "scan-local aggregate",
+)
+def q_embedding_prepared_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import EMB_FINITE_COL
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.embedding_prep import (
+        write_prepared_embeddings,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    dst = scratch_dir("emb_prepared_") + "/embeddings"
+    write_prepared_embeddings(emb, dst)
+    prep = spark.read.parquet(dst)
+    flag = F.col(EMB_FINITE_COL)
+    lam = finite_embedding("embedding")
+    one = lambda c: F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))  # noqa: E731
+    return prep.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        one(flag).alias("n_flag_finite"),
+        one(lam).alias("n_lambda_finite"),
+        one(~flag.eqNullSafe(lam)).alias("n_disagree"),
     )
 
 
@@ -1673,7 +1721,7 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = load(spark, sf_dir, "embeddings")
     q = (
-        emb.filter(finite_embedding("embedding"))
+        swallow_malformed_embeddings(emb)
         .filter(F.col("embedding").isNotNull())
         .select(
             "label",

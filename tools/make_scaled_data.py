@@ -39,10 +39,25 @@ Replication rules, per table class:
   embeddings ×4 (500 → 2000 between sf0.01 and sf0.1), so this table
   uses ``max(2, copies * 4 // 10)`` copies to follow that ratio.
 
+* ``--extend-time-axis`` (VERDICT r15 #4): by default the copies keep
+  their ORIGINAL timestamps, so a 10× scale-up packs 10× the rows into
+  a FIXED time range — per-(key, time-bucket) density ×10, which makes
+  every interval/as-of join's candidate count grow ~quadratically in
+  the decade.  That regime exists (hot keys in a traffic spike) but is
+  NOT how production data usually grows: more history = a LONGER time
+  axis at roughly constant per-bucket density.  With the flag, copy i's
+  every datetime column (``ts``, ``o_orderdate``, ``l_shipdate``) also
+  shifts by ``i × span`` where ``span`` is the global (max − min) over
+  all fact-table datetime columns, rounded up to whole days + 1 day —
+  ONE shared offset so every within-copy time relationship (order→event
+  intervals, rate windows) is preserved exactly while copies occupy
+  disjoint time ranges.  Density per bucket is then constant and the
+  family's decade ratio measures the production shape.
+
 Usage::
 
     python tools/make_scaled_data.py --src /root/testdata/sf0.1 \
-        --dst /tmp/scaled/sf1 --copies 10
+        --dst /tmp/scaled/sf1 --copies 10 [--extend-time-axis]
 """
 
 from __future__ import annotations
@@ -98,11 +113,28 @@ def _write(dst: str, name: str, df: pd.DataFrame, schema: pa.Schema) -> None:
     print(f"  {name}: {len(df):,} rows")
 
 
+def _time_span(frames: list[pd.DataFrame]) -> pd.Timedelta:
+    """One global whole-day time stride covering every datetime column —
+    shared across tables so within-copy cross-table time relationships
+    survive the shift (see module docstring, --extend-time-axis)."""
+    lo, hi = None, None
+    for df in frames:
+        for c in df.columns:
+            if pd.api.types.is_datetime64_any_dtype(df[c]) and len(df):
+                cmin, cmax = df[c].min(), df[c].max()
+                lo = cmin if lo is None or cmin < lo else lo
+                hi = cmax if hi is None or cmax > hi else hi
+    if lo is None:
+        return pd.Timedelta(days=1)
+    return pd.Timedelta(days=(hi - lo).days + 2)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/scaled/sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--extend-time-axis", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
 
@@ -123,6 +155,10 @@ def main() -> int:
     stride = _stride([*fact_dfs.values(), docs[["doc_id"]], emb[["vec_id"]]])
     print(f"key stride: {stride:,}")
 
+    tspan = _time_span(list(fact_dfs.values())) if args.extend_time_axis else None
+    if tspan is not None:
+        print(f"time-axis stride: {tspan}")
+
     for t, df in fact_dfs.items():
         parts = []
         for i in range(args.copies):
@@ -130,6 +166,8 @@ def main() -> int:
             for col in c.columns:
                 if col in SHIFT_COLS:
                     c[col] = c[col] + i * stride
+                elif tspan is not None and pd.api.types.is_datetime64_any_dtype(c[col]):
+                    c[col] = c[col] + i * tspan
             parts.append(c)
         _write(args.dst, t, pd.concat(parts, ignore_index=True),
                fact_tabs[t].schema)
