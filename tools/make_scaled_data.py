@@ -47,9 +47,10 @@ Replication rules, per table class:
   NOT how production data usually grows: more history = a LONGER time
   axis at roughly constant per-bucket density.  With the flag, copy i's
   every datetime column (``ts``, ``o_orderdate``, ``l_shipdate``) also
-  shifts by ``i × span`` where ``span`` is the global (max − min) over
-  all fact-table datetime columns, rounded up to whole days + 1 day —
-  ONE shared offset so every within-copy time relationship (order→event
+  shifts by ``i × span`` where ``span`` is the (max − min) of its ERA
+  GROUP (datetime columns with overlapping ranges share one stride; see
+  ``_time_strides``), rounded up to whole days + 1 day — a shared
+  offset per era, so every within-copy time relationship (order→ship
   intervals, rate windows) is preserved exactly while copies occupy
   disjoint time ranges.  Density per bucket is then constant and the
   family's decade ratio measures the production shape.
@@ -113,20 +114,42 @@ def _write(dst: str, name: str, df: pd.DataFrame, schema: pa.Schema) -> None:
     print(f"  {name}: {len(df):,} rows")
 
 
-def _time_span(frames: list[pd.DataFrame]) -> pd.Timedelta:
-    """One global whole-day time stride covering every datetime column —
-    shared across tables so within-copy cross-table time relationships
-    survive the shift (see module docstring, --extend-time-axis)."""
-    lo, hi = None, None
-    for df in frames:
+def _time_strides(fact_dfs: dict[str, pd.DataFrame]) -> dict[tuple[str, str], pd.Timedelta]:
+    """Per-(table, column) whole-day time stride for --extend-time-axis.
+
+    Columns are grouped into ERAS by overlapping [min, max] ranges
+    (orders.o_orderdate 1995-2001 and lineitem.l_shipdate 1995-2001
+    overlap → one group sharing ONE stride, so cross-table date
+    comparisons inside a copy survive the shift; events.ts lives alone
+    in 2024 → its own 1-month stride).  A single GLOBAL stride would
+    have to cover the 1995→2024 gap between eras, which (a) overflows
+    pandas' ns arithmetic by copy ~8 (year 2262 ceiling) and (b) models
+    nothing: no query time-joins across eras — the driver's generator
+    itself placed them decades apart."""
+    ranges = []  # (min, max, table, col)
+    for t, df in fact_dfs.items():
         for c in df.columns:
             if pd.api.types.is_datetime64_any_dtype(df[c]) and len(df):
-                cmin, cmax = df[c].min(), df[c].max()
-                lo = cmin if lo is None or cmin < lo else lo
-                hi = cmax if hi is None or cmax > hi else hi
-    if lo is None:
-        return pd.Timedelta(days=1)
-    return pd.Timedelta(days=(hi - lo).days + 2)
+                ranges.append((df[c].min(), df[c].max(), t, c))
+    ranges.sort(key=lambda r: r[0])
+    out: dict[tuple[str, str], pd.Timedelta] = {}
+    group: list[tuple] = []
+
+    def flush(g):
+        if not g:
+            return
+        span = pd.Timedelta(days=(max(r[1] for r in g) - min(r[0] for r in g)).days + 2)
+        for r in g:
+            out[(r[2], r[3])] = span
+
+    for r in ranges:
+        if group and r[0] <= max(x[1] for x in group):
+            group.append(r)
+        else:
+            flush(group)
+            group = [r]
+    flush(group)
+    return out
 
 
 def main() -> int:
@@ -155,9 +178,9 @@ def main() -> int:
     stride = _stride([*fact_dfs.values(), docs[["doc_id"]], emb[["vec_id"]]])
     print(f"key stride: {stride:,}")
 
-    tspan = _time_span(list(fact_dfs.values())) if args.extend_time_axis else None
-    if tspan is not None:
-        print(f"time-axis stride: {tspan}")
+    tstrides = _time_strides(fact_dfs) if args.extend_time_axis else {}
+    if tstrides:
+        print(f"time-axis strides: { {k: str(v) for k, v in tstrides.items()} }")
 
     for t, df in fact_dfs.items():
         parts = []
@@ -166,8 +189,8 @@ def main() -> int:
             for col in c.columns:
                 if col in SHIFT_COLS:
                     c[col] = c[col] + i * stride
-                elif tspan is not None and pd.api.types.is_datetime64_any_dtype(c[col]):
-                    c[col] = c[col] + i * tspan
+                elif (t, col) in tstrides:
+                    c[col] = c[col] + i * tstrides[(t, col)]
             parts.append(c)
         _write(args.dst, t, pd.concat(parts, ignore_index=True),
                fact_tabs[t].schema)
