@@ -2331,37 +2331,48 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) QUALIFY lex_rank <= 20
     ),
     sem AS (
-      SELECT c_id AS doc_id, CAST(rn AS INTEGER) AS sem_rank FROM (
-        SELECT c.vec_id AS c_id,
+      SELECT q_id, c_id AS doc_id, CAST(rn AS INTEGER) AS sem_rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                row_number() OVER (
+                 PARTITION BY q.vec_id
                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
                                                  c.embedding::DOUBLE[]) DESC,
                           c.vec_id) AS rn
         FROM embeddings q, embeddings c
-        WHERE q.vec_id = 0 AND c.vec_id <> 0
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
       ) WHERE rn <= 20
     ),
+    qids AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5),
+    lexq AS (SELECT q.q_id, l.doc_id, l.lex_rank FROM qids q CROSS JOIN lex l),
     fused AS (
-      SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank,
+      SELECT coalesce(l.q_id, m.q_id) AS q_id,
+             coalesce(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank,
              CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
                   + coalesce(1000000 // (60 + m.sem_rank), 0) AS BIGINT) AS rrf_micro
-      FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+      FROM lexq l FULL OUTER JOIN sem m
+        ON l.q_id = m.q_id AND l.doc_id = m.doc_id
     )
-    SELECT doc_id, lex_rank, sem_rank, rrf_micro,
-           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INTEGER)
+    SELECT q_id, doc_id, lex_rank, sem_rank, rrf_micro,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_micro DESC, doc_id) AS INTEGER)
              AS fused_rank
     FROM fused QUALIFY fused_rank <= 10
     """),
     doc="hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
-    "2009): the lexical arm is the engine's exact-integer BM25 top-20, "
-    "the semantic arm the brute cosine top-20 for query vector 0 "
-    "(TESTDATA convention: vec_id ≡ doc_id over the embedded prefix of "
-    "the corpus — a doc outside it simply gets no semantic "
-    "contribution, which RRF absorbs), fused by "
-    "sum(floor(1e6/(60+rank))) — the classic k=60 RRF in exact integer "
-    "micro-units, top-10 by fused score.  The RAG-stack retrieval "
-    "shape: two bounded top-k arms, one ≤40-row fusion join — at 100 TB "
-    "each arm is its own index scan and the fusion cost stays O(k)",
+    "2009) over the tier's standard 5-QUERY frame (vec_id < 5, the same "
+    "frame every recall report uses — widened from the single-query "
+    "form per VERDICT r15 #5): the lexical arm is the engine's "
+    "exact-integer BM25 top-20 (one keyword query, shared across the "
+    "frame — RRF fuses per query vector against it), the semantic arm "
+    "each query vector's brute cosine top-20 (TESTDATA convention: "
+    "vec_id ≡ doc_id over the embedded prefix of the corpus — a doc "
+    "outside it simply gets no semantic contribution, which RRF "
+    "absorbs), fused by sum(floor(1e6/(60+rank))) — the classic k=60 "
+    "RRF in exact integer micro-units, top-10 per query by fused score "
+    "with the fusion window PARTITIONED BY q_id.  The RAG-stack "
+    "retrieval shape: two bounded top-k arms, a ≤(5×40)-row fusion "
+    "join — at 100 TB each arm is its own index scan and the fusion "
+    "cost stays O(queries × k)",
 )
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -2374,21 +2385,31 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (emb,) = load(spark, sf_dir, "embeddings")
     emb = swallow_malformed_embeddings(emb)  # malformed-vector swallow (ingest-bit-aware r16)
+    queries5 = emb.filter(F.col("vec_id") < 5)
     sem = (
-        S.brute_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
-        .select(F.col("c_id").alias("doc_id"), F.col("rn").alias("sem_rank"))
+        S.brute_topk(emb, queries5, k=20)
+        .select("q_id", F.col("c_id").alias("doc_id"), F.col("rn").alias("sem_rank"))
+    )
+    # per-query lexical frame: the 5-row q_id table crossed into the
+    # 20-row lex top-k — a bounded scalar cross (≤100 rows at ANY corpus
+    # size; plan-sweep BNLJ whitelist)
+    lexq = (
+        queries5.select(F.col("vec_id").alias("q_id"))
+        .crossJoin(F.broadcast(lex))
+        .select("q_id", "doc_id", "lex_rank")
     )
     rrf = lambda rank: F.coalesce(  # noqa: E731 — exact integer 1e6/(60+rank)
         F.call_function("div", F.lit(1_000_000).cast("long"), (F.lit(60) + rank).cast("long")),
         F.lit(0).cast("long"),
     )
-    fused = lex.join(sem, "doc_id", "full_outer").select(
+    fused = lexq.join(sem, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
         "doc_id",
         "lex_rank",
         "sem_rank",
         (rrf(F.col("lex_rank")) + rrf(F.col("sem_rank"))).alias("rrf_micro"),
     )
-    wf = W.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    wf = W.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
     return (
         fused.withColumn("fused_rank", F.row_number().over(wf))
         .filter(F.col("fused_rank") <= 10)

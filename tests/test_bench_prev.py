@@ -353,3 +353,38 @@ def test_contention_gate_missing_prev_canary_keys_skipped(bench_mod):
     flag, esc = bench_mod._contention_gate(prev, [0.5], [9.9], [9.9])
     assert flag is not None and set(flag["start_ratios"]) == {"serial"}
     assert esc == {"fast"}
+
+
+def test_time_strides_era_grouping():
+    """make_scaled_data --extend-time-axis (VERDICT r15 #4): datetime
+    columns with overlapping ranges share ONE stride (cross-table time
+    relationships survive); disjoint eras get their own (a global stride
+    spanning the generator's 1995↔2024 era gap would overflow pandas'
+    ns arithmetic by copy ~8)."""
+    import importlib.util
+
+    import pandas as pd
+
+    path = os.path.join(os.path.dirname(_BENCH_PATH), "tools", "make_scaled_data.py")
+    spec = importlib.util.spec_from_file_location("msd_under_test", path)
+    msd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(msd)
+
+    ts = pd.to_datetime
+    fact_dfs = {
+        "orders": pd.DataFrame({"o_orderdate": [ts("1995-01-01"), ts("2001-08-01")]}),
+        "lineitem": pd.DataFrame({"l_shipdate": [ts("1995-01-02"), ts("2001-11-04")]}),
+        "events": pd.DataFrame({"ts": [ts("2024-01-01"), ts("2024-01-30 23:59:59")]}),
+        "customer": pd.DataFrame({"c_custkey": [1, 2]}),  # no datetime col
+    }
+    strides = msd._time_strides(fact_dfs)
+    assert set(strides) == {("orders", "o_orderdate"), ("lineitem", "l_shipdate"),
+                            ("events", "ts")}
+    # orders/lineitem overlap -> one shared stride covering BOTH ranges
+    assert strides[("orders", "o_orderdate")] == strides[("lineitem", "l_shipdate")]
+    assert strides[("orders", "o_orderdate")] == pd.Timedelta(days=(ts("2001-11-04") - ts("1995-01-01")).days + 2)
+    # events is its own era with its own (1-month) stride
+    assert strides[("events", "ts")] == pd.Timedelta(days=31)
+    # 10 copies of the orders era stay ns-representable (the bug the
+    # grouping fixes): max shift ~9 x 2500 days ~ 61 years < year 2262
+    assert ts("2001-11-04") + 9 * strides[("orders", "o_orderdate")] < ts("2080-01-01")

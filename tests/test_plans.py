@@ -450,7 +450,11 @@ BNLJ_SCALAR_CROSS = {
     "temperature_mixture_sample",  # 1-row global doc total + 1-row max boost
     "bm25_rank",                # 1-row corpus stats (N, Σdl, df per term)
     "hybrid_search_rrf",        # composes bm25_rank's 1-row stats cross +
-                                # brute_topk's 1-query-vector cross
+                                # brute_topk's 5-query-vector cross + the
+                                # 5-row q_id frame crossed into the 20-row
+                                # broadcast lex top-k (≤100 rows at ANY
+                                # corpus size — r16 multi-query widening,
+                                # VERDICT r15 #5)
     "trigram_backoff_surprisal",  # 1-row train-split token total (T)
     "token_budget_waterfill",   # 1-row (m, total, cmax) + 1-row feasible
                                 # (i*, P_i*) + 1-row water level — three
@@ -531,9 +535,10 @@ GLOBAL_WINDOW_BOUNDED = {
                                        # DISTINCT length values — the
                                        # length domain, not the corpus
     "vocab_shift_drift": "topk",       # rank <= 20 over per-token odds
-    "hybrid_search_rrf": "topk",       # lex_rank <= 20 over bm25 scores +
-                                       # fused_rank <= 10 over the <=40-row
-                                       # fusion frame
+    "hybrid_search_rrf": "topk",       # lex_rank <= 20 over bm25 scores
+                                       # (the one remaining GLOBAL window;
+                                       # the r16 multi-query fused_rank
+                                       # window is partitioned by q_id)
     "rq_encode_report": "bounded",     # codebook-id row_number over the
                                        # limit(15) residual head rows
 }

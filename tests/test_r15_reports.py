@@ -59,44 +59,46 @@ def test_tvd_drift_matches_straightline(spark):
 
 def test_hybrid_rrf_matches_straightline_fusion(spark):
     """Fuse the two arms' OWN outputs in plain Python and compare: the
-    query's fused ranking must equal RRF over (bm25 top-20, cosine
-    top-20) computed independently from the collected arm results."""
+    query's fused ranking, for EVERY query vector of the 5-query frame
+    (r16 widening), must equal RRF over (bm25 top-20, that vector's
+    cosine top-20) computed independently from the collected arm
+    results."""
     lex_rows = sorted(
         REGISTRY["bm25_rank"].fn(spark, SF_SMOKE).collect(),
         key=lambda r: (-r.bm25_score, r.doc_id),
     )[:20]
     lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex_rows)}
-    sem_rows = REGISTRY["ann_cosine_topk"].fn(spark, SF_SMOKE).collect()
-    # ann_cosine_topk is 5-query top-10; recompute the single-query
-    # top-20 the hybrid uses from brute_topk directly
     from pyspark.sql import functions as F
 
-    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import finite_embedding
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
+        swallow_malformed_embeddings,
+    )
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators import similarity as S
     from amazon_kinesis_data_analytics_flinktableapi_spark.queries import load
 
     (emb,) = load(spark, SF_SMOKE, "embeddings")
-    emb = emb.filter(finite_embedding("embedding"))
-    sem_rank = {
-        r.c_id: r.rn
-        for r in S.brute_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).collect()
-    }
-    ids = set(lex_rank) | set(sem_rank)
-    fused = {
-        i: (1_000_000 // (60 + lex_rank[i]) if i in lex_rank else 0)
-        + (1_000_000 // (60 + sem_rank[i]) if i in sem_rank else 0)
-        for i in ids
-    }
-    want = sorted(ids, key=lambda i: (-fused[i], i))[:10]
-    got = [
-        (r.doc_id, r.rrf_micro)
-        for r in sorted(
-            REGISTRY["hybrid_search_rrf"].fn(spark, SF_SMOKE).collect(),
-            key=lambda r: r.fused_rank,
-        )
-    ]
-    assert [d for d, _ in got] == want
-    assert all(s == fused[d] for d, s in got)
+    emb = swallow_malformed_embeddings(emb)
+    sem_rank: dict[int, dict[int, int]] = {q: {} for q in range(5)}
+    for r in S.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=20).collect():
+        sem_rank[r.q_id][r.c_id] = r.rn
+    got_rows = REGISTRY["hybrid_search_rrf"].fn(spark, SF_SMOKE).collect()
+    assert sorted({r.q_id for r in got_rows}) == list(range(5))
+    for q in range(5):
+        ids = set(lex_rank) | set(sem_rank[q])
+        fused = {
+            i: (1_000_000 // (60 + lex_rank[i]) if i in lex_rank else 0)
+            + (1_000_000 // (60 + sem_rank[q][i]) if i in sem_rank[q] else 0)
+            for i in ids
+        }
+        want = sorted(ids, key=lambda i: (-fused[i], i))[:10]
+        got = [
+            (r.doc_id, r.rrf_micro)
+            for r in sorted(
+                (r for r in got_rows if r.q_id == q), key=lambda r: r.fused_rank
+            )
+        ]
+        assert [d for d, _ in got] == want, f"q_id={q}"
+        assert all(s == fused[d] for d, s in got), f"q_id={q}"
 
 
 def test_band_sweep_recall_monotone_in_bands(spark):
