@@ -388,3 +388,35 @@ def test_time_strides_era_grouping():
     # 10 copies of the orders era stay ns-representable (the bug the
     # grouping fixes): max shift ~9 x 2500 days ~ 61 years < year 2262
     assert ts("2001-11-04") + 9 * strides[("orders", "o_orderdate")] < ts("2080-01-01")
+
+
+def test_ab_bench_artifact_recovery_prefers_sidecar_and_checks_sf(tmp_path):
+    """tools/ab_bench.py reads prior rounds' per-query timings for its
+    attribution table: sidecar first (truncation-proof), then the driver
+    envelope's parsed dict; wrong-sf candidates are skipped."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(_BENCH_PATH), "tools", "ab_bench.py")
+    spec = importlib.util.spec_from_file_location("ab_bench_under_test", path)
+    ab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ab)
+
+    repo = str(tmp_path)
+    # sidecar at the right sf wins
+    (tmp_path / "BENCH_SELF_r13.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}})
+    )
+    (tmp_path / "BENCH_r13.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 9.0}}})
+    )
+    assert ab._artifact_queries(13, repo, 0.1) == {"q": 1.0}
+    # wrong-sf sidecar falls through to the envelope's parsed dict
+    (tmp_path / "BENCH_SELF_r14.json").write_text(
+        json.dumps({"sf": 0.01, "queries": {"q": 5.0}})
+    )
+    (tmp_path / "BENCH_r14.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 2.0}}})
+    )
+    assert ab._artifact_queries(14, repo, 0.1) == {"q": 2.0}
+    # nothing usable -> None (not a crash)
+    assert ab._artifact_queries(99, repo, 0.1) is None
