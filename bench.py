@@ -262,8 +262,13 @@ _CONTENTION_RATIO = 1.2
 #: dirty window distorts beyond the ±15% A/B noise floor — their runtime
 #: is comparable to one scheduling hiccup — so they get min-of-5 samples
 #: when the gate trips (VERDICT r15 #2: agg_pricing_summary 0.267 s read
-#: 2.34× in a window the canaries flagged 1.29-1.51×)
-_SUBSECOND = 1.0
+#: 2.34× in a window the canaries flagged 1.29-1.51×).  1.5 s covers the
+#: entire r15-flagged family: the first live trip (r16 dev run) showed a
+#: 1.0 s cutoff leaving shipping_priority (1.14 s prev) unescalated, and
+#: it promptly read +96% on 3 samples in the flagged window while every
+#: escalated sibling stayed attributable.  Cost: two extra ~1.3 s samples
+#: for ~5 queries ≈ +13 s of bench wall only in already-flagged windows.
+_SUBSECOND = 1.5
 
 
 def _contention_gate(

@@ -309,7 +309,9 @@ def test_sched_normalization_absent_when_prev_lacks_sched_canary(bench_mod):
 
 def _prev_with_canaries() -> dict:
     return {
-        "queries": {"fast": 0.3, "slow": 2.5, "edge": 0.999},
+        # fast/mid sit under the 1.5 s escalation cutoff, slow above it;
+        # edge pins the boundary exclusive (1.5 is NOT escalated)
+        "queries": {"fast": 0.3, "slow": 2.5, "mid": 1.3, "edge": 1.5},
         "canary_sec": 0.2,
         "canary_parallel_sec": 1.0,
         "canary_sched_sec": 0.5,
@@ -335,8 +337,9 @@ def test_contention_gate_one_hot_canary_trips_and_escalates_subsecond(bench_mod)
     )
     assert flag is not None
     assert flag["start_ratios"]["sched"] == 1.6
-    # escalation = prev artifact's sub-second headliners only
-    assert esc == {"fast", "edge"}
+    # escalation = prev artifact's headliners under the cutoff only
+    # (boundary exclusive: 1.5 s itself stays at min-of-3)
+    assert esc == {"fast", "mid"}
 
 
 def test_contention_gate_exactly_at_threshold_is_clean(bench_mod):
