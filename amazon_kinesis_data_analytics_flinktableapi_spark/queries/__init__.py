@@ -188,8 +188,11 @@ _PRIORITY: list[str] = [
     "embedding_centroid_drift",
     # NEW r16: ingest-time validity-bit attestation (VERDICT r15 #3)
     "embedding_prepared_finite",
-    # r11-stale block, oldest-first fill (36 of 40; one more displaced
-    # past the boundary by the new query, per the arithmetic above)
+    # NEW r16: mixed-generation parquet read through a declared schema
+    "schema_evolution_read",
+    # r11-stale block, oldest-first fill (35 of 40; one more displaced
+    # past the boundary by each of the two new r16 queries, per the
+    # arithmetic above)
     "approx_sketches",
     "approx_sketches_bounds",
     "binned_quantile_estimate",

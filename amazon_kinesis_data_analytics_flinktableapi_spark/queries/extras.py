@@ -1751,3 +1751,75 @@ def q_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct(F.col("p")) - 1) * (F.count_distinct(F.col("s")) - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    WITH g1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders
+    ),
+    g2 AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 'web'
+                  WHEN o_orderpriority LIKE '2%' THEN 'store'
+                  ELSE 'partner' END AS o_channel
+      FROM orders
+    ),
+    u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+    SELECT o_channel, count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM u GROUP BY o_channel
+    """,
+    doc="schema-evolution read path (the ingest reality a long-lived "
+    "pipeline faces: columns get ADDED over time, old files lack them): "
+    "write generation 1 of the orders table WITHOUT the o_channel "
+    "column, append generation 2 WITH it to the SAME directory, then "
+    "read the mixed directory through ONE declared current schema "
+    "(sources.batch.read_parquet_evolved) — gen-1 rows surface "
+    "o_channel as NULL, exactly the contract a backfill job keys on — "
+    "and aggregate rows + exact integer revenue cents per channel.  The "
+    "oracle reproduces both generations from the raw table, so the "
+    "parquet roundtrip AND the NULL-fill semantics are what's attested. "
+    " Scale: the declared-schema mode does no footer-discovery pass "
+    "(the schema IS the contract) and keeps scan pruning/pushdown; the "
+    "mergeSchema discovery mode exists separately and is deliberately "
+    "not this path",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import scratch_dir
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import (
+        read_parquet_evolved,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    channel = (
+        F.when(F.col("o_orderpriority").startswith("1"), "web")
+        .when(F.col("o_orderpriority").startswith("2"), "store")
+        .otherwise("partner")
+    )
+    d = scratch_dir("schema_evo_") + "/orders"
+    # generation 1: before o_channel existed
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(d)
+    # generation 2: the column added — APPENDED into the same directory
+    orders.select(
+        "o_orderkey", "o_totalprice", channel.alias("o_channel")
+    ).write.mode("append").parquet(d)
+    current = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_channel", StringType()),
+        ]
+    )
+    mixed = read_parquet_evolved(spark, d, schema=current)
+    return mixed.groupBy("o_channel").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )

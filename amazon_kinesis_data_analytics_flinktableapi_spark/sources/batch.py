@@ -103,3 +103,43 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same pushdown/pruning contract as parquet (predicate
     pushdown + column pruning are native in both readers)."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a directory of MIXED-GENERATION parquet files — the schema-
+    evolution read path every long-lived ingest pipeline needs (columns
+    get ADDED over time; old files lack them).
+
+    Two modes, production-first:
+
+    * ``schema=`` (a ``StructType``) — the declared CURRENT schema.
+      Files written before a column existed yield NULL for it; columns a
+      file carries that the declared schema dropped are pruned at the
+      scan.  This is the 100 TB path: no footer discovery pass (the
+      declared schema IS the contract), scan-level column pruning and
+      predicate pushdown work unchanged, and a type CONFLICT (a column
+      re-typed between generations) fails loudly at read instead of
+      corrupting silently.
+    * ``merge_schema=True`` — Spark unions every file footer's schema
+      (``mergeSchema``).  The DISCOVERY path: use it to learn what a
+      directory actually contains, then pin the result as a declared
+      schema.  At scale it reads every footer up front — deliberately
+      not the default.
+
+    Exactly one of the two must be chosen; both timestamps flavors are
+    normalized at this boundary like every other engine read."""
+    if (schema is None) == (not merge_schema):
+        raise ValueError(
+            "choose exactly one mode: declared schema= (production) or "
+            "merge_schema=True (discovery)"
+        )
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    return normalize_timestamps(df)

@@ -187,3 +187,62 @@ def test_three_sigma_outlier_exact_in_int64_overflow_regime(spark):
         for x, n, s, s2 in cases
     ]
     assert wrapped != exact, "overflow regime not actually exercised"
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution read path (r16): mixed-generation parquet through one
+# declared schema — NULL fill for pre-column files, pruning of dropped
+# columns, mergeSchema discovery mode, exactly-one-mode guard
+# ---------------------------------------------------------------------------
+
+def test_read_parquet_evolved_declared_schema_null_fills(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet_evolved
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1,), (2,)], "a: long").write.mode("overwrite").parquet(d)
+    spark.createDataFrame([(3, "x")], "a: long, b: string").write.mode("append").parquet(d)
+    cur = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    rows = {r.a: r.b for r in read_parquet_evolved(spark, d, schema=cur).collect()}
+    # gen-1 rows surface the added column as NULL; gen-2 keeps its value
+    assert rows == {1: None, 2: None, 3: "x"}
+
+
+def test_read_parquet_evolved_declared_schema_prunes_dropped_columns(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet_evolved
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, "junk")], "a: long, legacy: string").write.parquet(d)
+    cur = StructType([StructField("a", LongType())])
+    df = read_parquet_evolved(spark, d, schema=cur)
+    assert df.columns == ["a"] and df.collect()[0].a == 1
+    # and the scan itself reads only the declared column (column pruning)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<a:bigint>" in plan
+
+
+def test_read_parquet_evolved_merge_schema_discovery(spark, tmp_path):
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet_evolved
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "a: long").write.mode("overwrite").parquet(d)
+    spark.createDataFrame([(2, "x")], "a: long, b: string").write.mode("append").parquet(d)
+    df = read_parquet_evolved(spark, d, merge_schema=True)
+    assert sorted(df.columns) == ["a", "b"]
+    assert {(r.a, r.b) for r in df.collect()} == {(1, None), (2, "x")}
+
+
+def test_read_parquet_evolved_requires_exactly_one_mode(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet_evolved
+
+    cur = StructType([StructField("a", LongType())])
+    with pytest.raises(ValueError, match="exactly one mode"):
+        read_parquet_evolved(spark, str(tmp_path), schema=None, merge_schema=False)
+    with pytest.raises(ValueError, match="exactly one mode"):
+        read_parquet_evolved(spark, str(tmp_path), schema=cur, merge_schema=True)
