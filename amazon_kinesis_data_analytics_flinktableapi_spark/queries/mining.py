@@ -20,7 +20,6 @@ from pyspark.sql.window import Window
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.queries import DUCK_TOKS, load, nse_oracle, query, scratch_dir
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
-    finite_embedding,
     swallow_malformed_embeddings,
 )
 
