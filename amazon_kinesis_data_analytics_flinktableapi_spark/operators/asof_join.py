@@ -31,6 +31,7 @@ def as_of_join(
     how: str = "left_outer",
     tie_breakers: list[str] | None = None,
     direction: str = "backward",
+    nearest_strategy: str = "single",
 ) -> DataFrame:
     """Latest-right-at-or-before join within ``horizon`` (``backward``),
     earliest-right-at-or-after (``direction="forward"`` — "the next quote
@@ -76,21 +77,35 @@ def as_of_join(
 
     t_ord = F.col(f"r_{right_time}")
     if direction == "nearest":
-        # union of the two one-sided joins: candidate window (t−h, t+h),
-        # Δt = 0 rows appear in BOTH branches as identical rows (rank-1
-        # keeps one); unmatched-left NULL rows sort last, so a left row
-        # emits its NULL row only when NEITHER side matched.  Ordering is
-        # exact integer micros — no float time compare.
-        # COST (ADVICE r15): two independent bucketed joins means the
-        # left side is scanned/shuffled TWICE and exact-time matches
-        # materialize in both branches — ~2× the one-sided join cost.
-        # The single-shuffle alternative (explode right into 3 adjacent
-        # buckets, residual |Δt| < horizon) halves that but changes the
-        # bucketed join's half-open residual into a symmetric one;
-        # measured at the current scale the union form's extra scan is
-        # cheaper than maintaining a second residual contract — revisit
-        # if nearest ever joins a fact-sized left side.
-        picked = picked_for("backward").unionAll(picked_for("forward"))
+        # Two physical strategies, identical semantics (both pinned by the
+        # hypothesis property suite + the pandas merge_asof cross-check in
+        # tests/test_asof_property.py; ``nearest_strategy`` selects):
+        #
+        # * "single" (default, r16): ONE symmetric bucketed join —
+        #   interval_join_bucketed(direction="nearest") explodes the right
+        #   side into 3 adjacent buckets with residual (t−h, t+h), the
+        #   exact union of backward (t−h, t] and forward [t, t+h).  Left
+        #   scanned/shuffled ONCE, total shuffle volume L + 3R (the
+        #   work-optimal plan for a throughput-bound cluster, and the one
+        #   that wins when the left is fact-sized — ADVICE r15's named 2×
+        #   left cost retired).
+        # * "union": the two one-sided bucketed joins unioned (2L + 4R
+        #   total work) — Spark schedules the independent branches
+        #   concurrently, which can win WALL-CLOCK on an underutilized
+        #   box; Δt = 0 matches materialize in both branches as identical
+        #   rows (rank-1 keeps one).
+        #
+        # Either way: ordering is exact integer micros — no float time
+        # compare; unmatched-left NULL rows sort last, so a left row emits
+        # its NULL row only when nothing matched on either side.
+        if nearest_strategy == "single":
+            picked = picked_for("nearest")
+        elif nearest_strategy == "union":
+            picked = picked_for("backward").unionAll(picked_for("forward"))
+        else:
+            raise ValueError(
+                f"nearest_strategy must be 'single' or 'union', got {nearest_strategy!r}"
+            )
         delta = F.abs(F.unix_micros(t_ord) - F.unix_micros(F.col(left_time)))
         order = [delta.asc_nulls_last(), t_ord.asc_nulls_last()]
     else:

@@ -139,7 +139,13 @@ def _range_cond(lt: Column, rt: Column, interval: str, direction: str) -> Column
         return (lt >= rt) & (rt > lt - iv)
     if direction == "forward":
         return (rt >= lt) & (rt < lt + iv)
-    raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction == "nearest":
+        # the exact union of backward (t−W, t] and forward [t, t+W):
+        # the symmetric open window (t−W, t+W) — t itself matches once
+        return (rt > lt - iv) & (rt < lt + iv)
+    raise ValueError(
+        f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+    )
 
 
 def _interval_micros(spark, interval: str) -> int:
@@ -205,13 +211,15 @@ def interval_join_bucketed(
     """
     normalized_how = how.lower().replace("_", "")
     if normalized_how in ("rightouter", "right", "fullouter", "full", "outer"):
-        # the 2x right-side explode makes right-preserving joins WRONG here:
-        # an unmatched right row has two bucket copies, both unmatched, so
-        # it would emit twice.  Use the naive interval_join for those.
+        # the 2x (3x for nearest) right-side explode makes right-preserving
+        # joins WRONG here: an unmatched right row has one copy per bucket,
+        # all unmatched, so it would emit that many times.  Use the naive
+        # interval_join for those.
         raise ValueError(
             f"interval_join_bucketed does not support how={how!r}: the right "
-            "side is bucket-exploded 2x, so right-preserving joins would emit "
-            "unmatched right rows twice — use interval_join for right/full outer"
+            "side is bucket-exploded per adjacent bucket, so right-preserving "
+            "joins would emit unmatched right rows multiple times — use "
+            "interval_join for right/full outer"
         )
     spark = left.sparkSession
     w_us = _interval_micros(spark, interval)
@@ -230,9 +238,26 @@ def interval_join_bucketed(
     l = left.withColumn("__bucket", F.floor(F.unix_micros(F.col(left_time)) / F.lit(w_us))).alias("l")
     r_b = right.withColumn("__b0", F.floor(F.unix_micros(F.col(right_time)) / F.lit(w_us)))
     # backward: s ∈ (t−W, t] ⇒ b(t) ∈ {b(s), b(s)+1}; forward: s ∈ [t, t+W)
-    # ⇒ b(t) ∈ {b(s)−1, b(s)} — either way the right side explodes exactly 2×
-    shift = 1 if direction == "backward" else -1
-    r = r_b.withColumn("__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + shift))).drop("__b0").alias("r")
+    # ⇒ b(t) ∈ {b(s)−1, b(s)} — either way the right side explodes exactly
+    # 2×.  nearest (r16): s ∈ (t−W, t+W) ⇒ b(t) ∈ {b(s)−1, b(s), b(s)+1} —
+    # 3× explode, ONE join/shuffle, vs the old union of the two one-sided
+    # joins (2 joins, 4 bucket-rows per right row, the left side scanned
+    # and shuffled twice — ADVICE r15's named cost, now retired).
+    # Distinct buckets per copy ⇒ each (l, r) pair still matches at most
+    # once; no post-join dedup in ANY direction.
+    all_shifts = {"backward": [0, 1], "forward": [0, -1], "nearest": [0, 1, -1]}
+    if direction not in all_shifts:
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
+    shifts = all_shifts[direction]
+    r = (
+        r_b.withColumn(
+            "__bucket", F.explode(F.array(*[F.col("__b0") + s for s in shifts]))
+        )
+        .drop("__b0")
+        .alias("r")
+    )
 
     cond = F.col("l.__bucket") == F.col("r.__bucket")
     for k in keys:
