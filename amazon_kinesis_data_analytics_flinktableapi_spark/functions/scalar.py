@@ -143,23 +143,57 @@ def finite_embedding(col: Column | str) -> Column:
 #: lambda (~7.6 µs/vector even after the r15 cheapening) on every scan.
 EMB_FINITE_COL = "emb_is_finite"
 
+#: column-metadata key stamping which vector column a validity bit was
+#: computed over (ADVICE r16: trust-by-name alone let a bit written for
+#: one column silently filter another)
+EMB_FINITE_SOURCE_KEY = "amazon_kinesis_data_analytics_flinktableapi_spark.emb_finite_source"
+
+
+def finite_flag_col(vec_col: str) -> str:
+    """Canonical validity-bit column name for ``vec_col``.  The default
+    vector column keeps the historical short name (written corpora and
+    the ``embedding_prepared_finite`` oracle depend on it); any other
+    vector column gets a name derived from its own — so a bit written
+    for ``embedding`` can never be matched by a swallow over
+    ``embedding_q`` (ADVICE r16)."""
+    return EMB_FINITE_COL if vec_col == "embedding" else f"{vec_col}__is_finite"
+
 
 def swallow_malformed_embeddings(df, vec_col: str = "embedding"):
     """The malformed-vector swallow, preferring the ingest-time validity
-    bit: if ``df`` carries :data:`EMB_FINITE_COL`, filter on that column
-    (single codegen'd boolean comparison, pushed down to the parquet
-    scan); otherwise fall back to the :func:`finite_embedding` lambda.
+    bit: if ``df`` carries :func:`finite_flag_col` FOR THIS ``vec_col``,
+    filter on that column (single codegen'd boolean comparison, pushed
+    down to the parquet scan); otherwise fall back to the
+    :func:`finite_embedding` lambda.
 
-    Contract: when present, the column is TRUSTED as written by
-    ``with_embedding_validity`` over the SAME vector column (TRUE for
-    NULL vectors — the NULL-stays-in policy — and for all-finite arrays;
-    FALSE for any NaN/±inf/NULL element).  A pipeline that mutates
-    vectors after preparation must drop or rewrite the bit.
+    Contract: when present under its vec_col-derived name, the column is
+    TRUSTED as written by ``with_embedding_validity`` over the SAME
+    vector column (TRUE for NULL vectors — the NULL-stays-in policy —
+    and for all-finite arrays; FALSE for any NaN/±inf/NULL element).  A
+    pipeline that mutates vectors after preparation must drop or rewrite
+    the bit.  Two enforcement layers beyond the docstring (ADVICE r16):
+
+    * the flag NAME is derived from ``vec_col`` — a swallow over a
+      non-default vector column cannot match a bit written for
+      ``embedding``, it falls back to the lambda on its own column;
+    * when the flag column carries the :data:`EMB_FINITE_SOURCE_KEY`
+      metadata stamp (written by ``with_embedding_validity``, survives a
+      parquet roundtrip in the Spark schema footer), a stamp naming a
+      DIFFERENT source column raises instead of filtering on a
+      mismatched bit.  Pre-stamp corpora (r16 writes) have no metadata
+      and keep the documented trust-by-name behavior.
 
     This is the pipeline-shape fix for the lambda's per-vector cost at
     100 TB (SCALING.md "r16: ingest-time validity bit"): validity is
     computed once at ingest where the bytes are already in cache, not on
     each of the dozens of scans a curation run makes over the corpus."""
-    if EMB_FINITE_COL in df.columns:
-        return df.filter(F.col(EMB_FINITE_COL))
+    flag = finite_flag_col(vec_col)
+    if flag in df.columns:
+        src = df.schema[flag].metadata.get(EMB_FINITE_SOURCE_KEY)
+        if src is not None and src != vec_col:
+            raise ValueError(
+                f"validity bit {flag!r} was written for column {src!r}, "
+                f"not {vec_col!r} — drop or rewrite it"
+            )
+        return df.filter(F.col(flag))
     return df.filter(finite_embedding(vec_col))

@@ -28,29 +28,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
-    EMB_FINITE_COL,
+    EMB_FINITE_SOURCE_KEY,
     finite_embedding,
+    finite_flag_col,
 )
 
 
 def with_embedding_validity(
-    df: DataFrame, vec_col: str = "embedding", flag_col: str = EMB_FINITE_COL
+    df: DataFrame, vec_col: str = "embedding", flag_col: str | None = None
 ) -> DataFrame:
-    """Add the ingest-time validity bit: ``flag_col`` is TRUE for NULL
-    vectors (NULL-stays-in policy) and for arrays whose every element is
-    a finite non-NULL double; FALSE for any NaN/±inf/NULL element —
-    exactly :func:`finite_embedding`'s three-valued contract, so the
-    prepared and lambda paths are row-for-row interchangeable.
+    """Add the ingest-time validity bit: ``flag_col`` (default: the
+    vec_col-derived :func:`finite_flag_col` name, ADVICE r16) is TRUE
+    for NULL vectors (NULL-stays-in policy) and for arrays whose every
+    element is a finite non-NULL double; FALSE for any NaN/±inf/NULL
+    element — exactly :func:`finite_embedding`'s three-valued contract,
+    so the prepared and lambda paths are row-for-row interchangeable.
+
+    The bit carries an :data:`EMB_FINITE_SOURCE_KEY` metadata stamp
+    naming ``vec_col`` — Spark persists column metadata in the parquet
+    footer's schema blob, so downstream swallows can verify the bit was
+    written for the column they are filtering (and raise on a mismatch).
 
     Refuses an input that already carries ``flag_col``: silently
     overwriting it could mask a stale bit written against a DIFFERENT
     vector column, which the trust contract cannot survive."""
+    if flag_col is None:
+        flag_col = finite_flag_col(vec_col)
     if flag_col in df.columns:
         raise ValueError(
             f"input already has {flag_col!r} — drop it first if the "
             "vectors were mutated since it was written"
         )
-    return df.withColumn(flag_col, finite_embedding(vec_col))
+    return df.withColumn(
+        flag_col,
+        finite_embedding(vec_col).alias(
+            flag_col, metadata={EMB_FINITE_SOURCE_KEY: vec_col}
+        ),
+    )
 
 
 def write_prepared_embeddings(

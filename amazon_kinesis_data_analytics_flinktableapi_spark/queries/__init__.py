@@ -153,89 +153,172 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 16 window (first 50 = the driver's correctness gate) ----------
-    # Standing OLDEST-FIRST ROTATION (policy set r9): new queries enter on
-    # their first round, CHANGED surfaces take precedence over staleness,
-    # remaining slots go to the oldest-attested names.  r16 window
-    # (VERDICT r15 #1 verbatim): the THIRTEEN late-r15 queries that entered
-    # past the r15 window capacity (never driver-attested; judge-replica-
-    # green 243/243 at r15) LEAD — this set also contains every r16-changed
-    # surface (hybrid_search_rrf widened to the 5-query frame per VERDICT
-    # #5; minhash_band_sweep_report / dedup_cluster_purity_report gained
-    # cache-scoping per ADVICE r15), so the changed-surface precedence and
-    # the never-attested precedence coincide.  Then 37 of the 40-query
-    # r11-stale block.  WINDOW ARITHMETIC (honest): 13 never-attested +
-    # 40 r11-stale = 53 > 50 slots, so VERDICT #1's two goals (zero
-    # never-attested AND min(last-green) >= r12) cannot BOTH complete in
-    # one 50-slot window; zero-never-attested wins (it is the signal of
-    # record), and the 3 deferred r11 names sit at positions 51-53 to
-    # lead the r17 window.  New r16 queries are inserted after the 13
-    # (displacing one more r11 name past the boundary each).
+    # --- round 17 window (first 50 = the driver's correctness gate) --------
+    # Standing OLDEST-FIRST ROTATION (policy set r9).  r17 window (VERDICT
+    # r16 #2 verbatim): lead with the FIVE r11-stale names, fill with 45 of
+    # the 49 r12-stale.  WINDOW ARITHMETIC (honest): 5 + 49 = 54 > 50 slots,
+    # so 4 r12 names defer to positions 51-54 (they lead the r18 window).
+    # Deferral rule: prefer names whose coverage is a strict subset of an
+    # in-window sibling — kinesis_reshard_roundtrip (subset of the in-window
+    # kinesis_reshard_chain_roundtrip), kinesis_merge_roundtrip (subset of
+    # kinesis_merge_interval_join), kinesis_fake_sdk_roundtrip (the
+    # translating + throttled SDK roundtrips exercise the same seam harder),
+    # streaming_kinesis_roundtrip (streaming_kinesis_tumbling +
+    # kinesis_interval_join cover the same read path plus an operator).
+    # Fixes ADVICE r16 #1: the r16 comment said 35-of-40 but listed 36 fill
+    # names, leaving window_moving_avg at position 51 — it now LEADS.
 
-    # never-driver-attested (late r15) + r16-changed surfaces
-    "asof_join_nearest",
-    "minhash_band_sweep_report",
-    "clean_retention_funnel",
-    "script_mix_profile",
-    "hybrid_search_rrf",
-    "ann_int8_topk",
-    "tvd_drift_by_source",
-    "rq_encode_report",
-    "ivfpq_recall_report",
-    "cluster_topic_terms",
-    "dedup_cluster_purity_report",
-    "doc_embedding_coverage_report",
-    "embedding_centroid_drift",
-    # NEW r16: ingest-time validity-bit attestation (VERDICT r15 #3)
-    "embedding_prepared_finite",
-    # NEW r16: mixed-generation parquet read through a declared schema
-    "schema_evolution_read",
-    # r11-stale block, oldest-first fill (35 of 40; one more displaced
-    # past the boundary by each of the two new r16 queries, per the
-    # arithmetic above)
-    "approx_sketches",
-    "approx_sketches_bounds",
-    "binned_quantile_estimate",
-    "bloom_contamination_screen",
-    "cms_frequency_sketch",
-    "cogroup_asof_pandas",
-    "cusum_changepoint",
-    "dedup_pipeline_report",
-    "duplicate_span_removal",
-    "embedding_gram_matrix",
-    "event_transition_matrix",
-    "incremental_agg_merge",
-    "incremental_dedup",
-    "json_extract_agg",
-    "kmv_set_ops",
-    "lag_lead_gaps",
-    "media_decode_meta",
-    "media_resize",
-    "pandas_udaf_weighted_avg",
-    "rolling_anomaly_flags",
-    "rolling_fingerprint",
-    "seasonal_residual_flags",
-    "session_gaps_islands",
-    "sliding_window_events",
-    "snapshot_cdc_diff",
-    "split_leakage_audit",
-    "streaming_cms_sketch",
-    "streaming_gram_matrix",
-    "streaming_incremental_dedup",
-    "streaming_running_aggregate",
-    "streaming_sequence_detect",
-    "streaming_session_window",
-    "template_doc_detect",
-    "theilsen_trend",
-    "token_stats",
+    # r11-stale (last driver attestation: CORRECTNESS_r11) — all five
     "window_moving_avg",
-    # --- window boundary: positions 51+ (r17 leads) ---
-    # 4 r11-stale deferred by capacity (see arithmetic above)
     "window_running_distinct",
     "feature_hash_vector",
     "weighted_sample_topk",
     "streaming_static_enrich",
-    # --- previously attested tail (r12-r15), prior relative order kept ---
+    # r12-stale fill, current relative order kept (45 of 49)
+    "tpch_q5_local_supplier_volume",
+    "prefix_filter_setjoin",
+    "char_entropy_score",
+    "bpe_merge_step",
+    "bigram_surprisal_score",
+    "pmi_collocations",
+    "pca_power_iteration",
+    "pca_outlier_scores",
+    "embedding_dim_variance",
+    "triangle_count_graph",
+    "pagerank_dup_graph",
+    "link_prediction_common_neighbors",
+    "attribution_last_touch",
+    "cohort_retention",
+    "recursive_ewma_rates",
+    "winsorize_outliers",
+    "chisq_priority_status",
+    "join_key_skew_report",
+    "variant_semistructured",
+    "xml_roundtrip_extract",
+    "tpch_q11_important_stock",
+    "tpch_q18_large_volume_customer",
+    "tpch_q12_late_priority",
+    "temperature_mixture_sample",
+    "neardup_jaccard",
+    "dedup_clusters",
+    "dedup_fingerprint",
+    "containment_neardup",
+    "dedup_minhash_lsh",
+    "edit_distance_verify",
+    "canonical_doc_select",
+    "minhash_accuracy_report",
+    "kinesis_throttled_roundtrip",
+    "kinesis_translating_sdk_roundtrip",
+    "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
+    "kinesis_reshard_chain_roundtrip",
+    "kinesis_merge_interval_join",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "pii_redaction",
+    # --- window boundary: positions 51+ (r18 leads) ---
+    # the 4 r12-stale deferred by capacity (see deferral rule above)
+    "kinesis_reshard_roundtrip",
+    "kinesis_merge_roundtrip",
+    "kinesis_fake_sdk_roundtrip",
+    "streaming_kinesis_roundtrip",
+    # --- previously attested tail, oldest-attested-first (r13..r16), ties
+    # keep prior relative order — sets up the r18+ rotation mechanically ---
+    "duplicate_span_detect_anchored",
+    "duplicate_span_removal_anchored",
+    "winnowing_fingerprint_stats",
+    "heavy_hitters_countmin",
+    "source_overlap_report",
+    "trigram_backoff_surprisal",
+    "encoding_artifact_signals",
+    "boilerplate_chunk_removal",
+    "zorder_layout",
+    "tpch_q15_top_supplier",
+    "topp_cumulative_share",
+    "global_sort_index",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "pivot_status_by_priority",
+    "set_ops",
+    "join_semi",
+    "join_anti",
+    "string_functions",
+    "math_functions",
+    "stat_aggregates",
+    "correlated_subquery",
+    "pandas_grouped_zscore",
+    "python_udtf_bigrams",
+    "range_frame_window",
+    "robust_stats_mad",
+    "rank_family",
+    "window_value_family",
+    "table_profile",
+    "integrity_audit",
+    "merge_upsert_snapshot",
+    "map_functions",
+    "try_arithmetic",
+    "tpch_q13_custdist",
+    "tpch_q22_idle_customers",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q19_disjunctive_join",
+    "ann_lsh_topk",
+    "embedding_neardup_wide",
+    "duplicate_span_detect",
+    "bm25_rank",
+    "interval_join",
+    "grouped_median_select",
+    "grouped_percentiles_select",
+    "robust_mad_select",
+    "token_budget_waterfill",
+    "pq_encode_report",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "quality_classifier_score",
+    "streaming_quality_filter",
+    "exact_median_select",
+    "bpe_train_merges",
+    "bpe_encode_token_counts",
+    "token_budget_select",
+    "sequence_packing",
+    "ann_ivf_topk",
+    "ann_recall_report",
+    "embedding_neardup",
+    "semantic_dedup",
+    "array_agg_sorted",
+    "array_hof_pipeline",
+    "asof_forward_join",
+    "asof_join_latest_rate",
+    "bpe_token_estimate",
+    "cascaded_rollup",
+    "contamination_ngram_overlap",
+    "corpus_clean_pipeline",
+    "dedup_simhash",
+    "event_sequence_detect",
+    "explode_token_frequencies",
+    "funnel_steps",
+    "interval_join_forward",
+    "kmv_distinct_sketch",
+    "lang_id",
+    "media_frame_sample",
+    "null_scalars",
+    "projection_filter",
+    "quality_score",
+    "self_range_join",
+    "set_intersect",
+    "streaming_chained_windows",
+    "streaming_sliding_window",
+    "streaming_topk_complete",
+    "timeseries_gap_fill",
+    "timeseries_interpolate",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q4_priority_check",
+    "tpch_q6_revenue_delta",
     "scd2_history_build",
     "rfm_segmentation",
     "media_phash_neardup",
@@ -286,149 +369,57 @@ _PRIORITY: list[str] = [
     "value_histogram",
     "window_rank",
     "currency_conversion",
-    "grouped_median_select",
-    "grouped_percentiles_select",
-    "robust_mad_select",
-    "token_budget_waterfill",
-    "pq_encode_report",
-    "pq_adc_topk",
-    "ivfpq_topk",
-    "quality_classifier_score",
-    "streaming_quality_filter",
-    "exact_median_select",
-    "bpe_train_merges",
-    "bpe_encode_token_counts",
-    "token_budget_select",
-    "sequence_packing",
-    "ann_ivf_topk",
-    "ann_recall_report",
-    "embedding_neardup",
-    "semantic_dedup",
-    "array_agg_sorted",
-    "array_hof_pipeline",
-    "asof_forward_join",
-    "asof_join_latest_rate",
-    "bpe_token_estimate",
-    "cascaded_rollup",
-    "contamination_ngram_overlap",
-    "corpus_clean_pipeline",
-    "dedup_simhash",
-    "event_sequence_detect",
-    "explode_token_frequencies",
-    "funnel_steps",
-    "interval_join_forward",
-    "kmv_distinct_sketch",
-    "lang_id",
-    "media_frame_sample",
-    "null_scalars",
-    "projection_filter",
-    "quality_score",
-    "self_range_join",
-    "set_intersect",
-    "streaming_chained_windows",
-    "streaming_sliding_window",
-    "streaming_topk_complete",
-    "timeseries_gap_fill",
-    "timeseries_interpolate",
-    "tpch_q10_returned_revenue",
-    "tpch_q14_promo_share",
-    "tpch_q4_priority_check",
-    "tpch_q6_revenue_delta",
-    "duplicate_span_detect_anchored",
-    "duplicate_span_removal_anchored",
-    "winnowing_fingerprint_stats",
-    "heavy_hitters_countmin",
-    "source_overlap_report",
-    "trigram_backoff_surprisal",
-    "encoding_artifact_signals",
-    "boilerplate_chunk_removal",
-    "zorder_layout",
-    "tpch_q15_top_supplier",
-    "topp_cumulative_share",
-    "global_sort_index",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "pivot_status_by_priority",
-    "set_ops",
-    "join_semi",
-    "join_anti",
-    "string_functions",
-    "math_functions",
-    "stat_aggregates",
-    "correlated_subquery",
-    "pandas_grouped_zscore",
-    "python_udtf_bigrams",
-    "range_frame_window",
-    "robust_stats_mad",
-    "rank_family",
-    "window_value_family",
-    "table_profile",
-    "integrity_audit",
-    "merge_upsert_snapshot",
-    "map_functions",
-    "try_arithmetic",
-    "tpch_q13_custdist",
-    "tpch_q22_idle_customers",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q19_disjunctive_join",
-    "ann_lsh_topk",
-    "embedding_neardup_wide",
-    "duplicate_span_detect",
-    "bm25_rank",
-    "interval_join",
-    "tpch_q5_local_supplier_volume",
-    "prefix_filter_setjoin",
-    "char_entropy_score",
-    "bpe_merge_step",
-    "bigram_surprisal_score",
-    "pmi_collocations",
-    "pca_power_iteration",
-    "pca_outlier_scores",
-    "embedding_dim_variance",
-    "triangle_count_graph",
-    "pagerank_dup_graph",
-    "link_prediction_common_neighbors",
-    "attribution_last_touch",
-    "cohort_retention",
-    "recursive_ewma_rates",
-    "winsorize_outliers",
-    "chisq_priority_status",
-    "join_key_skew_report",
-    "variant_semistructured",
-    "xml_roundtrip_extract",
-    "tpch_q11_important_stock",
-    "tpch_q18_large_volume_customer",
-    "tpch_q12_late_priority",
-    "temperature_mixture_sample",
-    "neardup_jaccard",
-    "dedup_clusters",
-    "dedup_fingerprint",
-    "containment_neardup",
-    "dedup_minhash_lsh",
-    "edit_distance_verify",
-    "canonical_doc_select",
-    "minhash_accuracy_report",
-    "kinesis_throttled_roundtrip",
-    "kinesis_translating_sdk_roundtrip",
-    "kinesis_fake_sdk_roundtrip",
-    "kinesis_interval_join",
-    "streaming_kinesis_tumbling",
-    "kinesis_merge_roundtrip",
-    "kinesis_reshard_chain_roundtrip",
-    "kinesis_merge_interval_join",
-    "streaming_kinesis_roundtrip",
-    "kinesis_reshard_roundtrip",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "pii_redaction",
+    "asof_join_nearest",
+    "minhash_band_sweep_report",
+    "clean_retention_funnel",
+    "script_mix_profile",
+    "hybrid_search_rrf",
+    "ann_int8_topk",
+    "tvd_drift_by_source",
+    "rq_encode_report",
+    "ivfpq_recall_report",
+    "cluster_topic_terms",
+    "dedup_cluster_purity_report",
+    "doc_embedding_coverage_report",
+    "embedding_centroid_drift",
+    "embedding_prepared_finite",
+    "schema_evolution_read",
+    "approx_sketches",
+    "approx_sketches_bounds",
+    "binned_quantile_estimate",
+    "bloom_contamination_screen",
+    "cms_frequency_sketch",
+    "cogroup_asof_pandas",
+    "cusum_changepoint",
+    "dedup_pipeline_report",
+    "duplicate_span_removal",
+    "embedding_gram_matrix",
+    "event_transition_matrix",
+    "incremental_agg_merge",
+    "incremental_dedup",
+    "json_extract_agg",
+    "kmv_set_ops",
+    "lag_lead_gaps",
+    "media_decode_meta",
+    "media_resize",
+    "pandas_udaf_weighted_avg",
+    "rolling_anomaly_flags",
+    "rolling_fingerprint",
+    "seasonal_residual_flags",
+    "session_gaps_islands",
+    "sliding_window_events",
+    "snapshot_cdc_diff",
+    "split_leakage_audit",
+    "streaming_cms_sketch",
+    "streaming_gram_matrix",
+    "streaming_incremental_dedup",
+    "streaming_running_aggregate",
+    "streaming_sequence_detect",
+    "streaming_session_window",
+    "template_doc_detect",
+    "theilsen_trend",
+    "token_stats",
 ]
-
-
 def _reorder_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:

@@ -18,29 +18,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Best-effort probe for parquet ``timestamp[ns]`` columns via ONE
-    driver-local footer read.  Descends into subdirectories (hive-style
+def _nanos_timestamp_columns(path: str, all_files: bool = False) -> list[str]:
+    """Best-effort probe for parquet ``timestamp[ns]`` columns via
+    driver-local footer reads.  Descends into subdirectories (hive-style
     ``col=val`` partitioned datasets keep their part files below the
     top level) and returns [] for paths this process cannot stat (remote
     URIs like s3://): the probe must never fail a read Spark itself
     could serve — worst case an exotic remote ns column surfaces as a
-    long, the pre-probe behavior for every table."""
+    long, the pre-probe behavior for every table.
+
+    ``all_files=False`` (default) reads ONE footer — the homogeneous-table
+    fast path ``read_parquet`` uses.  ``all_files=True`` reads every
+    footer and unions the ns column names — only for callers that already
+    pay a full footer pass (``read_parquet_evolved(merge_schema=True)``:
+    Spark's mergeSchema reads every footer anyway, so the probe adds no
+    asymptotic cost, ADVICE r16)."""
     import pyarrow.parquet as pq
 
     if not os.path.exists(path):
         return []
+    targets: list[str] = []
     if os.path.isdir(path):
         for root, dirs, files in os.walk(path):
             dirs.sort()
             inner = sorted(f for f in files if f.endswith(".parquet"))
             if inner:
-                path = os.path.join(root, inner[0])
-                break
-        else:
+                targets.extend(os.path.join(root, f) for f in inner)
+                if not all_files:
+                    targets = targets[:1]
+                    break
+        if not targets:
             return []
-    schema = pq.read_schema(path)
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    else:
+        targets = [path]
+    out: list[str] = []
+    for t in targets:
+        schema = pq.read_schema(t)
+        out.extend(f.name for f in schema if str(f.type) == "timestamp[ns]")
+    return sorted(set(out))
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -131,8 +146,25 @@ def read_parquet_evolved(
       schema.  At scale it reads every footer up front — deliberately
       not the default.
 
-    Exactly one of the two must be chosen; both timestamps flavors are
-    normalized at this boundary like every other engine read."""
+    Exactly one of the two must be chosen.  Timestamp flavors at this
+    boundary (ADVICE r16 — this reader used to skip ``read_parquet``'s
+    ns probe):
+
+    * NTZ → LTZ is normalized in both modes (``normalize_timestamps``).
+    * parquet ``timestamp[ns]`` in DISCOVERY mode: the probe walks every
+      footer (mergeSchema already pays that full pass, so no added
+      asymptotic cost) and DIV-1000-converts the resulting long columns
+      to µs timestamps, same as ``read_parquet``.  A column that is ns
+      in one generation and µs in another fails Spark's own schema merge
+      loudly (CANNOT_MERGE_SCHEMAS: BIGINT vs TIMESTAMP — verified) —
+      that IS a re-type between generations, the conflict this reader
+      refuses to paper over.
+    * parquet ``timestamp[ns]`` in DECLARED mode is UNSUPPORTED: the
+      declared schema is a µs contract, and a TimestampType declaration
+      over an ns file fails loudly at scan
+      (PARQUET_COLUMN_DATA_TYPE_MISMATCH — verified), never silently.
+      Rewrite ns generations to µs (or read them via ``read_parquet``)
+      before pinning a declared schema."""
     if (schema is None) == (not merge_schema):
         raise ValueError(
             "choose exactly one mode: declared schema= (production) or "
@@ -142,4 +174,10 @@ def read_parquet_evolved(
         df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.option("mergeSchema", "true").parquet(path)
+        for c in _nanos_timestamp_columns(path, all_files=True):
+            # only convert when the merged schema actually surfaced the
+            # column as the nanosAsLong long (a probe false-positive on a
+            # stat-able path that Spark read differently must not corrupt)
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return normalize_timestamps(df)

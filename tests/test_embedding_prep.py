@@ -111,6 +111,56 @@ def test_prepared_finite_query_attests_agreement(spark):
     assert 0 < r.n_total and r.n_flag_finite <= r.n_total
 
 
+def test_swallow_ignores_default_flag_for_other_vec_col(spark, tmp_path):
+    """ADVICE r16: a bit written for 'embedding' must NOT be matched by a
+    swallow over a different vector column — the flag name is derived
+    from vec_col, so the non-default swallow falls back to the lambda on
+    its OWN column."""
+    dst = str(tmp_path / "emb")
+    write_prepared_embeddings(_hostile_df(spark), dst)
+    # add a second vector column whose values disagree with the bit:
+    # vec_id 3 (NaN under 'embedding') gets a CLEAN second vector
+    prep = spark.read.parquet(dst).withColumn(
+        "embedding_q", F.when(F.col("vec_id") == 3, F.array(F.lit(9.0))).otherwise(F.col("embedding"))
+    )
+    out = swallow_malformed_embeddings(prep, vec_col="embedding_q")
+    # row 3 survives (its embedding_q is clean) even though emb_is_finite
+    # says FALSE — proof the stale default bit was not consulted
+    assert 3 in {r.vec_id for r in out.collect()}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "forall" in plan  # lambda fallback, not the mismatched bit
+
+
+def test_swallow_raises_on_metadata_source_mismatch(spark, tmp_path):
+    """The metadata stamp survives a parquet roundtrip and a bit renamed
+    onto another column's flag name raises instead of filtering."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.functions.scalar import (
+        EMB_FINITE_SOURCE_KEY,
+        finite_flag_col,
+    )
+
+    dst = str(tmp_path / "emb")
+    # prepare a NON-default vector column; its flag gets the derived name
+    df2 = _hostile_df(spark).withColumnRenamed("embedding", "embedding_q")
+    prep = with_embedding_validity(df2, vec_col="embedding_q")
+    prep.write.mode("overwrite").parquet(dst)
+    back = spark.read.parquet(dst)
+    flag = finite_flag_col("embedding_q")
+    # stamp survived the roundtrip
+    assert back.schema[flag].metadata.get(EMB_FINITE_SOURCE_KEY) == "embedding_q"
+    # happy path: swallow over the column the bit was written for works
+    n = swallow_malformed_embeddings(back, vec_col="embedding_q").count()
+    assert n == sum(1 for _, _, ok in HOSTILE if ok)
+    # hostile path: rename the flag onto the DEFAULT column's flag name
+    # with a default-named vector column present — name matches, stamp
+    # does not → raise, never filter on the mismatched bit
+    forged = back.withColumnRenamed(flag, finite_flag_col("embedding")).withColumn(
+        "embedding", F.col("embedding_q")
+    )
+    with pytest.raises(ValueError, match="was written for column"):
+        swallow_malformed_embeddings(forged, vec_col="embedding")
+
+
 def test_nan_literal_roundtrip_assumption():
     # pin the fixture's own sanity: NaN really is NaN after the tuple trip
     assert math.isnan(HOSTILE[3][1][0])

@@ -235,6 +235,57 @@ def test_read_parquet_evolved_merge_schema_discovery(spark, tmp_path):
     assert {(r.a, r.b) for r in df.collect()} == {(1, None), (2, "x")}
 
 
+def test_read_parquet_evolved_merge_schema_converts_ns_timestamps(spark, tmp_path):
+    """ADVICE r16: discovery mode used to surface parquet timestamp[ns]
+    columns as raw nanosAsLong longs; it must now apply read_parquet's
+    DIV-1000 conversion — including when only a LATER generation carries
+    the ns column (the one-footer probe would miss it)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet_evolved
+
+    d = tmp_path / "t"
+    d.mkdir()
+    # gen 1: no ts column at all (so a first-footer-only probe finds nothing)
+    pq.write_table(pa.table({"a": [1]}), str(d / "gen1.parquet"))
+    # gen 2: adds a timestamp[ns] column
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    pq.write_table(
+        pa.table({"a": [2], "ts": pa.array([ts], type=pa.timestamp("ns"))}),
+        str(d / "gen2.parquet"),
+    )
+    df = read_parquet_evolved(spark, str(d), merge_schema=True)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r.a: r.ts for r in df.collect()}
+    assert got == {1: None, 2: ts}
+
+
+def test_read_parquet_evolved_declared_schema_fails_loudly_on_ns(spark, tmp_path):
+    """Declared mode's documented contract: a TimestampType declaration
+    over an ns generation fails at scan, never silently corrupts."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from amazon_kinesis_data_analytics_flinktableapi_spark.sources.batch import read_parquet_evolved
+
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([dt.datetime(2024, 1, 1)], type=pa.timestamp("ns"))}),
+        str(d / "a.parquet"),
+    )
+    cur = StructType([StructField("ts", TimestampType())])
+    with pytest.raises(Exception, match="PARQUET_COLUMN_DATA_TYPE_MISMATCH|FAILED_READ_FILE"):
+        read_parquet_evolved(spark, str(d), schema=cur).collect()
+
+
 def test_read_parquet_evolved_requires_exactly_one_mode(spark, tmp_path):
     import pytest
     from pyspark.sql.types import LongType, StructField, StructType

@@ -79,7 +79,15 @@ def main() -> int:
     sf_dir = argv[0] if argv and not argv[0].startswith("-") else "/root/testdata/sf0.1"
 
     def opt(name: str, default: str) -> str:
-        return argv[argv.index(name) + 1] if name in argv else default
+        # bounds-checked (ADVICE r16): a flag passed as the last token used
+        # to raise a bare IndexError; values that look like flags were
+        # consumed silently
+        if name not in argv:
+            return default
+        i = argv.index(name) + 1
+        if i >= len(argv) or argv[i].startswith("--"):
+            raise SystemExit(f"usage: {name} requires a value")
+        return argv[i]
 
     cpus = opt("--cpus", "32")
     n_samples = int(opt("--samples", "7"))
