@@ -59,6 +59,12 @@ def main() -> int:
     ap.add_argument(
         "--queries", default="duplicate_span_removal,incremental_dedup"
     )
+    ap.add_argument(
+        "--prefix-passes", type=int, default=1,
+        help="passes over the r13 prefix before the warm arm; bench.py "
+        "takes 3-5 samples per query, so 3 approximates the ~25 query "
+        "executions r13's position-8 measurement sat behind",
+    )
     args = ap.parse_args()
     probes = [q for q in args.queries.split(",") if q]
 
@@ -91,9 +97,10 @@ def main() -> int:
     cold = {q: run(q, args.samples) for q in probes}
     c1 = canary()
     t = time.perf_counter()
-    for q in R13_PREFIX:
-        spark.catalog.clearCache()
-        REGISTRY[q].fn(spark, args.sf_dir).count()
+    for _ in range(args.prefix_passes):
+        for q in R13_PREFIX:
+            spark.catalog.clearCache()
+            REGISTRY[q].fn(spark, args.sf_dir).count()
     prefix_sec = round(time.perf_counter() - t, 3)
     c2 = canary()
     warm = {q: run(q, args.samples) for q in probes}
