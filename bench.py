@@ -508,6 +508,65 @@ def main() -> None:
     # AWS path will pay (dict records, bytes payloads, iterator pagination)
     sdk_rps, sdk_samples = ks_bench("kinesis_sim_sdk_scan", client_mode="sdk")
 
+    # streaming STATE evidence (VERDICT r16 #5): the stateful streaming
+    # queries attest correctness, but the artifact carried no state-size /
+    # watermark numbers.  Each query below runs once with the engine's
+    # StreamingQueryListener attached; the artifact records per-batch
+    # state growth (max + final rows), batch count, and the final
+    # watermark.  What "bounded" means per query: the watermarked ones
+    # (running_aggregate, cms_sketch, dedup family) evict state as the
+    # watermark passes, so max_state_rows tracks the windows/keys IN
+    # FLIGHT, not the stream length; topk_complete is COMPLETE-mode by
+    # design — its state is one row per (status, priority) group, bounded
+    # by the key domain (~15 here), NOT by stream length; a complete-mode
+    # agg over an unbounded key domain would be the anti-pattern, which
+    # is exactly what the artifact row makes visible.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.streaming.metrics import (
+        EngineQueryListener,
+    )
+
+    state_queries = [
+        "streaming_running_aggregate",
+        "streaming_cms_sketch",
+        "streaming_topk_complete",
+        "streaming_dedup",
+        "streaming_incremental_dedup",
+    ]
+    streaming_state: dict[str, dict] = {}
+    specs = all_specs()
+    for name in state_queries:
+        if name not in specs:
+            continue
+        listener = EngineQueryListener()
+        spark.streams.addListener(listener)
+        try:
+            t = time.time()
+            n = specs[name].fn(spark, sf_dir).count()
+            run_sec = round(time.time() - t, 3)
+            # listener delivery is async; give the terminated query's last
+            # progress event a moment to drain before reading the collector
+            deadline = time.time() + 5
+            while not listener.collector.batches and time.time() < deadline:
+                time.sleep(0.2)
+        finally:
+            spark.streams.removeListener(listener)
+        c = listener.collector
+        series = [b.state_rows for b in sorted(c.batches, key=lambda b: b.batch_id)]
+        streaming_state[name] = {
+            "result_rows": n,
+            "run_sec": run_sec,
+            "n_batches": len(c.batches),
+            "input_rows": c.total_input_rows(),
+            "max_state_rows": c.max_state_rows(),
+            "final_state_rows": series[-1] if series else 0,
+            "state_rows_per_batch": series,
+            "final_watermark": c.batches[-1].watermark if c.batches else None,
+        }
+        print(f"# streaming_state {name}: max={streaming_state[name]['max_state_rows']} "
+              f"final={streaming_state[name]['final_state_rows']} "
+              f"batches={len(c.batches)} wm={streaming_state[name]['final_watermark']}",
+              file=sys.stderr)
+
     # second canary reading at the end: a slow window that opened mid-run
     # shows as end >> start; both traces land in the JSON
     canary_end = _canary_samples()
@@ -546,6 +605,12 @@ def main() -> None:
         "canary_sched_sec": min(min(scanary_start), min(scanary_end)),
         "canary_sched_samples_sec": {"start": scanary_start, "end": scanary_end},
         "query_samples": raw_samples,
+        "streaming_state": streaming_state,
+        # compact twin that survives _slim_for_stdout: max state rows per
+        # stateful query — the one number the bounded-state claim needs
+        "streaming_state_max_rows": {
+            n: s["max_state_rows"] for n, s in streaming_state.items()
+        },
         "throughput_samples_sec": {
             "streaming_interval_join": stream_samples,
             "kinesis_sim_scan": ks_samples,
@@ -676,6 +741,7 @@ def _attach_prev_deltas(out, timings, prev_name, prev_out, prev_source) -> None:
 # Bulky trace fields live in the BENCH_SELF sidecar only; dropped from the
 # stdout line largest-first until it fits the driver's tail window.
 _SLIM_DROP_ORDER = [
+    "streaming_state",  # full per-batch series; the max-rows twin stays
     "query_samples",
     "canary_samples_sec",
     "canary_parallel_samples_sec",
