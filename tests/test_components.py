@@ -79,6 +79,31 @@ def test_unionfind_handles_self_loop_only_nodes(spark):
     assert got == {(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)}
 
 
+def test_path_selection_boundary(spark):
+    """VERDICT r16 #4: pin the small-graph cutoff semantics.  The dispatch
+    compares 2×count(undirected edges) against ``small_graph_edges`` with
+    <=, so 2n == cutoff takes the single-task union-find and 2n == cutoff
+    ... + anything smaller takes the loop.  Path identity is read from
+    the physical plan (the union-find path is the one FlatMapGroupsInPandas
+    with a constant grouping key; the loop's output never contains it)."""
+    rows = [(1, 2), (2, 3), (10, 11)]  # 3 undirected edges → 2n = 6
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    at_cutoff = connected_components(edges, small_graph_edges=6)
+    assert "FlatMapGroupsInPandas" in plan_of(at_cutoff)  # 6 <= 6: small path
+    below_cutoff = connected_components(edges, small_graph_edges=5)
+    assert "FlatMapGroupsInPandas" not in plan_of(below_cutoff)  # 6 > 5: loop
+    # and both sides of the boundary agree on the labels
+    assert (
+        {(r.node, r.comp) for r in at_cutoff.collect()}
+        == {(r.node, r.comp) for r in below_cutoff.collect()}
+        == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    )
+
+
 def test_knob_guards(spark):
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import (
         connected_components,
