@@ -213,6 +213,18 @@ def test_slim_for_stdout_fits_driver_tail(bench_mod):
     out["throughput_samples_sec"] = {f"t{i}": [5.0] * 5 for i in range(3)}
     out["normalized_delta_vs_prev"] = {f"q{i}": 0.1234 for i in range(40)}
     out["normalized_delta_vs_prev_parallel"] = {f"q{i}": 0.1234 for i in range(40)}
+    # r17: per-batch streaming-state series is the bulkiest new field; its
+    # compact max-rows twin must SURVIVE slimming (the bounded-state claim)
+    out["streaming_state"] = {
+        f"streaming_q{i}": {
+            "result_rows": 100, "run_sec": 2.5, "n_batches": 8,
+            "input_rows": 10_000, "max_state_rows": 500,
+            "final_state_rows": 450, "state_rows_per_batch": [100] * 8,
+            "final_watermark": "2024-01-20T09:26:49.777Z",
+        }
+        for i in range(5)
+    }
+    out["streaming_state_max_rows"] = {f"streaming_q{i}": 500 for i in range(5)}
     labels = ("streaming_interval_join", "kinesis_sim_scan", "kinesis_sim_sdk_scan")
     for k in (
         "normalized_throughput_delta_vs_prev",
@@ -225,6 +237,9 @@ def test_slim_for_stdout_fits_driver_tail(bench_mod):
     # headline metrics always survive
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in slim
+    # the bulky per-batch series is dropped FIRST; the compact twin stays
+    assert "streaming_state" not in slim
+    assert slim["streaming_state_max_rows"] == out["streaming_state_max_rows"]
     # a small record is passed through untouched
     small = _full_output(12)
     assert bench_mod._slim_for_stdout(small) == small
