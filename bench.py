@@ -303,6 +303,41 @@ def _contention_gate(
     return {"start_ratios": ratios}, escalated
 
 
+#: PINNED headline execution order (VERDICT r16 #1): the loop used to
+#: iterate registry order, which the per-round attestation-window
+#: rotation reshuffles — duplicate_span_removal ran 8th (r13/r14), 13th
+#: (r15), then FIRST (r16), and tools/order_probe.py measured a
+#: +57..113% session-position tax on a session-head min-of-5 (at
+#: r13-equivalent warmth it reads 0.323 s, the r13/r14 band, on
+#: byte-identical code; SCALING.md "r17: duplicate_span_removal creep
+#: attribution").  Position must be a CONSTANT across rounds for
+#: round-over-round deltas to mean anything: this is the r13 artifact
+#: order (the band most history cites); future headliners APPEND after
+#: the pinned prefix, never reshuffling it.
+PINNED_HEADLINE_ORDER = [
+    "embedding_neardup", "interval_join", "currency_conversion",
+    "neardup_jaccard", "dedup_clusters", "dedup_exact",
+    "ann_cosine_topk", "duplicate_span_removal", "incremental_dedup",
+    "embedding_gram_matrix", "agg_pricing_summary",
+    "join_revenue_by_nation", "nation_pair_revenue",
+    "tumbling_window_events", "shipping_priority",
+]
+
+
+def _pinned_headline(headline: dict) -> dict:
+    """Reorder the headline spec dict into PINNED_HEADLINE_ORDER;
+    headliners not yet pinned append at the end in registry order (a new
+    headliner changes only the loop's TAIL — existing positions, and
+    therefore their session-warmth context, never move)."""
+    return {
+        n: headline[n]
+        for n in [
+            *[p for p in PINNED_HEADLINE_ORDER if p in headline],
+            *[n for n in headline if n not in PINNED_HEADLINE_ORDER],
+        ]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -349,33 +384,7 @@ def main() -> None:
               f"escalating {len(escalated)} sub-second headliners to min-of-5",
               file=sys.stderr)
     timings: dict[str, float] = {}
-    headline = {n: s for n, s in all_specs().items() if s.headline}
-    # PINNED execution order (VERDICT r16 #1): the loop used to iterate
-    # registry order, which the per-round attestation-window rotation
-    # reshuffles — duplicate_span_removal ran 8th (r13/r14), 13th (r15),
-    # then FIRST (r16), and tools/order_probe.py measured a +57..113%
-    # session-position tax on a session-head min-of-5 (cold/warm 1.57x at
-    # 1 prefix pass, 2.13x at 3 — at r13-equivalent warmth it reads
-    # 0.323 s, the r13/r14 band, on byte-identical code; SCALING.md "r17:
-    # duplicate_span_removal creep attribution").  Position must be a
-    # CONSTANT across rounds for round-over-round deltas to mean
-    # anything: pin the r13 artifact order (the band most history cites),
-    # future headliners append at the end (never reshuffling the pinned
-    # prefix).
-    _PINNED_ORDER = [
-        "embedding_neardup", "interval_join", "currency_conversion",
-        "neardup_jaccard", "dedup_clusters", "dedup_exact",
-        "ann_cosine_topk", "duplicate_span_removal", "incremental_dedup",
-        "embedding_gram_matrix", "agg_pricing_summary",
-        "join_revenue_by_nation", "nation_pair_revenue",
-        "tumbling_window_events", "shipping_priority",
-    ]
-    headline = {
-        n: headline[n] for n in [
-            *[p for p in _PINNED_ORDER if p in headline],
-            *[n for n in headline if n not in _PINNED_ORDER],
-        ]
-    }
+    headline = _pinned_headline({n: s for n, s in all_specs().items() if s.headline})
     # min of 3 back-to-back runs per query (caches dropped in between):
     # run 1 doubles as the query's warmup — its first execution at the
     # target SF compiles the AQE-final generated classes (warming at a

@@ -245,6 +245,25 @@ def test_slim_for_stdout_fits_driver_tail(bench_mod):
     assert bench_mod._slim_for_stdout(small) == small
 
 
+def test_pinned_headline_order_is_rotation_proof(bench_mod):
+    """VERDICT r16 #1: the headline loop's execution order must be a
+    constant across rounds — registry rotation reshuffling it is exactly
+    what manufactured the duplicate_span_removal 'creep'.  Pinned names
+    come out in PINNED_HEADLINE_ORDER no matter how the input dict is
+    ordered; unpinned newcomers append at the tail without moving
+    anyone."""
+    pinned = bench_mod.PINNED_HEADLINE_ORDER
+    # adversarial input order: reversed, plus a newcomer inserted first
+    scrambled = {"brand_new_headliner": object()}
+    for n in reversed(pinned):
+        scrambled[n] = object()
+    out = list(bench_mod._pinned_headline(scrambled))
+    assert out == pinned + ["brand_new_headliner"]
+    # subset (a headliner retired) keeps relative order of the rest
+    subset = {n: object() for n in reversed(pinned[2:7])}
+    assert list(bench_mod._pinned_headline(subset)) == pinned[2:7]
+
+
 def test_sf_filter_skips_to_older_round(bench_mod, bench_dir, monkeypatch):
     """Round N-1 at the wrong sf → fall back to round N-2 at the right sf."""
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "12")
