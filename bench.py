@@ -758,6 +758,12 @@ _SLIM_DROP_ORDER = [
     "throughput_samples_sec",
     "normalized_delta_vs_prev",  # serial-canary variant; parallel kept (r12: better normalizer)
     "normalized_throughput_delta_vs_prev",
+    # r17: a CONTENDED run carries contended_window (~500 chars with the
+    # escalated-name list) + streaming_state_max_rows — measured 2,128
+    # chars after the drops above, i.e. parsed:null at the driver.  The
+    # sched/parallel throughput-delta blocks are sidecar-recoverable:
+    "normalized_throughput_delta_vs_prev_sched",
+    "normalized_throughput_delta_vs_prev_parallel",
     "normalized_delta_vs_prev_parallel",  # last resort — sidecar still has it
 ]
 _STDOUT_BUDGET = 1900  # driver envelope keeps the LAST 2,000 chars of stdout
@@ -777,6 +783,18 @@ def _slim_for_stdout(out: dict) -> dict:
         if len(json.dumps(slim)) <= _STDOUT_BUDGET:
             break
         slim.pop(key, None)
+    if len(json.dumps(slim)) > _STDOUT_BUDGET and isinstance(
+        slim.get("contended_window"), dict
+    ):
+        # keep the flag + ratios (the in-band honesty signal) but swap the
+        # escalated-name list and prose note for a count — both fully
+        # recorded in the sidecar
+        cw = dict(slim["contended_window"])
+        esc = cw.pop("escalated_to_min5", None)
+        cw.pop("note", None)
+        if esc is not None:
+            cw["n_escalated_to_min5"] = len(esc)
+        slim["contended_window"] = cw
     return slim
 
 

@@ -225,6 +225,37 @@ def test_slim_for_stdout_fits_driver_tail(bench_mod):
         for i in range(5)
     }
     out["streaming_state_max_rows"] = {f"streaming_q{i}": 500 for i in range(5)}
+    # inflate the always-kept surface to the real record's size (15 named
+    # headliners + canaries/ratios/throughput/prev-bench scalars) so the
+    # droppable keys alone cannot reach budget — forcing the
+    # contended_window compaction step to fire, as in the real flagged run
+    out["queries"] = {
+        f"a_realistically_long_headline_query_name_{i:02d}": 1.234
+        for i in range(15)
+    }
+    out.update(
+        n_queries=15, startup_sec=9.876,
+        canary_parallel_sec=0.8511, canary_sched_sec=0.9911,
+        canary_ratio_vs_prev=1.4315, canary_parallel_ratio_vs_prev=1.2448,
+        canary_sched_ratio_vs_prev=1.1875,
+        streaming_interval_join_recs_per_sec=32123.4,
+        kinesis_sim_scan_recs_per_sec=301234.5,
+        kinesis_sim_sdk_scan_recs_per_sec=287654.3,
+        r3_comparable_subset_total=8.765,
+        prev_bench_file="BENCH_SELF_r16.json", prev_bench_source="self",
+    )
+    # r17: the contended-window annotation of a real flagged run (the
+    # combination that actually measured 2,128 chars post-drop and would
+    # have shipped parsed:null)
+    out["contended_window"] = {
+        "detected_at_start": True,
+        "detected_at_end": True,
+        "start_ratios": {"serial": 1.4315, "parallel": 1.2448, "sched": 1.1875},
+        "end_ratios": {"serial": 1.8411, "parallel": 1.4916, "sched": 1.4623},
+        "escalated_to_min5": [f"some_subsecond_headliner_{i}" for i in range(12)],
+        "note": "canary(s) read >1.2x the previous round's — sub-second "
+        "headline deltas carry at least the canary ratio as error bar",
+    }
     labels = ("streaming_interval_join", "kinesis_sim_scan", "kinesis_sim_sdk_scan")
     for k in (
         "normalized_throughput_delta_vs_prev",
@@ -240,6 +271,10 @@ def test_slim_for_stdout_fits_driver_tail(bench_mod):
     # the bulky per-batch series is dropped FIRST; the compact twin stays
     assert "streaming_state" not in slim
     assert slim["streaming_state_max_rows"] == out["streaming_state_max_rows"]
+    # the contention FLAG + ratios survive; the name list compacts to a count
+    cw = slim["contended_window"]
+    assert cw["detected_at_start"] and cw["start_ratios"]["serial"] == 1.4315
+    assert "escalated_to_min5" not in cw and cw["n_escalated_to_min5"] == 12
     # a small record is passed through untouched
     small = _full_output(12)
     assert bench_mod._slim_for_stdout(small) == small
