@@ -261,3 +261,36 @@ def word_ngram_hashes(text: Column | str, n: int = 3) -> Column:
     for p in parts[2:]:
         combined = F.zip_with(combined, p, lambda h, t: F.xxhash64(h, t))
     return F.when(F.size(toks) >= n, combined).otherwise(F.array().cast("array<bigint>"))
+
+
+def nfc_normalize_col(text: Column | str) -> Column:
+    """Unicode NFC normalization (UAX #15 canonical composition): NFD
+    'e + combining acute' twins, zalgo stacks, and decomposed Hangul all
+    compose to their canonical byte form — the prerequisite for exact /
+    fingerprint dedup over multi-origin corpora, where two visually
+    identical crawls otherwise hash apart.
+
+    Spark has no built-in normalizer, so this is a documented exception
+    to this module's no-Python rule: an Arrow-batched pandas UDF over
+    CPython's unicodedata (NULL in, NULL out).  The DuckDB oracle twin is
+    ``nfc_normalize`` (utf8proc); both implement the same stable
+    canonical-composition tables — three-way parity (Spark ≡ CPython ≡
+    DuckDB) over the hostile unicode fixture is pinned in
+    tests/test_r17_additions.py.  At 100 TB this rides the corpus scan as
+    one vectorized stage; typical mostly-ASCII batches normalize at
+    near-memcpy speed inside the UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+
+    # functional pandas_udf form (scalar.py's register convention): the
+    # worker function is deliberately UNannotated — under ``from __future__
+    # import annotations`` a decorator-form UDF would try to resolve the
+    # stringified ``pd.Series`` hints at definition time, and this module
+    # (no-Python-in-hot-path by charter) does not import pandas.
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return F.pandas_udf(_nfc_batch, "string")(c)

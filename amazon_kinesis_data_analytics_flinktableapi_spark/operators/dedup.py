@@ -894,3 +894,66 @@ def containment_pairs(
         half_up_round(c_a, 4).alias("containment_a"),
         half_up_round(c_b, 4).alias("containment_b"),
     )
+
+
+def survivorship_merge(
+    members: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Entity-resolution survivorship (golden record): merge each duplicate
+    cluster's members into ONE record, field by field — the step AFTER
+    cluster detection that ``canonical_doc_select``'s whole-record pick
+    cannot express.  Rules (all deterministic):
+
+    * ``golden_doc_id`` — min member id (stable cluster identity);
+    * ``longest_doc_id`` / ``golden_n_chars`` — the member with the most
+      content wins, ties to the SMALLEST id: the argmax ordering key is
+      ``coalesce(len, 0)·1e8 − id``, unique and total because ids are
+      unique (assumes ``id_col`` < 1e8 — true for every testdata table;
+      widen the multiplier for larger id domains);
+    * ``golden_source`` — source of the min id (``min_by`` over a unique
+      key, so no engine-order dependence);
+    * ``modal_lang`` — most frequent member language, ties broken
+      (count desc, lang asc);
+    * ``provenance`` — the sorted distinct source set (sorted AFTER
+      ``collect_set`` so aggregation order cannot leak into the value).
+
+    Scale shape: ONE hash aggregate keyed by cluster (min / max / max_by /
+    min_by / collect_set — all map-side-combinable partials), plus a small
+    (cluster, lang) count whose rank-1 pick joins back on the cluster key.
+    Nothing windows over the full member set; nothing touches the driver.
+    """
+    from pyspark.sql import Window
+
+    # unique, total ordering key: longest first, then smallest id; NULL
+    # lengths (NULL-text members) order as 0 so even an all-NULL cluster
+    # picks deterministically
+    composite = F.coalesce(F.col(len_col), F.lit(0)).cast("long") * F.lit(
+        100_000_000
+    ) - F.col(id_col)
+    agg = members.groupBy(cluster_col).agg(
+        F.min(id_col).alias("golden_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(F.col(id_col), composite).alias("longest_doc_id"),
+        F.max(len_col).alias("golden_n_chars"),
+        F.min_by(F.col(source_col), F.col(id_col)).alias("golden_source"),
+        F.array_sort(F.collect_set(source_col)).alias("provenance"),
+    )
+    lc = members.groupBy(cluster_col, lang_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("cnt").desc(), F.col(lang_col).asc()
+    )
+    modal = (
+        lc.select(
+            F.col(cluster_col),
+            F.col(lang_col).alias("modal_lang"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return agg.join(modal, cluster_col)

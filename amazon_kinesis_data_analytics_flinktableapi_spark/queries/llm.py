@@ -3098,3 +3098,107 @@ def q_vocab_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def zipf_fit_over(docs: DataFrame) -> DataFrame:
+    """Zipf-fit core over any (source, text) frame: least squares of
+    ln(freq) on ln(rank) per source via the SQL-standard ``regr_*``
+    aggregate family (first use of that family in the engine).  Natural
+    text sits near slope −1; template/boilerplate sources flatten toward
+    0 and heavy-dup sources steepen — a one-number corpus-health signal.
+
+    Determinism: ranks are row_number over (freq desc, token asc) —
+    total order; fit values are 6-dp half-up rounded (both engines
+    compute the regression over identical (ln f, ln r) doubles, the
+    rounding absorbs accumulation-order ulps).  The degenerate all-equal-
+    frequency case (every ln f identical — e.g. an all-unique-token
+    source, common in small samples) reports r² NULL via an integer-exact
+    ``min(f) = max(f)`` guard, NOT a ``var_pop() == 0.0`` float compare;
+    single-type sources (no regression exists) are dropped (n_types ≥ 2).
+
+    Scale shape: explode→count is the standard token-frequency aggregate
+    (map-side combinable); the per-source rank window partitions by
+    source (vocabulary per source, not corpus rows); the regr_* pass is
+    one more keyed aggregate.  No driver collection anywhere."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    w = W.partitionBy("source").orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = freq.select("source", "f", F.row_number().over(w).alias("r"))
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            T.half_up_round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+            T.half_up_round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+            F.when(F.min("f") == F.max("f"), F.lit(None).cast("double"))
+            .otherwise(T.half_up_round(F.regr_r2(lf, lr), 6))
+            .alias("zipf_r2"),
+        )
+        .filter(F.col("n_types") >= 2)
+    )
+
+
+@query(
+    "unicode_nfc_normalize",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) AS nfc_text,
+           NOT (text IS NOT DISTINCT FROM nfc_normalize(text)) AS changed,
+           length(nfc_normalize(text)) AS n_cp_nfc
+    FROM documents
+    """,
+    doc="Unicode NFC canonical composition over the corpus (normalized text, "
+    "changed flag, post-NFC codepoint count): multi-origin crawls must be "
+    "NFC'd before exact/fingerprint dedup or byte-distinct NFD twins survive",
+)
+def q_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas-UDF normalization (Spark has no built-in NFC);
+    the oracle's nfc_normalize is utf8proc — same UAX #15 tables as
+    CPython's unicodedata, parity pinned in tests/test_r17_additions.py.
+    The UDF output is aliased ONCE in a projection and referenced
+    downstream so ArrowEvalPython materializes a single normalization
+    pass, not one per referencing expression."""
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", T.nfc_normalize_col(F.col("text")).alias("nfc_text")
+    )
+    return base.select(
+        "doc_id",
+        "nfc_text",
+        (~F.col("text").eqNullSafe(F.col("nfc_text"))).alias("changed"),
+        F.length("nfc_text").alias("n_cp_nfc"),
+    )
+
+
+@query(
+    "zipf_fit_report",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_DUCK_TOKS}) AS tok
+                  FROM documents WHERE text IS NOT NULL),
+    freq AS (SELECT source, tok, count(*) AS f FROM toks GROUP BY 1, 2),
+    ranked AS (SELECT source, f,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY f DESC, tok ASC) AS r
+               FROM freq)
+    SELECT source,
+           count(*) AS n_types,
+           floor(regr_slope(ln(f), ln(r)) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+           floor(regr_intercept(ln(f), ln(r)) * 1e6 + 0.5) / 1e6 AS zipf_intercept,
+           CASE WHEN min(f) = max(f) THEN NULL
+                ELSE floor(regr_r2(ln(f), ln(r)) * 1e6 + 0.5) / 1e6
+           END AS zipf_r2
+    FROM ranked GROUP BY source HAVING count(*) >= 2
+    """,
+    doc="per-source Zipf fit (slope/intercept/r2 of ln freq ~ ln rank) via "
+    "the SQL-standard regr_* aggregates — corpus-health report: natural "
+    "text ~ -1, boilerplate flattens, heavy duplication steepens",
+)
+def q_zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return zipf_fit_over(docs)

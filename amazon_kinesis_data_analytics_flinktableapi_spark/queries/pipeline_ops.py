@@ -1750,3 +1750,94 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cn, "label")
         .select("label", "n_old", "n_new", "drift_q")
     )
+
+
+@query(
+    "survivorship_golden_record",
+    oracle=f"""
+    WITH {_DUCK_NEARDUP_EDGES},
+    closure AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ),
+    members AS (
+      SELECT c.doc_id,
+             coalesce(cl.comp, c.doc_id) AS cluster_id,
+             length(c.text) AS n_chars,
+             coalesce(d.source, 'mirror') AS source,
+             coalesce(d.lang, 'und') AS lang
+      FROM corpus c
+      LEFT JOIN closure cl ON cl.node = c.doc_id
+      LEFT JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    lang_counts AS (
+      SELECT cluster_id, lang, count(*) AS cnt FROM members GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT cluster_id, lang AS modal_lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY cnt DESC, lang ASC) AS rn
+        FROM lang_counts) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT cluster_id,
+             min(doc_id) AS golden_doc_id,
+             count(*) AS n_members,
+             arg_max(doc_id, coalesce(n_chars, 0) * 100000000 - doc_id)
+               AS longest_doc_id,
+             max(n_chars) AS golden_n_chars,
+             arg_min(source, doc_id) AS golden_source,
+             list_sort(list_distinct(list(source))) AS provenance
+      FROM members GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.golden_doc_id, a.n_members, a.longest_doc_id,
+           a.golden_n_chars, a.golden_source, m.modal_lang, a.provenance
+    FROM agg a JOIN modal m USING (cluster_id)
+    """,
+    doc="entity-resolution survivorship: near-dup clusters -> ONE golden "
+    "record each via field-wise merge rules (min-id identity, longest text, "
+    "min-id source, modal lang, sorted provenance) — the field-level merge "
+    "step canonical_doc_select's whole-record pick cannot express",
+)
+def q_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: jaccard pairs -> connected components -> field-wise
+    survivorship (operators.dedup.survivorship_merge).  Member attributes
+    come from a left join back to documents, so the synthetic 80%-prefix
+    copies surface as source 'mirror' / lang 'und' (any NULL-source
+    original coalesces identically on both engines — the sentinel is a
+    member-attribution default, not a copy detector).  Clusters are small
+    cliques (no skew); the survivorship pass adds one keyed aggregate and
+    one broadcast-sized modal join on top of the already-scale-shaped
+    pair/CC stages."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.components import dedup_clusters
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.dedup import (
+        jaccard_pairs,
+        survivorship_merge,
+    )
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries.llm import (
+        _docs_with_neardup_copies,
+    )
+
+    corpus = _docs_with_neardup_copies(spark, sf_dir)
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs, corpus, "doc_id")
+    members = (
+        clusters.join(
+            corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+        )
+        .join(docs.select("doc_id", "source", "lang"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            F.coalesce("source", F.lit("mirror")).alias("source"),
+            F.coalesce("lang", F.lit("und")).alias("lang"),
+        )
+    )
+    return survivorship_merge(members)
