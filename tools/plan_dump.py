@@ -50,7 +50,8 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     for name, spec in all_specs().items():
-        if not spec.headline:
+        # default scope = headline set; --only widens to any registry query
+        if only_set is None and not spec.headline:
             continue
         if only_set is not None and name not in only_set:
             continue
