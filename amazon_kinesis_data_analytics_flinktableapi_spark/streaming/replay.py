@@ -223,7 +223,14 @@ def run_to_memory_drain(
         _prev_interval = spark.conf.get(_conf_key)
     except Exception:
         _prev_interval = None
-    spark.conf.set(_conf_key, "1s")
+    # 250ms (r17, was 1s): the drain's wall-clock floor is idle_batches
+    # consecutive zero-progress REPORTS, and after the one real no-data
+    # batch the engine only re-reports at this cadence — 1s put a ~3s
+    # pure-wait tail on every bounded kinesis drain (A/B in
+    # OPTIMIZATION_r17.md).  The busy cost of re-reporting 4x/s for the
+    # sub-second drain window is nil; the detector's robustness is
+    # unchanged (still idle_batches consecutive zero reports).
+    spark.conf.set(_conf_key, "250ms")
     name = name or f"drain_{uuid.uuid4().hex[:8]}"
     parts_scope = _stream_shuffle_partitions(spark)
     parts_scope.__enter__()
