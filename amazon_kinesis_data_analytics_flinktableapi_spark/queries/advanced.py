@@ -312,9 +312,20 @@ def q_robust_mad_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("value")) != F.lit(inf))
     ).select("event_type", "event_id", "value")
     n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    med = grouped_kth_select(
-        v, ["event_type"], value_col="value", id_col="event_id", p=0.5
-    ).select("event_type", F.col("value").alias("med"))
+    med = (
+        grouped_kth_select(
+            v, ["event_type"], value_col="value", id_col="event_id", p=0.5
+        )
+        .select("event_type", F.col("value").alias("med"))
+        # Materialize pass 1's selected frame (ONE row per group — bounded
+        # at any corpus size, same class as the band-sweep summary): it is
+        # referenced once here and once in the final join, and pass 2's
+        # selection operator re-reads its input ~4x internally — without
+        # the cut, pass 1's whole multi-shuffle histogram pipeline
+        # re-executes inside every one of those branches (r17 "not yet
+        # optimized" item; measured 5.0 s -> see OPTIMIZATION_r17.md).
+        .localCheckpoint()
+    )
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type", "event_id", (F.abs(F.col("value") - F.col("med"))).alias("dev")
     )

@@ -403,7 +403,19 @@ def q_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw string shingles (not xxhash64): the oracle compares shingle
     # SETS cross-engine, so the join keys must be the portable strings;
     # at real scale flip hashed=True and hash the oracle identically
-    sets = shingle_sets(corpus, "doc_id", "text", n=3)
+    #
+    # Cache scoping (r17 optimization, same pattern as
+    # q_minhash_band_sweep_report / jaccard_pairs' inv): `sets` is read
+    # by THREE differently-keyed branches (the prefix index build and
+    # both sides of the verify join — the verify shuffles are keyed on
+    # id_a/id_b, so no exchange reuse covers them) and `pref` by both
+    # sides of the candidate self-join; uncached, the tokenize→shingle
+    # chain re-executes per branch.  The output is the sample-bounded
+    # pair list, so it is materialized eagerly (localCheckpoint) and
+    # every intermediate released before returning — a long-lived gate
+    # session accumulates no storage.  Interleaved A/B (sf0.01,
+    # min-of-5): 4.05 s -> 1.45 s.
+    sets = shingle_sets(corpus, "doc_id", "text", n=3).cache()
     ex = sets.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     df_s = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -417,35 +429,51 @@ def q_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(f"slice(transform(st, x -> x.s), 1, CAST(n - ceil({TAU} * n) + 1 AS INT))")
         ).alias("s"),
-    )
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") * TAU <= F.col("b.n"))
-            & (F.col("b.n") * TAU <= F.col("a.n")),
+    ).cache()
+    try:
+        cand = (
+            pref.alias("a")
+            .join(
+                pref.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("a.n") * TAU <= F.col("b.n"))
+                & (F.col("b.n") * TAU <= F.col("a.n")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    ver = (
-        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sha")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("shb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sha", "shb")).alias("shared"),
-            F.size("sha").alias("na"),
-            F.size("shb").alias("nb"),
+        ver = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sha")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("shb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sha", "shb")).alias("shared"),
+                F.size("sha").alias("na"),
+                F.size("shb").alias("nb"),
+            )
         )
-    )
-    return ver.select(
-        "id_a",
-        "id_b",
-        (F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
-    ).filter(F.col("jaccard") >= TAU)
+        return (
+            ver.select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= TAU)
+            .localCheckpoint()
+        )
+    finally:
+        pref.unpersist()
+        sets.unpersist()
 
 
 @query(

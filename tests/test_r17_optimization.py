@@ -50,3 +50,21 @@ def test_vectorized_timestamp_to_string_all_nat_stays_object():
     out = timestamp_to_string_pandas(s)
     assert out.dtype == object
     assert list(out) == [None, None]
+
+
+def test_robust_mad_select_median_pass_is_materialized(spark):
+    """The r17 cut on ``q_robust_mad_select``: pass 1's per-group median
+    frame is localCheckpoint-ed before pass 2 consumes it, so the final
+    plan joins a materialized LogicalRDD instead of re-executing the
+    whole histogram-selection pipeline in every branch that references
+    it (~5x).  Value parity is pinned separately by the DuckDB oracle
+    (driver gate + test_nonfinite_parity_pinned); this pins the plan
+    shape so a refactor cannot silently reintroduce the re-execution."""
+    from amazon_kinesis_data_analytics_flinktableapi_spark.queries import REGISTRY
+
+    df = REGISTRY["robust_mad_select"].fn(spark, "/root/testdata/sf0.001")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in optimized, (
+        "median pass no longer materialized — pass 1 re-executes inside "
+        "pass 2's selection branches"
+    )
