@@ -1511,13 +1511,21 @@ def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # edges ⋈ deg is static across the 5 iterations: materialize it (and
+    # deg) once so each iteration is one join + one aggregate instead of
+    # re-expanding the degree groupBy and the jaccard edge pipeline per
+    # level — the same bounded-intermediate cut as robust_mad_select's
+    # median pass.  The transient edge cache only backs these two
+    # materializations and is dropped eagerly.
+    try:
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+        edges_deg = edges.join(deg, "u").select("u", "v", "deg").localCheckpoint()
+    finally:
+        edges.unpersist()
     ranks = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(5):
-        contrib = (
-            edges.join(ranks, edges["u"] == ranks["node"])
-            .join(deg, "u")
-            .select(F.col("v"), F.expr("r div deg").alias("c"))
+        contrib = edges_deg.join(ranks, edges_deg["u"] == ranks["node"]).select(
+            F.col("v"), F.expr("r div deg").alias("c")
         )
         ranks = (
             contrib.groupBy("v")
