@@ -711,17 +711,23 @@ def lsh_topk_det(
     )
 
     def sketched(df: DataFrame, prefix: str) -> DataFrame:
+        # All n_tables sketches from ONE Arrow matmul per row batch
+        # (``quantized_sketches_all`` — the neardup_pairs_lsh pattern):
+        # the previous per-plane ``quantized_sketch`` HOF forest is an
+        # interpreted expression and was this operator's dominant cost
+        # (measured ~3 s of a 6 s ann_lsh_topk at sf0.01 for 500 vectors).
+        # NULL qv: the HOF form emitted sketch 0 for every table (the
+        # aggregate over a NULL zip is NULL, so each when() fell through
+        # to its otherwise-0), while posexplode of a NULL array would
+        # DROP the row — coalesce to the all-zeros sketch array keeps the
+        # bucket placement bit-identical.
+        zeros = F.array(*[F.lit(0).cast("long") for _ in tables])
         return df.select(
             f"{prefix}_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(t).alias("t"), quantized_sketch("qv", p).alias("sk"))
-                        for t, p in enumerate(tables)
-                    ]
-                )
-            ).alias("b"),
-        ).select(f"{prefix}_id", "b.t", "b.sk")
+            F.posexplode(
+                F.coalesce(quantized_sketches_all("qv", tables), zeros)
+            ).alias("t", "sk"),
+        )
 
     candidates = (
         sketched(cbase, "c")

@@ -89,3 +89,42 @@ def test_pagerank_iterations_run_on_materialized_edges(spark):
     assert "parquet" not in optimized.lower(), (
         "iterations re-read the base tables instead of the checkpointed block"
     )
+
+def test_lsh_det_arrow_sketches_match_hof_including_null(spark):
+    """The r17 cut on ``lsh_topk_det``: the per-plane interpreted
+    ``quantized_sketch`` HOF forest is replaced by one Arrow matmul per
+    batch (``quantized_sketches_all`` + posexplode).  The (id, t, sk)
+    bucket placement must be bit-identical to the HOF form for every
+    row INCLUDING a NULL vector, which the HOF form buckets at sketch 0
+    per table (posexplode of a NULL array would instead drop the row —
+    the coalesce in ``sketched`` preserves the old placement)."""
+    from pyspark.sql import functions as F
+
+    import amazon_kinesis_data_analytics_flinktableapi_spark.operators.similarity as S
+
+    tables = S.neardup_lsh_planes(dim=8, n_planes=5, n_tables=3, seed=13)
+    rows = [(i, [((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(8)]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    base = df.select("id", S.quantized("embedding").alias("qv"))
+
+    hof = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), S.quantized_sketch("qv", p).alias("sk"))
+                    for t, p in enumerate(tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.t", "b.sk")
+    zeros = F.array(*[F.lit(0).cast("long") for _ in tables])
+    arrow = base.select(
+        "id",
+        F.posexplode(F.coalesce(S.quantized_sketches_all("qv", tables), zeros)).alias("t", "sk"),
+    )
+    got = sorted(tuple(r) for r in arrow.collect())
+    want = sorted(tuple(r) for r in hof.collect())
+    assert got == want
+    assert (99, 0, 0) in got  # the NULL row kept its HOF bucket placement
