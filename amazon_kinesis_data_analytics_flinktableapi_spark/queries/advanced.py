@@ -334,7 +334,13 @@ def q_robust_mad_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", F.col("dev").alias("mad_value"))
     return (
         med.select("event_type", F.col("med").alias("median_value"))
-        .join(mad, "event_type")
+        # broadcast BOTH group-bounded sides (mad: one row per group, same
+        # class as the already-hinted n): the checkpointed med side is a
+        # LogicalRDD whose size the planner cannot estimate, so without
+        # the hint this 5-rows-a-side join planned as the query's only
+        # SortMergeJoin (r17 after-plan line 12; ADVICE r17 #1 /
+        # VERDICT r17 item 5) — two sorts + a shuffle for |groups| rows
+        .join(F.broadcast(mad), "event_type")
         .join(F.broadcast(n), "event_type")
         .select("event_type", "median_value", "mad_value", "n_events")
     )

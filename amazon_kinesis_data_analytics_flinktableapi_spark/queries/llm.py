@@ -460,16 +460,22 @@ def q_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("shb").alias("nb"),
             )
         )
-        return (
+        # pin (r18, VERDICT r17 item 3): the materialized pair list can be
+        # corpus-scale on a hostile corpus, so the default localCheckpoint
+        # trades executor-loss recovery for speed; the
+        # SPARK_GRAFT_RELIABLE_CHECKPOINT env switch swaps in replicated
+        # checkpoint() (requires a durable setCheckpointDir) — see
+        # operators/materialize.pin
+        from amazon_kinesis_data_analytics_flinktableapi_spark.operators.materialize import pin
+
+        return pin(
             ver.select(
                 "id_a",
                 "id_b",
                 (
                     F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
                 ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= TAU)
-            .localCheckpoint()
+            ).filter(F.col("jaccard") >= TAU)
         )
     finally:
         pref.unpersist()

@@ -1516,10 +1516,16 @@ def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expanding the degree groupBy and the jaccard edge pipeline per
     # level — the same bounded-intermediate cut as robust_mad_select's
     # median pass.  The transient edge cache only backs these two
-    # materializations and is dropped eagerly.
+    # materializations and is dropped eagerly.  ``pin`` (r18, VERDICT r17
+    # item 3): edges_deg is CORPUS-scale, so the default localCheckpoint
+    # is a fault-tolerance-for-speed trade — an executor loss mid-query
+    # fails the job; set SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (+ a durable
+    # setCheckpointDir) on a real cluster for replicated checkpoints.
+    from amazon_kinesis_data_analytics_flinktableapi_spark.operators.materialize import pin
+
     try:
-        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-        edges_deg = edges.join(deg, "u").select("u", "v", "deg").localCheckpoint()
+        deg = pin(edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+        edges_deg = pin(edges.join(deg, "u").select("u", "v", "deg"))
     finally:
         edges.unpersist()
     ranks = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
