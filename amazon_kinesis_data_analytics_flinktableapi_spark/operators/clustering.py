@@ -24,20 +24,26 @@ smaller cluster/code id, and centroid means use exact FLOOR division
 (``(s − pmod(s, n)) / n``), so DuckDB replays every step bit-identically.
 
 Scale shape (100 TB): initial centroids are the k lowest-id vectors via
-``orderBy().limit(k)`` — TakeOrderedAndProject, no global sort, never
-collected to the driver (they stay a broadcast DataFrame).  Each Lloyd
-iteration is one broadcast-join assignment pass over the corpus (argmin
-via a per-vector window — single shuffle on vec_id) plus one
-posexplode/groupBy(cluster, dim) update whose reduce input is bounded by
-k·dim rows after partial aggregation.  Nothing is quadratic in the
-corpus; the k×dim update state is constant.  For huge k the assignment's
-``aggregate(zip_with(...))`` expression forest has the same matrix-kernel
-upgrade path ``ivf_topk`` already ships (one numpy matmul per Arrow
-batch); at the registered k=8 the codegen'd expression is faster than
-the Arrow round-trip.
+``orderBy().limit(k)`` — TakeOrderedAndProject, no global sort; the
+codebook is a BOUNDED driver collect (k ≤ 256 rows — the same class as
+the PCA sufficient-statistics collect) shipped in an Arrow UDF closure,
+so every assignment/encode pass is one int64 matmul per row batch
+INSIDE the corpus scan: zero shuffle, zero per-row window (r18 — the
+previous crossJoin→window argmin shuffled corpus×k scored rows per
+pass, and the r17-era claim that the codegen'd expression beats the
+Arrow round-trip at k=8 did not survive re-measurement; see the kernel
+block comment).  The Lloyd update remains one posexplode/groupBy
+(cluster, dim) pass whose reduce input is bounded by k·dim rows after
+partial aggregation.  Nothing is quadratic in the corpus; the k×dim
+update state is constant.  Hostile codebooks (ragged/NULL-element head
+vectors) fall back to the broadcast-expression shape with identical
+semantics (pinned in tests/test_r18_optimization.py).
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -92,6 +98,308 @@ def floordiv(s: Column, n: Column) -> Column:
     return F.call_function("div", s - F.pmod(s, n), n)
 
 
+# --- Arrow argmin/argmax kernels (r18, guide §4.2 / VERDICT r17 item 6) ----
+#
+# The r17 module header claimed "at the registered k=8 the codegen'd
+# expression is faster than the Arrow round-trip" (EXPR_CENTROID_CAP's
+# crossover).  Re-A/B'd this round at the registered sizes: the claim is
+# WRONG for these operators, for the same reason it was wrong for
+# lsh_topk_det — ``aggregate(zip_with(...))`` is INTERPRETED per row, and
+# on top of it the crossJoin→window argmin shape shuffles corpus×k scored
+# rows through a full exchange just to pick each row's minimum.  The
+# kernels below collect the codebook once (BOUNDED by construction:
+# k ≤ 256 rows — the same driver-statistics class as the PCA collect and
+# the ANN centroid fetches), ship it in the UDF closure, and compute each
+# row's argmin/top-n inside the scan — no crossJoin, no per-row window,
+# zero shuffle for the assignment.  All arithmetic stays exact int64
+# (|Σx²| ≤ 64·(5e6)² < 2⁶³); ties break to the smaller code id because
+# codebook rows are sorted by id and numpy argmin/stable argsort take the
+# first occurrence — bit-identical to the (dist, j) window order.
+#
+# Exact-semantics fallbacks: the expression forms define edge behavior
+# through ``zip_with`` + ``aggregate`` + ``coalesce`` — a length-mismatched
+# pair or any NULL element NULLs the whole fold, which coalesces to
+# distance/dot 0 (ties → the smallest id).  Rows that are not clean
+# fixed-width int vectors take :func:`_py_sq_dist`/:func:`_py_int_dot`,
+# which replicate exactly that rule; a codebook that is itself not a
+# clean rectangle (ragged/NULL-element head vectors on a hostile corpus)
+# makes the caller fall back to the expression path wholesale.
+
+
+def _codebook_rows(cb: DataFrame, code_col: str, vec_col: str) -> list:
+    """Collect a codebook DataFrame (bounded: every caller builds it with
+    ``limit(k)``, k ≤ 256) as [(code, [ints...]), ...] sorted by code."""
+    return sorted(
+        [(r[0], None if r[1] is None else list(r[1])) for r in cb.select(code_col, vec_col).collect()],
+        key=lambda t: t[0],
+    )
+
+
+def _codebook_matrix(rows: list):
+    """(ids, mat) int64 arrays for a clean rectangular codebook, else
+    None (caller falls back to the expression path)."""
+    if not rows:
+        return None
+    vecs = [v for _, v in rows]
+    if any(v is None or any(x is None for x in v) for v in vecs):
+        return None
+    if len({len(v) for v in vecs}) != 1 or len(vecs[0]) == 0:
+        return None
+    ids = np.array([c for c, _ in rows], dtype=np.int64)
+    return ids, np.array(vecs, dtype=np.int64)
+
+
+def _collect_head_codebook(base: DataFrame, k: int) -> list:
+    """[(position, qv-list), ...] — the ``init_centroids`` codebook
+    collected WITHOUT the row_number window: ``orderBy().limit(k)`` is
+    TakeOrderedAndProject and already yields rows in vec_id order, so
+    list position IS the centroid/code id.  Bounded (k ≤ 256 at every
+    call site)."""
+    rows = base.orderBy("vec_id").limit(k).select("qv").collect()
+    return [(i, None if r[0] is None else list(r[0])) for i, r in enumerate(rows)]
+
+
+def _py_sq_dist(a, b) -> int:
+    """Exact replica of ``sq_dist_q`` on Python lists: zip_with pads the
+    shorter side with NULL and one NULL product NULLs the whole fold,
+    which coalesces to 0."""
+    if a is None or b is None or len(a) != len(b):
+        return 0
+    s = 0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return 0
+        s += (x - y) * (x - y)
+    return s
+
+
+def _py_int_dot(a, b) -> int:
+    """Exact replica of ``int_dot_q`` on Python lists (same NULL rule)."""
+    if a is None or b is None or len(a) != len(b):
+        return 0
+    s = 0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return 0
+        s += x * y
+    return s
+
+
+def _as_pylist(v):
+    """Normalize one Arrow-delivered cell for the Python fallbacks: None
+    stays None; NaN elements (Arrow's float64 representation of NULL
+    list elements) become None; everything else becomes an exact int
+    (quantized values are ≤ ~5e6, exactly representable in float64)."""
+    if v is None:
+        return None
+    return [None if x is None or x != x else int(x) for x in v]
+
+
+def _clean_rows(vals, d: int):
+    """(mask, X): boolean mask of rows that are d-wide NULL-free int
+    vectors, and their stacked int64 matrix (None when no clean rows).
+    Arrow hands list<int64> cells to pandas as float64 ndarrays when the
+    row carries NULL elements — detect via NaN and route those rows to
+    the exact-semantics Python fallback."""
+    mask = np.zeros(len(vals), dtype=bool)
+    for j, v in enumerate(vals):
+        if v is None or len(v) != d:
+            continue
+        a = np.asarray(v)
+        if a.dtype == object:
+            continue
+        if a.dtype.kind == "f" and np.isnan(a).any():
+            continue
+        mask[j] = True
+    if not mask.any():
+        return mask, None
+    X = np.stack([np.asarray(vals[j]) for j in np.flatnonzero(mask)]).astype(np.int64)
+    return mask, X
+
+
+def _sqdist_argmin_column(qv_col, ids, mat, code_name: str, code_type: str = "int"):
+    """struct(<code_name>, dist) per row: nearest codebook row by exact
+    integer L2², ties to the smaller id — ONE matmul per Arrow batch in
+    place of crossJoin(k) → window(argmin)."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = mat.shape[1]
+    cb_lists = [list(map(int, row)) for row in mat]
+    c_sq = np.einsum("ij,ij->i", mat, mat)  # |c|² per codebook row, int64
+
+    @pandas_udf(f"{code_name} {code_type}, dist long")
+    def assign(qv: pd.Series) -> pd.DataFrame:
+        vals = qv.to_numpy()
+        codes = np.empty(len(vals), dtype=np.int64)
+        dists = np.empty(len(vals), dtype=np.int64)
+        mask, X = _clean_rows(vals, d)
+        if X is not None:
+            scores = c_sq[None, :] - 2 * (X @ mat.T)  # dist − |x|²: same argmin
+            pos = scores.argmin(axis=1)
+            x_sq = np.einsum("ij,ij->i", X, X)
+            codes[mask] = ids[pos]
+            dists[mask] = scores[np.arange(len(X)), pos] + x_sq
+        for j in np.flatnonzero(~mask):
+            v = _as_pylist(vals[j])
+            dd = [_py_sq_dist(v, cv) for cv in cb_lists]
+            p = min(range(len(dd)), key=lambda i: (dd[i], i))
+            codes[j], dists[j] = ids[p], dd[p]
+        return pd.DataFrame({code_name: codes, "dist": dists})
+
+    return assign(qv_col)
+
+
+def _dot_topn_column(qv_col, ids, mat, n: int):
+    """array<int> of the top-``n`` codebook ids by (dot DESC, id ASC) —
+    the ``best_buckets`` order — one matmul per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = mat.shape[1]
+    cb_lists = [list(map(int, row)) for row in mat]
+
+    @pandas_udf("array<int>")
+    def probes(qv: pd.Series) -> pd.Series:
+        vals = qv.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        mask, X = _clean_rows(vals, d)
+        if X is not None:
+            pos = np.argsort(-(X @ mat.T), axis=1, kind="stable")[:, :n]
+            picked = ids[pos]
+            for j, row in zip(np.flatnonzero(mask), picked):
+                out[j] = [int(x) for x in row]
+        for j in np.flatnonzero(~mask):
+            v = _as_pylist(vals[j])
+            dd = [_py_int_dot(v, cv) for cv in cb_lists]
+            order = sorted(range(len(dd)), key=lambda i: (-dd[i], i))[:n]
+            out[j] = [int(ids[i]) for i in order]
+        return pd.Series(out)
+
+    return probes(qv_col)
+
+
+def _pq_slices(d: int, n_subspaces: int) -> list[tuple[int, int]]:
+    """0-based [start, end) per subspace — the numpy twin of the literal
+    Spark slice arithmetic (start = floor(d·s/M)+1, len = end−start+1)."""
+    return [
+        (d * s // n_subspaces, d * (s + 1) // n_subspaces)
+        for s in range(n_subspaces)
+    ]
+
+
+def _literal_csub(spark, ids, mat, n_subspaces: int) -> DataFrame:
+    """(j, s, cv2) sub-codebook as a LITERAL local relation (≤ 256·M
+    rows) — the distance-table side of ADC built from the already
+    collected codebook, so consuming it never re-executes the
+    corpus-head subtree the codebook came from."""
+    slices = _pq_slices(mat.shape[1], n_subspaces)
+    rows = [
+        (int(j), s, [int(x) for x in mat[pos, a:b]])
+        for pos, j in enumerate(ids)
+        for s, (a, b) in enumerate(slices)
+    ]
+    return spark.createDataFrame(rows, "j int, s int, cv2 array<bigint>")
+
+
+def _pq_codes_column(qv_col, ids, mat, n_subspaces: int, with_err: bool):
+    """Per-row PQ encode against a collected codebook: struct of M codes
+    (+ total err when ``with_err``) — replaces explode(M) → broadcast
+    join(k) → window(argmin per (row, s)) → groupBy(row) with a map.
+    Weird rows replicate the expression semantics per subspace: the row's
+    OWN length drives its slice bounds, and any mismatch/NULL inside a
+    (row-slice, codebook-slice) pair zeroes that pair's distance."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = mat.shape[1]
+    slices = _pq_slices(d, n_subspaces)
+    subs = [mat[:, a:b] for a, b in slices]
+    sub_sq = [np.einsum("ij,ij->i", s, s) for s in subs]
+    cb_sub_lists = [[list(map(int, row)) for row in s] for s in subs]
+    fields = ", ".join(f"code_s{s} int" for s in range(n_subspaces))
+    schema = f"{fields}, err_q long" if with_err else fields
+
+    @pandas_udf(schema)
+    def encode(qv: pd.Series) -> pd.DataFrame:
+        vals = qv.to_numpy()
+        n = len(vals)
+        codes = [np.zeros(n, dtype=np.int64) for _ in range(n_subspaces)]
+        err = np.zeros(n, dtype=np.int64)
+        mask, X = _clean_rows(vals, d)
+        if X is not None:
+            x_rows = np.flatnonzero(mask)
+            for s, (a, b) in enumerate(slices):
+                Xs = X[:, a:b]
+                scores = sub_sq[s][None, :] - 2 * (Xs @ subs[s].T)
+                pos = scores.argmin(axis=1)
+                codes[s][x_rows] = ids[pos]
+                err[x_rows] += scores[np.arange(len(Xs)), pos] + np.einsum(
+                    "ij,ij->i", Xs, Xs
+                )
+        for j in np.flatnonzero(~mask):
+            v = _as_pylist(vals[j])
+            L = 0 if v is None else len(v)
+            for s in range(n_subspaces):
+                a, b = L * s // n_subspaces, L * (s + 1) // n_subspaces
+                sv = None if v is None else v[a:b]
+                dd = [_py_sq_dist(sv, cv) for cv in cb_sub_lists[s]]
+                p = min(range(len(dd)), key=lambda i: (dd[i], i))
+                codes[s][j] = ids[p]
+                err[j] += dd[p]
+        out = {f"code_s{s}": codes[s] for s in range(n_subspaces)}
+        if with_err:
+            out["err_q"] = err
+        return pd.DataFrame(out)
+
+    return encode(qv_col)
+
+
+def _rq_stage1_column(qv_col, ids, mat):
+    """struct(code1, err1, rv) per row: the nearest stage-1 codeword, its
+    exact error, AND the residual ``zip_with(qv, cv1, x − y)`` — computed
+    together so rq_encode's stage 1 is a single map (the previous shape
+    re-attached the codeword by a broadcast join just to subtract it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = mat.shape[1]
+    cb_lists = [list(map(int, row)) for row in mat]
+    c_sq = np.einsum("ij,ij->i", mat, mat)
+
+    @pandas_udf("code1 int, err1 long, rv array<long>")
+    def stage1(qv: pd.Series) -> pd.DataFrame:
+        vals = qv.to_numpy()
+        codes = np.empty(len(vals), dtype=np.int64)
+        errs = np.empty(len(vals), dtype=np.int64)
+        rvs = np.empty(len(vals), dtype=object)
+        mask, X = _clean_rows(vals, d)
+        if X is not None:
+            scores = c_sq[None, :] - 2 * (X @ mat.T)
+            pos = scores.argmin(axis=1)
+            x_sq = np.einsum("ij,ij->i", X, X)
+            codes[mask] = ids[pos]
+            errs[mask] = scores[np.arange(len(X)), pos] + x_sq
+            R = X - mat[pos]
+            for j, row in zip(np.flatnonzero(mask), R):
+                rvs[j] = [int(x) for x in row]
+        for j in np.flatnonzero(~mask):
+            v = _as_pylist(vals[j])
+            dd = [_py_sq_dist(v, cv) for cv in cb_lists]
+            p = min(range(len(dd)), key=lambda i: (dd[i], i))
+            codes[j], errs[j] = ids[p], dd[p]
+            if v is None:
+                rvs[j] = None  # zip_with(NULL, cv) is NULL
+            else:
+                cv = cb_lists[p]
+                n = max(len(v), len(cv))
+                rvs[j] = [
+                    (v[i] - cv[i])
+                    if i < len(v) and i < len(cv) and v[i] is not None
+                    else None
+                    for i in range(n)
+                ]
+        return pd.DataFrame({"code1": codes, "err1": errs, "rv": rvs})
+
+    return stage1(qv_col)
+
+
 def _quantized_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, qv) rows: NULL vectors are dropped — a vector with no
     components has no position, so clustering/encoding it is undefined
@@ -117,10 +425,30 @@ def init_centroids(base: DataFrame, k: int) -> DataFrame:
 
 def assign_clusters(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, qv, cluster, dist): nearest centroid by exact integer
-    squared L2, ties toward the smaller cluster id.  Plan: broadcast the
-    k-row centroid table, score k candidates per vector in the scan,
-    argmin via one row_number window partitioned by vec_id (the single
-    shuffle of the assignment step)."""
+    squared L2, ties toward the smaller cluster id.
+
+    Plan (r18): the k-row centroid table is a BOUNDED collect (k ≤ 256
+    by every caller's construction) shipped in an Arrow UDF closure; the
+    argmin is one int64 matmul per row batch INSIDE the scan — zero
+    shuffle.  The previous crossJoin(k) → row_number window shape
+    shuffled corpus×k scored rows per assignment pass; the interleaved
+    A/B and the exact-semantics edge cases live in
+    tests/test_r18_optimization.py and OPTIMIZATION_r18.md.  A codebook
+    that is not a clean fixed-width int matrix (hostile corpora) keeps
+    the expression path."""
+    mx = _codebook_matrix(_codebook_rows(centroids, "cluster", "cv"))
+    if mx is not None:
+        ids, mat = mx
+        return base.select(
+            "vec_id",
+            "qv",
+            _sqdist_argmin_column(F.col("qv"), ids, mat, "cluster").alias("__a"),
+        ).select(
+            "vec_id",
+            "qv",
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist").alias("dist"),
+        )
     scored = (
         base.crossJoin(F.broadcast(centroids))
         .select("vec_id", "qv", "cluster", sq_dist_q(F.col("qv"), F.col("cv")).alias("dist"))
@@ -272,6 +600,23 @@ def pq_encode(
             )
         return F.array(*pieces)
 
+    # r18: clean codebook → one Arrow kernel per batch computes all M
+    # codes + the exact error INSIDE the scan (module comment above the
+    # kernels) — replaces explode(M) → broadcast join(M·n_codes) →
+    # argmin window over corpus×M scored rows → groupBy(vec_id): the
+    # encode becomes a pure map with ZERO shuffle, which is the actual
+    # PQ storage-layout shape at 100 TB
+    mx = _codebook_matrix(_collect_head_codebook(base, n_codes))
+    if mx is not None:
+        ids, mat = mx
+        return base.select(
+            "vec_id",
+            _pq_codes_column(F.col("qv"), ids, mat, n_subspaces, with_err=True).alias("__e"),
+        ).select(
+            "vec_id",
+            *[F.col(f"__e.code_s{s}").alias(f"code_s{s}") for s in range(n_subspaces)],
+            F.col("__e.err_q").alias("err_q"),
+        )
     vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
         "vec_id", "p.s", "p.sv"
     )
@@ -339,22 +684,42 @@ def pq_adc_topk(
             )
         return F.array(*pieces)
 
-    csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
-        "j", "p.s", "p.cv2"
-    )
-    # corpus → codes: identical argmin to pq_encode (same tie-break)
-    vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
-        F.col("vec_id").alias("c_id"), "p.s", "p.sv"
-    )
-    scored = vsub.join(F.broadcast(csub), "s").select(
-        "c_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
-    )
-    w = Window.partitionBy("c_id", "s").orderBy("dist", "j")
-    codes = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("c_id", "s", F.col("j").alias("code"))
-    )
+    # corpus → codes: identical argmin to pq_encode (same tie-break).
+    # r18: clean codebook → the pq_encode Arrow kernel emits the M codes
+    # in the scan and posexplode fans them to (c_id, s, code) — the
+    # corpus-side explode(M)→join→argmin-window shuffle is gone — and the
+    # (tiny) query-side distance table joins a LITERAL sub-codebook built
+    # from the same collect, so nothing downstream re-executes the
+    # corpus-head subtree
+    mx = _codebook_matrix(_collect_head_codebook(base, n_codes))
+    if mx is not None:
+        kids, kmat = mx
+        csub = _literal_csub(df.sparkSession, kids, kmat, n_subspaces)
+        codes = base.select(
+            F.col("vec_id").alias("c_id"),
+            _pq_codes_column(F.col("qv"), kids, kmat, n_subspaces, with_err=False).alias("__e"),
+        ).select(
+            "c_id",
+            F.posexplode(
+                F.array(*[F.col(f"__e.code_s{s}") for s in range(n_subspaces)])
+            ).alias("s", "code"),
+        )
+    else:
+        csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
+            "j", "p.s", "p.cv2"
+        )
+        vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+            F.col("vec_id").alias("c_id"), "p.s", "p.sv"
+        )
+        scored = vsub.join(F.broadcast(csub), "s").select(
+            "c_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
+        )
+        w = Window.partitionBy("c_id", "s").orderBy("dist", "j")
+        codes = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("c_id", "s", F.col("j").alias("code"))
+        )
     # query → distance table: exact L2² to every codebook entry
     qsub = qbase.select("q_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
         "q_id", "p.s", "p.sv"
@@ -381,8 +746,20 @@ def _nearest_code(
 ) -> DataFrame:
     """(vec_id, <vcol>, code, dist): nearest codebook entry by exact
     integer L2², ties toward the smaller code id — the shared argmin of
-    this module (broadcast codebook → score in scan → one vec_id
-    window)."""
+    this module.  r18: clean codebook → Arrow matmul kernel in the scan
+    (zero shuffle); otherwise the broadcast-crossJoin → vec_id-window
+    expression shape."""
+    mx = _codebook_matrix(_codebook_rows(codebook, code_col, cb_vcol))
+    if mx is not None:
+        ids, mat = mx
+        return base.select(
+            "vec_id", vcol, _sqdist_argmin_column(F.col(vcol), ids, mat, code_col).alias("__a")
+        ).select(
+            "vec_id",
+            vcol,
+            F.col(f"__a.{code_col}").alias(code_col),
+            F.col("__a.dist").alias("dist"),
+        )
     scored = base.crossJoin(F.broadcast(codebook)).select(
         "vec_id", vcol, code_col, sq_dist_q(F.col(vcol), F.col(cb_vcol)).alias("dist")
     )
@@ -426,6 +803,40 @@ def rq_encode(
         if v < 1:
             raise ValueError(f"{name} must be >= 1, got {v}")
     base = _quantized_base(df, id_col, vec_col)
+    # r18 fast path: with a clean stage-1 codebook the whole operator is a
+    # MAP — stage 1 (code1, err1, residual) in one kernel, codebook 2 from
+    # a bounded head collect (zero row + the next n_codes2−1 residuals),
+    # stage 2 in a second kernel on the residual column.  This removes
+    # stage 1's broadcast re-attach join, both argmin windows, AND the
+    # final corpus×corpus vec_id join (the family's one remaining
+    # Final-Plan SortMergeJoin in plans/r18/rq_encode_report_before.txt).
+    mx1 = _codebook_matrix(_collect_head_codebook(base, n_codes1))
+    if mx1 is not None:
+        ids1, mat1 = mx1
+        stage1 = base.select(
+            "vec_id", _rq_stage1_column(F.col("qv"), ids1, mat1).alias("__a")
+        )
+        head = stage1.orderBy("vec_id").limit(n_codes1 + n_codes2 - 1).select("__a.rv").collect()
+        cb2_rows = [(0, [0] * mat1.shape[1])] + [
+            (i - n_codes1 + 1, None if r[0] is None else list(r[0]))
+            for i, r in enumerate(head)
+            if i >= n_codes1
+        ]
+        mx2 = _codebook_matrix(cb2_rows)
+        if mx2 is not None:
+            ids2, mat2 = mx2
+            return stage1.select(
+                "vec_id",
+                F.col("__a.code1").alias("code1"),
+                F.col("__a.err1").alias("err1_q"),
+                _sqdist_argmin_column(F.col("__a.rv"), ids2, mat2, "code2").alias("__b"),
+            ).select(
+                "vec_id",
+                "code1",
+                F.col("__b.code2").alias("code2"),
+                "err1_q",
+                F.col("__b.dist").alias("err2_q"),
+            )
     cb1 = init_centroids(base, n_codes1).select(
         F.col("cluster").alias("code1"), F.col("cv").alias("cv1")
     )
@@ -533,8 +944,17 @@ def ivfpq_topk(
         raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
     qbase = _quantized_base(queries, id_col, vec_col).withColumnRenamed("vec_id", "q_id")
     cents = init_centroids(base, n_centroids)
+    # r18: clean centroid table → list assignment/probing via the Arrow
+    # top-n dot kernel in the scan (no crossJoin(n_centroids), no per-row
+    # window shuffle); hostile centroid rows keep the expression shape
+    mxc = _codebook_matrix(_collect_head_codebook(base, n_centroids))
 
     def best_buckets(side: DataFrame, idc: str, n: int) -> DataFrame:
+        if mxc is not None:
+            cids, cmat = mxc
+            return side.select(
+                idc, "qv", F.explode(_dot_topn_column(F.col("qv"), cids, cmat, n)).alias("bucket")
+            )
         scored = side.crossJoin(F.broadcast(cents)).select(
             idc, "qv", "cluster", int_dot_q(F.col("qv"), F.col("cv")).alias("dot")
         )
@@ -570,21 +990,38 @@ def ivfpq_topk(
             )
         return F.array(*pieces)
 
-    csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
-        "j", "p.s", "p.cv2"
-    )
-    vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
-        F.col("vec_id").alias("c_id"), "p.s", "p.sv"
-    )
-    cscored = vsub.join(F.broadcast(csub), "s").select(
-        "c_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
-    )
-    wc = Window.partitionBy("c_id", "s").orderBy("dist", "j")
-    codes = (
-        cscored.withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") == 1)
-        .select("c_id", "s", F.col("j").alias("code"))
-    )
+    # corpus → codes: the pq_encode Arrow kernel when the PQ codebook is
+    # clean (same shuffle-removal as pq_adc_topk, same literal distance
+    # table), expression otherwise
+    mxk = _codebook_matrix(_collect_head_codebook(base, n_codes))
+    if mxk is not None:
+        kids, kmat = mxk
+        csub = _literal_csub(df.sparkSession, kids, kmat, n_subspaces)
+        codes = base.select(
+            F.col("vec_id").alias("c_id"),
+            _pq_codes_column(F.col("qv"), kids, kmat, n_subspaces, with_err=False).alias("__e"),
+        ).select(
+            "c_id",
+            F.posexplode(
+                F.array(*[F.col(f"__e.code_s{s}") for s in range(n_subspaces)])
+            ).alias("s", "code"),
+        )
+    else:
+        csub = cb.select("j", F.explode(sub_slices(F.col("cv"), "cv2")).alias("p")).select(
+            "j", "p.s", "p.cv2"
+        )
+        vsub = base.select("vec_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
+            F.col("vec_id").alias("c_id"), "p.s", "p.sv"
+        )
+        cscored = vsub.join(F.broadcast(csub), "s").select(
+            "c_id", "s", "j", sq_dist_q(F.col("sv"), F.col("cv2")).alias("dist")
+        )
+        wc = Window.partitionBy("c_id", "s").orderBy("dist", "j")
+        codes = (
+            cscored.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") == 1)
+            .select("c_id", "s", F.col("j").alias("code"))
+        )
     qsub = qbase.select("q_id", F.explode(sub_slices(F.col("qv"), "sv")).alias("p")).select(
         "q_id", "p.s", "p.sv"
     )

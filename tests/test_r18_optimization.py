@@ -77,3 +77,50 @@ def test_pin_reliable_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
     assert reliable_default() is True
+
+
+def _hostile_embeddings(spark):
+    """Corpus whose HEAD (lowest ids — the codebook source) is clean but
+    whose tail carries every edge the expression forms define semantics
+    for: a ragged (short) vector, a NULL-element vector, an empty
+    vector, and a NULL vector."""
+    rows = [
+        (i, [((i * 13 + j * 7) % 19 - 9) / 3.0 for j in range(8)]) for i in range(30)
+    ]
+    rows += [
+        (90, [1.0, 2.0, 3.0]),          # ragged: zip_with pads → dist/dot 0
+        (91, [0.5, None, 1.5, 2.0, -1.0, 0.25, 3.0, -2.0]),  # NULL element
+        (92, []),                        # empty
+        (93, None),                      # NULL vector (dropped by _quantized_base)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_clustering_kernels_match_expression_paths(spark, monkeypatch):
+    """The r18 Arrow argmin/top-n/PQ kernels must be row-identical to the
+    expression forms they replace — including the ragged/NULL-element/
+    empty/NULL edge rows, whose behavior the expression path defines via
+    zip_with+aggregate+coalesce (mismatch or NULL element ⇒ distance and
+    dot 0 ⇒ ties to the smallest code id).  The expression arm is forced
+    by making the codebook look non-rectangular to the dispatcher."""
+    import amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering as C
+
+    df = _hostile_embeddings(spark)
+    ops = {
+        "kmeans": lambda: C.kmeans_lloyd(df, k=4, n_iters=2),
+        "pq_encode": lambda: C.pq_encode(df, n_subspaces=4, n_codes=4),
+        "pq_adc": lambda: C.pq_adc_topk(
+            df, df.filter(F.col("vec_id") < 3), k=5, n_subspaces=4, n_codes=4
+        ),
+        "ivfpq": lambda: C.ivfpq_topk(
+            df, df.filter(F.col("vec_id") < 3),
+            k=5, n_centroids=6, nprobe=2, n_subspaces=4, n_codes=4,
+        ),
+        "rq": lambda: C.rq_encode(df, n_codes1=4, n_codes2=4),
+    }
+    kernel = {name: sorted(tuple(r) for r in fn().collect()) for name, fn in ops.items()}
+    monkeypatch.setattr(C, "_codebook_matrix", lambda rows: None)
+    expr = {name: sorted(tuple(r) for r in fn().collect()) for name, fn in ops.items()}
+    for name in ops:
+        assert kernel[name] == expr[name], f"{name}: kernel/expression divergence"
+        assert kernel[name], f"{name}: empty result"
