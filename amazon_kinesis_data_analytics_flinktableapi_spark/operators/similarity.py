@@ -256,14 +256,19 @@ def auto_nprobe(n_centroids: int, lo: int = 4) -> int:
 #: above this many centroids the per-centroid expression forest loses to
 #: one Arrow-batched matrix product — see _matrix_assign / _matrix_probes.
 #: Measured (sf0.1 embeddings, local[32], min-of-3): the matrix path wins
-#: at EVERY size — 16 centroids 1.03 s vs 1.65 s, 32: 0.84 vs 3.17,
-#: 45: 0.62 vs 2.89 — because higher-order array expressions are
-#: INTERPRETED per row, not codegen'd.  The cap sits at the fixture
-#: default (16) anyway so the oracle-twinned registered queries keep
-#: their exchange-only plans (plan-sweep/PLANS.md stability; at that
-#: size the absolute gap is ~0.6 s of fixed overhead); every auto-sized
-#: index (√n > 16 from ~256 vectors up) takes the matrix path.
-EXPR_CENTROID_CAP = 16
+#: at EVERY size above the cap — 16 centroids 1.03 s vs 1.65 s, 32: 0.84
+#: vs 3.17, 45: 0.62 vs 2.89 — because higher-order array expressions
+#: are INTERPRETED per row, not codegen'd.  r17 kept the cap at 16 so
+#: the registered 16-centroid queries stayed on the expression path
+#: ("plan stability"); r18 re-A/B'd AT the registered sizes (VERDICT r17
+#: item 6, interleaved alternating-arm min-of-4, parity-checked):
+#: ann_ivf_topk 1.39 → 0.86 s (1.62×), ann_recall_report 1.21 → 0.82
+#: (1.47×), semantic_dedup 2.90 → 2.48 (1.17×) — and a direct
+#: ivf_topk_det probe reads the crossover at n_centroids=4 (expr 0.87 vs
+#: matrix 0.89 — flat) / 8 (0.98 vs 0.85 — matrix wins).  Cap = 4:
+#: everything ≥ 5 lists takes the matrix path; plan-stability was not a
+#: perf argument and the dumps are re-committed (plans/r18).
+EXPR_CENTROID_CAP = 4
 
 
 def _matrix_assign(
