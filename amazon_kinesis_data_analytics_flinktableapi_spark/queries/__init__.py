@@ -153,81 +153,51 @@ _ALL_MODULES = [reference, relational, llm, advanced, extras, arrays_windows, pi
 # previously-attested tail last (rotated back into the window in later
 # rounds).
 _PRIORITY: list[str] = [
-    # --- round 17 window (first 50 = the driver's correctness gate) --------
-    # Standing OLDEST-FIRST ROTATION (policy set r9).  r17 window (VERDICT
-    # r16 #2 verbatim): lead with the FIVE r11-stale names, fill with 45 of
-    # the 49 r12-stale.  WINDOW ARITHMETIC (honest): 5 + 49 = 54 > 50 slots,
-    # so 4 r12 names defer to positions 51-54 (they lead the r18 window).
-    # Deferral rule: prefer names whose coverage is a strict subset of an
-    # in-window sibling — kinesis_reshard_roundtrip (subset of the in-window
-    # kinesis_reshard_chain_roundtrip), kinesis_merge_roundtrip (subset of
-    # kinesis_merge_interval_join), kinesis_fake_sdk_roundtrip (the
-    # translating + throttled SDK roundtrips exercise the same seam harder),
-    # streaming_kinesis_roundtrip (streaming_kinesis_tumbling +
-    # kinesis_interval_join cover the same read path plus an operator).
-    # Fixes ADVICE r16 #1: the r16 comment said 35-of-40 but listed 36 fill
-    # names, leaving window_moving_avg at position 51 — it now LEADS.
-
-    # r11-stale (last driver attestation: CORRECTNESS_r11) — all five
-    "window_moving_avg",
-    "window_running_distinct",
-    "feature_hash_vector",
-    "weighted_sample_topk",
-    "streaming_static_enrich",
-    # r12-stale fill, current relative order kept (45 of 49)
-    "tpch_q5_local_supplier_volume",
-    "prefix_filter_setjoin",
-    "char_entropy_score",
-    "bpe_merge_step",
-    "bigram_surprisal_score",
-    "pmi_collocations",
-    "pca_power_iteration",
-    "pca_outlier_scores",
-    "embedding_dim_variance",
-    "triangle_count_graph",
-    "pagerank_dup_graph",
-    "link_prediction_common_neighbors",
-    "attribution_last_touch",
-    "cohort_retention",
-    "recursive_ewma_rates",
-    "winsorize_outliers",
-    "chisq_priority_status",
-    "join_key_skew_report",
-    "variant_semistructured",
-    "xml_roundtrip_extract",
-    "tpch_q11_important_stock",
-    "tpch_q18_large_volume_customer",
-    "tpch_q12_late_priority",
-    "temperature_mixture_sample",
-    "neardup_jaccard",
-    "dedup_clusters",
-    "dedup_fingerprint",
-    "containment_neardup",
-    "dedup_minhash_lsh",
-    "edit_distance_verify",
-    "canonical_doc_select",
-    "minhash_accuracy_report",
-    "kinesis_throttled_roundtrip",
-    "kinesis_translating_sdk_roundtrip",
-    "kinesis_interval_join",
-    "streaming_kinesis_tumbling",
-    "kinesis_reshard_chain_roundtrip",
-    "kinesis_merge_interval_join",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "pii_redaction",
-    # --- window boundary: positions 51+ (r18 leads) ---
-    # the 4 r12-stale deferred by capacity (see deferral rule above)
+    # --- round 18 window (first 50 = the driver's correctness gate) --------
+    # Standing OLDEST-FIRST ROTATION (policy set r9), composed per VERDICT
+    # r17 "Next round" item 1:
+    #   1-3   the three r17 changes that lacked driver attestation
+    #         (ann_lsh_topk Arrow sketches; robust_mad_select median
+    #         materialization + this round's broadcast-hint SMJ removal;
+    #         currency_conversion's vectorized TimestampToString),
+    #   4-6   the three NEVER-attested registry names (registered in the
+    #         r16-interrupted tail, previously parked in the implicit
+    #         "rest" after _PRIORITY — no CORRECTNESS_r*.json has ever
+    #         recorded them; they are now explicit _PRIORITY members),
+    #   7-10  the four r12-stale names capacity-deferred by the r17 window,
+    #   11-25 every query whose execution path this round's optimization
+    #         changes touched (clustering Arrow kernels: kmeans/PQ/RQ/IVFPQ
+    #         family; EXPR_CENTROID_CAP 16→4: ann_ivf_topk, semantic_dedup,
+    #         ann_recall_report; selection-operator materialize knob:
+    #         grouped_median/percentiles, rfm_segmentation; pin() knob:
+    #         pagerank_dup_graph, prefix_filter_setjoin),
+    #   26-50 r13-stale fill, current relative order kept (25 of the 58
+    #         r13-stale names; the remainder leads the r19+ rotation).
+    "ann_lsh_topk",
+    "robust_mad_select",
+    "currency_conversion",
+    "survivorship_golden_record",
+    "unicode_nfc_normalize",
+    "zipf_fit_report",
     "kinesis_reshard_roundtrip",
     "kinesis_merge_roundtrip",
     "kinesis_fake_sdk_roundtrip",
     "streaming_kinesis_roundtrip",
-    # --- previously attested tail, oldest-attested-first (r13..r16), ties
-    # keep prior relative order — sets up the r18+ rotation mechanically ---
+    "kmeans_lloyd_refine",
+    "pq_encode_report",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "rq_encode_report",
+    "pq_recall_report",
+    "ivfpq_recall_report",
+    "ann_ivf_topk",
+    "semantic_dedup",
+    "ann_recall_report",
+    "grouped_median_select",
+    "grouped_percentiles_select",
+    "rfm_segmentation",
+    "pagerank_dup_graph",
+    "prefix_filter_setjoin",
     "duplicate_span_detect_anchored",
     "duplicate_span_removal_anchored",
     "winnowing_fingerprint_stats",
@@ -253,6 +223,9 @@ _PRIORITY: list[str] = [
     "pandas_grouped_zscore",
     "python_udtf_bigrams",
     "range_frame_window",
+    # --- window boundary: positions 51+ — remaining names in
+    # last-attested-ascending order (r13 remainder, then r14..r17),
+    # ties keep prior relative order — the mechanical r19+ rotation ---
     "robust_stats_mad",
     "rank_family",
     "window_value_family",
@@ -266,18 +239,11 @@ _PRIORITY: list[str] = [
     "tpch_q17_small_qty_revenue",
     "tpch_q2_min_cost_supplier",
     "tpch_q19_disjunctive_join",
-    "ann_lsh_topk",
     "embedding_neardup_wide",
     "duplicate_span_detect",
     "bm25_rank",
     "interval_join",
-    "grouped_median_select",
-    "grouped_percentiles_select",
-    "robust_mad_select",
     "token_budget_waterfill",
-    "pq_encode_report",
-    "pq_adc_topk",
-    "ivfpq_topk",
     "quality_classifier_score",
     "streaming_quality_filter",
     "exact_median_select",
@@ -285,10 +251,7 @@ _PRIORITY: list[str] = [
     "bpe_encode_token_counts",
     "token_budget_select",
     "sequence_packing",
-    "ann_ivf_topk",
-    "ann_recall_report",
     "embedding_neardup",
-    "semantic_dedup",
     "array_agg_sorted",
     "array_hof_pipeline",
     "asof_forward_join",
@@ -320,15 +283,12 @@ _PRIORITY: list[str] = [
     "tpch_q4_priority_check",
     "tpch_q6_revenue_delta",
     "scd2_history_build",
-    "rfm_segmentation",
     "media_phash_neardup",
-    "pq_recall_report",
     "drift_ks_by_source",
     "vocab_shift_drift",
     "ngram_novelty_score",
     "token_gini_concentration",
     "streaming_clean_pipeline",
-    "kmeans_lloyd_refine",
     "agg_pricing_summary",
     "conditional_agg",
     "cube_status_priority",
@@ -368,7 +328,6 @@ _PRIORITY: list[str] = [
     "unpivot_lineitem_metrics",
     "value_histogram",
     "window_rank",
-    "currency_conversion",
     "asof_join_nearest",
     "minhash_band_sweep_report",
     "clean_retention_funnel",
@@ -376,8 +335,6 @@ _PRIORITY: list[str] = [
     "hybrid_search_rrf",
     "ann_int8_topk",
     "tvd_drift_by_source",
-    "rq_encode_report",
-    "ivfpq_recall_report",
     "cluster_topic_terms",
     "dedup_cluster_purity_report",
     "doc_embedding_coverage_report",
@@ -419,6 +376,54 @@ _PRIORITY: list[str] = [
     "template_doc_detect",
     "theilsen_trend",
     "token_stats",
+    "window_moving_avg",
+    "window_running_distinct",
+    "feature_hash_vector",
+    "weighted_sample_topk",
+    "streaming_static_enrich",
+    "tpch_q5_local_supplier_volume",
+    "char_entropy_score",
+    "bpe_merge_step",
+    "bigram_surprisal_score",
+    "pmi_collocations",
+    "pca_power_iteration",
+    "pca_outlier_scores",
+    "embedding_dim_variance",
+    "triangle_count_graph",
+    "link_prediction_common_neighbors",
+    "attribution_last_touch",
+    "cohort_retention",
+    "recursive_ewma_rates",
+    "winsorize_outliers",
+    "chisq_priority_status",
+    "join_key_skew_report",
+    "variant_semistructured",
+    "xml_roundtrip_extract",
+    "tpch_q11_important_stock",
+    "tpch_q18_large_volume_customer",
+    "tpch_q12_late_priority",
+    "temperature_mixture_sample",
+    "neardup_jaccard",
+    "dedup_clusters",
+    "dedup_fingerprint",
+    "containment_neardup",
+    "dedup_minhash_lsh",
+    "edit_distance_verify",
+    "canonical_doc_select",
+    "minhash_accuracy_report",
+    "kinesis_throttled_roundtrip",
+    "kinesis_translating_sdk_roundtrip",
+    "kinesis_interval_join",
+    "streaming_kinesis_tumbling",
+    "kinesis_reshard_chain_roundtrip",
+    "kinesis_merge_interval_join",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "pii_redaction",
 ]
 def _reorder_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]

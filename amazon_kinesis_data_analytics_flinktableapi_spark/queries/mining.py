@@ -2353,8 +2353,9 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 2) -> str:
     "corpus: deterministic lowest-id init, exact integer micro-unit "
     "distances, exact-floor centroid means, empty clusters keep their "
     "center — final (vec_id, cluster, dist_q) assignment hash-checks "
-    "against the unrolled DuckDB twin; per iteration: one broadcast "
-    "assign pass + one kxdim bounded update",
+    "against the unrolled DuckDB twin; per iteration: one zero-shuffle "
+    "Arrow-kernel assign pass (bounded k-row codebook collect) + one "
+    "kxdim bounded update",
 )
 def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import kmeans_lloyd
@@ -2421,8 +2422,8 @@ def _pq_oracle(m: int = 4, n_codes: int = 8) -> str:
     doc="Product-Quantization encoding (Jegou et al. 2011; 4 subspaces x "
     "8 codes): each vector becomes 4 small codes + its exact integer "
     "quantization error — the IVF-PQ storage layout's encode pass; "
-    "codebook broadcasts, argmin per (vec, subspace) via one window, "
-    "one groupBy folds codes into columns",
+    "the bounded codebook ships in an Arrow kernel that emits all 4 "
+    "codes + error inside the scan (zero-shuffle map)",
 )
 def q_pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import pq_encode
@@ -3011,8 +3012,8 @@ def q_tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(pinned in tests); codebook 2 = zero ('no refinement') + the NEXT "
     "7 lowest-id vectors' residuals — stage-1 codeword rows are skipped "
     "because their residuals are identically zero (a same-head C2 is a "
-    "dead codebook).  Both codebooks broadcast; two assign windows; "
-    "residuals are scan projections — corpus-linear",
+    "dead codebook).  Both codebooks are bounded collects feeding Arrow "
+    "kernels: the whole encode is a zero-shuffle map (r18)",
 )
 def q_rq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_analytics_flinktableapi_spark.operators.clustering import rq_encode
