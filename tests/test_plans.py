@@ -462,13 +462,11 @@ BNLJ_SCALAR_CROSS = {
     "source_overlap_report",    # |sources|-row signature self-join (≤ ~10³
                                 # rows per side at ANY corpus size — the
                                 # pairwise frame IS the report's output)
-    "kmeans_lloyd_refine",      # the k=8 centroid table crossed into the
-                                # corpus scan (one BNLJ per Lloyd assign
-                                # pass — the broadcast side is O(k) at any
-                                # corpus size)
-    "ivfpq_topk",               # the 16-row IVF centroid table crossed
-                                # into the corpus and query scans (two
-                                # assign passes — broadcast side O(lists))
+    # kmeans_lloyd_refine / ivfpq_topk / rq_encode_report /
+    # cluster_topic_terms left this whitelist in r18: their codebook
+    # crossJoin→window argmin passes became Arrow matmul kernels inside
+    # the scan (operators/clustering.py), so they no longer plan a BNLJ
+    # at all — the stale-entry guard below is what caught the change.
     "drift_ks_by_source",       # 1-row corpus total + the distinct-length
                                 # grid (bounded by the length DOMAIN, not
                                 # the corpus) crossed into the source table
@@ -488,13 +486,9 @@ BNLJ_SCALAR_CROSS = {
     # scopes the query's caches (ADVICE r15), so the returned plan is the
     # 3-row checkpointed frame and the sweep no longer sees the BNLJ —
     # its shape remains pinned by tests/test_r15_reports.py
-    "rq_encode_report",         # two <=8-row codebooks crossed into the
-                                # corpus scan (RQ assign passes — broadcast
-                                # side O(n_codes) at any corpus size)
-    "ivfpq_recall_report",      # composes ivfpq_topk — the same 16-row
-                                # centroid / 8-row codebook crosses
-    "cluster_topic_terms",      # composes kmeans_lloyd_refine — the k=8
-                                # centroid table crossed into each assign
+    "ivfpq_recall_report",      # composes brute_topk for its exact arm —
+                                # the bounded query-vector cross (its
+                                # ivfpq approx arm lost its BNLJs in r18)
 }
 
 
@@ -519,18 +513,13 @@ GLOBAL_WINDOW_BOUNDED = {
     "chisq_priority_status": "bounded",   # |priority|×|status| grid (≤ ~15 rows)
     "kmv_set_ops": "bounded",  # union of two ≤k sketches: ≤ 2k = 512 rows
     "exact_median_select": "bounded",  # level-2 histogram cell: ~n/2^20 rows
-    "kmeans_lloyd_refine": "bounded",  # centroid-id row_number over the
-                                       # limit(k=8) init rows
-    "pq_encode_report": "bounded",     # codebook-id row_number over the
-                                       # limit(n_codes=8) init rows
-    "pq_adc_topk": "bounded",          # same limit(8) codebook-id window
-    "pq_recall_report": "bounded",     # composes pq_adc_topk — same
-                                       # limit(8) codebook-id window
-    "ivfpq_topk": "bounded",           # limit(16)/limit(8) centroid- and
-                                       # codebook-id windows
-    "ivfpq_recall_report": "bounded",  # composes ivfpq_topk — same windows
-    "cluster_topic_terms": "bounded",  # composes kmeans_lloyd_refine — the
-                                       # limit(k=8) centroid-id window
+    # The whole codebook family (kmeans_lloyd_refine, pq_encode_report,
+    # pq_adc_topk, pq_recall_report, ivfpq_topk, ivfpq_recall_report,
+    # cluster_topic_terms, rq_encode_report) left this whitelist in r18:
+    # their limit(k) codebook-id row_number windows became bounded driver
+    # collects feeding Arrow kernels (operators/clustering.py), so no
+    # global window remains in any of their plans — the stale-entry
+    # guard below is what caught the change.
     "drift_ks_by_source": "bounded",   # merged-ECDF cumulative over
                                        # DISTINCT length values — the
                                        # length domain, not the corpus
@@ -539,8 +528,6 @@ GLOBAL_WINDOW_BOUNDED = {
                                        # (the one remaining GLOBAL window;
                                        # the r16 multi-query fused_rank
                                        # window is partitioned by q_id)
-    "rq_encode_report": "bounded",     # codebook-id row_number over the
-                                       # limit(15) residual head rows
 }
 
 
