@@ -495,11 +495,13 @@ def kmeans_lloyd(
     docstring), so the registered query hash-checks against an unrolled
     DuckDB twin.
 
-    Plan cost per iteration: one broadcast-join scan + one vec_id window
-    shuffle (assign) + one (cluster, dim) groupBy whose combined reduce
-    input is k·dim (update).  The iteration count is a literal, so the
-    lineage is n_iters·3 narrow stages — no checkpointing needed at the
-    k/n_iters this engine registers (contrast ``bpe_train``'s k=256
+    Plan cost per iteration (r18): one Arrow-kernel assignment pass
+    over the corpus (zero shuffle — the k-row centroid table is a
+    bounded collect per pass; see :func:`assign_clusters`) + one
+    (cluster, dim) groupBy whose combined reduce input is k·dim
+    (update).  The iteration count is a literal, so the lineage stays a
+    handful of narrow stages — no checkpointing needed at the k/n_iters
+    this engine registers (contrast ``bpe_train``'s k=256
     localCheckpoint cadence, where rounds are data-dependent).
     """
     if k < 1:
@@ -561,13 +563,14 @@ def pq_encode(
     corpus decades; explicit values pin it (the oracle-twinned registry
     queries pass 8).
 
-    Plan: the M·n_codes-row codebook broadcasts; each vector scores
-    M·n_codes candidates inside the scan (explode by subspace), argmin
-    per (vec, subspace) via one window, then ONE groupBy(vec_id) folds
-    the M winners into code columns + the error sum.  Shuffle ∝
-    corpus·M rows of (id, code, dist) — never corpus × corpus, and the
-    encoded output is M bytes-scale codes per vector, the whole point of
-    PQ at 100 TB.
+    Plan (r18): the M·n_codes-row codebook is a bounded collect shipped
+    in an Arrow kernel that emits all M codes + the exact error per row
+    INSIDE the scan — a pure map, ZERO shuffle (was: explode by
+    subspace → broadcast join → per-(vec, subspace) argmin window →
+    groupBy(vec_id), which shuffled corpus·M scored rows).  The encoded
+    output is M bytes-scale codes per vector, the whole point of PQ at
+    100 TB; a non-rectangular (hostile) codebook falls back to the old
+    expression shape with identical semantics.
 
     Dimension note: the last subspace takes the remainder when dim % M
     ≠ 0 (slice length = ceil stays within bounds on both engines); all
@@ -653,12 +656,13 @@ def pq_adc_topk(
     (q_id, c_id, adc_dist, rn), k rows per query, ties toward smaller
     c_id, self-matches excluded.
 
-    Plan: codebook (M·n_codes rows) and the distance table
-    (|queries|·M·n_codes rows) both broadcast; the corpus contributes
-    its (id, subspace, code) rows once; scoring is a broadcast hash join
-    on (s, code) + one groupBy(q_id, c_id) whose input is
-    corpus·|queries|·M rows of five small integers — vectors never
-    enter a shuffle.  Cost is inherently corpus × queries (brute ADC);
+    Plan (r18): corpus codes come from the pq_encode Arrow kernel in
+    the scan (zero-shuffle map; was an explode→join→argmin-window pass);
+    the distance table (|queries|·M·n_codes rows) joins a LITERAL
+    sub-codebook built from the same bounded collect and broadcasts;
+    scoring is a broadcast hash join on (s, code) + one
+    groupBy(q_id, c_id) whose input is corpus·|queries|·M rows of five
+    small integers — vectors never enter a shuffle.  Cost is inherently corpus × queries (brute ADC);
     production composes it with the IVF pruning ``ivf_topk`` already
     provides.  Exactness: same micro-unit quantization and int64 sums
     as :func:`pq_encode`, so a SQL twin replays every step."""
@@ -794,11 +798,15 @@ def rq_encode(
     all-zero codebook and a dead stage 2; found by the err2<err1 pin).
     Guarantee: zero ∈ C2 ⇒ err2_q ≤ err1_q for EVERY vector.
 
-    Plan: both codebooks broadcast (≤ n_codes rows each — codebook 2 is
-    the head slice of the already-computed residual table, never a
-    collect); two assign passes = two vec_id windows; the residual is a
-    zip_with projection in the scan.  Shuffle carries (id, vector,
-    code, dist) rows — corpus-linear, never corpus × corpus."""
+    Plan (r18): a MAP — stage 1 (code1, err1, residual) is one Arrow
+    kernel against the bounded-collected codebook 1; codebook 2 is a
+    bounded head collect of the stage-1 output (zero row + the next
+    n_codes2−1 residuals, ≤ n_codes2 rows — the same driver-statistics
+    class as the codebook itself); stage 2 is a second kernel on the
+    residual column.  Zero shuffle, no corpus×corpus join (the previous
+    shape's final vec_id join was this family's one Final-Plan
+    SortMergeJoin).  Hostile codebooks fall back to the broadcast +
+    window expression shape with identical semantics."""
     for name, v in (("n_codes1", n_codes1), ("n_codes2", n_codes2)):
         if v < 1:
             raise ValueError(f"{name} must be >= 1, got {v}")
@@ -915,12 +923,12 @@ def ivfpq_topk(
     (ties toward the smaller list id, the ``ivf_topk_det`` rule), PQ
     codes by exact integer L2 argmin (the :func:`pq_encode` rule).
 
-    Plan: centroid table (n_centroids rows) and PQ codebook (M·n_codes
-    rows) broadcast; the corpus is scanned once for (bucket) and once
-    for (codes) — both argmins are windows partitioned by c_id; the
-    probe table (|queries|·nprobe rows) broadcasts into the bucket join,
-    and the final ADC join carries only (q_id, c_id, s, code, qd)
-    integers.  Work ∝ corpus/lists · nprobe · |queries| — the IVF
+    Plan (r18): centroid table and PQ codebook are bounded collects;
+    bucket assignment, query probing and PQ codes are Arrow kernels in
+    their scans (zero shuffle each — both per-c_id argmin windows and
+    the crossJoins are gone); the probe table (|queries|·nprobe rows)
+    broadcasts into the bucket join, and the final ADC join carries only
+    (q_id, c_id, s, code, qd) integers.  Work ∝ corpus/lists · nprobe · |queries| — the IVF
     pruning factor — instead of brute ADC's corpus × queries."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
